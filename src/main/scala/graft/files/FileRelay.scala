@@ -1,0 +1,61 @@
+package graft.files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+
+/** File-pattern ingestion: relay opaque objects between zones.
+  *
+  * Re-expression of the reference's boto3 copy/move/list
+  * (`/root/reference/ingestion/utils/dataIngestionUtils.py:196-232`) on the
+  * Hadoop FileSystem API, so the same code runs against `s3a://`, `hdfs://`
+  * and `file://` (hermetic tests — SURVEY §5.4). Objects stay opaque blobs;
+  * no DataFrame job is launched for a byte relay.
+  */
+final class FileRelay(conf: Configuration = new Configuration()) {
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  /** List objects under a prefix (S4) —
+    * `bucket.objects.filter(Prefix=...)` (`dataIngestionUtils.py:204`). */
+  def list(prefix: String): Seq[Path] = {
+    val p = new Path(prefix)
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toIndexedSeq.filter(_.isFile).map(_.getPath)
+  }
+
+  /** Cross-zone copy (S5) — `dataIngestionUtils.py:196-213`: every object
+    * under `srcPrefix` lands under `destPrefix`, names preserved. Returns
+    * the copied destination paths. */
+  def copyAll(srcPrefix: String, destPrefix: String): Seq[Path] = {
+    val destDir = new Path(destPrefix)
+    val dfs = fs(destDir)
+    dfs.mkdirs(destDir)
+    list(srcPrefix).map { src =>
+      val dest = new Path(destDir, src.getName)
+      FileUtil.copy(fs(src), src, dfs, dest, false, true, conf)
+      dest
+    }
+  }
+
+  /** Move = copy + delete (S6) — `dataIngestionUtils.py:215-232`: archive
+    * inbound files to the processed prefix. */
+  def moveAll(srcPrefix: String, destPrefix: String): Seq[Path] = {
+    val copied = copyAll(srcPrefix, destPrefix)
+    list(srcPrefix).foreach(p => fs(p).delete(p, false))
+    copied
+  }
+
+  def readUtf8(p: Path): String = {
+    val in = fs(p).open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def writeUtf8(p: Path, body: String): Unit = {
+    val out = fs(p).create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

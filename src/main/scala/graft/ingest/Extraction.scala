@@ -1,0 +1,197 @@
+package graft.ingest
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** Extraction SQL pushed to the source database — re-expression of
+  * `get_data_from_different_db` (`/root/reference/ingestion/utils/
+  * dataIngestionUtils.py:131-177`). Pure string construction, unit-testable
+  * without a database.
+  *
+  * Semantics preserved exactly (SURVEY §3.2): half-open interval
+  * `(last, max]` on the watermark column; probe = index-friendly
+  * `ORDER BY ext_col DESC LIMIT 1`. The reference's unquoted timestamp
+  * literals for mysql/oracle/sqlserver (`dataIngestionUtils.py:150,159,168`)
+  * are invalid SQL — every flavor quotes here, matching the postgres branch.
+  */
+object ExtractionSql {
+
+  /** Fully-qualified table name: only postgres qualifies with the schema
+    * (`dataIngestionUtils.py:138` vs `:148,157,166`). */
+  def qualified(db: DbType, schema: Option[String], table: String): String =
+    schema.filter(_ => db.qualifiesSchema).fold(table)(s => s"$s.$table")
+
+  /** Watermark probe — `dataIngestionUtils.py:136,146,155,164`. */
+  def probeMax(db: DbType, schema: Option[String], table: String,
+      extCol: String): String =
+    s"select $extCol from ${qualified(db, schema, table)} " +
+      s"ORDER BY $extCol DESC LIMIT 1"
+
+  /** Full extract — `dataIngestionUtils.py:137-138`. */
+  def full(db: DbType, schema: Option[String], table: String): String =
+    s"SELECT * FROM ${qualified(db, schema, table)}"
+
+  /** Incremental extract: strictly-greater than the recorded watermark,
+    * at-most the probed max — `dataIngestionUtils.py:139-141`. */
+  def incremental(db: DbType, schema: Option[String], table: String,
+      extCol: String, last: Timestamp, max: Timestamp): String =
+    s"select * from ${qualified(db, schema, table)} " +
+      s"where $extCol > timestamp '${fmt(last)}' " +
+      s"and $extCol <= timestamp '${fmt(max)}'"
+
+  private def fmt(t: Timestamp): String = t.toString.stripSuffix(".0")
+}
+
+/** A readable table — the seam between the watermark algorithm and the
+  * physical source. JDBC in production; parquet fixtures in tests. Both
+  * expose the same three reads the reference performs (probe / full /
+  * interval), each of which Catalyst pushes down (JDBC `query` option, or
+  * parquet filter pushdown).
+  */
+trait TableSource {
+  /** Current high watermark at the source (A1) — `max(ext_col)`. */
+  def probeMax(extCol: String): Option[Timestamp]
+  /** `SELECT *` (P1). */
+  def readFull(): DataFrame
+  /** `(last, max]` slice on the watermark column (P4). */
+  def readInterval(extCol: String, last: Timestamp, max: Timestamp): DataFrame
+}
+
+/** JDBC-backed source. Parallelism note (SURVEY §6): the reference reads
+  * every extract in ONE task (no partitionColumn, `dataIngestionUtils.py:
+  * 171-176`); at 100 TB that single task is the bottleneck, so this source
+  * takes optional partitioning parameters and splits the scan.
+  */
+final class JdbcTableSource(
+    spark: SparkSession,
+    db: DbType,
+    host: String, port: Int, database: String,
+    user: String, password: String,
+    schema: Option[String], table: String,
+    numPartitions: Int = 1,
+    partitionColumn: Option[String] = None) extends TableSource {
+
+  private def reader(query: String) = {
+    val r = spark.read.format("jdbc")
+      .option("driver", db.driver)
+      .option("url", db.url(host, port, database))
+      .option("user", user)
+      .option("password", password)
+      .option("query", query)
+    if (numPartitions > 1) r.option("numPartitions", numPartitions) else r
+  }
+
+  def probeMax(extCol: String): Option[Timestamp] = {
+    // The reference collects a 1-row ORDER BY DESC LIMIT 1 result
+    // (`dataIngestionUtils.py:183-184`); same single round trip here.
+    val rows = reader(ExtractionSql.probeMax(db, schema, table, extCol))
+      .load().collect()
+    rows.headOption.map(_.getTimestamp(0))
+  }
+
+  def readFull(): DataFrame = {
+    val base = ExtractionSql.full(db, schema, table)
+    (partitionColumn, numPartitions) match {
+      case (Some(pc), n) if n > 1 =>
+        // parallel scan: split on the partition column's observed range
+        spark.read.format("jdbc")
+          .option("driver", db.driver)
+          .option("url", db.url(host, port, database))
+          .option("user", user).option("password", password)
+          .option("dbtable", s"(${base}) src")
+          .option("partitionColumn", pc)
+          .option("numPartitions", n)
+          .load()
+      case _ => reader(base).load()
+    }
+  }
+
+  def readInterval(extCol: String, last: Timestamp, max: Timestamp): DataFrame =
+    reader(ExtractionSql.incremental(db, schema, table, extCol, last, max)).load()
+}
+
+/** Parquet-backed source over the fixture layout `<dir>/<table>.parquet`.
+  * The same probe/full/interval semantics; the interval predicate is pushed
+  * into the parquet scan by Catalyst (row-group pruning).
+  */
+final class ParquetTableSource(spark: SparkSession, dir: String, table: String)
+    extends TableSource {
+  private def df = graft.Tables.t(spark, dir, table)
+
+  def probeMax(extCol: String): Option[Timestamp] =
+    // agg(max) plans partial+final max — no global sort (SURVEY §2.3 A1)
+    Option(df.agg(max(col(extCol))).first().getTimestamp(0))
+
+  def readFull(): DataFrame = df
+
+  def readInterval(extCol: String, last: Timestamp, max: Timestamp): DataFrame =
+    df.filter(col(extCol) > lit(last) && col(extCol) <= lit(max))
+}
+
+/** The incremental-watermark extraction lifecycle — re-expression of
+  * `pull_data_from_db` + catalog record (`dataIngestionUtils.py:181-194,
+  * 234-249`; traced in SURVEY §3.2). Semantics preserved:
+  *
+  *  1. the upper bound is snapshotted BEFORE the extract — rows arriving
+  *     mid-run defer to the next run;
+  *  2. interval is half-open `(last, max]` — no row read twice, none
+  *     skipped, given a monotone ext_col;
+  *  3. first incremental run (no watermark in the catalog) degrades to a
+  *     full extract but still records the probed max;
+  *  4. `ext_method=full` runs record a NULL watermark
+  *     (`dataIngestionUtils.py:43,193-194,247`).
+  *
+  * The reference's `time.sleep(5)` between probe and watermark read
+  * (`dataIngestionUtils.py:186`) is an artifact and is dropped.
+  */
+object IncrementalExtractor {
+
+  final case class Extract(data: DataFrame, newWatermark: Option[Timestamp])
+
+  def extract(source: TableSource, method: ExtractionMethod,
+      extCol: Option[String], lastWatermark: => Option[Timestamp]): Extract =
+    method match {
+      case ExtractionMethod.Full =>
+        Extract(source.readFull(), newWatermark = None)
+      case ExtractionMethod.Incremental =>
+        val ec = extCol.getOrElse(throw new IllegalArgumentException(
+          "incremental extraction requires ext_col"))
+        val probed = source.probeMax(ec)            // step 1: snapshot upper bound
+        lastWatermark match {                        // step 2: catalog watermark
+          case None =>
+            Extract(source.readFull(), newWatermark = probed)
+          case Some(last) =>
+            val upper = probed.getOrElse(last)
+            Extract(source.readInterval(ec, last, upper), newWatermark = probed)
+        }
+    }
+
+  /** Full lifecycle: extract → land → catalog insert (write-then-record
+    * ordering as in `dataIngestion.py:26-34`). Returns the catalog entry.
+    */
+  def run(
+      store: graft.catalog.MetadataStore,
+      source: TableSource,
+      asset: DataAsset,
+      srcSysId: Int,
+      execId: String,
+      land: DataFrame => String,
+      logPath: String = "",
+      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): CatalogEntry = {
+    val e = extract(source, asset.extMethod, asset.extCol,
+      store.highestWatermark(asset.assetId))
+    val landedPath = land(e.data)
+    val ts = now()
+    val entry = CatalogEntry(
+      execId = execId, srcSysId = srcSysId, assetId = asset.assetId,
+      dqValidation = CatalogEntry.StatusNotStarted,
+      dataPublish = CatalogEntry.StatusNotStarted,
+      dataMasking = CatalogEntry.StatusNotStarted,
+      srcFilePath = landedPath, s3LogPath = logPath,
+      procStartTs = ts, createdTs = ts, lastExtTime = e.newWatermark)
+    store.insertCatalogEntry(entry)
+    entry
+  }
+}

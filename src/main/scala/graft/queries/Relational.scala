@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{t, dec, money}
+
+/** Relational query surface.
+  *
+  * SURVEY §2.6: the reference contains no joins / aggregations / windows /
+  * set ops of its own — a user of the new engine gets them from Spark
+  * built-ins, declared here as the coverage queries the driver verifies
+  * against the DuckDB oracle. Every query orders its output and aliases
+  * every computed column identically to its oracle SQL.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- aggregation: TPC-H Q1-style pricing summary (groupBy + exact
+    // decimal sums + avg + count; partial aggregation map-side) ----
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          money(col("l_quantity")).as("sum_qty"),
+          money(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- broadcast join: 3-way star join over dims small enough to
+    // broadcast (no shuffle of the fact side at scale) ----
+    "q_join_broadcast" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          money(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ---- shuffle (sort-merge/hash) join: fact-fact join on orderkey ----
+    "q_join_large" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- semi join (EXISTS) ----
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- anti join (NOT EXISTS) ----
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- window function: top order per customer by row_number ----
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dec(col("o_totalprice")).cast("double").as("top_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---- window function: running sum over event time per user ----
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- set ops: nations having customers vs suppliers ----
+    "q_set_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sp).orderBy(col("nationkey"))
+    }),
+    "q_set_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(sp).orderBy(col("nationkey"))
+    }),
+    "q_set_union" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(sp).distinct().orderBy(col("nationkey"))
+    }),
+
+    // ---- rollup (grouping sets) ----
+    "q_rollup" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val c = t(s, dir, "customer")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // ---- distinct ----
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment"))),
+
+    // ---- scalar function library: string/date/math over orders ----
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("prio_upper"),
+          substring(col("o_orderstatus"), 1, 1).as("status_c"),
+          length(col("o_orderpriority")).as("prio_len"),
+          concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          abs(dec(col("o_totalprice")) * lit(-1)).cast("double").as("abs_price"),
+          (col("o_orderkey") % 7).as("key_mod"),
+          floor(dec(col("o_totalprice"))).cast("long").as("price_floor"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- json extraction from the events props column ----
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy(col("k_bucket"))
+    }),
+
+    // ---- event-time tumbling window (batch form; streaming form in
+    // graft.stream) ----
+    "q_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          money(col("value")).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers,
+        | cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_large" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        | cast(cast(o_totalprice as decimal(18,2)) as double) AS top_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | cast(sum(cast(value as decimal(18,2))) OVER (PARTITION BY user_id
+        |   ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+        |   AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+
+    "q_set_union" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier) ORDER BY nationkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        | upper(o_orderpriority) AS prio_upper,
+        | substring(o_orderstatus, 1, 1) AS status_c,
+        | length(o_orderpriority) AS prio_len,
+        | concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        | year(o_orderdate) AS o_year,
+        | month(o_orderdate) AS o_month,
+        | dayofmonth(o_orderdate) AS o_day,
+        | cast(abs(cast(o_totalprice as decimal(18,2)) * -1) as double) AS abs_price,
+        | o_orderkey % 7 AS key_mod,
+        | cast(floor(cast(o_totalprice as decimal(18,2))) as bigint) AS price_floor
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS n, cast(sum(k) as bigint) AS sum_k
+        |FROM (SELECT event_id, cast(json_extract_string(props, '$.k') as int) AS k
+        |      FROM events)
+        |GROUP BY k % 10 ORDER BY k_bucket""".stripMargin,
+
+    "q_time_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        | count(*) AS n_events,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+  )
+}
