@@ -1,24 +1,48 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.DataFrame
+
+/** Benchmark main — prints ONE JSON line with per-query wall times.
+  *
+  * Design (round-1 verdict fixes):
+  *  - materialization XOR-folds row hashes on the executors, so every
+  *    projected column is actually evaluated (`count()` would let Catalyst
+  *    prune all of them) and only one long ships to the driver;
+  *  - one untimed warm-up pass absorbs session/first-action startup so
+  *    per-query numbers are stable run to run;
+  *  - no exception swallowing: a broken query fails the bench loudly
+  *    (non-zero exit) instead of posing as a fast time.
+  */
 object Bench {
+
+  /** Evaluate every column of every row; return an order-independent
+    * fingerprint. Runs entirely on executors. */
+  def materialize(df: DataFrame): Long =
+    df.queryExecution.toRdd
+      .mapPartitions { it =>
+        var acc = 0L
+        while (it.hasNext) acc ^= it.next().hashCode().toLong
+        Iterator.single(acc)
+      }
+      .fold(0L)(_ ^ _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.build(Sessions.cpusFromEnv, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    qs.foreach { case (_, fn) => materialize(fn(spark, sfDir)) } // warm-up
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      materialize(fn(spark, sfDir))
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

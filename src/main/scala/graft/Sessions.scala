@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's local session so every entry point
+  * (Verify / Bench / IngestionJob / tests) gets identical session-wide
+  * conf — in particular `nanosAsLong`, which MUST be set before the first
+  * read of `events.parquet` (TIMESTAMP(NANOS)) and is spooky to flip
+  * mid-session from inside a table accessor.
+  */
+object Sessions {
+
+  /** `spark.sql.shuffle.partitions` is pinned to the core count: on a
+    * single-JVM local[n] run the default 200 would fragment every shuffle
+    * into tiny tasks. On a real cluster this knob is sized to data volume
+    * instead — AQE coalesces from there.
+    */
+  def build(cpus: Int, appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS); read nanos as long and
+      // truncate in graft.Tables.events (matches DuckDB's native read).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  def cpusFromEnv: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+}

@@ -10,16 +10,17 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * vectorized reader refuses ([PARQUET_TYPE_ILLEGAL]). Read nanos as
-    * long (legacy conf) and truncate to micros with integer division —
-    * exactly what DuckDB does natively when it loads the same file, so
-    * oracle comparisons stay value-identical.
+    * vectorized reader refuses ([PARQUET_TYPE_ILLEGAL]). With
+    * `spark.sql.legacy.parquet.nanosAsLong` set at session build
+    * ([[graft.Sessions.build]]) the nanos arrive as long; truncate to
+    * micros with integer division — exactly what DuckDB does natively when
+    * it loads the same file, so oracle comparisons stay value-identical.
+    * (The conf is session-wide and must NOT be flipped here per-read: a
+    * mid-session mutation races any concurrent query.)
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Exact money arithmetic: cast to decimal BEFORE aggregating so the sum
     * is order-independent (double summation is not associative — a

@@ -26,24 +26,32 @@ final class FileRelay(conf: Configuration = new Configuration()) {
 
   /** Cross-zone copy (S5) — `dataIngestionUtils.py:196-213`: every object
     * under `srcPrefix` lands under `destPrefix`, names preserved. Returns
-    * the copied destination paths. */
-  def copyAll(srcPrefix: String, destPrefix: String): Seq[Path] = {
+    * (source, destination) pairs for the copied set. */
+  def copyPairs(srcPrefix: String, destPrefix: String): Seq[(Path, Path)] = {
     val destDir = new Path(destPrefix)
     val dfs = fs(destDir)
     dfs.mkdirs(destDir)
     list(srcPrefix).map { src =>
       val dest = new Path(destDir, src.getName)
       FileUtil.copy(fs(src), src, dfs, dest, false, true, conf)
-      dest
+      src -> dest
     }
   }
 
+  def copyAll(srcPrefix: String, destPrefix: String): Seq[Path] =
+    copyPairs(srcPrefix, destPrefix).map(_._2)
+
   /** Move = copy + delete (S6) — `dataIngestionUtils.py:215-232`: archive
-    * inbound files to the processed prefix. */
+    * inbound files to the processed prefix. Deletes EXACTLY the objects
+    * that were copied — never a fresh listing, so an object landing
+    * between copy and delete survives for the next run (the reference
+    * deletes each object only after copying that same object,
+    * `dataIngestionUtils.py:225-231`).
+    */
   def moveAll(srcPrefix: String, destPrefix: String): Seq[Path] = {
-    val copied = copyAll(srcPrefix, destPrefix)
-    list(srcPrefix).foreach(p => fs(p).delete(p, false))
-    copied
+    val pairs = copyPairs(srcPrefix, destPrefix)
+    pairs.foreach { case (src, _) => fs(src).delete(src, false) }
+    pairs.map(_._2)
   }
 
   def readUtf8(p: Path): String = {

@@ -23,23 +23,45 @@ object ExtractionSql {
   def qualified(db: DbType, schema: Option[String], table: String): String =
     schema.filter(_ => db.qualifiesSchema).fold(table)(s => s"$s.$table")
 
-  /** Watermark probe — `dataIngestionUtils.py:136,146,155,164`. */
+  /** Watermark probe — `dataIngestionUtils.py:136,146,155,164`. The
+    * reference emits `ORDER BY ... LIMIT 1` for every flavor; LIMIT is
+    * invalid on Oracle (< 23c) and SQL Server, so the single-row clause is
+    * branched per dialect (`FETCH FIRST` / `TOP 1`) — same semantics.
+    */
   def probeMax(db: DbType, schema: Option[String], table: String,
-      extCol: String): String =
-    s"select $extCol from ${qualified(db, schema, table)} " +
-      s"ORDER BY $extCol DESC LIMIT 1"
+      extCol: String): String = {
+    val t = qualified(db, schema, table)
+    db match {
+      case DbType.Oracle =>
+        s"select $extCol from $t ORDER BY $extCol DESC FETCH FIRST 1 ROWS ONLY"
+      case DbType.SqlServer =>
+        s"select TOP 1 $extCol from $t ORDER BY $extCol DESC"
+      case _ =>
+        s"select $extCol from $t ORDER BY $extCol DESC LIMIT 1"
+    }
+  }
 
   /** Full extract — `dataIngestionUtils.py:137-138`. */
   def full(db: DbType, schema: Option[String], table: String): String =
     s"SELECT * FROM ${qualified(db, schema, table)}"
+
+  /** Timestamp literal per dialect. The reference only quotes the postgres
+    * branch (`dataIngestionUtils.py:140` vs `:150,159,168` — unquoted,
+    * invalid SQL); here every flavor gets a valid quoted literal, and SQL
+    * Server (which has no `timestamp '...'` literal form) gets an explicit
+    * CAST to DATETIME2. */
+  def tsLiteral(db: DbType, t: Timestamp): String = db match {
+    case DbType.SqlServer => s"CAST('${fmt(t)}' AS DATETIME2)"
+    case _                => s"timestamp '${fmt(t)}'"
+  }
 
   /** Incremental extract: strictly-greater than the recorded watermark,
     * at-most the probed max — `dataIngestionUtils.py:139-141`. */
   def incremental(db: DbType, schema: Option[String], table: String,
       extCol: String, last: Timestamp, max: Timestamp): String =
     s"select * from ${qualified(db, schema, table)} " +
-      s"where $extCol > timestamp '${fmt(last)}' " +
-      s"and $extCol <= timestamp '${fmt(max)}'"
+      s"where $extCol > ${tsLiteral(db, last)} " +
+      s"and $extCol <= ${tsLiteral(db, max)}"
 
   private def fmt(t: Timestamp): String = t.toString.stripSuffix(".0")
 }
@@ -73,15 +95,13 @@ final class JdbcTableSource(
     numPartitions: Int = 1,
     partitionColumn: Option[String] = None) extends TableSource {
 
-  private def reader(query: String) = {
-    val r = spark.read.format("jdbc")
+  private def reader(query: String) =
+    spark.read.format("jdbc")
       .option("driver", db.driver)
       .option("url", db.url(host, port, database))
       .option("user", user)
       .option("password", password)
       .option("query", query)
-    if (numPartitions > 1) r.option("numPartitions", numPartitions) else r
-  }
 
   def probeMax(extCol: String): Option[Timestamp] = {
     // The reference collects a 1-row ORDER BY DESC LIMIT 1 result
@@ -91,19 +111,40 @@ final class JdbcTableSource(
     rows.headOption.map(_.getTimestamp(0))
   }
 
+  /** The option map for a bounded parallel scan. Spark's JDBC source
+    * requires partitionColumn, lowerBound, upperBound and numPartitions
+    * TOGETHER — the bounds are probed with a 1-row min/max query first
+    * (one extra round trip, negligible next to the extract itself).
+    * Exposed for unit tests; [[readFull]] applies it.
+    */
+  def partitionedScanOptions(pc: String, lower: String, upper: String): Map[String, String] =
+    Map(
+      "driver" -> db.driver,
+      "url" -> db.url(host, port, database),
+      "user" -> user, "password" -> password,
+      "dbtable" -> s"(${ExtractionSql.full(db, schema, table)}) src",
+      "partitionColumn" -> pc,
+      "lowerBound" -> lower,
+      "upperBound" -> upper,
+      "numPartitions" -> numPartitions.toString)
+
   def readFull(): DataFrame = {
     val base = ExtractionSql.full(db, schema, table)
     (partitionColumn, numPartitions) match {
       case (Some(pc), n) if n > 1 =>
-        // parallel scan: split on the partition column's observed range
-        spark.read.format("jdbc")
-          .option("driver", db.driver)
-          .option("url", db.url(host, port, database))
-          .option("user", user).option("password", password)
-          .option("dbtable", s"(${base}) src")
-          .option("partitionColumn", pc)
-          .option("numPartitions", n)
-          .load()
+        // Parallel scan — the reference reads every extract in ONE task
+        // (`dataIngestionUtils.py:171-176`); here the scan splits into n
+        // range predicates on the partition column's observed [min, max].
+        val bounds = reader(
+          s"SELECT min($pc), max($pc) FROM (${base}) b").load().collect()
+        val (lo, hi) = (bounds.headOption.map(_.get(0)).orNull,
+                        bounds.headOption.map(_.get(1)).orNull)
+        if (lo == null || hi == null) reader(base).load() // empty table: 1 task
+        else {
+          val r = spark.read.format("jdbc")
+          partitionedScanOptions(pc, lo.toString, hi.toString)
+            .foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).load()
+        }
       case _ => reader(base).load()
     }
   }
@@ -180,17 +221,20 @@ object IncrementalExtractor {
       land: DataFrame => String,
       logPath: String = "",
       now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): CatalogEntry = {
+    // proc_start_ts records the START of the run (the reference parses it
+    // from the exec-timestamp path token, `dataIngestionUtils.py:245`);
+    // created_ts is the wall clock at catalog-insert time (`:235,246`).
+    val startTs = now()
     val e = extract(source, asset.extMethod, asset.extCol,
       store.highestWatermark(asset.assetId))
     val landedPath = land(e.data)
-    val ts = now()
     val entry = CatalogEntry(
       execId = execId, srcSysId = srcSysId, assetId = asset.assetId,
       dqValidation = CatalogEntry.StatusNotStarted,
       dataPublish = CatalogEntry.StatusNotStarted,
       dataMasking = CatalogEntry.StatusNotStarted,
       srcFilePath = landedPath, s3LogPath = logPath,
-      procStartTs = ts, createdTs = ts, lastExtTime = e.newWatermark)
+      procStartTs = startTs, createdTs = now(), lastExtTime = e.newWatermark)
     store.insertCatalogEntry(entry)
     entry
   }
