@@ -15,14 +15,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-pipeline extension surface (BASELINE north star). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Ingestion.queries ++
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+    graft.queries.LlmPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Ingestion.oracles ++
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+    graft.queries.LlmPipeline.oracles
 }

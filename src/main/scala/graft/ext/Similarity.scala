@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Determinism: float sums are NOT associative, so a parallel Spark sum
+  * and a sequential DuckDB sum of the same products can differ in the last
+  * bits and fail the value-hash gate. Every dot product here is therefore
+  * accumulated EXACTLY: each elementwise product is computed in double
+  * (deterministic IEEE), scaled by 1e15, floored to a long, and the longs
+  * are summed — integer addition is associative, so any execution order
+  * gives the same result, and 64 * 1e15 < 2^63 keeps ANSI mode happy.
+  * The final cosine is a fixed chain of IEEE double ops on those exact
+  * integers — bit-identical in any engine.
+  */
+object Similarity {
+
+  /** Exact scaled dot product of two float-array columns as a long. */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * y.cast("double") * lit(1e15)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** vec_id, n2: exact scaled squared norm per vector. */
+  def norms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), dotScaled(col("embedding"), col("embedding")).as("n2"))
+
+  /** All (query, candidate) cosine pairs for the given query set.
+    * The query side is broadcast — the big candidate side is scanned once
+    * and never shuffled, which is the correct 1000-executor plan when
+    * |queries| << |candidates|. */
+  def cosinePairs(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val n2 = norms(emb)
+    broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("dots", dotScaled(col("qe"), col("ce")))
+      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))), "query_id")
+      .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")), "neighbor_id")
+      .withColumn("cos_sim",
+        col("dots").cast("double") /
+          sqrt(col("nq2").cast("double") * col("nc2").cast("double")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Brute-force top-k via ranking window: partition by query, order by
+    * (cos desc, id asc) for a deterministic tie-break. The baseline path;
+    * shuffles once on query_id. */
+  def topKBrute(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cosinePairs(emb, queries)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  // ------------------------------------------------- bounded-heap top-k UDAF
+
+  final case class Scored(cid: Long, cos: Double)
+  final case class TopBuf(items: Seq[Scored])
+
+  /** Bounded top-k aggregator (SURVEY §7.3 custom-op candidate (2)): the
+    * buffer never exceeds k entries, so a groupBy(query).agg(topK) does
+    * partial aggregation map-side and shuffles ONLY k rows per (partition,
+    * query) — unlike the window plan, which shuffles every candidate row.
+    * That is the 100 TB path for top-k-by-similarity. Deterministic
+    * tie-break: (cos desc, cid asc). */
+  final class TopKAgg(k: Int) extends Aggregator[Scored, TopBuf, TopBuf] {
+    private def trim(s: Seq[Scored]): Seq[Scored] =
+      s.sortBy(x => (-x.cos, x.cid)).take(k)
+    def zero: TopBuf = TopBuf(Nil)
+    def reduce(b: TopBuf, a: Scored): TopBuf = TopBuf(trim(b.items :+ a))
+    def merge(x: TopBuf, y: TopBuf): TopBuf = TopBuf(trim(x.items ++ y.items))
+    def finish(r: TopBuf): TopBuf = r
+    def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+    def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+  }
+
+  /** Same result as [[topKBrute]], computed with the bounded-heap UDAF. */
+  def topKAgg(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(new TopKAgg(k), Encoders.product[Scored])
+    cosinePairs(emb, queries)
+      .groupBy(col("query_id"))
+      .agg(tk(col("neighbor_id"), col("cos_sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.cid").as("neighbor_id"), col("col.cos").as("cos_sim"))
+  }
+
+  // ------------------------------------------------------- LSH-bucketed ANN
+
+  /** 16 fixed random hyperplanes (seeded — reproducible across runs). */
+  val AnnPlanes = 16
+  val AnnDim = 64
+  private val hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(424242L)
+    Seq.fill(AnnPlanes)(Seq.fill(AnnDim)(rnd.nextGaussian()))
+  }
+
+  /** 16-bit random-hyperplane signature: bit j = sign(v · h_j). Plain
+    * double dot — the signature is a bucketing key only, never compared
+    * across engines. */
+  def annSignature(v: Column): Column = {
+    val bits = hyperplanes.zipWithIndex.map { case (h, j) =>
+      val hLit = array(h.map(lit): _*)
+      when(aggregate(zip_with(v, hLit, (x, p) => x.cast("double") * p),
+        lit(0.0d), (acc, t) => acc + t) > 0d, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates = vectors sharing either 8-bit half of
+    * the query's hyperplane signature (2-band LSH), exact cosine + rank
+    * within candidates only. The scale path: the per-bucket join replaces
+    * the full N x Q comparison; recall is tunable via bands/planes. */
+  def topKAnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bands(df: DataFrame, idCol: String): DataFrame =
+      df.withColumn("sig", annSignature(col("embedding")))
+        .select(col(idCol), col("embedding"),
+          explode(array(
+            struct(lit(0).as("band"), expr("sig & 255L").as("bkey")),
+            struct(lit(1).as("band"), expr("shiftright(sig, 8) & 255L").as("bkey")))).as("b"))
+        .select(col(idCol), col("embedding"), col("b.band"), col("b.bkey"))
+    val qb = bands(queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+      .select(col("query_id"), col("embedding").as("qe"), col("band"), col("bkey"))
+    val cb = bands(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), "neighbor_id")
+      .select(col("neighbor_id"), col("embedding").as("ce"), col("band"), col("bkey"))
+    val cand = broadcast(qb).join(cb,
+        qb("band") === cb("band") && qb("bkey") === cb("bkey") &&
+          col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ce"))
+      .distinct()
+    val n2 = norms(emb)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("dots", dotScaled(col("qe"), col("ce")))
+      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))), "query_id")
+      .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")), "neighbor_id")
+      .withColumn("cos_sim",
+        col("dots").cast("double") /
+          sqrt(col("nq2").cast("double") * col("nc2").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+}

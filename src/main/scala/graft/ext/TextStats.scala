@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Text analysis for training-data curation: per-document statistics,
+  * heuristic language ID, quality scoring, and content fingerprints.
+  * Pure built-in expressions — one narrow projection over the documents
+  * scan, no shuffle until the (optional) final aggregation.
+  */
+object TextStats {
+
+  val Stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Per-doc stats: token counts, distinct tokens, token chars, stopword
+    * ratio. */
+  def stats(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"), col("lang"),
+      size(w).as("n_tok"),
+      size(array_distinct(w)).as("n_uniq"),
+      aggregate(w, lit(0), (a, t) => a + length(t)).as("tok_chars"),
+      ratio(countIn(w, Stopwords), size(w)).as("stop_ratio"))
+  }
+
+  /** Stopword-list hit counts per language family. Word-soup fixtures mean
+    * the predictions skew English — the point is the deterministic
+    * operator shape (n-gram/stopword scoring), not model accuracy. */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "los", "una", "y"),
+    "fr" -> Seq("le", "les", "une", "et"))
+
+  /** doc_id, lang (labeled), pred_lang (heuristic argmax with a fixed
+    * tie-break order en > de > es > fr > und). */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val counted = docs.select(
+      (Seq(col("doc_id"), col("lang")) ++
+        langStops.map { case (l, ws) => countIn(w, ws).as(s"c_$l") }): _*)
+    counted.withColumn("pred_lang",
+      when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+           col("c_en") >= col("c_fr") && col("c_en") > 0, "en")
+      .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
+            col("c_de") > 0, "de")
+      .when(col("c_es") >= col("c_fr") && col("c_es") > 0, "es")
+      .when(col("c_fr") > 0, "fr")
+      .otherwise("und"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+  }
+
+  /** Composite quality score in [0,1]: length term + punctuation term +
+    * stopword term. A fixed left-associated chain of IEEE double ops —
+    * engine-identical given identical inputs. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nTok = tokenCount(col("text"))
+    val punctRatio = ratio(
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))),
+      length(col("text")))
+    val stopRatio = ratio(countIn(w, Stopwords), size(w))
+    docs.select(
+      col("doc_id"),
+      (lit(0.4d) * least(nTok.cast("double") / lit(100.0d), lit(1.0d))
+        + lit(0.3d) * (lit(1.0d) - punctRatio)
+        + lit(0.3d) * least(stopRatio * lit(5.0d), lit(1.0d))).as("score"))
+  }
+
+  /** Content fingerprints: md5 of the lowercased text plus a polynomial
+    * rolling hash over the token sequence (order-sensitive, unlike the
+    * shingle-set hashes — two docs with the same words in different order
+    * fingerprint differently). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(lower(col("text"))).as("fp_md5"),
+      aggregate(
+        transform(words(col("text")), t => pmod(hash60(t), lit(1000003L))),
+        lit(0L),
+        (acc, x) => pmod(acc * lit(1000003L) + x, lit(P))).as("fp_roll"))
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps, TextStats}
+
+/** LLM-training-data pipeline query surface (the BASELINE north star):
+  * deduplication, similarity search, text analysis, multimodal columns —
+  * over the `documents` / `embeddings` fixture tables, each with a DuckDB
+  * oracle where the semantics are SQL-expressible (rows-only otherwise).
+  *
+  * The fixture's pair-similarity distribution is bimodal (planted
+  * near-dups at Jaccard >= 0.9 / Hamming <= 7; background <= 0.3 / >= 15),
+  * so the LSH candidate generation + exact verification in
+  * [[graft.ext.Dedup]] provably matches the oracle's exact all-pairs
+  * answer — see the band math in that file.
+  */
+object LlmPipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- exact dedup: hash-groupBy, one shuffle, no pairs. The fixture
+    // has no exact dups, so the query derives a duplicated corpus (union
+    // with id-shifted copies) and collapses it back. ----
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("canonical_id"))
+    }),
+
+    // ---- MinHash-LSH near-dup pairs, exact-Jaccard verified ----
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(docs(s, dir), threshold = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- SimHash near-dup pairs (pigeonhole bands, guaranteed recall) ----
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 7)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ---- per-doc text statistics ----
+    "q_text_stats" -> ((s, dir) =>
+      TextStats.stats(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // ---- heuristic language ID vs the labeled lang column ----
+    "q_lang_id" -> ((s, dir) =>
+      TextStats.langId(docs(s, dir))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    // ---- per-doc quality score ----
+    "q_quality_score" -> ((s, dir) =>
+      TextStats.qualityScore(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // ---- BPE-ish token-count histogram ----
+    "q_token_hist" -> ((s, dir) =>
+      docs(s, dir)
+        .select(TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+        .groupBy(expr("n_bpe div 10").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))),
+
+    // ---- content fingerprints (md5 + order-sensitive rolling hash) ----
+    "q_doc_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprints(docs(s, dir)).orderBy(col("doc_id"))),
+
+    // ---- cosine top-k, brute-force baseline (ranking window) ----
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKBrute(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- same answer via the bounded-heap top-k UDAF (the scale path:
+    // map-side partial aggregation, k rows per partition per query) ----
+    "q_cosine_topk_agg" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKAgg(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- LSH-bucketed approximate NN (no oracle: approximate by design;
+    // recall vs the brute-force baseline is asserted in the test suite) ----
+    "q_cosine_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKAnn(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- multimodal: binary payload column + per-modality byte stats ----
+    "q_multimodal_stats" -> ((s, dir) =>
+      Multimodal.mediaTable(docs(s, dir))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("payload"))).as("total_bytes"),
+          min(octet_length(col("payload"))).as("min_bytes"),
+          max(octet_length(col("payload"))).as("max_bytes"))
+        .orderBy(col("modality"))),
+
+    // ---- multimodal feature extraction (stubbed decode; rows-only
+    // check — the mapPartitions plumbing is the operator under test) ----
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))
+        .orderBy(col("mediaId"))),
+  )
+
+  /** DuckDB oracles. Shared determinism rules with the Spark side:
+    * 60-bit md5 hashes, exact integer accumulation for dot products,
+    * cast(int as double)/cast(int as double) ratios, explicit double
+    * literals (DuckDB parses bare 0.6 as DECIMAL). */
+  val oracles: Map[String, String] = Map(
+
+    "q_dedup_exact" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS canonical_id
+        |FROM d GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) ic
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    cast(ic as double) / cast(ca.n + cb.n - ic as double) jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+        |             JOIN cnt cb ON doc_b = cb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j
+        |WHERE jaccard >= cast(0.6 as double) ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |shl AS (SELECT doc_id, list(s) sl FROM sh0 GROUP BY doc_id),
+        |hx AS (SELECT doc_id,
+        |         list_transform(sl, t -> cast(('0x'||substr(md5(t),1,15)) as bigint)) hs
+        |       FROM shl),
+        |sg AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0,60), j ->
+        |      CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1)*2 - 1)) > 0
+        |           THEN cast(1 as bigint) << j ELSE cast(0 as bigint) END)) sim
+        |  FROM hx)
+        |SELECT a.doc_id doc_a, b.doc_id doc_b,
+        |       bit_count(xor(a.sim, b.sim)) hamming
+        |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id, lang,
+        |  len(string_split(text,' ')) AS n_tok,
+        |  len(list_distinct(string_split(text,' '))) AS n_uniq,
+        |  list_sum(list_transform(string_split(text,' '), t -> length(t))) AS tok_chars,
+        |  cast(len(list_filter(string_split(text,' '),
+        |        t -> t in ('the','a','of','and','in','to'))) as double)
+        |    / cast(len(string_split(text,' ')) as double) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), t -> t in ('the','a','of','and'))) c_en,
+        |    len(list_filter(string_split(text,' '), t -> t in ('der','die','das','und'))) c_de,
+        |    len(list_filter(string_split(text,' '), t -> t in ('el','los','una','y'))) c_es,
+        |    len(list_filter(string_split(text,' '), t -> t in ('le','les','une','et'))) c_fr
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, CASE
+        |    WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en > 0 THEN 'en'
+        |    WHEN c_de >= c_es AND c_de >= c_fr AND c_de > 0 THEN 'de'
+        |    WHEN c_es >= c_fr AND c_es > 0 THEN 'es'
+        |    WHEN c_fr > 0 THEN 'fr'
+        |    ELSE 'und' END pred_lang
+        |  FROM c)
+        |SELECT lang, pred_lang, count(*) AS n
+        |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  cast(0.4 as double)
+        |    * least(cast(len(regexp_extract_all(text, '\S+')) as double)
+        |              / cast(100.0 as double), cast(1.0 as double))
+        |  + cast(0.3 as double)
+        |    * (cast(1.0 as double)
+        |       - cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) as double)
+        |           / cast(length(text) as double))
+        |  + cast(0.3 as double)
+        |    * least(cast(len(list_filter(string_split(text,' '),
+        |               t -> t in ('the','a','of','and','in','to'))) as double)
+        |              / cast(len(string_split(text,' ')) as double)
+        |              * cast(5.0 as double), cast(1.0 as double)) AS score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_hist" ->
+      """SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) // 10 AS bucket,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp_md5,
+        |  list_reduce(list_prepend(cast(0 as bigint),
+        |    list_transform(string_split(text,' '),
+        |      t -> cast(('0x'||substr(md5(t),1,15)) as bigint) % 1000003)),
+        |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cosine_topk" -> CosineTopkOracle,
+    "q_cosine_topk_agg" -> CosineTopkOracle,
+
+    "q_multimodal_stats" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS modality,
+        |  count(*) AS n,
+        |  sum(octet_length(encode(text))) AS total_bytes,
+        |  min(octet_length(encode(text))) AS min_bytes,
+        |  max(octet_length(encode(text))) AS max_bytes
+        |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin,
+  )
+
+  /** Exact top-5 cosine neighbors for query vectors vec_id < 10 — shared
+    * by the window and UDAF variants (same answer by construction). */
+  private lazy val CosineTopkOracle: String =
+    """WITH n AS (
+      |  SELECT vec_id, list_sum(list_transform(embedding,
+      |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+      |  FROM embeddings),
+      |t AS (
+      |  SELECT q.vec_id qid, e.vec_id cid,
+      |         list_sum(list_transform(list_zip(q.embedding, e.embedding),
+      |           p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+      |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |s AS (
+      |  SELECT qid, cid,
+      |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+      |  FROM t JOIN n nq ON nq.vec_id = t.qid JOIN n nc ON nc.vec_id = t.cid),
+      |r AS (SELECT qid AS query_id, cid AS neighbor_id, cos_sim,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) rnk
+      |      FROM s)
+      |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+}
