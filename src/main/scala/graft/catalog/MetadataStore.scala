@@ -117,10 +117,12 @@ final class JdbcMetadataStore(url: String, props: java.util.Properties)
   }
 
   def highestWatermark(assetId: Int): Option[Timestamp] = withConn { c =>
+    // ANSI FETCH FIRST, not LIMIT: runs on Postgres (the reference
+    // control store) and embedded engines (Derby in the test suite) alike.
     val st = c.prepareStatement(
       """select last_ext_time from data_asset_catalogs
         |where asset_id = ? and last_ext_time is not null
-        |order by last_ext_time desc limit 1""".stripMargin)
+        |order by last_ext_time desc fetch first 1 rows only""".stripMargin)
     st.setInt(1, assetId)
     val rs = st.executeQuery()
     if (rs.next()) Option(rs.getTimestamp(1)) else None

@@ -115,18 +115,22 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates = vectors sharing either 8-bit half of
-    * the query's hyperplane signature (2-band LSH), exact cosine + rank
-    * within candidates only. The scale path: the per-bucket join replaces
-    * the full N x Q comparison; recall is tunable via bands/planes. */
+  /** Approximate top-k: candidates = vectors sharing at least one 4-bit
+    * band of the query's 16-bit hyperplane signature (4-band LSH), exact
+    * cosine + rank within candidates only. The scale path: the per-bucket
+    * join replaces the full N x Q comparison. Band width tunes the
+    * recall/cost point — 4 bits = 16 buckets/band keeps per-query
+    * candidate sets large enough for useful recall at moderate N; at
+    * billion-row scale widen the bands (more buckets) to keep buckets
+    * bounded. */
   def topKAnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def bands(df: DataFrame, idCol: String): DataFrame =
       df.withColumn("sig", annSignature(col("embedding")))
         .select(col(idCol), col("embedding"),
-          explode(array(
-            struct(lit(0).as("band"), expr("sig & 255L").as("bkey")),
-            struct(lit(1).as("band"), expr("shiftright(sig, 8) & 255L").as("bkey")))).as("b"))
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              expr(s"shiftright(sig, ${b * 4}) & 15L").as("bkey"))): _*)).as("b"))
         .select(col(idCol), col("embedding"), col("b.band"), col("b.bkey"))
     val qb = bands(queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
       .select(col("query_id"), col("embedding").as("qe"), col("band"), col("bkey"))

@@ -11,12 +11,14 @@ import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
   * and `file://` (hermetic tests — SURVEY §5.4). Objects stay opaque blobs;
   * no DataFrame job is launched for a byte relay.
   */
-final class FileRelay(conf: Configuration = new Configuration()) {
+class FileRelay(conf: Configuration = new Configuration()) {
 
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
   /** List objects under a prefix (S4) —
-    * `bucket.objects.filter(Prefix=...)` (`dataIngestionUtils.py:204`). */
+    * `bucket.objects.filter(Prefix=...)` (`dataIngestionUtils.py:204`).
+    * Overridable: the test suite injects a late-arriving object between
+    * copy and delete to pin the moveAll no-data-loss contract. */
   def list(prefix: String): Seq[Path] = {
     val p = new Path(prefix)
     val f = fs(p)

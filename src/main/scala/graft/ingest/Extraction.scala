@@ -135,8 +135,10 @@ final class JdbcTableSource(
         // Parallel scan — the reference reads every extract in ONE task
         // (`dataIngestionUtils.py:171-176`); here the scan splits into n
         // range predicates on the partition column's observed [min, max].
+        // aliases matter: some engines (Derby) name unaliased aggregates
+        // "1"/"2", which Spark then fails to re-select by name
         val bounds = reader(
-          s"SELECT min($pc), max($pc) FROM (${base}) b").load().collect()
+          s"SELECT min($pc) AS lo, max($pc) AS hi FROM (${base}) b").load().collect()
         val (lo, hi) = (bounds.headOption.map(_.get(0)).orNull,
                         bounds.headOption.map(_.get(1)).orNull)
         if (lo == null || hi == null) reader(base).load() // empty table: 1 task

@@ -68,6 +68,16 @@ object DbType {
     def url(h: String, p: Int, d: String) =
       s"jdbc:sqlserver://$h:$p;databaseName=$d"
   }
+  /** Seam for embedded/local databases (Derby in the test suite) — NOT one
+    * of the reference's four flavors (`dataIngestionUtils.py:132-168`) and
+    * not parseable from metadata; constructed explicitly by callers that
+    * need a hermetic JDBC target. */
+  final case class Custom(
+      n: String, d: String, urlFn: (String, Int, String) => String)
+      extends DbType(n, d) {
+    def url(h: String, p: Int, db: String): String = urlFn(h, p, db)
+  }
+
   val all: Seq[DbType] = Seq(Postgres, MySql, Oracle, SqlServer)
   def parse(s: String): DbType =
     all.find(_.name == s.trim.toLowerCase).getOrElse(

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away now"), // near-dup of 1
+    (3L, "completely different content about spark partitions and shuffle joins here"),
+    (4L, "completely different content about spark partitions and shuffle joins here"), // exact dup of 3
+    (5L, "tiny doc"),
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups collapses identical texts to one group") {
+    val g = Dedup.exactDupGroups(docs).collect()
+    assert(g.length == 4) // 3+4 share a fingerprint
+    val dupGroup = g.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("canonical_id") == 3L)
+  }
+
+  test("minhash LSH finds the near-dup pair and verifies exact jaccard") {
+    val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L), (3L, 4L)))
+    val j12 = pairs.find(r => r.getLong(0) == 1L).get.getDouble(2)
+    // 13-word docs differing in the last word: 11 shingles, 10 shared
+    assert(j12 > 0.8 && j12 < 1.0)
+    val j34 = pairs.find(r => r.getLong(0) == 3L).get.getDouble(2)
+    assert(j34 == 1.0)
+  }
+
+  test("candidate generation is bucketed, not all-pairs") {
+    val sigs = Dedup.minhashSignatures(docs)
+    val cand = Dedup.candidatePairs(sigs).count()
+    assert(cand < 10) // 5 docs -> 10 possible pairs; buckets prune most
+  }
+
+  test("minhash signatures are deterministic across invocations") {
+    val a = Dedup.minhashSignatures(docs).orderBy("doc_id")
+      .select("sig").as[Seq[Long]].collect()
+    val b = Dedup.minhashSignatures(docs).orderBy("doc_id")
+      .select("sig").as[Seq[Long]].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_.length == Dedup.MinhashK))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, rest far") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((3L, 4L)) == 0)
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash band defs tile all 60 bits (pigeonhole precondition)") {
+    val covered = Dedup.simhashBandDefs.flatMap { case (off, w) => off until (off + w) }
+    assert(covered.sorted == (0 until 60))
+  }
+
+  test("planted fixture pairs: simhash hits are a subset of jaccard hits") {
+    val fixture = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val mh = Dedup.minhashNearDupPairs(fixture, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simhashPairs(fixture, 7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.size >= 25 && sh.size >= 25) // the planted near-dup pairs
+    // hamming <= 7 on shingle simhash implies near-identical shingle sets,
+    // so every simhash pair must clear the 0.6-Jaccard bar; the converse
+    // is not true (borderline 0.6-0.9 pairs can sit at hamming 8-14)
+    assert(sh.subsetOf(mh))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("dotScaled is exact and symmetric on known vectors") {
+    val df = Seq((Array(1.0f, 0.5f, 0.0f), Array(2.0f, 4.0f, 9.0f)))
+      .toDF("a", "b")
+    val d = df.select(Similarity.dotScaled(col("a"), col("b"))).as[Long].head()
+    assert(d == 4000000000000000L) // (1*2 + 0.5*4 + 0*9) * 1e15
+    val d2 = df.select(Similarity.dotScaled(col("b"), col("a"))).as[Long].head()
+    assert(d == d2)
+  }
+
+  test("bounded-heap UDAF top-k equals the brute-force window top-k") {
+    val brute = Similarity.topKBrute(emb, queries, 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val agg = Similarity.topKAgg(emb, queries, 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(brute == agg) // identical rows INCLUDING the double cos_sim
+    assert(brute.size == 25)
+  }
+
+  test("top-k ranking is deterministic: rank 1 strictly best, ids break ties") {
+    val rows = Similarity.topKBrute(emb, queries, 5).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      val sims = byRank.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ANN candidates rank by exact cosine and overlap the true top-k") {
+    val ann = Similarity.topKAnn(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Similarity.topKBrute(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // approximate: must find a meaningful share of the true neighbors
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"ANN recall $recall too low")
+    assert(ann.nonEmpty)
+  }
+
+  test("cosine of a vector with itself is exactly 1.0") {
+    val one = emb.filter(col("vec_id") === 0)
+    val self = Similarity.cosinePairs(
+      one.select(col("vec_id") + 1000 as "vec_id", col("embedding"),
+        col("label")).unionByName(one),
+      one)
+    val c = self.filter(col("neighbor_id") === 1000).select("cos_sim").as[Double].head()
+    assert(c == 1.0) // dot == norm product exactly at integer scale
+  }
+}

@@ -1,0 +1,34 @@
+package graft.land
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class LandingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("csvCompat writes ONE csv part file with a header") {
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val df = graft.Tables.t(spark, TestSpark.Sf0001, "region")
+    Landing.csvCompat(df, s"$out/raw")
+    val parts = new java.io.File(s"$out/raw").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1) // the reference's single-file contract
+    val first = scala.io.Source.fromFile(parts.head).getLines().next()
+    assert(first.contains("r_regionkey"))
+  }
+
+  test("parquet landing partitions by the given columns (hive layout)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-parq").toString
+    val df = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    Landing.parquet(df, s"$out/raw", partitionBy = Seq("n_regionkey"))
+    val dirs = new java.io.File(s"$out/raw").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("n_regionkey=")))
+    // partition pruning: a filtered read touches one directory's rows only
+    val pruned = spark.read.parquet(s"$out/raw")
+      .filter(col("n_regionkey") === 1)
+    assert(pruned.count() ==
+      df.filter(col("n_regionkey") === 1).count())
+  }
+}
