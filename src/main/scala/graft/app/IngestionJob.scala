@@ -1,0 +1,152 @@
+package graft.app
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.MetadataStore
+import graft.files.FileRelay
+import graft.ingest.{IncrementalExtractor, JdbcTableSource, TableSource}
+import graft.land.Landing
+import graft.model._
+import graft.stream.StreamMerger
+
+/** The end-to-end application driver — re-expression of the reference
+  * entry point (`/root/reference/ingestion/dataIngestion.py:20-35`):
+  * resolve (source_system, data_asset) metadata, dispatch on the
+  * ingestion pattern (database | file | stream), land the data under the
+  * raw-zone path convention, record the run in the catalog. One catalog
+  * insert per run, written AFTER the landing succeeds — the same
+  * commit-point ordering as the reference (`dataIngestion.py:26-34`).
+  * Unlike the reference, failures PROPAGATE (no blanket exception
+  * swallowing, `dataIngestion.py:36-37`).
+  */
+object IngestionJob {
+
+  final case class Args(
+      sourcePath: String, sourceId: Int, assetId: Int, execId: String)
+
+  /** Everything injectable: the store, the file relay, credentials, and
+    * the TableSource factory are seams so tests run hermetically against
+    * parquet + file:// + in-memory implementations (SURVEY §7.4 risk 6). */
+  final case class JobEnv(
+      spark: SparkSession,
+      store: MetadataStore,
+      relay: FileRelay,
+      creds: CredentialProvider,
+      config: EngineConfig,
+      logger: RunLogger,
+      sourceFactory: (SparkSession, SourceSystem, DataAsset, CredentialProvider, EngineConfig) => TableSource =
+        IngestionJob.jdbcSourceFactory)
+
+  /** Production TableSource: JDBC with the password resolved through the
+    * credential seam (`dataIngestionUtils.py:39,70-115`). */
+  def jdbcSourceFactory(spark: SparkSession, src: SourceSystem, asset: DataAsset,
+      creds: CredentialProvider, cfg: EngineConfig): TableSource = {
+    def req[A](o: Option[A], what: String): A =
+      o.getOrElse(throw new IllegalArgumentException(
+        s"source system ${src.srcSysId}: missing $what for database pattern"))
+    new JdbcTableSource(
+      spark,
+      req(src.dbType, "db_type"),
+      req(src.dbHostname, "db_hostname"),
+      req(src.dbPort, "db_port"),
+      req(src.dbName, "db_name"),
+      req(src.dbUsername, "db_username"),
+      creds.dbPassword(cfg.fmPrefix, src.srcSysId).getOrElse(
+        throw new IllegalArgumentException(
+          s"no db secret for source system ${src.srcSysId}")),
+      src.dbSchema,
+      asset.srcTableName)
+  }
+
+  /** Full run: dispatch + land + catalog record. Returns the entry. */
+  def run(env: JobEnv, args: Args): CatalogEntry = {
+    val log = env.logger
+    val paths = env.config.paths
+    val src = env.store.sourceSystem(args.sourceId).getOrElse(
+      throw new NoSuchElementException(s"unknown source system ${args.sourceId}"))
+    val asset = env.store.dataAsset(args.assetId).getOrElse(
+      throw new NoSuchElementException(s"unknown data asset ${args.assetId}"))
+
+    // proc_start_ts comes from the exec-timestamp path token, like the
+    // reference (`dataIngestionUtils.py:40,245`)
+    val startTs: Timestamp = paths.parseTs(paths.timestampToken(args.sourcePath))
+    val bucket = src.inboundBucket.getOrElse(paths.inboundBucket(asset.triggerMechanism))
+    val logPath = paths.logPath(bucket, args.assetId, args.execId)
+
+    src.ingestionPattern match {
+      case IngestionPattern.Database =>
+        log.timed(s"database ingest asset=${args.assetId}") {
+          val source = env.sourceFactory(env.spark, src, asset, env.creds, env.config)
+          IncrementalExtractor.run(
+            env.store, source, asset, src.srcSysId, args.execId,
+            land = (df: DataFrame) => Landing.parquet(df, args.sourcePath),
+            logPath = logPath,
+            now = () => startTs)
+        }
+
+      case IngestionPattern.File =>
+        log.timed(s"file relay asset=${args.assetId}") {
+          // copy inbound -> raw zone, then archive inbound -> processed
+          // (`dataIngestionUtils.py:196-232`)
+          val inbound = s"$bucket/${paths.inboundPrefix(src.srcSysId, args.assetId)}"
+          val copied = env.relay.copyAll(inbound, args.sourcePath)
+          log.info(s"relayed ${copied.size} objects to ${args.sourcePath}")
+          env.relay.moveAll(inbound,
+            s"$bucket/${paths.processedPrefix(src.srcSysId, args.assetId)}")
+          record(env, args, src, startTs, logPath, lastExt = None)
+        }
+
+      case IngestionPattern.Stream =>
+        log.timed(s"stream merge asset=${args.assetId}") {
+          val inbound = s"$bucket/${paths.inboundPrefix(src.srcSysId, args.assetId)}"
+          val n = StreamMerger.mergeCompat(env.relay, inbound,
+            s"${args.sourcePath}/streaming_file.json",
+            s"$bucket/${paths.processedPrefix(src.srcSysId, args.assetId)}")
+          log.info(s"merged $n events to ${args.sourcePath}")
+          record(env, args, src, startTs, logPath, lastExt = None)
+        }
+    }
+  }
+
+  private def record(env: JobEnv, args: Args, src: SourceSystem,
+      startTs: Timestamp, logPath: String, lastExt: Option[Timestamp]): CatalogEntry = {
+    val e = CatalogEntry(
+      execId = args.execId, srcSysId = src.srcSysId, assetId = args.assetId,
+      dqValidation = CatalogEntry.StatusNotStarted,
+      dataPublish = CatalogEntry.StatusNotStarted,
+      dataMasking = CatalogEntry.StatusNotStarted,
+      srcFilePath = args.sourcePath, s3LogPath = logPath,
+      procStartTs = startTs,
+      createdTs = new Timestamp(System.currentTimeMillis()),
+      lastExtTime = lastExt)
+    env.store.insertCatalogEntry(e)
+    e
+  }
+
+  /** CLI: --source_path --source_id --asset_id --exec_id --config, the
+    * reference's four Glue args (`dataIngestion.py:20`) plus the config
+    * file path. */
+  def main(argv: Array[String]): Unit = {
+    val m = argv.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    def req(k: String) = m.getOrElse(k,
+      throw new IllegalArgumentException(s"missing arg $k"))
+    val cfg = EngineConfig.load(req("--config"))
+    val spark = graft.Sessions.build(graft.Sessions.cpusFromEnv, "graft-ingest")
+    val creds = new EnvCredentialProvider()
+    val props = new java.util.Properties()
+    props.setProperty("user", cfg.controlDbUser)
+    creds.secret(cfg.controlSecretName).get("password")
+      .foreach(props.setProperty("password", _))
+    val env = JobEnv(
+      spark = spark,
+      store = new graft.catalog.JdbcMetadataStore(cfg.controlDbUrl, props),
+      relay = new FileRelay(spark.sparkContext.hadoopConfiguration),
+      creds = creds,
+      config = cfg,
+      logger = RunLogger.console())
+    val entry = run(env, Args(req("--source_path"), req("--source_id").toInt,
+      req("--asset_id").toInt, req("--exec_id")))
+    env.logger.info(s"run ${entry.execId} recorded: ${entry.srcFilePath}")
+    spark.stop()
+  }
+}

@@ -80,11 +80,91 @@ final class InMemoryMetadataStore(
   */
 final class JdbcMetadataStore(url: String, props: java.util.Properties)
     extends MetadataStore {
-  import java.sql.{Connection, DriverManager, ResultSet}
+  import java.sql.{Connection, DriverManager}
 
   private def withConn[A](f: Connection => A): A = {
     val c = DriverManager.getConnection(url, props)
     try f(c) finally c.close()
+  }
+
+  /** Explicit multi-statement transaction scope — the reference's
+    * commit/rollback/close surface (`pg_connect.py:75-95`; close commits
+    * first, `:81`). Everything in `f` runs on ONE connection with
+    * autocommit off; success commits, any throw rolls back and rethrows.
+    */
+  def withTransaction[A](f: Connection => A): A = withConn { c =>
+    c.setAutoCommit(false)
+    try { val r = f(c); c.commit(); r }
+    catch { case e: Throwable => c.rollback(); throw e }
+  }
+
+  /** Bulk catalog insert in one batched round trip — the reference's
+    * `insert_many` / `execute_values` (`pg_connect.py:340-363`). */
+  def insertCatalogEntries(es: Seq[CatalogEntry]): Unit =
+    if (es.nonEmpty) withTransaction { c =>
+      val st = c.prepareStatement(InsertCatalogSql)
+      es.foreach { e => bindCatalogEntry(st, e); st.addBatch() }
+      st.executeBatch()
+    }
+
+  /** Control-table CSV export — `retrieve_csv` / `COPY ... TO STDOUT WITH
+    * CSV HEADER` (`pg_connect.py:307-328`). Driver-side on purpose:
+    * control tables are metadata-sized; a Spark job per export is waste
+    * (same reasoning as the S9 lookups). */
+  def exportCsv(select: graft.sql.QueryBuilder.Select, out: java.io.Writer): Unit =
+    withConn { c =>
+      val rs = c.createStatement().executeQuery(select.sql)
+      val md = rs.getMetaData
+      val n = md.getColumnCount
+      def csv(v: String): String =
+        if (v == null) ""
+        else if (v.exists(ch => ch == ',' || ch == '"' || ch == '\n'))
+          "\"" + v.replace("\"", "\"\"") + "\""
+        else v
+      out.write((1 to n).map(md.getColumnName).mkString(",") + "\n")
+      while (rs.next())
+        out.write((1 to n).map(i => csv(rs.getString(i))).mkString(",") + "\n")
+      out.flush()
+    }
+
+  /** Raw statement execution (DDL + DML) — the `Connector.execute` /
+    * create/truncate/drop surface (`pg_connect.py:215-267`). */
+  def execute(sql: String): Int = withConn { c =>
+    val st = c.createStatement()
+    if (st.execute(sql)) 0 else st.getUpdateCount
+  }
+
+  /** User table list — `pg_connect.py:205-213`, via the portable JDBC
+    * catalog API instead of a pg_class query. */
+  def listTables(): Seq[String] = withConn { c =>
+    val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (rs.next()) buf += rs.getString("TABLE_NAME").toLowerCase
+    buf.toSeq
+  }
+
+  /** Server version probe — `pg_connect.py:196-203`. */
+  def serverVersion(): String = withConn { c =>
+    s"${c.getMetaData.getDatabaseProductName} ${c.getMetaData.getDatabaseProductVersion}"
+  }
+
+  private val InsertCatalogSql =
+    """insert into data_asset_catalogs
+      |(exec_id, src_sys_id, asset_id, dq_validation, data_publish,
+      | data_masking, src_file_path, s3_log_path, proc_start_ts,
+      | created_ts, last_ext_time)
+      |values (?,?,?,?,?,?,?,?,?,?,?)""".stripMargin
+
+  private def bindCatalogEntry(st: java.sql.PreparedStatement, e: CatalogEntry): Unit = {
+    st.setString(1, e.execId); st.setInt(2, e.srcSysId); st.setInt(3, e.assetId)
+    st.setString(4, e.dqValidation); st.setString(5, e.dataPublish)
+    st.setString(6, e.dataMasking); st.setString(7, e.srcFilePath)
+    st.setString(8, e.s3LogPath); st.setTimestamp(9, e.procStartTs)
+    st.setTimestamp(10, e.createdTs)
+    e.lastExtTime match {
+      case Some(t) => st.setTimestamp(11, t)
+      case None    => st.setNull(11, java.sql.Types.TIMESTAMP)
+    }
   }
 
   def sourceSystem(id: Int): Option[SourceSystem] = withConn { c =>
@@ -129,21 +209,8 @@ final class JdbcMetadataStore(url: String, props: java.util.Properties)
   }
 
   def insertCatalogEntry(e: CatalogEntry): Unit = withConn { c =>
-    val st = c.prepareStatement(
-      """insert into data_asset_catalogs
-        |(exec_id, src_sys_id, asset_id, dq_validation, data_publish,
-        | data_masking, src_file_path, s3_log_path, proc_start_ts,
-        | created_ts, last_ext_time)
-        |values (?,?,?,?,?,?,?,?,?,?,?)""".stripMargin)
-    st.setString(1, e.execId); st.setInt(2, e.srcSysId); st.setInt(3, e.assetId)
-    st.setString(4, e.dqValidation); st.setString(5, e.dataPublish)
-    st.setString(6, e.dataMasking); st.setString(7, e.srcFilePath)
-    st.setString(8, e.s3LogPath); st.setTimestamp(9, e.procStartTs)
-    st.setTimestamp(10, e.createdTs)
-    e.lastExtTime match {
-      case Some(t) => st.setTimestamp(11, t)
-      case None    => st.setNull(11, java.sql.Types.TIMESTAMP)
-    }
+    val st = c.prepareStatement(InsertCatalogSql)
+    bindCatalogEntry(st, e)
     st.executeUpdate()
   }
 

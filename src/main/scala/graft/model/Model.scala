@@ -158,11 +158,17 @@ final case class PathConvention(fmPrefix: String, region: String) {
   def rawLanding(srcSysId: Int, assetId: Int, ts: String): String =
     s"s3://$fmPrefix-$srcSysId-$region/$assetId/init/$ts"
 
-  /** Timestamp token recovered positionally — `dataIngestionUtils.py:40`. */
+  /** Timestamp token recovered from the landing path. The reference grabs
+    * `split("/")[5]` (`dataIngestionUtils.py:40`), which hard-codes the
+    * `s3://bucket/asset/init/ts` shape; here the token is the segment
+    * after `init/` — same value for s3:// paths, and it also holds for
+    * file:// and bare local paths (hermetic tests). */
   def timestampToken(sourcePath: String): String = {
-    val segs = sourcePath.split("/")
-    require(segs.length >= 6, s"path '$sourcePath' has no timestamp segment")
-    segs(5)
+    val segs = sourcePath.split("/").filter(_.nonEmpty)
+    val i = segs.lastIndexOf("init")
+    require(i >= 0 && i + 1 < segs.length,
+      s"path '$sourcePath' has no init/<timestamp> segment")
+    segs(i + 1)
   }
 
   /** Inbound bucket by trigger mechanism — `dataIngestionUtils.py:197-200`. */

@@ -47,21 +47,42 @@ object QueryBuilder {
     }
   }
 
+  /** RETURNING suffix — `pg_connect.py:154-162`. PostgreSQL-flavored (the
+    * reference control store); empty list → no clause. */
+  def returningClause(cols: Seq[String]): String =
+    if (cols.isEmpty) ""
+    else cols.map(ident).mkString(" RETURNING ", ", ", "")
+
   /** INSERT — `pg_connect.py:330-338`. Values must be pre-rendered SQL
     * literals (use [[lit]]). */
-  def insert(table: String, row: Seq[(String, String)]): String =
+  def insert(table: String, row: Seq[(String, String)],
+      returning: Seq[String] = Nil): String =
     s"INSERT INTO ${ident(table)} (${row.map(r => ident(r._1)).mkString(", ")}) " +
-      s"VALUES (${row.map(_._2).mkString(", ")})"
+      s"VALUES (${row.map(_._2).mkString(", ")})" + returningClause(returning)
 
-  /** UPDATE ... SET ... WHERE — `pg_connect.py:365-384`. */
-  def update(table: String, set: Seq[(String, String)], where: String): String =
+  /** Multi-row INSERT in one statement — the reference's `insert_many`
+    * via psycopg2 `execute_values` (`pg_connect.py:340-363`). All rows
+    * must share the first row's column set. */
+  def insertMany(table: String, rows: Seq[Seq[(String, String)]]): String = {
+    require(rows.nonEmpty, "insertMany needs at least one row")
+    val cols = rows.head.map(_._1)
+    require(rows.forall(_.map(_._1) == cols),
+      "insertMany rows must share one column set")
+    s"INSERT INTO ${ident(table)} (${cols.map(ident).mkString(", ")}) VALUES " +
+      rows.map(_.map(_._2).mkString("(", ", ", ")")).mkString(", ")
+  }
+
+  /** UPDATE ... SET ... WHERE [RETURNING] — `pg_connect.py:365-384`. */
+  def update(table: String, set: Seq[(String, String)], where: String,
+      returning: Seq[String] = Nil): String =
     s"UPDATE ${ident(table)} SET " +
       set.map { case (c, v) => s"${ident(c)} = $v" }.mkString(", ") +
-      s" WHERE $where"
+      s" WHERE $where" + returningClause(returning)
 
-  /** DELETE ... WHERE — `pg_connect.py:386-395`. */
-  def delete(table: String, where: String): String =
-    s"DELETE FROM ${ident(table)} WHERE $where"
+  /** DELETE ... WHERE [RETURNING] — `pg_connect.py:386-395`. */
+  def delete(table: String, where: String,
+      returning: Seq[String] = Nil): String =
+    s"DELETE FROM ${ident(table)} WHERE $where" + returningClause(returning)
 
   /** CREATE TABLE — `pg_connect.py:237-243`. */
   def create(table: String, schema: String): String =
