@@ -77,6 +77,40 @@ object StreamMerger {
       .option("maxFilesPerTrigger", 1000)
       .json(inPrefix)
 
+  /** Streaming read of the reference's RAW inbound format — objects of
+    * CONCATENATED JSON (`{..}{..}`, no delimiter), which a line-oriented
+    * JSON source would reject as corrupt. Each file arrives as one row
+    * (wholetext), is split into events ON THE EXECUTOR by the same
+    * depth-counter splitter the batch path uses (per-file work, bounded by
+    * the largest single object — never O(total bytes) on the driver like
+    * the reference, `dataIngestionUtils.py:256-261`), then parsed against
+    * the schema. */
+  def streamConcatenated(spark: SparkSession, schema: StructType,
+      inPrefix: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val split = udf((s: String) => splitConcatenated(s))
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", 1000)
+      .text(inPrefix)
+      .select(explode(split(col("value"))).as("raw"))
+      .select(from_json(col("raw"), schema).as("e"))
+      .select("e.*")
+  }
+
+  /** Event-time windowed counts with a watermark — the true-streaming
+    * semantics the reference's scheduled batch lacks (SURVEY §2.6): late
+    * events beyond the watermark are dropped deterministically instead of
+    * being silently merged into whichever batch picks them up. */
+  def windowedEventCounts(events: DataFrame, tsCol: String, typeCol: String,
+      lateness: String = "10 minutes", windowSize: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowSize), col(typeCol))
+      .count()
+  }
+
   /** One micro-batch run to a parquet sink — the streaming analog of the
     * reference's merge-then-land step. */
   def runAvailableNow(df: DataFrame, outPath: String,
