@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Ingestion.queries ++
     graft.queries.Relational.queries ++
-    graft.queries.LlmPipeline.queries
+    graft.queries.LlmPipeline.queries ++
+    graft.queries.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Ingestion.oracles ++
     graft.queries.Relational.oracles ++
-    graft.queries.LlmPipeline.oracles
+    graft.queries.LlmPipeline.oracles ++
+    graft.queries.Streaming.oracles
 }

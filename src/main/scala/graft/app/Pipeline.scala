@@ -1,0 +1,78 @@
+package graft.app
+
+import java.time.Instant
+import graft.catalog.MetadataStore
+import graft.model.{CatalogEntry, PathConvention}
+
+/** Event-driven trigger — re-expression of the reference's S3-event
+  * Lambda (`/root/reference/airflow/dag_trigerrer/dag_trigerrer.py:9-30`):
+  * an ObjectCreated key that conforms to `init/{src}/{asset}/{file}`
+  * launches a run for that (source, asset) with a freshly minted exec id
+  * and raw landing path (`dl_fmwrk_dag_template.py:8-21` scheme). In the
+  * Spark-native engine the Structured Streaming file source subsumes
+  * new-object DETECTION (SURVEY §2.5 C5); this is the control-plane hook
+  * that turns one detected key into job arguments.
+  */
+object EventTrigger {
+
+  def handle(paths: PathConvention, key: String,
+      now: Instant = Instant.now()): Option[IngestionJob.Args] =
+    paths.parseEventKey(key).map { case (srcSysId, assetId) =>
+      val ts = paths.formatTs(now)
+      IngestionJob.Args(
+        sourcePath = paths.rawLanding(srcSysId, assetId, ts),
+        sourceId = srcSysId,
+        assetId = assetId,
+        execId = paths.execId(srcSysId, assetId, ts))
+    }
+}
+
+/** The 4-stage pipeline protocol — re-expression of the reference DAG
+  * (`/root/reference/airflow/template/dl_fmwrk_dag_template.py:39-113`):
+  * start → ingest → quality_check → data_masking → data_publish → end,
+  * a linear chain whose stages communicate ONLY via (exec_id, source_path)
+  * and the catalog status columns seeded "not started"
+  * (`dataIngestionUtils.py:240-242`) — a shared-nothing, catalog-mediated
+  * protocol (SURVEY §3.3). The downstream stage bodies live outside this
+  * repo in the reference too (separate Glue jobs), so they are injected
+  * here; the engine owns the ordering and the status bookkeeping.
+  */
+object Pipeline {
+
+  /** One downstream stage: its catalog status column + injected body. */
+  final case class Stage(name: String, statusColumn: String,
+      action: CatalogEntry => Unit)
+
+  val StatusPassed = "passed"
+  val StatusFailed = "failed"
+
+  def defaultStages(
+      quality: CatalogEntry => Unit = _ => (),
+      masking: CatalogEntry => Unit = _ => (),
+      publish: CatalogEntry => Unit = _ => ()): Seq[Stage] = Seq(
+    Stage("quality_check", "dq_validation", quality),
+    Stage("data_masking", "data_masking", masking),
+    Stage("data_publish", "data_publish", publish))
+
+  /** Ingest, then run each stage in order, recording pass/fail in the
+    * catalog. A failing stage marks its column "failed" and STOPS the
+    * chain (the reference's Airflow behavior on task failure); the
+    * failure propagates — no exception swallowing. */
+  def run(env: IngestionJob.JobEnv, args: IngestionJob.Args,
+      stages: Seq[Stage]): CatalogEntry = {
+    val entry = IngestionJob.run(env, args)
+    stages.foreach { st =>
+      env.logger.timed(s"stage ${st.name} exec=${entry.execId}") {
+        try {
+          st.action(entry)
+          env.store.updateCatalogStatus(entry.execId, st.statusColumn, StatusPassed)
+        } catch {
+          case e: Throwable =>
+            env.store.updateCatalogStatus(entry.execId, st.statusColumn, StatusFailed)
+            throw e
+        }
+      }
+    }
+    entry
+  }
+}
