@@ -169,8 +169,25 @@ final class ParquetTableSource(spark: SparkSession, dir: String, table: String)
 
   def readFull(): DataFrame = df
 
+  /** On a native timestamp column the interval filter pushes straight to
+    * the parquet scan (`PushedFilters: [GreaterThan(...), LessThanOrEqual
+    * (...)]`) — row-group pruning is THE scale lever for incremental
+    * extraction. The events fixture stores nanos-as-long behind a derived
+    * `timestamp_micros` column, which defeats pushdown, so that table
+    * gets the equivalent RAW range predicate applied before the
+    * conversion: with m = nanos div 1000,
+    * m > L  ⟺  nanos >  L*1000 + 999  and  m <= U  ⟺  nanos <= U*1000 + 999.
+    */
   def readInterval(extCol: String, last: Timestamp, max: Timestamp): DataFrame =
-    df.filter(col(extCol) > lit(last) && col(extCol) <= lit(max))
+    if (table == "events" && extCol == "ts") {
+      def micros(t: Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      spark.read.parquet(s"$dir/events.parquet")
+        .filter(col("ts") > lit(micros(last) * 1000L + 999L) &&
+                col("ts") <= lit(micros(max) * 1000L + 999L))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else
+      df.filter(col(extCol) > lit(last) && col(extCol) <= lit(max))
 }
 
 /** The incremental-watermark extraction lifecycle — re-expression of
