@@ -18,6 +18,7 @@ object Sessions {
   def build(cpus: Int, appName: String = "graft"): SparkSession =
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -18,8 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact scaled dot product of two float-array columns as a long. */
+  /** Exact scaled dot product of two float-array columns as a long.
+    * Resolves to the codegen'd [[graft.functions.DotScaled]] expression
+    * (registered by [[graft.Sessions.build]] /
+    * [[graft.functions.GraftExtensions]]) — a tight generated Java loop
+    * instead of an interpreted lambda per element. */
   def dotScaled(a: Column, b: Column): Column =
+    call_function("dot_scaled", a, b)
+
+  /** The pure-built-in formulation of the same value (SURVEY §7.3 step 1:
+    * higher-order functions first, codegen expression after measuring).
+    * Kept for sessions without the extension and as the equivalence test
+    * target for [[graft.functions.DotScaled]]. */
+  def dotScaledHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         floor(x.cast("double") * y.cast("double") * lit(1e15)).cast("long")),

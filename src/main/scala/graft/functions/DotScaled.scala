@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** `dot_scaled(a, b)` — the exact integer-scaled dot product of two
+  * float arrays: sum_i floor(double(a_i) * double(b_i) * 1e15) as LONG.
+  *
+  * This is the custom-Catalyst tier of SURVEY §7.3: the same semantics as
+  * the higher-order-function formulation in [[graft.ext.Similarity]]
+  * (zip_with + floor + aggregate), but HOF lambdas are interpreted per
+  * element while this expression generates a tight Java loop inside
+  * whole-stage codegen. Bit-identical results by construction — each
+  * product is a deterministic IEEE double op, floor+cast matches the HOF
+  * floor(double)->long, and integer accumulation is order-independent.
+  *
+  * Null semantics mirror the HOF chain: null input array, null element,
+  * or length mismatch (zip_with pads with null) => NULL.
+  */
+case class DotScaled(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"dot_scaled expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += math.floor(a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e15).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (long) Math.floor(((double) $a.getFloat($i))
+         |      * ((double) $b.getFloat($i)) * 1.0E15D);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotScaled =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session extensions: registers the engine's native expressions so
+  * `expr("dot_scaled(a, b)")` / `call_function` resolve. Wired into
+  * [[graft.Sessions.build]]; external sessions opt in via
+  * `.withExtensions(GraftExtensions)`. */
+object GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new FunctionIdentifier("dot_scaled"),
+      new ExpressionInfo(classOf[DotScaled].getName, "dot_scaled"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_scaled takes exactly 2 arguments")
+        DotScaled(children.head, children(1))
+      }))
+}
