@@ -33,11 +33,17 @@ object Bench {
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     qs.foreach { case (_, fn) => materialize(fn(spark, sfDir)) } // warm-up
-    val results = qs.map { case (name, fn) =>
+    // two FULL timed passes, per-query min across passes: the host is
+    // shared and stalls span minutes, so back-to-back reps of one query
+    // both land in the same stall — whole-suite passes decorrelate it
+    def pass(): Map[String, Double] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       materialize(fn(spark, sfDir))
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val (p1, p2) = (pass(), pass())
+    val results = qs.map { case (name, _) =>
+      name -> math.min(p1(name), p2(name)) }
 
     val qJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

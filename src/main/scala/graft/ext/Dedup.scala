@@ -116,10 +116,16 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash over the distinct shingle set: bit j is set iff the
-    * majority of feature hashes have bit j set. Computed per-row with
-    * higher-order functions (no explode); `hx` must be an array<long>
+    * majority of feature hashes have bit j set. Resolves to the codegen'd
+    * [[graft.functions.SimHash60]] expression (one generated O(60n) loop;
+    * the HOF formulation below runs 60 interpreted aggregates per row and
+    * was the slowest query in the bench). `hx` must be an array<long>
     * column of 60-bit feature hashes. */
-  def simhash60(hxCol: String): Column = expr(
+  def simhash60(hxCol: String): Column = call_function("simhash60", col(hxCol))
+
+  /** Built-ins-only formulation — equivalence-test target for the native
+    * expression, and the literal shape the DuckDB oracle reproduces. */
+  def simhash60Hof(hxCol: String): Column = expr(
     s"""aggregate(
        |  transform(sequence(0, 59), j ->
        |    IF(aggregate($hxCol, 0L,

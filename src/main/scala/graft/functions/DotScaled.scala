@@ -81,7 +81,7 @@ case class DotScaled(left: Expression, right: Expression)
   * [[graft.Sessions.build]]; external sessions opt in via
   * `.withExtensions(GraftExtensions)`. */
 object GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("dot_scaled"),
       new ExpressionInfo(classOf[DotScaled].getName, "dot_scaled"),
@@ -89,4 +89,12 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dot_scaled takes exactly 2 arguments")
         DotScaled(children.head, children(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash60 takes exactly 1 argument")
+        SimHash60(children.head)
+      }))
+  }
 }
