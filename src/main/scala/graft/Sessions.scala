@@ -25,6 +25,10 @@ object Sessions {
       // events.parquet stores TIMESTAMP(NANOS); read nanos as long and
       // truncate in graft.Tables.events (matches DuckDB's native read).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables (co-located joins) need a writable warehouse;
+      // local sessions park it under the system tmp dir
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 

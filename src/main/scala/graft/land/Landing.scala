@@ -39,4 +39,22 @@ object Landing {
       .parquet(path)
     path
   }
+
+  /** Bucketed catalog table: co-locates rows by hash(bucketCols) at WRITE
+    * time so later equi-joins/aggregations on those columns run with NO
+    * exchange at all — the pre-shuffled layout both sides of a recurring
+    * big-big join should land in (brief: "bucketing for co-located
+    * joins"). Requires a catalog table (bucket metadata lives there, not
+    * in the files).
+    */
+  def bucketedTable(df: DataFrame, table: String,
+      bucketCols: Seq[String], buckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketedTable needs at least one bucket column")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for the 100 TB regime (brief: "salting for skew, AQE
+  * for runtime re-plan").
+  *
+  * Spark's AQE already splits skewed SORT-MERGE join partitions at
+  * runtime (`spark.sql.adaptive.skewJoin`); salting is the static
+  * counterpart for the cases AQE does not cover — skewed AGGREGATION
+  * keys, and joins where one hot key floods a single task before AQE can
+  * act. Both helpers keep exact semantics: results equal the unsalted
+  * plan for any salt count.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, with the big side's hot keys
+    * spread over `salts` sub-keys and the small side replicated once per
+    * salt. Use when the small side is too large to broadcast and the big
+    * side's key histogram has heavy hitters. Cost: small side is written
+    * `salts` times into the shuffle — pick the smallest salt count that
+    * flattens the histogram. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // deterministic spread: row identity, not rand() — re-execution of a
+    // task (speculation, stage retry) must salt each row identically
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltRange = explode(sequence(lit(0), lit(salts - 1))).as("_salt")
+    val saltedSmall = small.select(col("*"), saltRange)
+    saltedBig.join(saltedSmall,
+        saltedBig(key) === saltedSmall(key) &&
+          saltedBig("_salt") === saltedSmall("_salt"))
+      .drop(saltedSmall(key)).drop(saltedSmall("_salt")).drop("_salt")
+  }
+
+  /** Two-phase skew-proof aggregation: partial aggregate on
+    * (key, salt) — spreading a hot key over `salts` reducers — then final
+    * aggregate on key. Decomposable aggregates only; sum/count provided.
+    * (Spark's own partial aggregation already does map-side combine; the
+    * extra salted REDUCE phase matters when a single key's partials still
+    * overwhelm one reducer at the exchange.) */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: Column,
+      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.withColumn("_salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("sum_value"), sum(col("_pcnt")).as("n"))
+  }
+}
