@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Ingestion.queries ++
     graft.queries.Relational.queries ++
     graft.queries.LlmPipeline.queries ++
-    graft.queries.Streaming.queries
+    graft.queries.Streaming.queries ++
+    graft.queries.Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Ingestion.oracles ++
     graft.queries.Relational.oracles ++
     graft.queries.LlmPipeline.oracles ++
-    graft.queries.Streaming.oracles
+    graft.queries.Streaming.oracles ++
+    graft.queries.Temporal.oracles
 }
