@@ -111,6 +111,15 @@ object LlmPipeline {
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))
         .orderBy(col("mediaId"))),
+
+    // ---- corpus vocabulary: token frequency top-20 (explode + count,
+    // deterministic (n desc, token asc) tie-break) ----
+    "q_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
   )
 
   /** DuckDB oracles. Shared determinism rules with the Spark side:
@@ -222,6 +231,11 @@ object LlmPipeline {
 
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_topk_agg" -> CosineTopkOracle,
+
+    "q_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS modality,

@@ -176,6 +176,43 @@ object Relational {
           money(col("value")).as("sum_value"))
         .orderBy(col("day"), col("event_type"))
     }),
+
+    // ---- sessionization (gaps-and-islands): a >30-min silence starts a
+    // new session; one ordered window pass per user, no self-join ----
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        // micros, not seconds: unix_timestamp truncates and DuckDB's
+        // epoch() is fractional — epoch_us/unix_micros agree exactly
+        .withColumn("gap_us",
+          expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- cube (full grouping-set lattice) ----
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"), (col("user_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), money(col("value")).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("bucket").asc_nulls_first)),
+
+    // ---- pivot: event types to columns (fixed value list so the output
+    // schema is static — the scale-safe form; an unlisted pivot needs an
+    // extra distinct-values job) ----
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .orderBy(col("bucket"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +310,34 @@ object Relational {
         | count(*) AS n_events,
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
+        |  FROM g)
+        |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, user_id % 10 AS bucket, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+        |FROM events GROUP BY CUBE (event_type, user_id % 10)
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id % 10 ORDER BY bucket""".stripMargin,
   )
 }
