@@ -34,6 +34,8 @@ object ExtractionSql {
     db match {
       case DbType.Oracle =>
         s"select $extCol from $t ORDER BY $extCol DESC FETCH FIRST 1 ROWS ONLY"
+      case c: DbType.Custom if c.fetchFirst =>
+        s"select $extCol from $t ORDER BY $extCol DESC FETCH FIRST 1 ROWS ONLY"
       case DbType.SqlServer =>
         s"select TOP 1 $extCol from $t ORDER BY $extCol DESC"
       case _ =>
@@ -52,6 +54,7 @@ object ExtractionSql {
     * CAST to DATETIME2. */
   def tsLiteral(db: DbType, t: Timestamp): String = db match {
     case DbType.SqlServer => s"CAST('${fmt(t)}' AS DATETIME2)"
+    case c: DbType.Custom if c.tsLiteralFn.isDefined => c.tsLiteralFn.get(fmt(t))
     case _                => s"timestamp '${fmt(t)}'"
   }
 

@@ -71,9 +71,13 @@ object DbType {
   /** Seam for embedded/local databases (Derby in the test suite) — NOT one
     * of the reference's four flavors (`dataIngestionUtils.py:132-168`) and
     * not parseable from metadata; constructed explicitly by callers that
-    * need a hermetic JDBC target. */
+    * need a hermetic JDBC target. `fetchFirst` selects the single-row
+    * clause style and `tsLiteralFn` the timestamp-literal form (Derby:
+    * FETCH FIRST + `TIMESTAMP('...')`). */
   final case class Custom(
-      n: String, d: String, urlFn: (String, Int, String) => String)
+      n: String, d: String, urlFn: (String, Int, String) => String,
+      fetchFirst: Boolean = false,
+      tsLiteralFn: Option[String => String] = None)
       extends DbType(n, d) {
     def url(h: String, p: Int, db: String): String = urlFn(h, p, db)
   }

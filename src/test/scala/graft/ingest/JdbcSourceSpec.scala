@@ -56,4 +56,58 @@ class JdbcSourceSpec extends AnyFunSuite {
       numPartitions = 4, partitionColumn = Some("id"))
     assert(src.readFull().collect().isEmpty)
   }
+
+  // ---- the full incremental watermark lifecycle over LIVE JDBC ----
+
+  private val derbyDialect = derbyType.copy(
+    fetchFirst = true,
+    tsLiteralFn = Some(s => s"TIMESTAMP('$s')"))
+
+  test("incremental lifecycle over live JDBC: probe, interval, exactly-once") {
+    import graft.catalog.InMemoryMetadataStore
+    import graft.land.Landing
+    import graft.model.{DataAsset, ExtractionMethod, TriggerMechanism}
+    val spark = TestSpark.spark
+    val c = DriverManager.getConnection("jdbc:derby:memory:graftsrc")
+    val st = c.createStatement()
+    st.execute("create table readings(id int, ts timestamp)")
+    val ins = c.prepareStatement("insert into readings values (?, ?)")
+    def add(id: Int, t: String): Unit = {
+      ins.setInt(1, id)
+      ins.setTimestamp(2, java.sql.Timestamp.valueOf(t))
+      ins.executeUpdate()
+    }
+    (1 to 5).foreach(i => add(i, s"2024-01-0$i 00:00:00"))
+
+    val src = new JdbcTableSource(spark, derbyDialect,
+      "ignored", 0, "graftsrc", "", "", None, "readings")
+    assert(src.probeMax("ts").contains(
+      java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+
+    val store = new InMemoryMetadataStore()
+    val asset = DataAsset(11, "readings", None, TriggerMechanism.TimeDriven,
+      ExtractionMethod.Incremental, Some("ts"))
+    val out = java.nio.file.Files.createTempDirectory("graft-jdbc-wm").toString
+
+    // run 1: no watermark -> full extract of 5 rows, watermark = max ts
+    IncrementalExtractor.run(store, src, asset, 1, "jr1",
+      land = df => Landing.parquet(df, s"$out/r1"))
+    assert(spark.read.parquet(s"$out/r1").count() == 5)
+
+    // rows arrive between runs
+    add(6, "2024-01-06 00:00:00")
+    add(7, "2024-01-07 00:00:00")
+
+    // run 2: reads EXACTLY the two new rows through the pushed interval SQL
+    IncrementalExtractor.run(store, src, asset, 1, "jr2",
+      land = df => Landing.parquet(df, s"$out/r2"))
+    val r2 = spark.read.parquet(s"$out/r2").collect().map(_.getInt(0)).sorted
+    assert(r2.toSeq == Seq(6, 7))
+
+    // run 3: nothing new -> empty interval
+    IncrementalExtractor.run(store, src, asset, 1, "jr3",
+      land = df => Landing.parquet(df, s"$out/r3"))
+    assert(spark.read.parquet(s"$out/r3").count() == 0)
+    c.close()
+  }
 }

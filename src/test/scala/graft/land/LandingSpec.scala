@@ -18,6 +18,19 @@ class LandingSpec extends AnyFunSuite {
     assert(first.contains("r_regionkey"))
   }
 
+  test("csv and json round-trip: values survive both source formats") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val src = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    src.write.option("header", "true").csv(s"$out/csv")
+    src.write.json(s"$out/json")
+    val fromCsv = spark.read.option("header", "true")
+      .schema(src.schema).csv(s"$out/csv")
+    val fromJson = spark.read.schema(src.schema).json(s"$out/json")
+    val orig = src.orderBy("n_nationkey").collect().toSeq
+    assert(fromCsv.orderBy("n_nationkey").collect().toSeq == orig)
+    assert(fromJson.orderBy("n_nationkey").collect().toSeq == orig)
+  }
+
   test("parquet landing partitions by the given columns (hive layout)") {
     val out = java.nio.file.Files.createTempDirectory("graft-parq").toString
     val df = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
