@@ -60,7 +60,16 @@ object Dedup {
     * the exact-Jaccard verify is oracle-compared — so the cheap hash is
     * free to use here (hash60 costs an md5 hex round trip per shingle).
     */
-  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .withColumn("hx", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
+      .withColumn("sig", call_function("minhash_sig", col("hx")))
+      .drop("hx")
+
+  /** Built-ins-only signature (equivalence target for the native
+    * [[graft.functions.MinHashSig]] expression). */
+  def minhashSignaturesHof(docs: DataFrame, n: Int = 3): DataFrame = {
     val aArr = array(minhashSeeds.map(s => lit(s._1)): _*)
     val bArr = array(minhashSeeds.map(s => lit(s._2)): _*)
     docs

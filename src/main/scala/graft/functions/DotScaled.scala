@@ -96,5 +96,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "simhash60 takes exactly 1 argument")
         SimHash60(children.head)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "minhash_sig takes exactly 1 argument")
+        // the engine's standard permutation set; other seed sets
+        // construct MinHashSig directly
+        MinHashSig(children.head, graft.ext.Dedup.minhashSeeds)
+      }))
   }
 }
