@@ -120,6 +120,19 @@ object LlmPipeline {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
+
+    // ---- array-function breadth over the token arrays ----
+    "q_array_funcs" -> ((s, dir) => {
+      val w = TextOps.words(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(w).as("n"),
+        size(array_distinct(w)).as("n_uniq"),
+        concat_ws("|", slice(array_sort(w), 1, 3)).as("first3_sorted"),
+        array_contains(w, "the").as("has_the"),
+        reverse(element_at(w, 1)).as("rev_first"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracles. Shared determinism rules with the Spark side:
@@ -236,6 +249,15 @@ object LlmPipeline {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        | len(string_split(text,' ')) AS n,
+        | len(list_distinct(string_split(text,' '))) AS n_uniq,
+        | array_to_string(list_sort(string_split(text,' '))[1:3], '|') AS first3_sorted,
+        | list_contains(string_split(text,' '), 'the') AS has_the,
+        | reverse(string_split(text,' ')[1]) AS rev_first
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_stats" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS modality,

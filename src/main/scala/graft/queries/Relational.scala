@@ -213,6 +213,37 @@ object Relational {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
         .orderBy(col("bucket"))),
+
+    // ---- analytic window-function breadth: lag/lead/dense_rank/ntile/
+    // percent_rank/cume_dist/first_value over one totally-ordered frame ----
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").filter(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          first_value(col("o_orderkey")).over(w).as("top_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- sketch tier: HyperLogLog distinct estimate, sanity-bounded
+    // against the exact count (the estimate itself is engine-specific,
+    // so the oracle checks the exact count and the error bound flag) ----
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.1).as("within_10pct"))
+        .orderBy(col("event_type"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -339,5 +370,24 @@ object Relational {
         | count(*) FILTER (event_type = 'signup') AS signup,
         | count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id % 10 ORDER BY bucket""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey, 1) OVER w AS prev_key,
+        | lead(o_orderkey, 1) OVER w AS next_key,
+        | dense_rank() OVER w AS drank,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS prank,
+        | cume_dist() OVER w AS cdist,
+        | first_value(o_orderkey) OVER w AS top_key
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
