@@ -104,6 +104,62 @@ object Similarity {
         col("col.cid").as("neighbor_id"), col("col.cos").as("cos_sim"))
   }
 
+  // --------------------------------------------- embedding near-dup pairs
+
+  /** Deterministic gaussian hyperplanes as a DATAFLOW table (plane_id,
+    * hvec) — for larger plane counts the broadcast cross-join beats a
+    * literal expression tree (192 planes x 64 dims = 12k literals would
+    * bloat analysis), and the signature computation becomes an ordinary
+    * aggregation that scales with the cluster. */
+  private def planeTable(spark: org.apache.spark.sql.SparkSession,
+      nPlanes: Int, dim: Int, seed: Long): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until nPlanes).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("plane_id", "hvec")
+  }
+
+  /** (id, band, bkey) hyperplane band keys: bit = sign(v · h), packed
+    * `bandBits` per band. One broadcast join + one shuffle by id. */
+  def hyperplaneBands(emb: DataFrame, idCol: String,
+      nPlanes: Int, bandBits: Int, seed: Long): DataFrame =
+    emb.crossJoin(broadcast(planeTable(emb.sparkSession, nPlanes, AnnDim, seed)))
+      .select(col(idCol),
+        expr(s"plane_id div $bandBits").as("band"),
+        expr(s"plane_id % $bandBits").as("pos"),
+        (dotScaled(col("embedding"), col("hvec")) > 0).as("bit"))
+      .groupBy(col(idCol), col("band"))
+      .agg(sum(expr("IF(bit, shiftleft(1L, pos), 0L)")).as("bkey"))
+
+  /** Embedding-cosine near-duplicates: pairs with cosine >= threshold,
+    * found via hyperplane-band candidate generation (never all-pairs) and
+    * verified with the exact scaled-integer cosine. With 16 bands of 12
+    * bits, a same-direction pair misses all bands with probability
+    * ~(angle/pi * 12)^16 — vanishing for near-dup thresholds — while
+    * uncorrelated pairs collide on <= ~12% of bands and are discarded by
+    * the exact verify. */
+  def embedNearDupPairs(emb: DataFrame, threshold: Double,
+      nPlanes: Int = 192, bandBits: Int = 12, seed: Long = 777L): DataFrame = {
+    val bands = hyperplaneBands(emb, "vec_id", nPlanes, bandBits, seed)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val n2 = norms(emb)
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("dots", dotScaled(col("ea"), col("eb")))
+      .join(n2.select(col("vec_id").as("vec_a"), col("n2").as("na")), "vec_a")
+      .join(n2.select(col("vec_id").as("vec_b"), col("n2").as("nb")), "vec_b")
+      .withColumn("cos_sim",
+        col("dots").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cos_sim") >= lit(threshold))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
   // ------------------------------------------------------- LSH-bucketed ANN
 
   /** 16 fixed random hyperplanes (seeded — reproducible across runs). */

@@ -88,6 +88,20 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- embedding-cosine near-dup: the fixture has no planted vector
+    // near-dups (max pairwise cos 0.51), so the query derives scaled
+    // copies (vec * 1.01, float-rounded identically in both engines) and
+    // must recover exactly the (v, copy-of-v) pairs via hyperplane-band
+    // candidates + exact-cosine verify ----
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      Similarity.embedNearDupPairs(e.unionByName(pert), threshold = 0.9)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // ---- LSH-bucketed approximate NN (no oracle: approximate by design;
     // recall vs the brute-force baseline is asserted in the test suite) ----
     "q_cosine_ann" -> ((s, dir) => {
@@ -244,6 +258,27 @@ object LlmPipeline {
 
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_topk_agg" -> CosineTopkOracle,
+
+    "q_embed_neardup" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, list_sum(list_transform(embedding,
+        |        x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+        |      FROM u),
+        |d AS (SELECT a.vec_id va, b.vec_id vb,
+        |        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+        |      FROM u a JOIN u b ON a.vec_id < b.vec_id),
+        |c AS (SELECT va vec_a, vb vec_b,
+        |        cast(dots as double)/sqrt(cast(na.n2 as double)*cast(nb.n2 as double)) cos_sim
+        |      FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb)
+        |SELECT vec_a, vec_b, cos_sim FROM c
+        |WHERE cos_sim >= cast(0.9 as double) ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_vocab" ->
       """SELECT token, count(*) AS n
