@@ -232,6 +232,44 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // ---- TPC-H Q3 shape: segment-filtered 3-way join, top revenue ----
+    "q_tpch_shipping" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+    }),
+
+    // ---- TPC-H Q5 shape: 6-way star join, local-supplier revenue by
+    // nation (dims broadcast; the two fact tables shuffle on their keys) ----
+    "q_tpch_local_supplier" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, dir, "lineitem")
+      val sp = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(sp), l("l_suppkey") === sp("s_suppkey") &&
+          c("c_nationkey") === sp("s_nationkey"))
+        .join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
     // ---- sketch tier: HyperLogLog distinct estimate, sanity-bounded
     // against the exact count (the estimate itself is engine-specific,
     // so the oracle checks the exact count and the error bound flag) ----
@@ -389,5 +427,32 @@ object Relational {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_tpch_shipping" ->
+      """SELECT l_orderkey,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))
+        |       * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+        | o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < timestamp '1998-01-01'
+        |  AND l_shipdate > timestamp '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_tpch_local_supplier" ->
+      """SELECT n_name,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))
+        |       * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= timestamp '1996-01-01'
+        |  AND o_orderdate < timestamp '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
   )
 }
