@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline — what the ext operators
+  * exist FOR at 100 TB: exact dedup, near-dup removal, quality filtering,
+  * chained as DataFrame transforms so Catalyst plans the whole flow.
+  *
+  * Near-dup removal policy: from every verified pair (a, b) with a < b,
+  * the HIGHER doc_id is dropped — the standard greedy keep-first rule.
+  * (Full connected-component clustering is an iterative job; the greedy
+  * rule is the common production choice and is deterministic.)
+  */
+object Curation {
+
+  /** docs minus exact duplicates: one survivor (min doc_id) per distinct
+    * text fingerprint. */
+  def dropExactDups(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", md5(col("text")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .drop("fp", "keep_id")
+
+  /** docs minus the greedy-dropped side of every near-dup pair. */
+  def dropNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val drop = Dedup.minhashNearDupPairs(docs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** docs at or above the quality bar. */
+  def filterQuality(docs: DataFrame, minScore: Double): DataFrame =
+    docs.join(
+      TextStats.qualityScore(docs).filter(col("score") >= lit(minScore))
+        .select("doc_id"),
+      Seq("doc_id"))
+
+  /** Run the full chain and return the per-stage corpus sizes (the
+    * curation funnel a pipeline operator monitors). */
+  def funnel(docs: DataFrame, nearDupThreshold: Double = 0.6,
+      minQuality: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val afterExact = dropExactDups(docs)
+    val afterNear = dropNearDups(afterExact, nearDupThreshold)
+    val afterQuality = filterQuality(afterNear, minQuality)
+    Seq(
+      ("1_input", docs.count()),
+      ("2_after_exact_dedup", afterExact.count()),
+      ("3_after_near_dedup", afterNear.count()),
+      ("4_after_quality", afterQuality.count()))
+      .toDF("stage", "n_docs")
+  }
+}

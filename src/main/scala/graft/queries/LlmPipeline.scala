@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextOps, TextStats}
 
 /** LLM-training-data pipeline query surface (the BASELINE north star):
   * deduplication, similarity search, text analysis, multimodal columns —
@@ -134,6 +134,17 @@ object LlmPipeline {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
+
+    // ---- the composed curation funnel: exact dedup -> near-dup removal
+    // -> quality filter, with per-stage corpus sizes (exact dups derived
+    // by unioning id-shifted copies so stage 2 has real work to do) ----
+    "q_curation_funnel" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val withDups = d.unionAll(
+        d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Curation.funnel(withDups).orderBy(col("stage"))
+    }),
 
     // ---- array-function breadth over the token arrays ----
     "q_array_funcs" -> ((s, dir) => {
@@ -284,6 +295,47 @@ object LlmPipeline {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+        |ex AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) keep_id
+        |    FROM base) WHERE doc_id = keep_id),
+        |words AS (SELECT doc_id, string_split(text,' ') w FROM ex),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) ic
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM inter
+        |          JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |          WHERE cast(ic as double) / cast(ca.n + cb.n - ic as double)
+        |                >= cast(0.6 as double)),
+        |nd AS (SELECT doc_id, text FROM ex
+        |       WHERE doc_id NOT IN (SELECT db FROM pairs)),
+        |q AS (SELECT doc_id FROM nd WHERE
+        |  cast(0.4 as double)
+        |    * least(cast(len(regexp_extract_all(text, '\S+')) as double)
+        |              / cast(100.0 as double), cast(1.0 as double))
+        |  + cast(0.3 as double)
+        |    * (cast(1.0 as double)
+        |       - cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) as double)
+        |           / cast(length(text) as double))
+        |  + cast(0.3 as double)
+        |    * least(cast(len(list_filter(string_split(text,' '),
+        |               t -> t in ('the','a','of','and','in','to'))) as double)
+        |              / cast(len(string_split(text,' ')) as double)
+        |              * cast(5.0 as double), cast(1.0 as double))
+        |  >= cast(0.5 as double))
+        |SELECT '1_input' AS stage, (SELECT count(*) FROM base) AS n_docs
+        |UNION ALL SELECT '2_after_exact_dedup', (SELECT count(*) FROM ex)
+        |UNION ALL SELECT '3_after_near_dedup', (SELECT count(*) FROM nd)
+        |UNION ALL SELECT '4_after_quality', (SELECT count(*) FROM q)
+        |ORDER BY stage""".stripMargin,
 
     "q_array_funcs" ->
       """SELECT doc_id,
