@@ -44,8 +44,11 @@ object Curation {
       minQuality: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val afterExact = dropExactDups(docs)
-    val afterNear = dropNearDups(afterExact, nearDupThreshold)
+    // each stage is both counted AND fed to the next stage; persist so
+    // the four actions don't recompute the whole upstream chain (the
+    // near-dup stage re-runs the full LSH pipeline otherwise)
+    val afterExact = dropExactDups(docs).persist()
+    val afterNear = dropNearDups(afterExact, nearDupThreshold).persist()
     val afterQuality = filterQuality(afterNear, minQuality)
     Seq(
       ("1_input", docs.count()),
