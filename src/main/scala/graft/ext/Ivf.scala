@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Similarity.{dotScaled, norms}
+
+/** IVF (inverted-file) approximate nearest neighbors — the second scale
+  * path next to hyperplane LSH: a coarse quantizer of `nLists` centroids
+  * is trained with a few Lloyd iterations of DISTRIBUTED k-means (each
+  * iteration is one assign job + one per-dimension mean job; only the
+  * k x dim centroid matrix ever reaches the driver), every vector is
+  * assigned to its nearest centroid's list, and a query ranks exactly
+  * only within its `nProbe` nearest lists — |probed lists| / |all lists|
+  * of the corpus instead of all of it.
+  *
+  * Centroid means use float averages, so centroids (and therefore
+  * recall, not correctness) can drift in the last bits across cluster
+  * layouts — the exact verify inside the probed lists is unaffected.
+  */
+object Ivf {
+
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "cvec")
+  }
+
+  /** (vec_id, cid): each vector's nearest centroid by dot product
+    * (≡ nearest by L2 for normalized vectors). */
+  def assign(emb: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    emb.crossJoin(broadcast(centroidDf(emb.sparkSession, cents)))
+      .withColumn("dot", dotScaled(col("embedding"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Lloyd iterations: seed with the first `nLists` vectors (by vec_id —
+    * deterministic), then alternate assign / per-dimension mean. */
+  def train(emb: DataFrame, nLists: Int, iters: Int = 2): Seq[(Int, Seq[Float])] = {
+    var cents: Seq[(Int, Seq[Float])] =
+      emb.orderBy(col("vec_id")).limit(nLists).collect().toSeq
+        .zipWithIndex.map { case (r, i) =>
+          i -> r.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+        }
+    (1 to iters).foreach { _ =>
+      val assigned = assign(emb, cents)
+        .join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")))
+      val means = assigned.groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cid"))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getAs[Int]("pos"))
+            .map(_.getAs[Double]("m").toFloat).toSeq
+        }
+      // a list that lost every member keeps its previous centroid
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    cents
+  }
+
+  /** Approximate top-k: probe the `nProbe` nearest lists per query, rank
+    * by the exact scaled-integer cosine inside them only. */
+  def topKIvf(emb: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = train(emb, nLists, iters)
+    val lists = assign(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cid"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroidDf(emb.sparkSession, cents)))
+      .withColumn("dot", dotScaled(col("qe"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cid"))
+    val n2 = norms(emb)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probes.join(lists, "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        "neighbor_id")
+      .withColumn("dots", dotScaled(col("qe"), col("ce")))
+      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))),
+        "query_id")
+      .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")),
+        "neighbor_id")
+      .withColumn("cos_sim",
+        col("dots").cast("double") /
+          sqrt(col("nq2").cast("double") * col("nc2").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+}

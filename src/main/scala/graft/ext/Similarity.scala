@@ -133,13 +133,14 @@ object Similarity {
 
   /** Embedding-cosine near-duplicates: pairs with cosine >= threshold,
     * found via hyperplane-band candidate generation (never all-pairs) and
-    * verified with the exact scaled-integer cosine. With 16 bands of 12
-    * bits, a same-direction pair misses all bands with probability
-    * ~(angle/pi * 12)^16 — vanishing for near-dup thresholds — while
-    * uncorrelated pairs collide on <= ~12% of bands and are discarded by
-    * the exact verify. */
+    * verified with the exact scaled-integer cosine. With 12 bands of 16
+    * bits, a same-direction pair (near-dup angle ~0) misses all bands
+    * with probability ~((angle/pi)*16)^12 — vanishing for near-dup
+    * thresholds — while uncorrelated pairs (p_bit ~ 0.67 at the fixture's
+    * 0.5-cosine background) collide on ~0.2% of bands per band pair, so
+    * under ~2% of background pairs ever reach the exact verify. */
   def embedNearDupPairs(emb: DataFrame, threshold: Double,
-      nPlanes: Int = 192, bandBits: Int = 12, seed: Long = 777L): DataFrame = {
+      nPlanes: Int = 192, bandBits: Int = 16, seed: Long = 777L): DataFrame = {
     val bands = hyperplaneBands(emb, "vec_id", nPlanes, bandBits, seed)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

@@ -110,6 +110,16 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- IVF approximate NN: distributed k-means coarse quantizer +
+    // probe-nearest-lists (rows-only: approximate by design; exactness
+    // at full probe and recall monotonicity asserted in the test suite) ----
+    "q_cosine_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ext.Ivf.topKIvf(e, e.filter(col("vec_id") < 10), k = 5,
+          nLists = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- multimodal: binary payload column + per-modality byte stats ----
     "q_multimodal_stats" -> ((s, dir) =>
       Multimodal.mediaTable(docs(s, dir))

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("training produces nLists centroids of the right dimension") {
+    val cents = Ivf.train(emb, nLists = 8, iters = 1)
+    assert(cents.size == 8)
+    assert(cents.forall(_._2.size == 64))
+    assert(cents.map(_._1).sorted == (0 until 8))
+  }
+
+  test("assignment covers every vector exactly once") {
+    val cents = Ivf.train(emb, nLists = 8, iters = 1)
+    val lists = Ivf.assign(emb, cents)
+    assert(lists.count() == emb.count())
+    assert(lists.select("vec_id").distinct().count() == emb.count())
+    // every list id is a trained centroid
+    val cids = lists.select("cid").distinct().as[Int].collect().toSet
+    assert(cids.subsetOf((0 until 8).toSet))
+  }
+
+  test("probing more lists can only improve recall; both find neighbors") {
+    val brute = Similarity.topKBrute(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(nProbe: Int): Double = {
+      val ivf = Ivf.topKIvf(emb, queries, 5, nLists = 16, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (ivf & brute).size.toDouble / brute.size
+    }
+    val r2 = recall(2)
+    val rAll = recall(16) // probing every list == exact search
+    assert(rAll == 1.0, s"full probe must be exact, got $rAll")
+    assert(r2 > 0.0)
+    assert(rAll >= r2)
+  }
+}

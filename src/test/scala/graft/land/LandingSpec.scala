@@ -18,17 +18,20 @@ class LandingSpec extends AnyFunSuite {
     assert(first.contains("r_regionkey"))
   }
 
-  test("csv and json round-trip: values survive both source formats") {
+  test("csv, json and orc round-trip: values survive every source format") {
     val out = java.nio.file.Files.createTempDirectory("graft-fmt").toString
     val src = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
     src.write.option("header", "true").csv(s"$out/csv")
     src.write.json(s"$out/json")
+    src.write.orc(s"$out/orc")
     val fromCsv = spark.read.option("header", "true")
       .schema(src.schema).csv(s"$out/csv")
     val fromJson = spark.read.schema(src.schema).json(s"$out/json")
+    val fromOrc = spark.read.orc(s"$out/orc")
     val orig = src.orderBy("n_nationkey").collect().toSeq
     assert(fromCsv.orderBy("n_nationkey").collect().toSeq == orig)
     assert(fromJson.orderBy("n_nationkey").collect().toSeq == orig)
+    assert(fromOrc.orderBy("n_nationkey").collect().toSeq == orig)
   }
 
   test("parquet landing partitions by the given columns (hive layout)") {
