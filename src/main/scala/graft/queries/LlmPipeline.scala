@@ -46,6 +46,17 @@ object LlmPipeline {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 7)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- direct n-gram Jaccard via the inverted-index join (provable
+    // recall; same answer as the MinHash path — and the same exact
+    // oracle). Scoped to a bounded corpus slice: this fixture's tiny
+    // vocabulary makes every shingle a hot "stop shingle", so the
+    // index join's per-shingle square is the dominant cost — MinHash is
+    // the full-corpus path; this is the provable-recall strategy ----
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+          docs(s, dir).filter(col("doc_id") < 1000), threshold = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // ---- per-doc text statistics ----
     "q_text_stats" -> ((s, dir) =>
       TextStats.stats(docs(s, dir)).orderBy(col("doc_id"))),
@@ -170,6 +181,26 @@ object LlmPipeline {
     }),
   )
 
+  /** Exact all-pairs word-3gram Jaccard at threshold 0.6 — the oracle for
+    * BOTH q_dedup_minhash and q_dedup_ngram (two candidate-generation
+    * strategies, one exact answer). */
+  private lazy val JaccardPairsOracle: String =
+    """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+      |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) ic
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |    cast(ic as double) / cast(ca.n + cb.n - ic as double) jaccard
+      |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+      |             JOIN cnt cb ON doc_b = cb.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM j
+      |WHERE jaccard >= cast(0.6 as double) ORDER BY doc_a, doc_b""".stripMargin
+
   /** DuckDB oracles. Shared determinism rules with the Spark side:
     * 60-bit md5 hashes, exact integer accumulation for dot products,
     * cast(int as double)/cast(int as double) ratios, explicit double
@@ -182,22 +213,10 @@ object LlmPipeline {
         |SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS canonical_id
         |FROM d GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
 
-    "q_dedup_minhash" ->
-      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
-        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
-        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) ic
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |j AS (
-        |  SELECT doc_a, doc_b,
-        |    cast(ic as double) / cast(ca.n + cb.n - ic as double) jaccard
-        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id
-        |             JOIN cnt cb ON doc_b = cb.doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM j
-        |WHERE jaccard >= cast(0.6 as double) ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_minhash" -> JaccardPairsOracle,
+    // same exact answer, restricted to the query's bounded slice
+    "q_dedup_ngram" -> JaccardPairsOracle.replace(
+      "w FROM documents", "w FROM documents WHERE doc_id < 1000"),
 
     "q_dedup_simhash" ->
       """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),

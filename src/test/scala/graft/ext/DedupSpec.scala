@@ -61,6 +61,28 @@ class DedupSpec extends AnyFunSuite {
     assert(covered.sorted == (0 until 60))
   }
 
+  test("size-blocked ngram jaccard equals the minhash answer on the fixture") {
+    val fixture = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val ng = Dedup.ngramJaccardPairs(fixture, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashNearDupPairs(fixture, 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(ng == mh) // two candidate strategies, one exact answer
+  }
+
+  test("inverted-index jaccard: exact value for unequal-length docs") {
+    // 12 vs 13 shingles, all 12 shared: jaccard = 12/13 exactly
+    val base = (1 to 14).map(i => s"w$i").mkString(" ")       // 12 shingles
+    val longer = (1 to 15).map(i => s"w$i").mkString(" ")     // 13 shingles
+    for ((idShort, idLong) <- Seq((1L, 2L), (2L, 1L))) {
+      val d = Seq((idShort, base), (idLong, longer)).toDF("doc_id", "text")
+      val rows = Dedup.ngramJaccardPairs(d, threshold = 0.6).collect()
+      assert(rows.length == 1, s"ids ($idShort,$idLong)")
+      assert((rows.head.getLong(0), rows.head.getLong(1)) == (1L, 2L))
+      assert(rows.head.getDouble(2) == 12.0 / 13.0)
+    }
+  }
+
   test("planted fixture pairs: simhash hits are a subset of jaccard hits") {
     val fixture = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val mh = Dedup.minhashNearDupPairs(fixture, 0.6)
