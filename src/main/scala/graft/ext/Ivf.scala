@@ -27,16 +27,15 @@ object Ivf {
   }
 
   /** (vec_id, cid): each vector's nearest centroid by dot product
-    * (≡ nearest by L2 for normalized vectors). */
-  def assign(emb: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dot").desc, col("cid").asc)
+    * (≡ nearest by L2 for normalized vectors). `max_by` over a
+    * (dot, -cid) ordering struct instead of a row_number window: the
+    * aggregate gets map-side partial combine, so only N rows shuffle
+    * instead of ranking the full N x k cross product. */
+  def assign(emb: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame =
     emb.crossJoin(broadcast(centroidDf(emb.sparkSession, cents)))
       .withColumn("dot", dotScaled(col("embedding"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("dot"), (-col("cid")).as("nc"))).as("cid"))
 
   /** Lloyd iterations: seed with the first `nLists` vectors (by vec_id —
     * deterministic), then alternate assign / per-dimension mean. */

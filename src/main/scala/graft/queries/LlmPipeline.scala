@@ -131,6 +131,17 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- IVF at full probe (nProbe = nLists): every list is scanned, so
+    // the result is exact by construction — which puts the whole IVF
+    // machinery (train -> assign -> probe -> in-list exact rank) under the
+    // same hash oracle as the brute-force top-k ----
+    "q_cosine_ivf_exact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ext.Ivf.topKIvf(e, e.filter(col("vec_id") < 10), k = 5,
+          nLists = 16, nProbe = 16)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- multimodal: binary payload column + per-modality byte stats ----
     "q_multimodal_stats" -> ((s, dir) =>
       Multimodal.mediaTable(docs(s, dir))
@@ -142,9 +153,19 @@ object LlmPipeline {
         .orderBy(col("modality"))),
 
     // ---- multimodal feature extraction (stubbed decode; rows-only
-    // check — the mapPartitions plumbing is the operator under test) ----
+    // check — the mapPartitions plumbing is the operator under test).
+    // The operator emits `features array<float>`, but the driver's
+    // rows-only sorter can't hash array columns, so the query projects a
+    // scalar fingerprint of the vector: its size and its scaled-integer
+    // self-dot (unique per distinct vector) ----
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))
+        .select(col("mediaId"), col("modality"), col("nBytes"),
+          size(col("features")).as("feat_dim"),
+          aggregate(
+            zip_with(col("features"), col("features"),
+              (a, b) => floor(a.cast("double") * b.cast("double") * lit(1e15)).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("feat_dot"))
         .orderBy(col("mediaId"))),
 
     // ---- corpus vocabulary: token frequency top-20 (explode + count,
@@ -242,7 +263,7 @@ object LlmPipeline {
       """SELECT doc_id, lang,
         |  len(string_split(text,' ')) AS n_tok,
         |  len(list_distinct(string_split(text,' '))) AS n_uniq,
-        |  list_sum(list_transform(string_split(text,' '), t -> length(t))) AS tok_chars,
+        |  cast(list_sum(list_transform(string_split(text,' '), t -> length(t))) as bigint) AS tok_chars,
         |  cast(len(list_filter(string_split(text,' '),
         |        t -> t in ('the','a','of','and','in','to'))) as double)
         |    / cast(len(string_split(text,' ')) as double) AS stop_ratio
@@ -298,6 +319,7 @@ object LlmPipeline {
 
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_topk_agg" -> CosineTopkOracle,
+    "q_cosine_ivf_exact" -> CosineTopkOracle,
 
     "q_embed_neardup" ->
       """WITH u AS (
@@ -378,7 +400,7 @@ object LlmPipeline {
     "q_multimodal_stats" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END AS modality,
         |  count(*) AS n,
-        |  sum(octet_length(encode(text))) AS total_bytes,
+        |  cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
         |  min(octet_length(encode(text))) AS min_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin,

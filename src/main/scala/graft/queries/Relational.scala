@@ -391,7 +391,7 @@ object Relational {
         |      OVER (PARTITION BY user_id ORDER BY ts
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
         |  FROM g)
-        |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, cast(max(sess_id) as bigint) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_cube" ->

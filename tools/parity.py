@@ -49,6 +49,16 @@ def main(sf_dir, out_dir):
         if len(spark_df) != len(duck_df):
             results[name] = f"ROWS: spark={len(spark_df)} duck={len(duck_df)}"
             continue
+        # driver's hash gate is dtype-sensitive (int width tolerated,
+        # int-vs-float NOT — DuckDB HUGEINT renders as float64)
+        dt_bad = []
+        for c in spark_df.columns:
+            sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+            if sk != dk and {sk, dk} != {"i", "u"}:
+                dt_bad.append((c, str(spark_df[c].dtype), str(duck_df[c].dtype)))
+        if dt_bad:
+            results[name] = f"DTYPE: {dt_bad}"
+            continue
         mism = []
         for c in spark_df.columns:
             sv, dv = spark_df[c].tolist(), duck_df[c].tolist()
@@ -56,7 +66,19 @@ def main(sf_dir, out_dir):
             if bad:
                 mism.append((c, bad[:3], len(bad)))
         results[name] = "OK" if not mism else f"VALUES: {mism}"
-    # queries without oracle → rows-only
+    # queries without oracle → rows-only: the driver still loads the
+    # parquet and sort_values's it in pandas, which crashes on array
+    # columns — simulate that here so it can't surprise us in CI
+    for d in sorted(glob.glob(f"{out_dir}/q_*")):
+        name = d.split("/")[-1]
+        if name in oracles:
+            continue
+        try:
+            df = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
+            canon(df)
+            results[name] = "OK" if len(df) > 0 else "ROWS: spark=0 (rows-only)"
+        except Exception as e:
+            results[name] = f"ERROR(rows-only sort): {e}"
     n_ok = sum(1 for v in results.values() if v == "OK")
     for name, status in sorted(results.items()):
         mark = "PASS" if status == "OK" else "FAIL"
