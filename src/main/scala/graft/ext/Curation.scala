@@ -31,6 +31,20 @@ object Curation {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** docs minus near-dups under the TRANSITIVE policy: connected
+    * components over the verified pair graph, survivor = min doc_id per
+    * component. Differs from the greedy rule on chains — with pairs
+    * (2,3), (1,3) greedy keeps {1, 2} (2 is never a doc_b) while CC
+    * clusters {1,2,3} together and keeps only 1. */
+  def dropNearDupsCC(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val drop = ConnectedComponents.components(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** docs at or above the quality bar. */
   def filterQuality(docs: DataFrame, minScore: Double): DataFrame =
     docs.join(
@@ -39,16 +53,18 @@ object Curation {
       Seq("doc_id"))
 
   /** Run the full chain and return the per-stage corpus sizes (the
-    * curation funnel a pipeline operator monitors). */
+    * curation funnel a pipeline operator monitors). `nearDupPolicy`
+    * selects greedy (default) or connected-component near-dup removal. */
   def funnel(docs: DataFrame, nearDupThreshold: Double = 0.6,
-      minQuality: Double = 0.5): DataFrame = {
+      minQuality: Double = 0.5,
+      nearDupPolicy: (DataFrame, Double) => DataFrame = dropNearDups): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // each stage is both counted AND fed to the next stage; persist so
     // the four actions don't recompute the whole upstream chain (the
     // near-dup stage re-runs the full LSH pipeline otherwise)
     val afterExact = dropExactDups(docs).persist()
-    val afterNear = dropNearDups(afterExact, nearDupThreshold).persist()
+    val afterNear = nearDupPolicy(afterExact, nearDupThreshold).persist()
     val afterQuality = filterQuality(afterNear, minQuality)
     Seq(
       ("1_input", docs.count()),

@@ -184,6 +184,32 @@ object Dedup {
       .withColumn("hx", transform(col("sh"), s => hash60(s)))
       .select(col("doc_id"), simhash60("hx").as("sim"))
 
+  /** Dictionary-join variant of [[simhashSignatures]] for DEGENERATE
+    * vocabularies: when the distinct-shingle count is far below the total
+    * shingle occurrences (tiny vocab, template-heavy corpora), computing
+    * the md5-based hash60 per occurrence wastes the dominant cost on
+    * re-hashing the same strings. Here each distinct shingle is hashed
+    * ONCE into a dictionary, occurrences pick their hash up via an
+    * equi-join (broadcast when the dictionary is small enough — vocab is
+    * small by assumption), and the per-doc hash multiset is reassembled
+    * with collect_list. Same signature bit-for-bit: the majority vote in
+    * simhash60 is order-independent and shingle sets are distinct per doc.
+    * Trade-off: one explode + shuffle-groupBy per doc vs per-occurrence
+    * md5 — wins only when occurrences >> distinct shingles. Measured on
+    * the sf0.01 fixture (healthy vocab, ~1 occurrence per distinct
+    * shingle): 0.94 s vs 0.24 s for the occurrence path — i.e. ~4x
+    * SLOWER there, which is why [[simhashSignatures]] stays the default
+    * and this is an explicit opt-in for template-heavy corpora. */
+  def simhashSignaturesDict(docs: DataFrame, n: Int = 3): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    val dict = occ.select(col("s")).distinct()
+      .withColumn("h", hash60(col("s")))
+    occ.join(broadcast(dict), "s")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hx"))
+      .select(col("doc_id"), simhash60("hx").as("sim"))
+  }
+
   /** 8 pigeonhole bands over the 60 bits: (offset, width). A pair within
     * Hamming distance 7 differs in at most 7 bands, so at least one of
     * the 8 is identical — candidate recall is exact, not probabilistic. */

@@ -23,6 +23,10 @@ object LlmPipeline {
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
+  /** Once-per-(jvm, sf dir) spool of a small media directory for the
+    * binaryFile-source query — same idiom as the streaming fixture. */
+  private val binSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
   val queries: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-groupBy, one shuffle, no pairs. The fixture
@@ -168,6 +172,29 @@ object LlmPipeline {
             lit(0L), (acc, x) => acc + x).as("feat_dot"))
         .orderBy(col("mediaId"))),
 
+    // ---- opaque-object scan: the binaryFile source over a generated
+    // media dir (S4-as-DataFrame) — file id parsed from the path, byte
+    // length from the source's own metadata column, verified against the
+    // documents the files were spooled from ----
+    "q_binary_objects" -> ((s, dir) => {
+      val tmp = binSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-binobj").toString
+        docs(s, dir).filter(col("doc_id") < 20)
+          .select(col("doc_id"), col("text")).collect().foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"${r.getLong(0)}%05d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        d
+      })
+      Multimodal.binaryObjects(s, s"$tmp/*.bin")
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus vocabulary: token frequency top-20 (explode + count,
     // deterministic (n desc, token asc) tie-break) ----
     "q_vocab" -> ((s, dir) =>
@@ -186,6 +213,18 @@ object LlmPipeline {
         d.filter(col("doc_id") < 50)
           .select((col("doc_id") + 10000).as("doc_id"), col("text")))
       Curation.funnel(withDups).orderBy(col("stage"))
+    }),
+
+    // ---- the same funnel under the TRANSITIVE near-dup policy:
+    // connected components (large-star/small-star) over the verified
+    // pair graph, survivor = min doc_id per component ----
+    "q_curation_funnel_cc" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val withDups = d.unionAll(
+        d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Curation.funnel(withDups, nearDupPolicy = Curation.dropNearDupsCC)
+        .orderBy(col("stage"))
     }),
 
     // ---- array-function breadth over the token arrays ----
@@ -342,6 +381,10 @@ object LlmPipeline {
         |SELECT vec_a, vec_b, cos_sim FROM c
         |WHERE cos_sim >= cast(0.9 as double) ORDER BY vec_a, vec_b""".stripMargin,
 
+    "q_binary_objects" ->
+      """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+
     "q_vocab" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -368,6 +411,54 @@ object LlmPipeline {
         |                >= cast(0.6 as double)),
         |nd AS (SELECT doc_id, text FROM ex
         |       WHERE doc_id NOT IN (SELECT db FROM pairs)),
+        |q AS (SELECT doc_id FROM nd WHERE
+        |  cast(0.4 as double)
+        |    * least(cast(len(regexp_extract_all(text, '\S+')) as double)
+        |              / cast(100.0 as double), cast(1.0 as double))
+        |  + cast(0.3 as double)
+        |    * (cast(1.0 as double)
+        |       - cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) as double)
+        |           / cast(length(text) as double))
+        |  + cast(0.3 as double)
+        |    * least(cast(len(list_filter(string_split(text,' '),
+        |               t -> t in ('the','a','of','and','in','to'))) as double)
+        |              / cast(len(string_split(text,' ')) as double)
+        |              * cast(5.0 as double), cast(1.0 as double))
+        |  >= cast(0.5 as double))
+        |SELECT '1_input' AS stage, (SELECT count(*) FROM base) AS n_docs
+        |UNION ALL SELECT '2_after_exact_dedup', (SELECT count(*) FROM ex)
+        |UNION ALL SELECT '3_after_near_dedup', (SELECT count(*) FROM nd)
+        |UNION ALL SELECT '4_after_quality', (SELECT count(*) FROM q)
+        |ORDER BY stage""".stripMargin,
+
+    // same funnel, transitive policy: symmetric edges -> recursive
+    // transitive closure -> drop every node that can reach a smaller id
+    // (≡ connected components with survivor = component min)
+    "q_curation_funnel_cc" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+        |ex AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) keep_id
+        |    FROM base) WHERE doc_id = keep_id),
+        |words AS (SELECT doc_id, string_split(text,' ') w FROM ex),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) ic
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM inter
+        |          JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |          WHERE cast(ic as double) / cast(ca.n + cb.n - ic as double)
+        |                >= cast(0.6 as double)),
+        |ed AS (SELECT da, db FROM pairs UNION SELECT db, da FROM pairs),
+        |rch AS (SELECT da, db FROM ed
+        |        UNION
+        |        SELECT r.da, e.db FROM rch r JOIN ed e ON r.db = e.da AND r.da <> e.db),
+        |nd AS (SELECT doc_id, text FROM ex
+        |       WHERE doc_id NOT IN (SELECT da FROM rch WHERE db < da)),
         |q AS (SELECT doc_id FROM nd WHERE
         |  cast(0.4 as double)
         |    * least(cast(len(regexp_extract_all(text, '\S+')) as double)

@@ -95,4 +95,14 @@ class DedupSpec extends AnyFunSuite {
     // is not true (borderline 0.6-0.9 pairs can sit at hamming 8-14)
     assert(sh.subsetOf(mh))
   }
+
+  test("dictionary-join simhash signatures equal the per-occurrence ones bit-for-bit") {
+    val fixture = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val base = Dedup.simhashSignatures(fixture).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    val dict = Dedup.simhashSignaturesDict(fixture).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(base == dict)
+    assert(base.nonEmpty)
+  }
 }
