@@ -197,6 +197,13 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // ---- exact discrete quantiles per group: value at rank ceil(p*n),
+    // one window-sort shuffle; approx_percentile is the sketch path ----
+    "q_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.exactDiscrete(
+          t(s, dir, "events"), "value", Seq("event_type"), Seq(0.25, 0.5, 0.75))
+        .orderBy(col("event_type"), col("p"))),
+
     // ---- cube (full grouping-set lattice) ----
     "q_cube" -> ((s, dir) =>
       t(s, dir, "events")
@@ -393,6 +400,20 @@ object Relational {
         |  FROM g)
         |SELECT user_id, cast(max(sess_id) as bigint) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // discrete (type-1) quantiles: same rank-selection formula verbatim —
+    // no interpolation, so no cross-engine ulp divergence
+    "q_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) rn,
+        |    count(*) OVER (PARTITION BY event_type) n
+        |  FROM events),
+        |ps AS (SELECT unnest([cast(0.25 as double), cast(0.5 as double),
+        |                      cast(0.75 as double)]) p)
+        |SELECT event_type, p, value AS q FROM ranked, ps
+        |WHERE rn = greatest(cast(ceil(p * n) as bigint), 1)
+        |ORDER BY event_type, p""".stripMargin,
 
     "q_cube" ->
       """SELECT event_type, user_id % 10 AS bucket, count(*) AS n,
