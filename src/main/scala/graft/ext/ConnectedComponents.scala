@@ -50,11 +50,43 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** Driver union-find with path compression; roots are component
+    * minima (union attaches the larger root under the smaller). Used
+    * only below [[components]]' `localSolveMax` edge bound. */
+  private[ext] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
   /** (doc_id, component) for every vertex of `pairs` (undirected edges
     * doc_a — doc_b); component = the minimum doc_id reachable from it.
     * Vertices not present in any pair are the caller's to add (they are
-    * their own singleton components by definition). */
-  def components(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    * their own singleton components by definition).
+    *
+    * Graphs at or below `localSolveMax` edges (checked at runtime after
+    * dedup) are solved with a driver union-find — bounded memory
+    * (16 B/edge ⇒ ~1.6 MB at the default), exact, and free of the
+    * per-round fixed cost that dominates iterative jobs on small
+    * graphs; anything larger runs the distributed star-contraction
+    * loop. Near-dup pair graphs are usually tiny relative to the corpus
+    * (only verified duplicate edges), so at 100 TB both paths matter:
+    * the small one for per-shard clustering, the distributed one for
+    * corpus-wide graphs. Pass `localSolveMax = 0` to force the
+    * distributed path. */
+  def components(pairs: DataFrame, maxRounds: Int = 50,
+      localSolveMax: Long = 100000L): DataFrame = {
     // each round is checkpointed: without truncating the lineage the
     // logical plan doubles per iteration (plan-explosion OOM long before
     // any data-size limit) — the standard iterative-DataFrame discipline,
@@ -66,11 +98,21 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(true)
 
+    if (edges.count() <= localSolveMax) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val mapping = unionFind(
+        edges.as[(Long, Long)].collect())
+      return mapping.toSeq.toDF("doc_id", "component")
+    }
+
     var last = (-1L, -1L)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // lazy checkpoint: the convergence agg below both materializes the
+      // round's edge set and probes it — one job per round, not two
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val row = next.agg(
         count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)))
         .head()

@@ -79,6 +79,45 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- left outer join: order-less customers survive with count 0 ----
+    "q_join_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_orders"))
+    }),
+
+    // ---- full outer join: per-key union of two aggregates where either
+    // side may be absent (coalesce over the null side) ----
+    "q_join_full_outer" -> ((s, dir) => {
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_hi"))
+      val lo = t(s, dir, "orders").filter(col("o_totalprice") < 2000)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_lo"))
+      hi.join(lo, Seq("k"), "full_outer")
+        .select(col("k").as("custkey"),
+          coalesce(col("n_hi"), lit(0L)).as("n_hi"),
+          coalesce(col("n_lo"), lit(0L)).as("n_lo"))
+        .orderBy(col("custkey"))
+    }),
+
+    // ---- explicit grouping sets through the SQL entry point (the
+    // DataFrame API only exposes the cube/rollup specializations);
+    // grouping() disambiguates real NULLs from subtotal rows ----
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_gs")
+      s.sql("""
+        SELECT event_type, user_id % 10 AS bucket,
+               grouping(event_type) AS g_type, count(*) AS n
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY event_type NULLS FIRST, bucket NULLS FIRST, g_type""")
+    }),
+
     // ---- window function: top order per customer by row_number ----
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -400,6 +439,32 @@ object Relational {
         |  FROM g)
         |SELECT user_id, cast(max(sess_id) as bigint) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_join_outer" ->
+      """WITH per AS (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY c_custkey)
+        |SELECT n_orders, count(*) AS n_customers
+        |FROM per GROUP BY n_orders ORDER BY n_orders""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH hi AS (SELECT o_custkey k, count(*) n_hi FROM orders
+        |            WHERE o_totalprice > 200000 GROUP BY 1),
+        |lo AS (SELECT o_custkey k, count(*) n_lo FROM orders
+        |       WHERE o_totalprice < 2000 GROUP BY 1)
+        |SELECT coalesce(hi.k, lo.k) AS custkey,
+        |       coalesce(n_hi, cast(0 as bigint)) AS n_hi,
+        |       coalesce(n_lo, cast(0 as bigint)) AS n_lo
+        |FROM hi FULL OUTER JOIN lo ON hi.k = lo.k
+        |ORDER BY custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS bucket,
+        |       grouping(event_type) AS g_type, count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST, g_type""".stripMargin,
 
     // discrete (type-1) quantiles: same rank-selection formula verbatim —
     // no interpolation, so no cross-engine ulp divergence

@@ -33,6 +33,7 @@ object Streaming {
 
   private val spooled = scala.collection.concurrent.TrieMap[String, String]()
   private val fullSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val dupSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   val queries: Map[String, Q] = Map(
     "q_stream_window" -> ((s, dir) => {
@@ -110,6 +111,36 @@ object Streaming {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q_stream_join_mem")
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
+    // ---- streaming deduplication: the fixture replayed TWICE through
+    // the stream; dropDuplicates state suppresses the second arrival of
+    // every event_id, so the drained counts equal the single-copy batch
+    // counts. (Bounded drain keeps full state; an unbounded pipeline
+    // uses dropDuplicatesWithinWatermark to evict old keys.) ----
+    "q_stream_dedup" -> ((s, dir) => {
+      val tmp = dupSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-qsdedup").toString
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        e.unionAll(e).coalesce(1)
+          .write.mode("overwrite").option("timestampFormat", MicrosFmt)
+          .json(s"$d/in")
+        d
+      })
+      val src = s.readStream.schema(fullEventSchema)
+        .option("timestampFormat", MicrosFmt).json(s"$tmp/in")
+      val q = src.dropDuplicates("event_id")
+        .groupBy(col("event_type")).count()
+        .writeStream
+        .format("memory").queryName("q_stream_dedup_mem")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_dedup_mem")
+        .select(col("event_type"), col("count").as("n"))
+        .orderBy(col("event_type"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +154,9 @@ object Streaming {
         |  ON p.user_id = c.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-        |ORDER BY 1, 2, 3""".stripMargin)
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

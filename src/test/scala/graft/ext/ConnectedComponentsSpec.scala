@@ -8,9 +8,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.components(pairs.toDF("doc_a", "doc_b"))
+  /** Runs BOTH solver paths (driver union-find and distributed
+    * star-contraction) and asserts they agree. */
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = pairs.toDF("doc_a", "doc_b")
+    val local = ConnectedComponents.components(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.components(df, localSolveMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, "union-find and star-contraction disagree")
+    local
+  }
 
   test("chain, star and disjoint components all resolve to the min id") {
     assert(comps(Seq((1L, 2L), (2L, 3L))) ==
