@@ -25,6 +25,20 @@ object TextStats {
       ratio(countIn(w, Stopwords), size(w)).as("stop_ratio"))
   }
 
+  /** Gopher-style repetition signals: the fraction of duplicate words
+    * and duplicate word-3-grams per document (1 - distinct/total).
+    * Template spam and boilerplate score high; columnar expressions
+    * only, no shuffle. */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = words(col("text"))
+    val totalNgrams = greatest(size(w) - lit(n - 1), lit(1))
+    docs.select(
+      col("doc_id"),
+      ratio(size(w) - size(array_distinct(w)), size(w)).as("word_rep"),
+      ratio(totalNgrams - size(shingles(col("text"), n)), totalNgrams)
+        .as("ngram_rep"))
+  }
+
   /** Stopword-list hit counts per language family. Word-soup fixtures mean
     * the predictions skew English — the point is the deterministic
     * operator shape (n-gram/stopword scoring), not model accuracy. */

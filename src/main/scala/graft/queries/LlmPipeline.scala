@@ -65,6 +65,23 @@ object LlmPipeline {
     "q_text_stats" -> ((s, dir) =>
       TextStats.stats(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // ---- benchmark decontamination: corpus docs sharing >= 10 distinct
+    // 3-gram shingles with the "eval set" (doc_id < 10); fixture p99
+    // background overlap is 2, planted near-dups ~80, so the threshold
+    // cleanly separates contamination from chance collisions ----
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ext.Decontaminate.overlaps(
+          d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+          minShared = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // ---- Gopher-style repetition signals (duplicate word / 3-gram
+    // fractions): template spam scores high ----
+    "q_repetition" -> ((s, dir) =>
+      TextStats.repetition(docs(s, dir)).orderBy(col("doc_id"))),
+
     // ---- heuristic language ID vs the labeled lang column ----
     "q_lang_id" -> ((s, dir) =>
       TextStats.langId(docs(s, dir))
@@ -307,6 +324,29 @@ object LlmPipeline {
         |        t -> t in ('the','a','of','and','in','to'))) as double)
         |    / cast(len(string_split(text,' ')) as double) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |c AS (SELECT * FROM sh WHERE doc_id >= 10),
+        |b AS (SELECT doc_id bench_id, s FROM sh WHERE doc_id < 10)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM c JOIN b ON c.s = b.s
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |r AS (SELECT doc_id, w, greatest(len(w)-2, 1) AS tot,
+        |        len(list_distinct(list_transform(range(1, greatest(len(w)-1, 2)),
+        |            i -> array_to_string(w[i:i+2],' ')))) AS uniq
+        |      FROM words)
+        |SELECT doc_id,
+        |  cast(len(w) - len(list_distinct(w)) as double)
+        |    / cast(len(w) as double) AS word_rep,
+        |  cast(tot - uniq as double) / cast(tot as double) AS ngram_rep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH c AS (

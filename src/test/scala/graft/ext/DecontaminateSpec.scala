@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val bench = Seq(
+    (100L, "what is the capital of france and where is it located on a map")
+  ).toDF("doc_id", "text")
+
+  private lazy val corpus = Seq(
+    // contains the benchmark question verbatim inside filler -> contaminated
+    (1L, "filler words here what is the capital of france and where is it located on a map trailing filler"),
+    // shares a few common words but no 10-shingle run
+    (2L, "the capital markets of france trade where maps of data are located"),
+    (3L, "completely unrelated text about spark shuffle partitions and joins")
+  ).toDF("doc_id", "text")
+
+  test("overlaps flags only the doc embedding the benchmark text") {
+    val ov = Decontaminate.overlaps(corpus, bench, minShared = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ov.map(o => (o._1, o._2)) == Seq((1L, 100L)))
+    assert(ov.head._3 >= 11) // the 13-word question yields 11 shared shingles+
+  }
+
+  test("scrub drops contaminated docs and keeps the rest") {
+    val kept = Decontaminate.scrub(corpus, bench, minShared = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("repetition: a looping template scores near 1, distinct text scores 0") {
+    val docs = Seq(
+      (1L, Seq.fill(20)("spam spam spam").mkString(" ")),     // 60 words, 1 distinct
+      (2L, (1 to 30).map(i => s"w$i").mkString(" "))          // all distinct
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetition(docs).orderBy("doc_id")
+      .as[(Long, Double, Double)].collect()
+    assert(r(0)._2 > 0.95 && r(0)._3 > 0.95)
+    assert(r(1)._2 == 0.0 && r(1)._3 == 0.0)
+  }
+}
