@@ -15,33 +15,38 @@ import scala.jdk.CollectionConverters._
   * write lands directly in the target prefix and the run record is
   * inserted afterwards, so a crash mid-write leaves partial files that
   * the next reader happily scans. This module closes that hole with the
-  * snapshot-pointer pattern (the same primitive Delta Lake and Iceberg
-  * are built on — no Delta jars exist in this container, so the
-  * primitive is implemented directly):
+  * manifest-pointer pattern (the primitive Delta Lake and Iceberg are
+  * built on — no Delta jars exist in this container, so the primitive is
+  * implemented directly):
   *
   * {{{
   * table/
-  *   _CURRENT                 one small pointer file: "v-0000000042"
-  *   snapshots/v-0000000042/  immutable, fully-written data directories
+  *   _CURRENT                 one small pointer file: "m-0000000042"
+  *   manifests/m-0000000042   text manifest: one live data dir per line
+  *   data/<uuid>/             immutable, fully-written parquet dirs
   *   .staging/<uuid>/         in-flight writes — readers never look here
   * }}}
   *
-  * Commit protocol: (1) write the full snapshot into a fresh staging
-  * dir; (2) require the writer's `_SUCCESS` marker; (3) move the staging
-  * dir into `snapshots/` (same-filesystem rename); (4) publish by
-  * atomically replacing `_CURRENT` (write temp + `ATOMIC_MOVE`). A crash
-  * at any step before (4) leaves `_CURRENT` untouched — readers keep the
-  * previous snapshot; the orphaned staging dir is garbage, not data, and
-  * [[vacuum]] removes it. On an object store the same protocol holds
-  * with step (4) as the single conditional small-object PUT — the data
-  * dirs are immutable either way, so reader isolation never depends on
-  * directory-rename atomicity.
+  * Commit protocol: (1) write the batch into a fresh staging dir;
+  * (2) require the writer's `_SUCCESS` marker; (3) move the staging dir
+  * under `data/` (same-filesystem rename — the dir is still unreachable:
+  * no manifest lists it); (4) write the next manifest (previous dirs +
+  * new dir for an append, just the new dir for an overwrite);
+  * (5) publish by atomically replacing `_CURRENT`. A crash at any step
+  * before (5) leaves `_CURRENT` untouched — readers keep the previous
+  * snapshot; orphaned staging/data dirs are garbage, not data, and
+  * [[vacuum]] removes them. On an object store the same protocol holds
+  * with step (5) as the single conditional small-object PUT — data dirs
+  * and manifests are immutable either way, so reader isolation never
+  * depends on directory-rename atomicity. Single writer by design (the
+  * reference's model); multi-writer needs a conditional pointer PUT,
+  * same as Delta's optimistic protocol.
   */
 object AtomicLanding {
 
   private val Pointer = "_CURRENT"
 
-  private def snapshotName(v: Long): String = f"v-$v%010d"
+  private def manifestName(v: Long): String = f"m-$v%010d"
 
   private def pointerPath(table: String): Path = Paths.get(table, Pointer)
 
@@ -49,22 +54,33 @@ object AtomicLanding {
   def currentVersion(table: String): Option[Long] = {
     val p = pointerPath(table)
     if (Files.exists(p))
-      Some(Files.readString(p).trim.stripPrefix("v-").toLong)
+      Some(Files.readString(p).trim.stripPrefix("m-").toLong)
     else None
   }
 
+  /** The data dirs of the published snapshot (relative to `table`). */
+  private def liveDirs(table: String): Seq[String] =
+    currentVersion(table) match {
+      case None => Nil
+      case Some(v) =>
+        Files.readAllLines(Paths.get(table, "manifests", manifestName(v)))
+          .asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+
   /** Read the current snapshot — only ever sees fully-committed data. */
   def read(spark: SparkSession, table: String): DataFrame = {
-    val v = currentVersion(table).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $table"))
-    spark.read.parquet(s"$table/snapshots/${snapshotName(v)}")
+    val dirs = liveDirs(table)
+    require(dirs.nonEmpty, s"no committed snapshot at $table")
+    spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
   }
 
-  /** Write `df` as the next snapshot and publish it atomically.
-    * Returns the committed version. `beforePublish` is a test seam: it
-    * runs after the data is staged but before the pointer swings, i.e.
-    * exactly where a crash must not lose the previous snapshot. */
-  def commit(df: DataFrame, table: String,
+  /** Write `df` and publish atomically; returns the committed version.
+    * `append = true` keeps the previous snapshot's data dirs in the new
+    * manifest (streaming micro-batches); `append = false` replaces the
+    * table. `beforePublish` is a test seam: it runs after data is
+    * staged/moved but before the pointer swings — exactly where a crash
+    * must not lose the previous snapshot. */
+  def commit(df: DataFrame, table: String, append: Boolean = false,
       beforePublish: () => Unit = () => ()): Long = {
     val next = currentVersion(table).getOrElse(-1L) + 1L
     val staging = Paths.get(table, ".staging", UUID.randomUUID().toString)
@@ -74,33 +90,44 @@ object AtomicLanding {
     require(Files.exists(staging.resolve("_SUCCESS")),
       s"writer did not mark $staging complete; refusing to publish")
 
-    val snapDir = Paths.get(table, "snapshots", snapshotName(next))
-    Files.createDirectories(snapDir.getParent)
-    // an existing dir at `next` is an aborted commit that crashed between
-    // snapshot-move and pointer-publish: _CURRENT never pointed at it, no
-    // reader can reach it, so recovery reclaims the slot (single-writer
-    // landing — the reference's model; multi-writer needs a conditional
-    // pointer PUT, same as Delta's optimistic protocol)
-    if (Files.exists(snapDir)) deleteRecursively(snapDir)
-    Files.move(staging, snapDir)
+    val dirName = staging.getFileName.toString
+    val dataDir = Paths.get(table, "data", dirName)
+    Files.createDirectories(dataDir.getParent)
+    Files.move(staging, dataDir)
+
+    val dirs = (if (append) liveDirs(table) else Nil) :+ s"data/$dirName"
+    val manifest = Paths.get(table, "manifests", manifestName(next))
+    Files.createDirectories(manifest.getParent)
+    Files.write(manifest, dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
 
     beforePublish()
 
     val tmp = Paths.get(table, s".$Pointer.${UUID.randomUUID()}")
-    Files.write(tmp, snapshotName(next).getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, manifestName(next).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointerPath(table),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     next
   }
 
+  /** Streaming sink body: commit every micro-batch as an atomic append
+    * (use with `writeStream.foreachBatch(AtomicLanding.streamSink(t))`).
+    * Readers polling the table between batches always see a complete
+    * prefix of the stream, never a half-written batch. */
+  def streamSink(table: String): (DataFrame, Long) => Unit =
+    (df, _) => { commit(df, table, append = true); () }
+
   /** Remove everything no reader can reach: all staging dirs (committed
-    * ones were MOVED out, so anything left is an aborted write) and all
-    * snapshots older than the published one. Returns paths removed. */
+    * ones were MOVED out, so anything left is an aborted write), data
+    * dirs absent from the live manifest, and superseded manifests.
+    * Returns paths removed. */
   def vacuum(table: String): Seq[String] = {
-    val current = currentVersion(table).map(snapshotName)
+    val live = liveDirs(table).map(_.stripPrefix("data/")).toSet
+    val current = currentVersion(table).map(manifestName)
     val doomed = Seq(
       Paths.get(table, ".staging") -> ((_: Path) => true),
-      Paths.get(table, "snapshots") ->
+      Paths.get(table, "data") ->
+        ((p: Path) => !live.contains(p.getFileName.toString)),
+      Paths.get(table, "manifests") ->
         ((p: Path) => !current.contains(p.getFileName.toString)))
     doomed.flatMap { case (dir, cond) =>
       if (!Files.exists(dir)) Nil

@@ -82,6 +82,18 @@ object LlmPipeline {
     "q_repetition" -> ((s, dir) =>
       TextStats.repetition(docs(s, dir)).orderBy(col("doc_id"))),
 
+    // ---- deterministic hash sampling: the stable-sampling primitive a
+    // training-mix pipeline uses instead of rand() — membership depends
+    // only on the key, so samples are reproducible across runs/engines
+    // and consistent between tables sharing the key. ~10% per source
+    // via the 60-bit md5 hash mod 100 ----
+    "q_hash_sample" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(pmod(graft.ext.TextOps.hash60(col("doc_id").cast("string")), lit(100)) < 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("source"))),
+
     // ---- heuristic language ID vs the labeled lang column ----
     "q_lang_id" -> ((s, dir) =>
       TextStats.langId(docs(s, dir))
@@ -324,6 +336,12 @@ object LlmPipeline {
         |        t -> t in ('the','a','of','and','in','to'))) as double)
         |    / cast(len(string_split(text,' ')) as double) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_id
+        |FROM documents
+        |WHERE cast('0x'||substr(md5(cast(doc_id as varchar)),1,15) as bigint) % 100 < 10
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_decontaminate" ->
       """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),

@@ -2,6 +2,8 @@ package graft.land
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
 import graft.TestSpark
 
 class AtomicLandingSpec extends AnyFunSuite {
@@ -10,14 +12,16 @@ class AtomicLandingSpec extends AnyFunSuite {
   private def freshTable(): String =
     java.nio.file.Files.createTempDirectory("graft-acid").resolve("t").toString
 
-  test("commit publishes atomically; versions increment") {
+  test("commit publishes atomically; versions increment; append accumulates") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
     assert(AtomicLanding.currentVersion(table).isEmpty)
     assert(AtomicLanding.commit(nation, table) == 0L)
-    assert(AtomicLanding.commit(nation.limit(3), table) == 1L)
-    assert(AtomicLanding.currentVersion(table).contains(1L))
+    assert(AtomicLanding.commit(nation.limit(3), table) == 1L) // overwrite
     assert(AtomicLanding.read(spark, table).count() == 3)
+    assert(AtomicLanding.commit(nation.limit(5), table, append = true) == 2L)
+    assert(AtomicLanding.read(spark, table).count() == 8)
+    assert(AtomicLanding.currentVersion(table).contains(2L))
   }
 
   test("a crash after staging but before publish loses NOTHING: readers keep the old snapshot") {
@@ -28,42 +32,65 @@ class AtomicLandingSpec extends AnyFunSuite {
 
     // kill-mid-write: die at the exact point the reference's
     // write-then-record ordering is vulnerable — data staged, not published
-    intercept[RuntimeException] {
-      AtomicLanding.commit(nation.limit(1), table,
-        beforePublish = () => throw new RuntimeException("kill -9"))
+    for (app <- Seq(false, true)) {
+      intercept[RuntimeException] {
+        AtomicLanding.commit(nation.limit(1), table, append = app,
+          beforePublish = () => throw new RuntimeException("kill -9"))
+      }
+      assert(AtomicLanding.currentVersion(table).contains(0L))
+      assert(AtomicLanding.read(spark, table).count() == before)
     }
 
-    assert(AtomicLanding.currentVersion(table).contains(0L))
-    assert(AtomicLanding.read(spark, table).count() == before)
-
-    // recovery: the next commit proceeds past the orphan and publishes
+    // recovery: the next commit proceeds past the orphans and publishes
     val v = AtomicLanding.commit(nation.limit(5), table)
     assert(v == 1L)
     assert(AtomicLanding.read(spark, table).count() == 5)
   }
 
-  test("vacuum removes aborted staging dirs and superseded snapshots, never the live one") {
+  test("vacuum removes aborted staging, unreachable data dirs and old manifests — never live data") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
     AtomicLanding.commit(nation, table)
     // an aborted write that died mid-staging (no _SUCCESS, never moved)
     nation.limit(1).write.parquet(s"$table/.staging/died-mid-write")
-    AtomicLanding.commit(nation.limit(2), table)
+    AtomicLanding.commit(nation.limit(2), table) // overwrite orphans v0's data
 
     val removed = AtomicLanding.vacuum(table)
-    assert(removed.exists(_.contains(".staging")))   // the aborted write
-    assert(removed.exists(_.contains("v-0000000000"))) // the superseded snapshot
+    assert(removed.exists(_.contains(".staging")))
+    assert(removed.exists(_.contains("/data/")))
+    assert(removed.exists(_.contains("m-0000000000")))
     assert(AtomicLanding.read(spark, table).count() == 2) // live snapshot intact
-    assert(AtomicLanding.vacuum(table).isEmpty)      // idempotent
+    assert(AtomicLanding.vacuum(table).isEmpty)           // idempotent
   }
 
   test("uncommitted staging files are invisible to a concurrent reader") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
     AtomicLanding.commit(nation.filter(col("n_nationkey") < 10), table)
-    // partial write sitting in staging (simulates an in-flight job)
     nation.write.parquet(s"$table/.staging/in-flight")
     assert(AtomicLanding.read(spark, table).count() ==
       nation.filter(col("n_nationkey") < 10).count())
+  }
+
+  test("streaming foreachBatch sink: every micro-batch lands as an atomic append") {
+    val table = freshTable()
+    val in = java.nio.file.Files.createTempDirectory("graft-acid-stream").toString
+    // three inbound files -> three micro-batches (maxFilesPerTrigger=1)
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(in, s"f$i.json"),
+        (1 to 4).map(j => s"""{"k":${i * 10 + j}}""").mkString("\n"))
+    }
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .json(in)
+      .writeStream
+      .foreachBatch(AtomicLanding.streamSink(table))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(AtomicLanding.read(spark, table).count() == 12)
+    assert(AtomicLanding.currentVersion(table).contains(2L)) // 3 batches
   }
 }
