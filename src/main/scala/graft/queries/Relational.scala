@@ -79,6 +79,26 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- TPC-H Q17 shape: correlated scalar subquery ("below 20% of
+    // this part's average quantity"), decorrelated into a per-part
+    // aggregate + join — the plan Catalyst itself produces for the
+    // subquery form; threshold arithmetic is a fixed IEEE chain over an
+    // exact decimal sum so both engines agree bit-for-bit ----
+    "q_tpch_small_qty" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_size") < 10)
+      val thr = l.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double") * lit(0.2)).as("qty_thr"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .groupBy(col("p_brand"))
+        .agg((money(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("p_brand"))
+    }),
+
     // ---- left outer join: order-less customers survive with count 0 ----
     "q_join_outer" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -439,6 +459,22 @@ object Relational {
         |  FROM g)
         |SELECT user_id, cast(max(sess_id) as bigint) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_tpch_small_qty" ->
+      """WITH thr AS (
+        |  SELECT l_partkey AS t_partkey,
+        |    cast(sum(cast(l_quantity as decimal(18,2))) as double)
+        |      / cast(count(*) as double) * cast(0.2 as double) AS qty_thr
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+        |    / cast(7.0 as double) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_size < 10
+        |JOIN thr ON t_partkey = l_partkey
+        |WHERE l_quantity < qty_thr
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_join_outer" ->
       """WITH per AS (
