@@ -16,7 +16,13 @@ final case class EngineConfig(
     controlDbUser: String,
     /** Name of the control-store secret resolved via [[CredentialProvider]]
       * — mirrors the reference's secret-name config, without AWS. */
-    controlSecretName: String) {
+    controlSecretName: String,
+    /** When true, database-pattern landings commit through
+      * [[graft.land.AtomicLanding]] (manifest-pointer snapshots) instead
+      * of writing parquet directly into the raw path — closing the
+      * reference's partial-write window (`dataIngestion.py:26-34`).
+      * Defaults to the reference-compatible direct write. */
+    atomicLanding: Boolean = false) {
 
   def paths: graft.model.PathConvention =
     graft.model.PathConvention(fmPrefix, region)
@@ -35,7 +41,8 @@ object EngineConfig {
       region = req("region"),
       controlDbUrl = req("control.db.url"),
       controlDbUser = p.getProperty("control.db.user", ""),
-      controlSecretName = p.getProperty("control.secret.name", "control-db"))
+      controlSecretName = p.getProperty("control.secret.name", "control-db"),
+      atomicLanding = p.getProperty("landing.atomic", "false").toBoolean)
   }
 
   def load(path: String): EngineConfig = {

@@ -77,9 +77,15 @@ object IngestionJob {
       case IngestionPattern.Database =>
         log.timed(s"database ingest asset=${args.assetId}") {
           val source = env.sourceFactory(env.spark, src, asset, env.creds, env.config)
+          val land: DataFrame => String =
+            if (env.config.atomicLanding)
+              df => { graft.land.AtomicLanding.commit(df, args.sourcePath)
+                      args.sourcePath }
+            else
+              df => Landing.parquet(df, args.sourcePath)
           IncrementalExtractor.run(
             env.store, source, asset, src.srcSysId, args.execId,
-            land = (df: DataFrame) => Landing.parquet(df, args.sourcePath),
+            land = land,
             logPath = logPath,
             now = () => startTs)
         }

@@ -79,6 +79,24 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- date/time scalar breadth over l_shipdate (extract, truncate,
+    // month-end, day arithmetic) — only functions with identical
+    // cross-engine semantics (dayofweek numbering differs, so it's out) ----
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          year(col("l_shipdate")).as("y"),
+          month(col("l_shipdate")).as("m"),
+          dayofmonth(col("l_shipdate")).as("d"),
+          date_trunc("month", col("l_shipdate")).as("month_start"),
+          last_day(col("l_shipdate")).as("month_end"),
+          date_add(col("l_shipdate").cast("date"), 30).as("due_date"),
+          datediff(lit("2024-12-31").cast("date"),
+            col("l_shipdate").cast("date")).as("days_left"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // ---- TPC-H Q17 shape: correlated scalar subquery ("below 20% of
     // this part's average quantity"), decorrelated into a per-part
     // aggregate + join — the plan Catalyst itself produces for the
@@ -459,6 +477,18 @@ object Relational {
         |  FROM g)
         |SELECT user_id, cast(max(sess_id) as bigint) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate,
+        |  extract(year FROM l_shipdate) AS y,
+        |  extract(month FROM l_shipdate) AS m,
+        |  extract(day FROM l_shipdate) AS d,
+        |  date_trunc('month', l_shipdate) AS month_start,
+        |  last_day(l_shipdate) AS month_end,
+        |  cast(l_shipdate as date) + 30 AS due_date,
+        |  datediff('day', cast(l_shipdate as date), date '2024-12-31') AS days_left
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_tpch_small_qty" ->
       """WITH thr AS (

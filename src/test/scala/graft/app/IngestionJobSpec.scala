@@ -44,6 +44,24 @@ class IngestionJobSpec extends AnyFunSuite {
     assert(entry.dqValidation == CatalogEntry.StatusNotStarted)
   }
 
+  test("database pattern with atomic landing: data publishes as a snapshot, then records") {
+    val root = java.nio.file.Files.createTempDirectory("graft-app-acid").toString
+    val store = new InMemoryMetadataStore(
+      sources = Seq(srcSys(1, IngestionPattern.Database, s"$root/inbound")),
+      assets = Seq(DataAsset(7, "events", None, TriggerMechanism.TimeDriven,
+        ExtractionMethod.Incremental, Some("ts"))))
+    val env = newEnv(store, root)
+    val acidEnv = env.copy(config = cfg.copy(atomicLanding = true))
+    val dest = s"$root/raw/7/init/20240110120000"
+    val entry = IngestionJob.run(acidEnv,
+      IngestionJob.Args(dest, 1, 7, "1_7_20240110120000"))
+    // readable ONLY through the snapshot pointer — no loose parquet
+    assert(graft.land.AtomicLanding.currentVersion(dest).contains(0L))
+    assert(graft.land.AtomicLanding.read(spark, dest).count() ==
+      graft.Tables.t(spark, TestSpark.Sf0001, "events").count())
+    assert(entry.lastExtTime.isDefined) // run record written after publish
+  }
+
   test("file pattern: relay inbound objects to raw zone and archive them") {
     val root = java.nio.file.Files.createTempDirectory("graft-app-f").toString
     val relay = new FileRelay()
