@@ -58,13 +58,25 @@ object AtomicLanding {
     else None
   }
 
-  /** The data dirs of the published snapshot (relative to `table`). */
-  private def liveDirs(table: String): Seq[String] =
+  private def manifestLines(table: String): Seq[String] =
     currentVersion(table) match {
       case None => Nil
       case Some(v) =>
         Files.readAllLines(Paths.get(table, "manifests", manifestName(v)))
           .asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+
+  /** The data dirs of the published snapshot (relative to `table`). */
+  private def liveDirs(table: String): Seq[String] =
+    manifestLines(table).filterNot(_.startsWith("#"))
+
+  /** The streaming batch id recorded by the last published commit, if
+    * that commit carried one. Lives INSIDE the manifest, so it becomes
+    * durable in the same atomic pointer swing as the data it describes —
+    * there is no window where data is committed but its batch id is not. */
+  def lastBatchId(table: String): Option[Long] =
+    manifestLines(table).collectFirst {
+      case l if l.startsWith("# batch ") => l.stripPrefix("# batch ").trim.toLong
     }
 
   /** Read the current snapshot — only ever sees fully-committed data. */
@@ -81,7 +93,8 @@ object AtomicLanding {
     * staged/moved but before the pointer swings — exactly where a crash
     * must not lose the previous snapshot. */
   def commit(df: DataFrame, table: String, append: Boolean = false,
-      beforePublish: () => Unit = () => ()): Long = {
+      beforePublish: () => Unit = () => (),
+      batchId: Option[Long] = None): Long = {
     val next = currentVersion(table).getOrElse(-1L) + 1L
     val staging = Paths.get(table, ".staging", UUID.randomUUID().toString)
     Files.createDirectories(staging.getParent)
@@ -96,9 +109,10 @@ object AtomicLanding {
     Files.move(staging, dataDir)
 
     val dirs = (if (append) liveDirs(table) else Nil) :+ s"data/$dirName"
+    val lines = batchId.map(b => s"# batch $b").toSeq ++ dirs
     val manifest = Paths.get(table, "manifests", manifestName(next))
     Files.createDirectories(manifest.getParent)
-    Files.write(manifest, dirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(manifest, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
 
     beforePublish()
 
@@ -112,9 +126,18 @@ object AtomicLanding {
   /** Streaming sink body: commit every micro-batch as an atomic append
     * (use with `writeStream.foreachBatch(AtomicLanding.streamSink(t))`).
     * Readers polling the table between batches always see a complete
-    * prefix of the stream, never a half-written batch. */
+    * prefix of the stream, never a half-written batch.
+    *
+    * EXACTLY-ONCE: foreachBatch is at-least-once — after a crash the
+    * engine replays the last unacknowledged batch — so the sink skips
+    * any batchId at or below the one recorded in the live manifest
+    * (batch ids are monotonically increasing per checkpointed query,
+    * and only the most recent batch is ever replayed). */
   def streamSink(table: String): (DataFrame, Long) => Unit =
-    (df, _) => { commit(df, table, append = true); () }
+    (df, batchId) =>
+      if (!lastBatchId(table).exists(_ >= batchId)) {
+        commit(df, table, append = true, batchId = Some(batchId)); ()
+      }
 
   /** Remove everything no reader can reach: all staging dirs (committed
     * ones were MOVED out, so anything left is an aborted write), data

@@ -79,6 +79,16 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- skew-proof aggregation under the hash gate: the salted
+    // two-phase sum/count must equal the plain aggregate for ANY salt
+    // count (decimal partials keep the sum order-independent) ----
+    "q_salted_agg" -> ((s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+          t(s, dir, "events"), "event_type", dec(col("value")), salts = 8)
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("sum_value"), col("n"))
+        .orderBy(col("event_type"))),
+
     // ---- date/time scalar breadth over l_shipdate (extract, truncate,
     // month-end, day arithmetic) — only functions with identical
     // cross-engine semantics (dayofweek numbering differs, so it's out) ----
@@ -477,6 +487,12 @@ object Relational {
         |  FROM g)
         |SELECT user_id, cast(max(sess_id) as bigint) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate,

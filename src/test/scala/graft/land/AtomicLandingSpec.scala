@@ -92,5 +92,21 @@ class AtomicLandingSpec extends AnyFunSuite {
     q.awaitTermination()
     assert(AtomicLanding.read(spark, table).count() == 12)
     assert(AtomicLanding.currentVersion(table).contains(2L)) // 3 batches
+    assert(AtomicLanding.lastBatchId(table).contains(2L))
+  }
+
+  test("replayed micro-batch is skipped: the sink is exactly-once, not at-least-once") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    val sink = AtomicLanding.streamSink(table)
+    sink(nation.limit(2), 0L)
+    sink(nation.limit(3), 1L)
+    val before = AtomicLanding.read(spark, table).count()
+    assert(before == 5)
+    sink(nation.limit(3), 1L) // crash-recovery replay of batch 1
+    assert(AtomicLanding.read(spark, table).count() == before) // unchanged
+    sink(nation.limit(1), 2L) // the stream then moves on
+    assert(AtomicLanding.read(spark, table).count() == 6)
+    assert(AtomicLanding.lastBatchId(table).contains(2L))
   }
 }
