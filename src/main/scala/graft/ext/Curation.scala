@@ -62,6 +62,28 @@ object Curation {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Cluster-aware near-dup survival: cluster the verified pair graph
+    * with connected components, then keep the HIGHEST-QUALITY doc per
+    * cluster (ties → lowest doc_id) instead of the lowest id — the
+    * policy a curation pipeline actually wants, since near-dup clusters
+    * often mix a clean original with mangled copies. Singletons (docs in
+    * no pair) survive untouched. */
+  def keepBestPerCluster(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val comp = ConnectedComponents.components(pairs)
+    val scored = docs.join(TextStats.qualityScore(docs), Seq("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      // singletons form their own component
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val best = scored.groupBy(col("component"))
+      .agg(max_by(col("doc_id"), struct(col("score"), -col("doc_id")))
+        .as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(best, Seq("doc_id"), "left_semi")
+  }
+
   /** docs at or above the quality bar. */
   def filterQuality(docs: DataFrame, minScore: Double): DataFrame =
     docs.join(

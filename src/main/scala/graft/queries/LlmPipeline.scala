@@ -256,6 +256,33 @@ object LlmPipeline {
         .orderBy(col("stage"))
     }),
 
+    // ---- cluster-aware dedup: keep the HIGHEST-QUALITY doc per
+    // near-dup cluster (CC over the verified pair graph), not the
+    // lowest id — the survivor policy a curation pipeline wants when
+    // clusters mix a clean original with mangled copies ----
+    "q_cluster_best" -> ((s, dir) =>
+      Curation.keepBestPerCluster(
+          docs(s, dir).select(col("doc_id"), col("text")), threshold = 0.6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    // ---- training-mix temperature weights per source: weight ∝
+    // sqrt(n_docs) (alpha = 0.5). sqrt is IEEE-exact (pow is not), and
+    // the normalizing sum runs over floor-scaled integers so the
+    // denominator is order-independent — same recipe as the cosine
+    // dot products ----
+    "q_mix_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .withColumn("sw",
+          floor(sqrt(col("n").cast("double")) * lit(1e9)).cast("long"))
+        .withColumn("weight",
+          col("sw").cast("double") /
+            sum(col("sw")).over(Window.partitionBy()).cast("double"))
+        .select(col("source"), col("n"), col("weight"))
+        .orderBy(col("source"))
+    }),
+
     // ---- array-function breadth over the token arrays ----
     "q_array_funcs" -> ((s, dir) => {
       val w = TextOps.words(col("text"))
@@ -488,6 +515,58 @@ object LlmPipeline {
         |UNION ALL SELECT '3_after_near_dedup', (SELECT count(*) FROM nd)
         |UNION ALL SELECT '4_after_quality', (SELECT count(*) FROM q)
         |ORDER BY stage""".stripMargin,
+
+    // CC clusters over the verified pair graph; survivor = argmax
+    // quality per component (ties -> min doc_id). The quality expression
+    // is the q_quality_score formula verbatim, so scores agree
+    // bit-for-bit and the rank tie-break is deterministic.
+    "q_cluster_best" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) ic
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM inter
+        |          JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+        |          WHERE cast(ic as double) / cast(ca.n + cb.n - ic as double)
+        |                >= cast(0.6 as double)),
+        |ed AS (SELECT da, db FROM pairs UNION SELECT db, da FROM pairs),
+        |rch AS (SELECT da, db FROM ed
+        |        UNION
+        |        SELECT r.da, e.db FROM rch r JOIN ed e ON r.db = e.da AND r.da <> e.db),
+        |comp AS (SELECT d.doc_id,
+        |           least(d.doc_id, coalesce(r.minr, d.doc_id)) c
+        |         FROM documents d LEFT JOIN
+        |           (SELECT da, min(db) minr FROM rch GROUP BY da) r
+        |           ON d.doc_id = r.da),
+        |q AS (SELECT doc_id,
+        |  cast(0.4 as double)
+        |    * least(cast(len(regexp_extract_all(text, '\S+')) as double)
+        |              / cast(100.0 as double), cast(1.0 as double))
+        |  + cast(0.3 as double)
+        |    * (cast(1.0 as double)
+        |       - cast(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) as double)
+        |           / cast(length(text) as double))
+        |  + cast(0.3 as double)
+        |    * least(cast(len(list_filter(string_split(text,' '),
+        |               t -> t in ('the','a','of','and','in','to'))) as double)
+        |              / cast(len(string_split(text,' ')) as double)
+        |              * cast(5.0 as double), cast(1.0 as double)) AS score
+        |  FROM documents),
+        |ranked AS (SELECT comp.doc_id, row_number() OVER (
+        |             PARTITION BY c ORDER BY score DESC, comp.doc_id ASC) rn
+        |           FROM comp JOIN q ON comp.doc_id = q.doc_id)
+        |SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |s AS (SELECT source, n,
+        |        cast(floor(sqrt(cast(n as double)) * 1e9) as bigint) sw FROM c)
+        |SELECT source, n,
+        |  cast(sw as double) / cast((SELECT sum(sw) FROM s) as double) AS weight
+        |FROM s ORDER BY source""".stripMargin,
 
     // same funnel, transitive policy: symmetric edges -> recursive
     // transitive closure -> drop every node that can reach a smaller id

@@ -23,6 +23,22 @@ class CurationSpec extends AnyFunSuite {
     assert(counts.last > 0)
   }
 
+  test("keepBestPerCluster survives the higher-QUALITY doc, not the lower id") {
+    // doc 1 and doc 2 are near-dups (one word changed); doc 2 carries a
+    // much longer, stopword-rich body -> higher quality score. The min-id
+    // policy would keep 1; the best-per-cluster policy must keep 2.
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val enrich = " the a of and in to " * 10
+    val d = Seq(
+      (1L, base + " endA"),
+      (2L, base + " endB" + enrich),
+      (9L, "totally unrelated content standing alone far from the cluster")
+    ).toDF("doc_id", "text")
+    val kept = Curation.keepBestPerCluster(d, threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 9L))
+  }
+
   test("dropExactDups keeps exactly the min-id survivor per text") {
     val d = Seq((1L, "same text"), (5L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
