@@ -30,13 +30,20 @@ object TextStats {
     * Template spam and boilerplate score high; columnar expressions
     * only, no shuffle. */
   def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
-    val w = words(col("text"))
+    // stage the split ONCE: the lambda-bearing expressions below run
+    // interpreted (outside codegen), where common-subexpression
+    // elimination does not apply — re-deriving `words(text)` per
+    // reference tripled this operator's cost
+    val w = col("_w")
     val totalNgrams = greatest(size(w) - lit(n - 1), lit(1))
-    docs.select(
-      col("doc_id"),
-      ratio(size(w) - size(array_distinct(w)), size(w)).as("word_rep"),
-      ratio(totalNgrams - size(shingles(col("text"), n)), totalNgrams)
-        .as("ngram_rep"))
+    val sh = array_distinct(transform(
+      sequence(lit(1), totalNgrams),
+      i => concat_ws(" ", slice(w, i, lit(n)))))
+    docs.withColumn("_w", words(col("text")))
+      .select(
+        col("doc_id"),
+        ratio(size(w) - size(array_distinct(w)), size(w)).as("word_rep"),
+        ratio(totalNgrams - size(sh), totalNgrams).as("ngram_rep"))
   }
 
   /** Stopword-list hit counts per language family. Word-soup fixtures mean

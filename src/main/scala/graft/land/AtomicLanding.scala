@@ -86,6 +86,34 @@ object AtomicLanding {
     spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
   }
 
+  /** Time travel: read the snapshot a PAST commit published. Works until
+    * [[vacuum]] reclaims the superseded manifests/data (the same
+    * retention trade Delta's VACUUM makes). */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val manifest = Paths.get(table, "manifests", manifestName(version))
+    require(Files.exists(manifest), s"version $version not found (vacuumed?)")
+    val dirs = Files.readAllLines(manifest).asScala.toSeq
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
+  }
+
+  /** Upsert (MERGE-by-key): rows of `updates` replace current rows with
+    * the same `key`; unmatched keys are inserts. Snapshot-rewrite
+    * semantics — the new version contains (current ANTI-JOIN updates)
+    * UNION updates, published with the usual atomic swing. At 100 TB
+    * per-partition rewrite with pruning (Delta's file-level MERGE) is
+    * the refinement; the commit protocol is identical. */
+  def merge(updates: DataFrame, table: String, key: String): Long = {
+    val spark = updates.sparkSession
+    val merged = read(spark, table)
+      .join(updates.select(key), Seq(key), "left_anti")
+      .unionByName(updates)
+    // safe to read-while-writing: the staging write scans the OLD data
+    // dirs, which stay on disk until a later vacuum — publishing only
+    // swings the pointer
+    commit(merged, table)
+  }
+
   /** Write `df` and publish atomically; returns the committed version.
     * `append = true` keeps the previous snapshot's data dirs in the new
     * manifest (streaming micro-batches); `append = false` replaces the

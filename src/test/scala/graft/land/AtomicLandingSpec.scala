@@ -95,6 +95,36 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.lastBatchId(table).contains(2L))
   }
 
+  test("merge upserts by key; time travel still reads the pre-merge snapshot") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    val v0 = AtomicLanding.commit(nation, table)
+    val total = nation.count()
+
+    // updates: rewrite nation 3's name, insert key 990
+    import spark.implicits._
+    val updates = Seq((3L, "RENAMED", 1L), (990L, "NEWLAND", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .select(nation.columns.map {
+        case c @ ("n_nationkey" | "n_name" | "n_regionkey") => col(c)
+        case c => lit(null).cast(nation.schema(c).dataType).as(c)
+      }: _*)
+    val v1 = AtomicLanding.merge(updates, table, "n_nationkey")
+    assert(v1 == v0 + 1)
+
+    val now = AtomicLanding.read(spark, table)
+    assert(now.count() == total + 1) // one insert, one in-place update
+    assert(now.filter(col("n_nationkey") === 3).select("n_name")
+      .head().getString(0) == "RENAMED")
+    assert(now.filter(col("n_nationkey") === 990).count() == 1)
+
+    // time travel: v0 still shows the original row and no insert
+    val old = AtomicLanding.readVersion(spark, table, v0)
+    assert(old.count() == total)
+    assert(old.filter(col("n_nationkey") === 3).select("n_name")
+      .head().getString(0) != "RENAMED")
+  }
+
   test("replayed micro-batch is skipped: the sink is exactly-once, not at-least-once") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
