@@ -35,6 +35,19 @@ object Streaming {
   private val fullSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val dupSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Stateful streaming allocates its state stores PER shuffle
+    * partition (4 per partition for a join), so a fixture-sized drain at
+    * the session's corpus-tuned partition count pays mostly store
+    * machinery — run the micro-batches at few partitions and restore
+    * after (measured 4.6 s @32 → 2.6 s @4 for the join at sf0.1).
+    * Partition count is a per-workload dial; state per partition stays
+    * bounded either way. */
+  private def withFewPartitions[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_window" -> ((s, dir) => {
       // spool the fixture to NDJSON once per (jvm, sf dir) — the stream's
@@ -51,12 +64,14 @@ object Streaming {
       val counts = StreamMerger.windowedEventCounts(
         StreamMerger.readStream(s, eventSchema, s"$tmp/in"),
         "ts", "event_type", lateness = "10 minutes", windowSize = "1 hour")
-      val q = counts.writeStream
-        .format("memory").queryName("q_stream_window_mem")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withFewPartitions(s) {
+        val q = counts.writeStream
+          .format("memory").queryName("q_stream_window_mem")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q_stream_window_mem")
         .select(col("window.start").as("window_start"), col("event_type"),
           col("count").as("n"))
@@ -91,15 +106,7 @@ object Streaming {
       val joined = graft.stream.StreamJoin.timeBounded(
         clicks, purchases, "user_id", "p_user", "click_ts", "p_ts",
         lateness = "1 hour", maxDelay = "30 minutes")
-      // a streaming join allocates 4 state stores PER shuffle partition;
-      // for this fixture-sized drain the store machinery dominates, so
-      // run the join at few partitions (measured 4.6 s @32 -> 2.6 s @4
-      // at sf0.1) and restore the session setting after — partition
-      // count is a per-workload dial, state-per-partition stays bounded
-      // either way
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      withFewPartitions(s) {
         val q = joined
           .select(col("user_id"), col("click_id"), col("purchase_id"))
           .writeStream
@@ -108,7 +115,7 @@ object Streaming {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table("q_stream_join_mem")
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
@@ -130,14 +137,16 @@ object Streaming {
       })
       val src = s.readStream.schema(fullEventSchema)
         .option("timestampFormat", MicrosFmt).json(s"$tmp/in")
-      val q = src.dropDuplicates("event_id")
-        .groupBy(col("event_type")).count()
-        .writeStream
-        .format("memory").queryName("q_stream_dedup_mem")
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withFewPartitions(s) {
+        val q = src.dropDuplicates("event_id")
+          .groupBy(col("event_type")).count()
+          .writeStream
+          .format("memory").queryName("q_stream_dedup_mem")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table("q_stream_dedup_mem")
         .select(col("event_type"), col("count").as("n"))
         .orderBy(col("event_type"))
