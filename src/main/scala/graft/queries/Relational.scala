@@ -79,6 +79,19 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- regex redaction over a semi-structured column (the
+    // PII-scrubbing shape: count matches, replace all, fingerprint the
+    // scrubbed text). Spark's regexp_replace is replace-all by default;
+    // the oracle passes DuckDB's 'g' flag for the same semantics ----
+    "q_redact" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+            .as("n_nums"),
+          md5(regexp_replace(col("props"), "[0-9]+", "#")).as("redacted_fp"))
+        .orderBy(col("event_id"))),
+
     // ---- skew-proof aggregation under the hash gate: the salted
     // two-phase sum/count must equal the plain aggregate for ANY salt
     // count (decimal partials keep the sum order-independent) ----
@@ -487,6 +500,12 @@ object Relational {
         |  FROM g)
         |SELECT user_id, cast(max(sess_id) as bigint) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_redact" ->
+      """SELECT event_id,
+        |  len(regexp_extract_all(props, '[0-9]+')) AS n_nums,
+        |  md5(regexp_replace(props, '[0-9]+', '#', 'g')) AS redacted_fp
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type,
