@@ -167,6 +167,22 @@ object AtomicLanding {
         commit(df, table, append = true, batchId = Some(batchId)); ()
       }
 
+  /** Compaction — the answer to the streaming small-file problem: every
+    * appended micro-batch adds a data dir, and a long-running stream
+    * leaves thousands of small files that tax every subsequent scan.
+    * Rewrites the CURRENT snapshot into one fresh data dir (optionally
+    * coalesced to `numFiles`) and publishes it with the usual atomic
+    * swing; concurrent readers keep whichever manifest they already
+    * resolved — the old dirs stay on disk until [[vacuum]]. The batch-id
+    * watermark carries over so a replayed micro-batch is still skipped
+    * after compaction. */
+  def compact(spark: SparkSession, table: String,
+      numFiles: Int = 0): Long = {
+    val df0 = read(spark, table)
+    val df = if (numFiles > 0) df0.coalesce(numFiles) else df0
+    commit(df, table, batchId = lastBatchId(table))
+  }
+
   /** Remove everything no reader can reach: all staging dirs (committed
     * ones were MOVED out, so anything left is an aborted write), data
     * dirs absent from the live manifest, and superseded manifests.

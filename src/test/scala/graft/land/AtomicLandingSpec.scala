@@ -139,4 +139,26 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, table).count() == 6)
     assert(AtomicLanding.lastBatchId(table).contains(2L))
   }
+
+  test("compact collapses appended batches to one dir, keeps rows, batch watermark and replay-skip") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    val sink = AtomicLanding.streamSink(table)
+    (0L to 3L).foreach(b => sink(nation.limit(2), b))
+    assert(AtomicLanding.read(spark, table).count() == 8)
+
+    AtomicLanding.compact(spark, table, numFiles = 1)
+    val dataDirs = new java.io.File(s"$table/data").listFiles().count(_.isDirectory)
+    assert(dataDirs == 5) // 4 batch dirs (pre-vacuum) + 1 compacted
+    assert(AtomicLanding.read(spark, table).count() == 8) // rows intact
+    assert(AtomicLanding.lastBatchId(table).contains(3L)) // watermark survives
+
+    sink(nation.limit(2), 3L) // replay AFTER compaction: still skipped
+    assert(AtomicLanding.read(spark, table).count() == 8)
+
+    val removed = AtomicLanding.vacuum(table)
+    assert(removed.count(_.contains("/data/")) == 4) // old batch dirs reclaimed
+    assert(new java.io.File(s"$table/data").listFiles().count(_.isDirectory) == 1)
+    assert(AtomicLanding.read(spark, table).count() == 8)
+  }
 }
