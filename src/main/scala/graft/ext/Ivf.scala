@@ -63,32 +63,48 @@ object Ivf {
     cents
   }
 
-  /** Approximate top-k: probe the `nProbe` nearest lists per query, rank
-    * by the exact scaled-integer cosine inside them only. */
-  def topKIvf(emb: DataFrame, queries: DataFrame, k: Int,
-      nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+  /** A built IVF index: the trained coarse quantizer plus the
+    * materialized inverted lists and norms — built ONCE, probed many
+    * times (the production shape: index build is the expensive corpus
+    * pass; queries only pay the probe). `lists`/`n2` are checkpointed so
+    * repeated probes never re-run training or assignment. */
+  final case class Index(
+      cents: Seq[(Int, Seq[Float])],
+      lists: DataFrame, // (neighbor_id, cid, ce = embedding)
+      n2: DataFrame)    // (vec_id, n2)
+
+  /** One corpus pass: train the quantizer, assign every vector to its
+    * list, materialize lists + norms. */
+  def buildIndex(emb: DataFrame, nLists: Int = 16, iters: Int = 2): Index = {
     val cents = train(emb, nLists, iters)
     val lists = assign(emb, cents)
-      .select(col("vec_id").as("neighbor_id"), col("cid"))
+      .join(emb, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("cid"),
+        col("embedding").as("ce"))
+      .localCheckpoint(true)
+    Index(cents, lists, norms(emb).localCheckpoint(true))
+  }
+
+  /** Probe an existing index: rank by exact scaled-integer cosine inside
+    * the `nProbe` nearest lists only. */
+  def probe(index: Index, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("cid").asc)
     val probes = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroidDf(emb.sparkSession, cents)))
+      .crossJoin(broadcast(centroidDf(spark, index.cents)))
       .withColumn("dot", dotScaled(col("qe"), col("cvec")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qe"), col("cid"))
-    val n2 = norms(emb)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    probes.join(lists, "cid")
+    probes.join(index.lists, "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
-        "neighbor_id")
       .withColumn("dots", dotScaled(col("qe"), col("ce")))
-      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))),
+      .join(broadcast(index.n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))),
         "query_id")
-      .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")),
+      .join(index.n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")),
         "neighbor_id")
       .withColumn("cos_sim",
         col("dots").cast("double") /
@@ -97,4 +113,10 @@ object Ivf {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
   }
+
+  /** Approximate top-k: build + probe in one call (the one-shot path the
+    * coverage queries use; long-lived pipelines hold the [[Index]]). */
+  def topKIvf(emb: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    probe(buildIndex(emb, nLists, iters), queries, k, nProbe)
 }

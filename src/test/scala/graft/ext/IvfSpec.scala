@@ -43,4 +43,16 @@ class IvfSpec extends AnyFunSuite {
     assert(r2 > 0.0)
     assert(rAll >= r2)
   }
+
+  test("an index is built once and probed many times with consistent answers") {
+    val idx = Ivf.buildIndex(emb, nLists = 16)
+    val once = Ivf.probe(idx, queries, k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val again = Ivf.probe(idx, queries, k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(once == again && once.nonEmpty) // deterministic re-probe, no retrain
+    val brute = Similarity.topKBrute(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(once == brute) // full probe of a prebuilt index is exact
+  }
 }
