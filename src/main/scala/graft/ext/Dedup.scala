@@ -122,6 +122,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup detection — the production ingest shape: a NEW
+    * batch is checked against the already-curated CORPUS without any
+    * corpus self-join. Corpus signatures are computed once (in a real
+    * pipeline they are persisted from the original dedup pass — exactly
+    * what the `sigs` persist here stands for); candidates come from the
+    * corpus-band ⋈ batch-band equi-join, so cost scales with the batch,
+    * not the corpus. Output: (corpus_id, new_id, jaccard) for
+    * cross-set pairs at or above the threshold — batch-internal dups are
+    * the self-dedup pass's job, not this one's. */
+  def minhashNearDupPairsAgainst(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.6): DataFrame = {
+    val cs = minhashSignatures(corpus).persist()
+    val bs = minhashSignatures(batch).persist()
+    val cand = bandRows(cs).select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
+      .join(bandRows(bs).select(col("doc_id").as("new_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("corpus_id"), col("new_id")).distinct()
+    cand
+      .join(cs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .join(bs.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .withColumn("inter", size(array_intersect(col("sh_c"), col("sh_n"))))
+      .withColumn("uni", size(col("sh_c")) + size(col("sh_n")) - col("inter"))
+      .withColumn("jaccard", ratio(col("inter"), col("uni")))
+      .filter(col("jaccard") >= lit(threshold))
+      .select(col("corpus_id"), col("new_id"), col("jaccard"))
+  }
+
   // ------------------------------------------------- size-blocked Jaccard
 
   /** Direct n-gram Jaccard dedup via the INVERTED-INDEX join — the

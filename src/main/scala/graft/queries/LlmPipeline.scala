@@ -61,6 +61,18 @@ object LlmPipeline {
           docs(s, dir).filter(col("doc_id") < 1000), threshold = 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- incremental dedup: a new batch (doc_id >= 250) checked
+    // against the curated corpus (doc_id < 250) — corpus-band ⋈
+    // batch-band candidates, no corpus self-join; cost scales with the
+    // batch ----
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashNearDupPairsAgainst(
+          d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250),
+          threshold = 0.6)
+        .orderBy(col("corpus_id"), col("new_id"))
+    }),
+
     // ---- per-doc text statistics ----
     "q_text_stats" -> ((s, dir) =>
       TextStats.stats(docs(s, dir)).orderBy(col("doc_id"))),
@@ -363,6 +375,23 @@ object LlmPipeline {
         |        t -> t in ('the','a','of','and','in','to'))) as double)
         |    / cast(len(string_split(text,' ')) as double) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id corpus_id, b.doc_id new_id, count(*) ic
+        |          FROM sh a JOIN sh b ON a.s = b.s
+        |          WHERE a.doc_id < 250 AND b.doc_id >= 250
+        |          GROUP BY 1, 2),
+        |j AS (SELECT corpus_id, new_id,
+        |        cast(ic as double) / cast(ca.n + cb.n - ic as double) jaccard
+        |      FROM inter JOIN cnt ca ON corpus_id = ca.doc_id
+        |                 JOIN cnt cb ON new_id = cb.doc_id)
+        |SELECT corpus_id, new_id, jaccard FROM j
+        |WHERE jaccard >= cast(0.6 as double)
+        |ORDER BY corpus_id, new_id""".stripMargin,
 
     "q_hash_sample" ->
       """SELECT source, count(*) AS n_sampled, min(doc_id) AS first_id
