@@ -61,6 +61,14 @@ object LlmPipeline {
           docs(s, dir).filter(col("doc_id") < 1000), threshold = 0.6)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ---- ANALYZE-style table profile: per-column stats in one
+    // aggregation job (single scan, one Expand for the exact distinct
+    // counts). All documents columns are bigint/varchar, whose string
+    // casts agree cross-engine (float formatting would not) ----
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profiler.profile(docs(s, dir))
+        .orderBy(col("column_name"))),
+
     // ---- incremental dedup: a new batch (doc_id >= 250) checked
     // against the curated corpus (doc_id < 250) — corpus-band ⋈
     // batch-band candidates, no corpus self-join; cost scales with the
@@ -375,6 +383,16 @@ object LlmPipeline {
         |        t -> t in ('the','a','of','and','in','to'))) as double)
         |    / cast(len(string_split(text,' ')) as double) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_profile" -> {
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_total,
+           |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           |  min(cast($c as varchar)) AS min_s, max(cast($c as varchar)) AS max_s
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     "q_dedup_incremental" ->
       """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
