@@ -40,6 +40,19 @@ object Similarity {
   def norms(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), dotScaled(col("embedding"), col("embedding")).as("n2"))
 
+  /** L2-normalize an embedding column — the preprocessing step before
+    * cosine ops can become plain dot products. The norm derives from the
+    * scaled-integer self-dot (order-independent), then each component
+    * divides through one fixed IEEE chain and casts back to float —
+    * reproducible bit-for-bit in any engine that follows the same chain.
+    * Zero vectors pass through unchanged (norm 0 → divide skipped). */
+  def l2normalize(e: Column): Column = {
+    val norm = sqrt(dotScaled(e, e).cast("double") / lit(1e15))
+    transform(e, x =>
+      when(norm === lit(0.0d), x)
+        .otherwise((x.cast("double") / norm).cast("float")))
+  }
+
   /** All (query, candidate) cosine pairs for the given query set.
     * The query side is broadcast — the big candidate side is scanned once
     * and never shuffled, which is the correct 1000-executor plan when

@@ -166,6 +166,22 @@ object LlmPipeline {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // ---- embedding preprocessing: L2-normalization. The fixture is
+    // already unit-normalized, so the op must be observable — the query
+    // normalizes a SCALED copy (x2, float-exact) and fingerprints the
+    // result with the scaled self-dot, which lands back at ~1e15 iff
+    // the normalization actually divided the doubled norm out ----
+    "q_embed_normalize" -> ((s, dir) => {
+      val doubled = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(2.0d)).cast("float")).as("embedding"))
+      doubled.select(col("vec_id"),
+          Similarity.l2normalize(col("embedding")).as("ne"))
+        .select(col("vec_id"),
+          Similarity.dotScaled(col("ne"), col("ne")).as("unit_dot"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- LSH-bucketed approximate NN (no oracle: approximate by design;
     // recall vs the brute-force baseline is asserted in the test suite) ----
     "q_cosine_ann" -> ((s, dir) => {
@@ -491,6 +507,25 @@ object LlmPipeline {
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_topk_agg" -> CosineTopkOracle,
     "q_cosine_ivf_exact" -> CosineTopkOracle,
+
+    "q_embed_normalize" ->
+      """WITH d AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(2.0 as double) as float)) e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |    sqrt(cast(list_sum(list_transform(e,
+        |      x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) as double)
+        |      / 1e15) nrm
+        |  FROM d),
+        |u0 AS (SELECT vec_id,
+        |    list_transform(e, x -> cast(cast(x as double) / nrm as float)) ne
+        |  FROM n)
+        |SELECT vec_id,
+        |  cast(list_sum(list_transform(ne,
+        |    x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) as bigint)
+        |    AS unit_dot
+        |FROM u0 ORDER BY vec_id""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH u AS (
