@@ -50,4 +50,43 @@ object AsofJoin {
     val asofCols = payload.map(c => col(s"_asof.$c").as(s"asof_$c"))
     carried.select(leftCols ++ asofCols: _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the
+    * same key and `rTime >= lTime` (inclusive). Same union + running
+    * window shape scanned in descending time order, so "carry the last
+    * non-null right payload" yields the nearest-after match — still one
+    * shuffle, one ordered pass per key. Ties at equal `rTime` resolve to
+    * the greatest `tieCol`, mirroring [[asof]]. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      lTime: String, rTime: String, payload: Seq[String],
+      tieCol: String): DataFrame = {
+    val rp = struct((payload :+ tieCol).distinct.map(col): _*)
+    val rpType = right.select(rp).schema.head.dataType
+    val lRow = struct(left.columns.map(col): _*)
+    val lRowType = left.select(lRow).schema.head.dataType
+
+    val rTagged = right.select(
+      col(key).as("_k"), col(rTime).cast("timestamp").as("_t"),
+      lit(0).as("_side"), col(tieCol).cast("long").as("_tie"),
+      rp.as("_rp"), lit(null).cast(lRowType).as("_lrow"))
+    val lTagged = left.select(
+      col(key).as("_k"), col(lTime).cast("timestamp").as("_t"),
+      lit(1).as("_side"), lit(Long.MinValue).as("_tie"),
+      lit(null).cast(rpType).as("_rp"), lRow.as("_lrow"))
+
+    // descending time: right rows at equal time sort before the left row
+    // (inclusive bound); among equal-time right rows the GREATEST tie is
+    // seen last and therefore carried
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").desc, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("_asof", last(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    val leftCols = left.columns.map(c => col(s"_lrow.$c").as(c))
+    val asofCols = payload.map(c => col(s"_asof.$c").as(s"asof_$c"))
+    carried.select(leftCols ++ asofCols: _*)
+  }
 }

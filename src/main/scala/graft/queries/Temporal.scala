@@ -33,6 +33,22 @@ object Temporal {
         .orderBy(col("pid"))
     }),
 
+    // ---- forward as-of: each purchase matched to the NEXT click at or
+    // after it (the mirror direction; pandas merge_asof offers both) ----
+    "q_asof_join_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pt"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"), col("ts").as("ct"))
+      AsofJoin.asofForward(purchases, clicks, key = "user_id",
+          lTime = "pt", rTime = "ct", payload = Seq("cid", "ct"), tieCol = "cid")
+        .filter(col("asof_cid").isNotNull)
+        .select(col("pid"), col("user_id"), col("pt"),
+          col("asof_cid").as("cid"), col("asof_ct").as("ct"))
+        .orderBy(col("pid"))
+    }),
+
     // ---- interval join: events falling in each day's 10:00-14:00
     // maintenance window, counted per (day, type) ----
     "q_range_join" -> ((s, dir) => {
@@ -57,6 +73,17 @@ object Temporal {
         |        row_number() OVER (PARTITION BY p.pid
         |          ORDER BY c.ct DESC, c.cid DESC) rn
         |      FROM p JOIN c ON c.user_id = p.user_id AND c.ct <= p.pt)
+        |SELECT pid, user_id, pt, cid, ct FROM r WHERE rn = 1 ORDER BY pid""".stripMargin,
+
+    "q_asof_join_forward" ->
+      """WITH p AS (SELECT event_id pid, user_id, ts pt FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id cid, user_id, ts ct FROM events
+        |      WHERE event_type = 'click'),
+        |r AS (SELECT p.pid, p.user_id, p.pt, c.cid, c.ct,
+        |        row_number() OVER (PARTITION BY p.pid
+        |          ORDER BY c.ct ASC, c.cid DESC) rn
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.ct >= p.pt)
         |SELECT pid, user_id, pt, cid, ct FROM r WHERE rn = 1 ORDER BY pid""".stripMargin,
 
     "q_range_join" ->
