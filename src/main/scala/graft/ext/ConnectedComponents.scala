@@ -122,6 +122,11 @@ object ConnectedComponents {
       last = sig
       round += 1
     }
+    // a silent non-fixed-point would hand callers wrong (non-minimal)
+    // component roots — refuse rather than return garbage
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds; " +
+        "raise maxRounds (star contraction needs O(log n) rounds)")
 
     // at the fixed point every edge is (member, root) with root = min id
     edges.select(col("u").as("doc_id"), col("v").as("component"))

@@ -1,12 +1,11 @@
 package graft.land
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileSystem, Options, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-
-import scala.jdk.CollectionConverters._
 
 /** ACID landing commits.
   *
@@ -35,12 +34,26 @@ import scala.jdk.CollectionConverters._
   * (5) publish by atomically replacing `_CURRENT`. A crash at any step
   * before (5) leaves `_CURRENT` untouched — readers keep the previous
   * snapshot; orphaned staging/data dirs are garbage, not data, and
-  * [[vacuum]] removes them. On an object store the same protocol holds
-  * with step (5) as the single conditional small-object PUT — data dirs
-  * and manifests are immutable either way, so reader isolation never
-  * depends on directory-rename atomicity. Single writer by design (the
-  * reference's model); multi-writer needs a conditional pointer PUT,
-  * same as Delta's optimistic protocol.
+  * [[vacuum]] removes them.
+  *
+  * All IO goes through the Hadoop `FileSystem`/`FileContext` abstraction
+  * (the same one `graft.files.FileRelay` uses), so the identical protocol
+  * runs on `file://`, `hdfs://`, or any mounted Hadoop FS. Atomicity of
+  * step (5) per store:
+  *   - local FS: the pointer swing is one POSIX `rename(2)` (the raw,
+  *     non-checksummed FS is used for metadata so no stale `.crc`
+  *     sidecars shadow the overwritten pointer);
+  *   - HDFS: `FileSystem.rename` refuses an existing destination, so the
+  *     swing falls back to `FileContext.rename(..., OVERWRITE)` — HDFS's
+  *     documented atomic overwriting rename;
+  *   - object stores without atomic rename (S3 et al.): the swing must
+  *     become the store's conditional small-object PUT
+  *     (compare-and-swap on the pointer key). That is the ONLY primitive
+  *     the protocol needs from the store — data dirs and manifests are
+  *     immutable and never overwritten, so reader isolation never
+  *     depends on directory-rename atomicity.
+  * Single writer by design (the reference's model); multi-writer needs a
+  * conditional pointer PUT, same as Delta's optimistic protocol.
   */
 object AtomicLanding {
 
@@ -48,13 +61,50 @@ object AtomicLanding {
 
   private def manifestName(v: Long): String = f"m-$v%010d"
 
-  private def pointerPath(table: String): Path = Paths.get(table, Pointer)
+  private def hconf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** FileSystem for `p`. Local FS: unwrap the checksum layer — manifest
+    * and pointer files need no `.crc` sidecars, and the raw rename is a
+    * single POSIX `rename(2)`, which is the atomic overwrite the pointer
+    * swing relies on. (Spark's own parquet writes keep their usual FS.) */
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(hconf) match {
+    case c: ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
+
+  private def hp(parts: String*): HPath = new HPath(parts.mkString("/"))
+
+  private def readUtf8(fs: FileSystem, p: HPath): String = {
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    new String(buf, StandardCharsets.UTF_8)
+  }
+
+  private def writeUtf8(fs: FileSystem, p: HPath, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Atomically make `dst` point at `tmp`'s content. Local raw FS: plain
+    * rename overwrites in one syscall. Stores whose `FileSystem.rename`
+    * refuses an existing destination (HDFS) get the `FileContext`
+    * OVERWRITE form instead. */
+  private def swing(fs: FileSystem, tmp: HPath, dst: HPath): Unit =
+    if (!fs.rename(tmp, dst)) {
+      val fc = FileContext.getFileContext(fs.getUri, hconf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+        Options.Rename.OVERWRITE)
+    }
 
   /** The published version, if any commit has ever completed. */
   def currentVersion(table: String): Option[Long] = {
-    val p = pointerPath(table)
-    if (Files.exists(p))
-      Some(Files.readString(p).trim.stripPrefix("m-").toLong)
+    val p = hp(table, Pointer)
+    val fs = fsOf(p)
+    if (fs.exists(p)) Some(readUtf8(fs, p).trim.stripPrefix("m-").toLong)
     else None
   }
 
@@ -62,8 +112,8 @@ object AtomicLanding {
     currentVersion(table) match {
       case None => Nil
       case Some(v) =>
-        Files.readAllLines(Paths.get(table, "manifests", manifestName(v)))
-          .asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+        val m = hp(table, "manifests", manifestName(v))
+        readUtf8(fsOf(m), m).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     }
 
   /** The data dirs of the published snapshot (relative to `table`). */
@@ -88,11 +138,19 @@ object AtomicLanding {
 
   /** Time travel: read the snapshot a PAST commit published. Works until
     * [[vacuum]] reclaims the superseded manifests/data (the same
-    * retention trade Delta's VACUUM makes). */
+    * retention trade Delta's VACUUM makes). Only versions at or below
+    * the published pointer are readable: a crash between manifest write
+    * and pointer swing leaves an orphaned FUTURE manifest on disk, and
+    * that snapshot was never committed. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
-    val manifest = Paths.get(table, "manifests", manifestName(version))
-    require(Files.exists(manifest), s"version $version not found (vacuumed?)")
-    val dirs = Files.readAllLines(manifest).asScala.toSeq
+    val cur = currentVersion(table)
+    require(cur.exists(_ >= version),
+      s"version $version was never published (current: ${cur.getOrElse(-1L)}) — " +
+        "orphaned future manifests from crashed commits are not readable")
+    val manifest = hp(table, "manifests", manifestName(version))
+    val fs = fsOf(manifest)
+    require(fs.exists(manifest), s"version $version not found (vacuumed?)")
+    val dirs = readUtf8(fs, manifest).split("\n").toSeq
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
     spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
   }
@@ -119,35 +177,42 @@ object AtomicLanding {
     * manifest (streaming micro-batches); `append = false` replaces the
     * table. `beforePublish` is a test seam: it runs after data is
     * staged/moved but before the pointer swings — exactly where a crash
-    * must not lose the previous snapshot. */
+    * must not lose the previous snapshot.
+    *
+    * The exactly-once batch-id watermark is carried forward from the
+    * live manifest unless the caller pins one: a merge/compact/overwrite
+    * between a crash and the replay of the last unacknowledged
+    * micro-batch must not erase the watermark, or the replay would
+    * double-commit. (Re-pointing a table at a brand-new checkpointed
+    * stream therefore needs a fresh table path — batch ids restart at 0
+    * per checkpoint.) */
   def commit(df: DataFrame, table: String, append: Boolean = false,
       beforePublish: () => Unit = () => (),
       batchId: Option[Long] = None): Long = {
+    val fs = fsOf(hp(table))
     val next = currentVersion(table).getOrElse(-1L) + 1L
-    val staging = Paths.get(table, ".staging", UUID.randomUUID().toString)
-    Files.createDirectories(staging.getParent)
+    val effectiveBatch = batchId.orElse(lastBatchId(table))
+    val staging = hp(table, ".staging", UUID.randomUUID().toString)
 
     df.write.parquet(staging.toString)
-    require(Files.exists(staging.resolve("_SUCCESS")),
+    require(fs.exists(new HPath(staging, "_SUCCESS")),
       s"writer did not mark $staging complete; refusing to publish")
 
-    val dirName = staging.getFileName.toString
-    val dataDir = Paths.get(table, "data", dirName)
-    Files.createDirectories(dataDir.getParent)
-    Files.move(staging, dataDir)
+    val dirName = staging.getName
+    val dataDir = hp(table, "data", dirName)
+    fs.mkdirs(dataDir.getParent)
+    require(fs.rename(staging, dataDir), s"rename $staging -> $dataDir failed")
 
     val dirs = (if (append) liveDirs(table) else Nil) :+ s"data/$dirName"
-    val lines = batchId.map(b => s"# batch $b").toSeq ++ dirs
-    val manifest = Paths.get(table, "manifests", manifestName(next))
-    Files.createDirectories(manifest.getParent)
-    Files.write(manifest, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val lines = effectiveBatch.map(b => s"# batch $b").toSeq ++ dirs
+    writeUtf8(fs, hp(table, "manifests", manifestName(next)),
+      lines.mkString("\n"))
 
     beforePublish()
 
-    val tmp = Paths.get(table, s".$Pointer.${UUID.randomUUID()}")
-    Files.write(tmp, manifestName(next).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointerPath(table),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = hp(table, s".$Pointer.${UUID.randomUUID()}")
+    writeUtf8(fs, tmp, manifestName(next))
+    swing(fs, tmp, hp(table, Pointer))
     next
   }
 
@@ -188,25 +253,19 @@ object AtomicLanding {
     * dirs absent from the live manifest, and superseded manifests.
     * Returns paths removed. */
   def vacuum(table: String): Seq[String] = {
+    val fs = fsOf(hp(table))
     val live = liveDirs(table).map(_.stripPrefix("data/")).toSet
     val current = currentVersion(table).map(manifestName)
     val doomed = Seq(
-      Paths.get(table, ".staging") -> ((_: Path) => true),
-      Paths.get(table, "data") ->
-        ((p: Path) => !live.contains(p.getFileName.toString)),
-      Paths.get(table, "manifests") ->
-        ((p: Path) => !current.contains(p.getFileName.toString)))
+      hp(table, ".staging") -> ((_: String) => true),
+      hp(table, "data") -> ((n: String) => !live.contains(n)),
+      hp(table, "manifests") -> ((n: String) => !current.contains(n)))
     doomed.flatMap { case (dir, cond) =>
-      if (!Files.exists(dir)) Nil
-      else Files.list(dir).iterator().asScala.toSeq.filter(cond).map { p =>
-        deleteRecursively(p); p.toString
-      }
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => cond(p.getName)).map { p =>
+          fs.delete(p, true); p.toString
+        }
     }
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 }

@@ -125,6 +125,61 @@ class AtomicLandingSpec extends AnyFunSuite {
       .head().getString(0) != "RENAMED")
   }
 
+  test("the whole protocol runs through the Hadoop FS API: scheme-qualified file:// table") {
+    val table = "file:" + freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    assert(AtomicLanding.commit(nation, table) == 0L)
+    assert(AtomicLanding.commit(nation.limit(3), table, append = true) == 1L)
+    assert(AtomicLanding.read(spark, table).count() == nation.count() + 3)
+    intercept[RuntimeException] {
+      AtomicLanding.commit(nation.limit(1), table,
+        beforePublish = () => throw new RuntimeException("kill -9"))
+    }
+    assert(AtomicLanding.currentVersion(table).contains(1L))
+    val removed = AtomicLanding.vacuum(table)
+    assert(removed.exists(_.contains("/data/"))) // the orphaned kill-9 dir
+    assert(AtomicLanding.read(spark, table).count() == nation.count() + 3)
+  }
+
+  test("an orphaned future manifest (crash between manifest write and pointer swing) is unreadable") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    AtomicLanding.commit(nation, table)
+    // the kill-9 seam fires after the v1 manifest is on disk but before
+    // _CURRENT swings: time travel must refuse the never-published v1
+    intercept[RuntimeException] {
+      AtomicLanding.commit(nation.limit(1), table,
+        beforePublish = () => throw new RuntimeException("kill -9"))
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "manifests", "m-0000000001")))
+    intercept[IllegalArgumentException] {
+      AtomicLanding.readVersion(spark, table, 1L)
+    }
+    assert(AtomicLanding.readVersion(spark, table, 0L).count() == nation.count())
+  }
+
+  test("merge and overwrite carry the exactly-once batch watermark forward") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    val sink = AtomicLanding.streamSink(table)
+    sink(nation.limit(2), 0L)
+    sink(nation.limit(3), 1L)
+
+    // merge between the crash and the engine's replay of batch 1
+    AtomicLanding.merge(nation.limit(1), table, "n_nationkey")
+    assert(AtomicLanding.lastBatchId(table).contains(1L)) // watermark survives
+    val afterMerge = AtomicLanding.read(spark, table).count()
+    sink(nation.limit(3), 1L) // replayed batch must STILL be skipped
+    assert(AtomicLanding.read(spark, table).count() == afterMerge)
+
+    // a plain overwrite commit must not erase it either
+    AtomicLanding.commit(nation.limit(4), table)
+    assert(AtomicLanding.lastBatchId(table).contains(1L))
+    sink(nation.limit(3), 1L)
+    assert(AtomicLanding.read(spark, table).count() == 4)
+  }
+
   test("replayed micro-batch is skipped: the sink is exactly-once, not at-least-once") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
