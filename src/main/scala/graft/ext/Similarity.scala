@@ -203,15 +203,26 @@ object Similarity {
     * recall/cost point — 4 bits = 16 buckets/band keeps per-query
     * candidate sets large enough for useful recall at moderate N; at
     * billion-row scale widen the bands (more buckets) to keep buckets
-    * bounded. */
-  def topKAnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * bounded.
+    *
+    * The degenerate configuration `nBands = 1, bandBits = 0` masks every
+    * signature to bucket 0: ALL vectors share one band bucket, the
+    * candidate set is every pair, and the result is exact by
+    * construction — which puts the whole signature→band→candidate→rank
+    * machinery under the brute-force hash oracle (`q_cosine_ann_exact`)
+    * while the production config stays approximate. */
+  def topKAnn(emb: DataFrame, queries: DataFrame, k: Int,
+      nBands: Int = 4, bandBits: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nBands * bandBits <= AnnPlanes,
+      s"$nBands bands x $bandBits bits exceeds the $AnnPlanes-bit signature")
+    val mask = (1L << bandBits) - 1
     def bands(df: DataFrame, idCol: String): DataFrame =
       df.withColumn("sig", annSignature(col("embedding")))
         .select(col(idCol), col("embedding"),
-          explode(array((0 until 4).map(b =>
+          explode(array((0 until nBands).map(b =>
             struct(lit(b).as("band"),
-              expr(s"shiftright(sig, ${b * 4}) & 15L").as("bkey"))): _*)).as("b"))
+              expr(s"shiftright(sig, ${b * bandBits}) & ${mask}L").as("bkey"))): _*)).as("b"))
         .select(col(idCol), col("embedding"), col("b.band"), col("b.bkey"))
     val qb = bands(queries.select(col("vec_id").as("query_id"), col("embedding")), "query_id")
       .select(col("query_id"), col("embedding").as("qe"), col("band"), col("bkey"))

@@ -190,6 +190,17 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- hyperplane ANN, degenerate-exact config: one band of 0 bits
+    // masks every signature to bucket 0, so the candidate set is all
+    // pairs and the band machinery's answer is exact by construction —
+    // same hash oracle as the brute-force top-k ----
+    "q_cosine_ann_exact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKAnn(e, e.filter(col("vec_id") < 10), k = 5,
+          nBands = 1, bandBits = 0)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- IVF approximate NN: distributed k-means coarse quantizer +
     // probe-nearest-lists (rows-only: approximate by design; exactness
     // at full probe and recall monotonicity asserted in the test suite) ----
@@ -507,6 +518,7 @@ object LlmPipeline {
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_topk_agg" -> CosineTopkOracle,
     "q_cosine_ivf_exact" -> CosineTopkOracle,
+    "q_cosine_ann_exact" -> CosineTopkOracle,
 
     "q_embed_normalize" ->
       """WITH d AS (SELECT vec_id,

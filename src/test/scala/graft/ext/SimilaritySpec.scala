@@ -50,6 +50,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("degenerate 1-band/0-bit ANN config is exact: equals brute force row-for-row") {
+    val exact = Similarity.topKAnn(emb, queries, 5, nBands = 1, bandBits = 0)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val brute = Similarity.topKBrute(emb, queries, 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(exact == brute) // identical rows INCLUDING the double cos_sim
+  }
+
   test("cosine of a vector with itself is exactly 1.0") {
     val one = emb.filter(col("vec_id") === 0)
     val self = Similarity.cosinePairs(
