@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   * in-table so the relational operators (filter/join/group) compose with
   * media rows.
   *
-  * The decode step is a STUB: real image/audio codecs are not available in
-  * this container, so [[decodeFeatures]] derives a deterministic fake
-  * feature vector from the payload bytes. Everything around the stub — the
-  * schema, the per-partition batch iteration, the typed Dataset plumbing,
-  * the binaryFile source — is the real Spark shape a production decoder
-  * drops into (swap [[fakeFeature]] for the codec call).
+  * The decode step parses two REAL public container formats from raw
+  * bytes — binary PPM (netpbm P6: ASCII header `P6\n<w> <h>\n<maxval>\n`
+  * then w*h*3 pixel bytes) and canonical RIFF/WAVE (44-byte little-endian
+  * header: fmt chunk with channels/sample-rate/bit-depth, then the data
+  * chunk) — so [[decodeFeatures]] extracts genuine information from the
+  * payload and validates container integrity (declared pixel/sample byte
+  * counts against actual payload length). Payloads that match neither
+  * magic are passed through as raw bytes. Heavier codecs (JPEG entropy
+  * decode, MP3) would slot into the same [[parseMeta]] seam; the
+  * mapPartitions batching, schema, and partition-inherited parallelism
+  * around it are the production shape either way.
   */
 object Multimodal {
 
@@ -22,8 +27,11 @@ object Multimodal {
   final case class MediaRecord(
       mediaId: Long, modality: String, payload: Array[Byte])
 
-  final case class MediaFeatures(
-      mediaId: Long, modality: String, nBytes: Int, features: Array[Float])
+  /** Parsed container metadata. `d1/d2/d3` are format-specific:
+    * ppm → (width, height, maxval); wav → (channels, sampleRate,
+    * bitsPerSample); raw → (nBytes, 0, 0). */
+  final case class MediaMeta(
+      mediaId: Long, codec: String, nBytes: Long, d1: Long, d2: Long, d3: Long)
 
   /** documents → media table: payload = utf-8 bytes, modality assigned
     * deterministically (doc_id mod 3). The binary column is the point —
@@ -35,35 +43,124 @@ object Multimodal {
         .as("modality"),
       encode(col("text"), "utf-8").as("payload"))
 
-  /** STUB decoder: 16 deterministic floats from the payload's first bytes.
-    * A real decoder (JPEG → pixels → CNN features, PCM → mel spectrogram)
-    * replaces exactly this function; the mapPartitions batching around it
-    * is production-shaped (one iterator pass, no per-row session work). */
-  def fakeFeature(payload: Array[Byte], dim: Int = 16): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < dim) {
-      val b: Int = if (payload.length > i) payload(i) & 0xff else 0
-      out(i) = b.toFloat / 255.0f
-      i += 1
+  // ------------------------------------------------------------- encoders
+
+  /** Cycle `src` bytes to exactly `n` bytes (zero-fill if `src` empty). */
+  private def cycled(src: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    if (src.nonEmpty) {
+      var i = 0
+      while (i < n) { out(i) = src(i % src.length); i += 1 }
     }
     out
   }
 
-  /** Distributed decode: typed Dataset + mapPartitions — each task decodes
+  /** Binary PPM (netpbm P6): ASCII header + w*h*3 raw pixel bytes. */
+  def encodePpm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3, "pixel buffer size mismatch")
+    val header = s"P6\n$width $height\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    header ++ pixels
+  }
+
+  /** Canonical 44-byte RIFF/WAVE PCM header + sample data. */
+  def encodeWav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    require(data.length % blockAlign == 0, "data not a whole number of frames")
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1.toShort) // PCM
+    bb.putShort(channels.toShort).putInt(sampleRate)
+    bb.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+    bb.putShort(bitsPerSample.toShort)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  /** documents → media table with REAL container payloads, parameters
+    * derived deterministically from doc_id so an independent engine can
+    * predict the parse result without running the codec:
+    *   doc_id % 3 == 1 → PPM, w = 1+doc_id%7, h = 1+doc_id%5, pixels =
+    *     text bytes cycled;
+    *   doc_id % 3 == 2 → WAV, channels = 1+doc_id%2, rate =
+    *     8000+1000*(doc_id%5), bits = 8|16 (doc_id%4<2 → 8), frames =
+    *     1+doc_id%9, samples = text bytes cycled;
+    *   else raw utf-8 text bytes. */
+  def encodeMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = Option(text).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (id % 3) match {
+        case 1 =>
+          val w = (1 + id % 7).toInt; val h = (1 + id % 5).toInt
+          MediaRecord(id, "image", encodePpm(w, h, cycled(bytes, w * h * 3)))
+        case 2 =>
+          val channels = (1 + id % 2).toInt
+          val rate = (8000 + 1000 * (id % 5)).toInt
+          val bits = if (id % 4 < 2) 8 else 16
+          val frames = (1 + id % 9).toInt
+          MediaRecord(id, "audio",
+            encodeWav(channels, rate, bits, cycled(bytes, frames * channels * bits / 8)))
+        case _ => MediaRecord(id, "text", bytes)
+      }
+    }.toDF().withColumnRenamed("mediaId", "media_id")
+  }
+
+  // -------------------------------------------------------------- decoder
+
+  /** Parse one payload from raw bytes only (no metadata peeking). Sniffs
+    * the container magic, reads the real header fields, and validates the
+    * declared payload geometry against the actual byte count — a
+    * truncated or corrupt container parses as `raw`, never as a plausible
+    * lie. */
+  def parseMeta(id: Long, payload: Array[Byte]): MediaMeta = {
+    def raw = MediaMeta(id, "raw", payload.length.toLong, payload.length.toLong, 0L, 0L)
+    if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') {
+      // netpbm P6: three ASCII ints (w, h, maxval) separated by whitespace
+      var i = 2
+      def nextInt(): Long = {
+        while (i < payload.length && payload(i).toChar.isWhitespace) i += 1
+        val start = i
+        while (i < payload.length && payload(i).toChar.isDigit) i += 1
+        if (i == start) -1L else new String(payload, start, i - start).toLong
+      }
+      val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
+      i += 1 // the single whitespace byte terminating the header
+      if (w > 0 && h > 0 && maxval > 0 && maxval < 65536 &&
+          payload.length - i == w * h * 3) MediaMeta(id, "ppm", payload.length.toLong, w, h, maxval)
+      else raw
+    } else if (payload.length >= 44 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "WAVE" &&
+        new String(payload, 12, 4, "US-ASCII") == "fmt " &&
+        new String(payload, 36, 4, "US-ASCII") == "data") {
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val audioFormat = bb.getShort(20)
+      val channels = bb.getShort(22).toLong
+      val rate = bb.getInt(24).toLong
+      val blockAlign = bb.getShort(32).toLong
+      val bits = bb.getShort(34).toLong
+      val dataLen = bb.getInt(40).toLong
+      if (audioFormat == 1 && channels > 0 && bits % 8 == 0 &&
+          blockAlign == channels * bits / 8 &&
+          payload.length - 44L == dataLen)
+        MediaMeta(id, "wav", payload.length.toLong, channels, rate, bits)
+      else raw
+    } else raw
+  }
+
+  /** Distributed decode: typed Dataset + mapPartitions — each task parses
     * its partition's records in one pass. Partition count (and therefore
     * decode parallelism) is inherited from the upstream scan. */
-  def decodeFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+  def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("modality"), col("payload"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, mod, payload) =>
-          MediaFeatures(id, mod, payload.length, fakeFeature(payload, dim))
-        }
-      }
-      .toDF()
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, payload) => parseMeta(id, payload) })
+      .toDF().withColumnRenamed("mediaId", "media_id")
   }
 
   /** Opaque-object scan: every file under the glob as (path, length,

@@ -232,21 +232,17 @@ object LlmPipeline {
           max(octet_length(col("payload"))).as("max_bytes"))
         .orderBy(col("modality"))),
 
-    // ---- multimodal feature extraction (stubbed decode; rows-only
-    // check — the mapPartitions plumbing is the operator under test).
-    // The operator emits `features array<float>`, but the driver's
-    // rows-only sorter can't hash array columns, so the query projects a
-    // scalar fingerprint of the vector: its size and its scaled-integer
-    // self-dot (unique per distinct vector) ----
+    // ---- multimodal decode: REAL container formats round-tripped.
+    // encodeMedia writes genuine binary PPM / RIFF-WAVE payloads (header
+    // parameters derived from doc_id); decodeFeatures parses them back
+    // from raw bytes only. The oracle predicts every parsed field
+    // independently from doc_id, so a parser that misreads any header
+    // byte fails the hash gate ----
     "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.mediaTable(docs(s, dir)))
-        .select(col("mediaId"), col("modality"), col("nBytes"),
-          size(col("features")).as("feat_dim"),
-          aggregate(
-            zip_with(col("features"), col("features"),
-              (a, b) => floor(a.cast("double") * b.cast("double") * lit(1e15)).cast("long")),
-            lit(0L), (acc, x) => acc + x).as("feat_dot"))
-        .orderBy(col("mediaId"))),
+      Multimodal.decodeFeatures(Multimodal.encodeMedia(docs(s, dir)))
+        .select(col("media_id"), col("codec"), col("nBytes").as("n_bytes"),
+          col("d1"), col("d2"), col("d3"))
+        .orderBy(col("media_id"))),
 
     // ---- opaque-object scan: the binaryFile source over a generated
     // media dir (S4-as-DataFrame) — file id parsed from the path, byte
@@ -726,6 +722,30 @@ object LlmPipeline {
         |  min(octet_length(encode(text))) AS min_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin,
+
+    // Predicts every parsed container field independently from doc_id
+    // (the encode parameters) — the Spark side must round-trip real
+    // PPM/WAV bytes to match. Sample width: doc_id%4<2 -> 1 byte, else 2.
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id%3 WHEN 1 THEN 'ppm' WHEN 2 THEN 'wav' ELSE 'raw' END AS codec,
+        |  CASE doc_id%3
+        |    WHEN 1 THEN cast(11 + (1+doc_id%7)*(1+doc_id%5)*3 as bigint)
+        |    WHEN 2 THEN cast(44 + (1+doc_id%9)*(1+doc_id%2)*(CASE WHEN doc_id%4<2 THEN 1 ELSE 2 END) as bigint)
+        |    ELSE cast(octet_length(encode(text)) as bigint) END AS n_bytes,
+        |  CASE doc_id%3
+        |    WHEN 1 THEN cast(1+doc_id%7 as bigint)
+        |    WHEN 2 THEN cast(1+doc_id%2 as bigint)
+        |    ELSE cast(octet_length(encode(text)) as bigint) END AS d1,
+        |  CASE doc_id%3
+        |    WHEN 1 THEN cast(1+doc_id%5 as bigint)
+        |    WHEN 2 THEN cast(8000+1000*(doc_id%5) as bigint)
+        |    ELSE cast(0 as bigint) END AS d2,
+        |  CASE doc_id%3
+        |    WHEN 1 THEN cast(255 as bigint)
+        |    WHEN 2 THEN cast(CASE WHEN doc_id%4<2 THEN 8 ELSE 16 END as bigint)
+        |    ELSE cast(0 as bigint) END AS d3
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 
   /** Exact top-5 cosine neighbors for query vectors vec_id < 10 — shared

@@ -7,24 +7,50 @@ import graft.TestSpark
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("fakeFeature is deterministic and shape-stable (the stub contract)") {
-    val f1 = Multimodal.fakeFeature("hello".getBytes("UTF-8"))
-    val f2 = Multimodal.fakeFeature("hello".getBytes("UTF-8"))
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1.length == 16)
-    assert(f1(0) == 'h'.toInt / 255.0f)
-    assert(Multimodal.fakeFeature(Array.emptyByteArray).toSeq == Seq.fill(16)(0.0f))
+  test("PPM round-trip: encode P6 bytes, parse width/height/maxval back") {
+    val pixels = Array.tabulate(4 * 3 * 3)(i => (i % 251).toByte)
+    val ppm = Multimodal.encodePpm(4, 3, pixels)
+    assert(new String(ppm.take(11), "US-ASCII") == "P6\n4 3\n255\n")
+    val m = Multimodal.parseMeta(7L, ppm)
+    assert(m == Multimodal.MediaMeta(7L, "ppm", ppm.length.toLong, 4L, 3L, 255L))
   }
 
-  test("decodeFeatures: typed mapPartitions plumbing preserves rows + schema") {
+  test("WAV round-trip: encode canonical RIFF header, parse fmt fields back") {
+    val data = Array.tabulate(6 * 2 * 2)(_.toByte) // 6 frames, 2ch, 16-bit
+    val wav = Multimodal.encodeWav(2, 44100, 16, data)
+    assert(wav.length == 44 + data.length)
+    val m = Multimodal.parseMeta(9L, wav)
+    assert(m == Multimodal.MediaMeta(9L, "wav", wav.length.toLong, 2L, 44100L, 16L))
+  }
+
+  test("corrupt or truncated containers parse as raw, never as a plausible lie") {
+    // truncated PPM: header claims 4x3 pixels, payload has fewer
+    val short = Multimodal.encodePpm(4, 3, new Array[Byte](36)).dropRight(5)
+    assert(Multimodal.parseMeta(1L, short).codec == "raw")
+    // WAV with a lying data-chunk length
+    val wav = Multimodal.encodeWav(1, 8000, 8, new Array[Byte](4))
+    wav(40) = 99.toByte
+    assert(Multimodal.parseMeta(2L, wav).codec == "raw")
+    // plain text
+    val t = Multimodal.parseMeta(3L, "hello".getBytes("UTF-8"))
+    assert(t == Multimodal.MediaMeta(3L, "raw", 5L, 5L, 0L, 0L))
+  }
+
+  test("decodeFeatures: distributed parse over real encoded payloads matches per-row parse") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
-    val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(docs))
-    assert(feats.columns.toSeq ==
-      Seq("mediaId", "modality", "nBytes", "features"))
-    assert(feats.count() == docs.count())
-    val r = feats.orderBy("mediaId").head()
-    assert(r.getAs[scala.collection.Seq[Float]]("features").length == 16)
-    assert(r.getAs[Int]("nBytes") > 0)
+    val meta = Multimodal.decodeFeatures(Multimodal.encodeMedia(docs))
+    assert(meta.columns.toSeq == Seq("media_id", "codec", "nBytes", "d1", "d2", "d3"))
+    assert(meta.count() == docs.count())
+    // every doc_id%3==1 payload parsed as ppm with the derived geometry
+    val ppm = meta.filter(col("codec") === "ppm").collect()
+    assert(ppm.nonEmpty)
+    ppm.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 3 == 1)
+      assert(r.getLong(3) == 1 + id % 7) // width
+      assert(r.getLong(4) == 1 + id % 5) // height
+    }
+    assert(meta.filter(col("codec") === "wav").count() > 0)
   }
 
   test("mediaTable: payload bytes match the source text length") {
