@@ -16,18 +16,48 @@ import TextOps.shingles
   * count, no corpus self-join, no all-pairs anything. At 100 TB the
   * corpus side stays fully partitioned; only the benchmark shingle
   * table replicates.
+  *
+  * Both sides join on `xxhash64(shingle)` rather than the shingle string:
+  * the broadcast index carries 8-byte keys instead of ~n-word strings
+  * (a several-fold smaller broadcast and a cheaper probe), and distinct
+  * counts are unchanged short of a 64-bit collision INSIDE one
+  * (doc, bench) pair's shared set — odds ~ s²/2⁶⁵ per pair, immaterial
+  * next to the n-gram-overlap heuristic itself.
   */
 object Decontaminate {
 
   /** (doc_id, bench_id, n_shared) for corpus × benchmark pairs sharing
-    * at least `minShared` distinct n-gram shingles. */
+    * at least `minShared` distinct n-gram shingles.
+    *
+    * `stopTopK > 0` drops the K highest-document-frequency shingles from
+    * the BENCHMARK index before the join (tie-break: df desc, hash asc).
+    * Boilerplate n-grams ("in the following", license headers) dominate
+    * df and generate most of the index's probe hits while carrying no
+    * contamination signal; capping them shrinks both the broadcast and
+    * the pair-count shuffle. The bench side is small, so the df ranking
+    * is a cheap driver-free window over the broadcastable table. */
   def overlaps(corpus: DataFrame, bench: DataFrame,
-      minShared: Int, n: Int = 3): DataFrame = {
+      minShared: Int, n: Int = 3, stopTopK: Int = 0): DataFrame = {
     val cs = corpus.select(col("doc_id"),
       explode(shingles(col("text"), n)).as("s"))
-    val bs = bench.select(col("doc_id").as("bench_id"),
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bs0 = bench.select(col("doc_id").as("bench_id"),
       explode(shingles(col("text"), n)).as("s"))
-    cs.join(broadcast(bs), "s")
+      .select(col("bench_id"), xxhash64(col("s")).as("h"))
+    val bs =
+      if (stopTopK <= 0) bs0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val rnk = row_number().over(
+          Window.orderBy(col("df").desc, col("h").asc))
+        val stops = bs0.groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+          .withColumn("rnk", rnk)
+          .filter(col("rnk") <= stopTopK)
+          .select(col("h"))
+        bs0.join(broadcast(stops), Seq("h"), "left_anti")
+      }
+    cs.join(broadcast(bs), "h")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -35,8 +65,8 @@ object Decontaminate {
 
   /** corpus minus every document contaminated by some benchmark doc. */
   def scrub(corpus: DataFrame, bench: DataFrame,
-      minShared: Int, n: Int = 3): DataFrame =
+      minShared: Int, n: Int = 3, stopTopK: Int = 0): DataFrame =
     corpus.join(
-      overlaps(corpus, bench, minShared, n).select(col("doc_id")).distinct(),
+      overlaps(corpus, bench, minShared, n, stopTopK).select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 }

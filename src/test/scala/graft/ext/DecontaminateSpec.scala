@@ -33,6 +33,29 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("stopTopK drops the highest-df benchmark shingles from the index") {
+    // two bench docs share the boilerplate prefix "a b c"; each has a
+    // unique tail — the shared shingle has df=2, every other df=1
+    val b2 = Seq(
+      (100L, "a b c d e"),
+      (101L, "a b c x y")
+    ).toDF("doc_id", "text")
+    val c2 = Seq(
+      (1L, "a b c q r")   // overlaps both ONLY via the df=2 shingle "a b c"
+    ).toDF("doc_id", "text")
+    val before = Decontaminate.overlaps(c2, b2, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(before.map(o => (o._1, o._2)).toSet == Set((1L, 100L), (1L, 101L)))
+    // capping the single most frequent shingle removes exactly "a b c"
+    val after = Decontaminate.overlaps(c2, b2, minShared = 1, stopTopK = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(after.isEmpty)
+    // and the uncapped result is unchanged for the real fixture queries
+    val ov = Decontaminate.overlaps(corpus, bench, minShared = 10, stopTopK = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ov.map(o => (o._1, o._2)) == Seq((1L, 100L)))
+  }
+
   test("repetition: a looping template scores near 1, distinct text scores 0") {
     val docs = Seq(
       (1L, Seq.fill(20)("spam spam spam").mkString(" ")),     // 60 words, 1 distinct
