@@ -44,4 +44,18 @@ object Stateful {
     * `dropDuplicates` semantics. */
   def dedupeById(stream: DataFrame, idCol: String): DataFrame =
     stream.dropDuplicates(Seq(idCol))
+
+  /** The unbounded-stream dedup path: [[dedupeById]]'s state grows with
+    * every key ever seen, which on a real (non-draining) stream is a
+    * leak. This variant watermarks event time and uses
+    * `dropDuplicatesWithinWatermark`, so a key's state is EVICTED once
+    * the watermark passes its event time — state holds only the recent
+    * window. The trade: a replay arriving after its key was evicted is
+    * dropped by the watermark as late data (not matched against state),
+    * so dedup is guaranteed only for duplicates within `lateness` of the
+    * first arrival — the standard at-least-once-source contract. */
+  def dedupeByIdWithinWatermark(stream: DataFrame, idCol: String,
+      tsCol: String, lateness: String): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
 }
