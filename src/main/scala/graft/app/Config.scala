@@ -22,7 +22,12 @@ final case class EngineConfig(
       * of writing parquet directly into the raw path — closing the
       * reference's partial-write window (`dataIngestion.py:26-34`).
       * Defaults to the reference-compatible direct write. */
-    atomicLanding: Boolean = false) {
+    atomicLanding: Boolean = false,
+    /** When > 0, [[IngestionJob.maintain]] compacts an atomic table once
+      * its live snapshot exceeds this many data dirs (streaming
+      * micro-batch appends) and vacuums unreachable files. 0 disables
+      * maintenance. */
+    landingCompactThreshold: Int = 0) {
 
   def paths: graft.model.PathConvention =
     graft.model.PathConvention(fmPrefix, region)
@@ -42,7 +47,9 @@ object EngineConfig {
       controlDbUrl = req("control.db.url"),
       controlDbUser = p.getProperty("control.db.user", ""),
       controlSecretName = p.getProperty("control.secret.name", "control-db"),
-      atomicLanding = p.getProperty("landing.atomic", "false").toBoolean)
+      atomicLanding = p.getProperty("landing.atomic", "false").toBoolean,
+      landingCompactThreshold =
+        p.getProperty("landing.compact.threshold", "0").toInt)
   }
 
   def load(path: String): EngineConfig = {

@@ -80,6 +80,8 @@ object IngestionJob {
           val land: DataFrame => String =
             if (env.config.atomicLanding)
               df => { graft.land.AtomicLanding.commit(df, args.sourcePath)
+                      maintain(env.spark, args.sourcePath,
+                        env.config.landingCompactThreshold)
                       args.sourcePath }
             else
               df => Landing.parquet(df, args.sourcePath)
@@ -113,6 +115,21 @@ object IngestionJob {
         }
     }
   }
+
+  /** Config-driven maintenance for long-running atomic tables: once the
+    * live snapshot has accumulated more than `threshold` data dirs
+    * (each streaming micro-batch appends one), rewrite it as a single
+    * compacted snapshot and reclaim everything unreachable. The
+    * exactly-once batch-id watermark survives compaction, so a replayed
+    * micro-batch is still skipped afterwards. `threshold <= 0` disables.
+    * Returns the vacuumed paths (empty = nothing to do). */
+  def maintain(spark: SparkSession, table: String, threshold: Int,
+      targetFiles: Int = 1): Seq[String] =
+    if (threshold > 0 &&
+        graft.land.AtomicLanding.liveDirCount(table) > threshold) {
+      graft.land.AtomicLanding.compact(spark, table, numFiles = targetFiles)
+      graft.land.AtomicLanding.vacuum(table)
+    } else Nil
 
   private def record(env: JobEnv, args: Args, src: SourceSystem,
       startTs: Timestamp, logPath: String, lastExt: Option[Timestamp]): CatalogEntry = {

@@ -232,6 +232,10 @@ object AtomicLanding {
         commit(df, table, append = true, batchId = Some(batchId)); ()
       }
 
+  /** Data dirs in the live snapshot — the maintenance trigger metric: a
+    * long-appending stream grows this by one per micro-batch. */
+  def liveDirCount(table: String): Int = liveDirs(table).size
+
   /** Compaction — the answer to the streaming small-file problem: every
     * appended micro-batch adds a data dir, and a long-running stream
     * leaves thousands of small files that tax every subsequent scan.

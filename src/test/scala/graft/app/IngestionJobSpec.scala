@@ -62,6 +62,31 @@ class IngestionJobSpec extends AnyFunSuite {
     assert(entry.lastExtTime.isDefined) // run record written after publish
   }
 
+  test("maintain compacts a many-batch streaming table and keeps replay-skip") {
+    import graft.land.AtomicLanding
+    val table = java.nio.file.Files.createTempDirectory("graft-app-mnt").toString + "/t"
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    val sink = AtomicLanding.streamSink(table)
+    (0L to 5L).foreach(b => sink(nation.limit(2), b))     // 6 micro-batches
+    assert(AtomicLanding.liveDirCount(table) == 6)
+    val rowsBefore = AtomicLanding.read(spark, table).count()
+
+    // below threshold: no-op
+    assert(IngestionJob.maintain(spark, table, threshold = 10).isEmpty)
+    assert(AtomicLanding.liveDirCount(table) == 6)
+
+    // above threshold: one compacted dir, old dirs + manifests reclaimed
+    val removed = IngestionJob.maintain(spark, table, threshold = 3)
+    assert(AtomicLanding.liveDirCount(table) == 1)
+    assert(removed.count(_.contains("/data/")) == 6)
+    assert(AtomicLanding.read(spark, table).count() == rowsBefore)
+
+    // the exactly-once watermark survived: a replayed batch is still skipped
+    assert(AtomicLanding.lastBatchId(table).contains(5L))
+    sink(nation.limit(2), 5L)
+    assert(AtomicLanding.read(spark, table).count() == rowsBefore)
+  }
+
   test("file pattern: relay inbound objects to raw zone and archive them") {
     val root = java.nio.file.Files.createTempDirectory("graft-app-f").toString
     val relay = new FileRelay()
