@@ -31,24 +31,39 @@ object Bench {
     val spark = Sessions.build(Sessions.cpusFromEnv, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    // host-load sentinel: a FIXED trivial job (independent of sf and of
+    // the query set) timed before warm-up and again after the last pass.
+    // On a quiet host both land ~equal; a sentinel ratio far from 1 — or
+    // an absolute time several× its historic ~0.1 s — flags a run whose
+    // numbers are host-contamination, not code (see round-4 postmortem:
+    // uniform 1.6-4× drift across even trivial queries).
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("sum(id * 3 % 7) s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentFirst = { sentinel(); sentinel() } // its own warm-up, then timed
+
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     qs.foreach { case (_, fn) => materialize(fn(spark, sfDir)) } // warm-up
-    // two FULL timed passes, per-query min across passes: the host is
+    // three FULL timed passes, per-query min across passes: the host is
     // shared and stalls span minutes, so back-to-back reps of one query
-    // both land in the same stall — whole-suite passes decorrelate it
+    // all land in the same stall — whole-suite passes decorrelate it
     def pass(): Map[String, Double] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       materialize(fn(spark, sfDir))
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val (p1, p2) = (pass(), pass())
+    val passes = Seq(pass(), pass(), pass())
     val results = qs.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name)) }
+      name -> passes.map(_(name)).min }
+    val sentLast = sentinel()
 
     val qJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","sentinel_first_sec":$sentFirst,"sentinel_last_sec":$sentLast}""")
     spark.stop()
   }
 }
