@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   * keys, and joins where one hot key floods a single task before AQE can
   * act. Both helpers keep exact semantics: results equal the unsalted
   * plan for any salt count.
+  *
+  * Decision rule (demonstrated in `ScaleOpsSpec`):
+  *  - skewed JOIN, sort-merge: do nothing — AQE's OptimizeSkewedJoin
+  *    splits the oversized partition into sub-reads at runtime and
+  *    duplicates the matching partition on the other side (join
+  *    semantics tolerate that). Prefer it over [[saltedJoin]]: zero code,
+  *    and it acts on MEASURED sizes, not a guessed salt count.
+  *  - skewed JOIN where the hot side must stay one partition (e.g. a
+  *    later positional operation) or the join is not sort-merge:
+  *    [[saltedJoin]].
+  *  - skewed AGGREGATION: AQE cannot split a group — grouping requires
+  *    key co-location, so `skewJoin` never fires on a groupBy exchange;
+  *    [[saltedSumCount]]'s two-phase reduce is the tool.
   */
 object Skew {
 

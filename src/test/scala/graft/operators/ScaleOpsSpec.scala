@@ -40,6 +40,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQE splits the skewed sort-merge join partition at runtime (the no-salt path)") {
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // production defaults (256 MB / factor 5) scaled to fixture bytes
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of the big side lands on key 0 -> one oversized shuffle partition
+      val big = spark.range(0, 200000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("payload-"), col("id")).as("payload"))
+      val dim = spark.range(0, 200000).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      val joined = big.join(dim, "k")
+      graft.Bench.materialize(joined)
+      val aqe = joined.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }
+        .getOrElse(fail("no adaptive plan"))
+      // the final plan nests the join inside query-stage leaves that
+      // SparkPlan.collect does not traverse, so assert on the rendered
+      // plan: the join node must carry skew=true and the big side's
+      // shuffle read must have been split
+      val plan = aqe.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)") ||
+        plan.contains("ShuffledHashJoin") && plan.contains("skew=true"),
+        s"AQE did not rewrite the skewed join:\n$plan")
+      assert(plan.contains("AQEShuffleRead coalesced and skewed"),
+        s"skewed shuffle read missing:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables equi-join with ZERO shuffle exchanges") {
     val o = graft.Tables.t(spark, TestSpark.Sf0001, "orders")
     val c = graft.Tables.t(spark, TestSpark.Sf0001, "customer")
