@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar (per-dimension int8) quantization for embedding columns — the
+  * standard first step of ANN index compression: 4× smaller vectors than
+  * float32, which at 100 TB is the difference between an index that fits
+  * executor memory and one that doesn't. Product quantization would
+  * subdivide dimensions into codebooks; per-dimension scalar quantization
+  * is its degenerate (1-dim subspace) form and needs no training beyond
+  * the per-dimension min/max.
+  *
+  * Determinism: the quantization chain is a FIXED sequence of IEEE double
+  * ops — `floor((x - mn) * 254 / (mx - mn)) - 127` — on exact inputs
+  * (float casts and column min/max involve no accumulation), so codes are
+  * bit-identical in any engine that follows the same chain.
+  */
+object Quantize {
+
+  /** Per-dimension (pos, mn, mx) over the whole corpus: one posexplode +
+    * one aggregation — the "training" scan. Output is `dim` rows (64
+    * here), broadcastable everywhere. */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+
+  /** Quantize each vector to int8 codes in [-127, 127]. The corpus is
+    * scanned once, exploded to (vec, pos) pairs, coded against the
+    * broadcast per-dimension stats, and re-assembled in position order.
+    * A constant dimension (mx == mn) codes to 0. */
+  def int8Codes(emb: DataFrame): DataFrame = {
+    val stats = dimStats(emb)
+    val code = when(col("mx") === col("mn"), lit(0L)).otherwise(
+      floor((col("v").cast("double") - col("mn")) * lit(254.0d) /
+        (col("mx") - col("mn"))).cast("long") - 127L)
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"), code.as("code"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("code"))))
+        .as("pc"))
+      .select(col("vec_id"), expr("transform(pc, x -> x.code)").as("codes"))
+  }
+}

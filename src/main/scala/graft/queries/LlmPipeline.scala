@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextOps, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Sampling, Similarity, TextOps, TextStats}
 
 /** LLM-training-data pipeline query surface (the BASELINE north star):
   * deduplication, similarity search, text analysis, multimodal columns —
@@ -325,6 +325,37 @@ object LlmPipeline {
         .select(col("source"), col("n"), col("weight"))
         .orderBy(col("source"))
     }),
+
+    // ---- apply a training mix: per-source integer percent (derived
+    // here from the source name so both engines can compute it), rows
+    // kept by the deterministic hash gate — zero shuffles before the
+    // final count; the mix applies in the corpus scan itself ----
+    "q_mix_apply" -> ((s, dir) => {
+      val pct = pmod(TextOps.hash60(col("source")), lit(16)) + lit(5)
+      Sampling.applyMixPct(docs(s, dir).withColumn("pct", pct), "doc_id", col("pct"))
+        .groupBy(col("source"), col("pct"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- stratified deterministic sample: exactly 5 docs per source,
+    // ranked by (hash, id) — reproducible balanced eval-set draws ----
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedTopN(docs(s, dir), "source", "doc_id", n = 5)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // ---- int8 scalar quantization of the embedding corpus; the gate
+    // projects order-sensitive integer scalars of each code vector
+    // (weighted sum + min/max) since the driver's sorter can't hash
+    // arrays ----
+    "q_embed_quantize" -> ((s, dir) =>
+      graft.ext.Quantize.int8Codes(emb(s, dir))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("code") * (col("pos") + 1)).as("q_wsum"),
+          min(col("code")).as("q_min"), max(col("code")).as("q_max"))
+        .orderBy(col("vec_id"))),
 
     // ---- array-function breadth over the token arrays ----
     "q_array_funcs" -> ((s, dir) => {
@@ -722,6 +753,43 @@ object LlmPipeline {
         |  min(octet_length(encode(text))) AS min_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin,
+
+    "q_mix_apply" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    cast(('0x'||substr(md5(source),1,15)) as bigint) % 16 + 5 AS pct,
+        |    cast(('0x'||substr(md5(cast(doc_id as varchar)),1,15)) as bigint) % 100 AS hk
+        |  FROM documents)
+        |SELECT source, cast(pct as bigint) AS pct, count(*) AS n_kept
+        |FROM d WHERE hk < pct GROUP BY source, pct ORDER BY source""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cast(('0x'||substr(md5(cast(doc_id as varchar)),1,15)) as bigint) ASC,
+        |               doc_id ASC) rn
+        |  FROM documents)
+        |SELECT source, doc_id FROM r WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // per-dimension min/max "training" + the fixed IEEE chain
+    // floor((x-mn)*254/(mx-mn)) - 127, weighted-summed per vector with
+    // 1-based dimension weights (DuckDB lists are 1-based; Spark pos+1)
+    "q_embed_quantize" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+        |stats AS (
+        |  SELECT d, min(cast(embedding[d] as double)) AS mn,
+        |         max(cast(embedding[d] as double)) AS mx
+        |  FROM embeddings CROSS JOIN dims GROUP BY d),
+        |codes AS (
+        |  SELECT e.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE cast(floor((cast(e.embedding[s.d] as double) - s.mn)
+        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127
+        |    END AS code
+        |  FROM embeddings e CROSS JOIN stats s)
+        |SELECT vec_id, cast(sum(code * d) as bigint) AS q_wsum,
+        |  cast(min(code) as bigint) AS q_min, cast(max(code) as bigint) AS q_max
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // Predicts every parsed container field independently from doc_id
     // (the encode parameters) — the Spark side must round-trip real

@@ -120,6 +120,42 @@ object Streaming {
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
+    // ---- session windows: gap-merged per-user activity bursts, the
+    // native Structured Streaming sessionization (vs q_sessionize's
+    // batch gaps-and-islands — same 30-min rule, same answer). Session
+    // start is emitted as epoch micros: the engines' nanosecond
+    // truncation agrees on integers where raw timestamps might not. ----
+    "q_stream_session" -> ((s, dir) => {
+      val tmp = fullSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-qsjoin").toString
+        t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .coalesce(1)
+          .write.mode("overwrite").option("timestampFormat", MicrosFmt)
+          .json(s"$d/in")
+        d
+      })
+      val src = s.readStream.schema(fullEventSchema)
+        .option("timestampFormat", MicrosFmt).json(s"$tmp/in")
+      val sess = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+      withFewPartitions(s) {
+        val q = sess.writeStream
+          .format("memory").queryName("q_stream_session_mem")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table("q_stream_session_mem")
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // ---- streaming deduplication: the fixture replayed TWICE through
     // the stream; dropDuplicates state suppresses the second arrival of
     // every event_id, so the drained counts equal the single-copy batch
@@ -167,5 +203,24 @@ object Streaming {
 
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // gaps-and-islands with the session-window boundary rule: a gap of
+    // EXACTLY 30 minutes starts a new session (Spark's session end is
+    // exclusive), hence >= not >
+    "q_stream_session" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END brk
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) sid
+        |  FROM g)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us, count(*) AS n_events
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)
 }
