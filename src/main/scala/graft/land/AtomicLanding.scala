@@ -52,8 +52,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the protocol needs from the store — data dirs and manifests are
   *     immutable and never overwritten, so reader isolation never
   *     depends on directory-rename atomicity.
-  * Single writer by design (the reference's model); multi-writer needs a
-  * conditional pointer PUT, same as Delta's optimistic protocol.
+  * Multi-writer commits use optimistic concurrency, the same shape as
+  * Delta's protocol: the EXCLUSIVE create of manifest `m-(v+1)` is the
+  * per-version lock — at most one writer can own a version, a loser
+  * waits for the winner to publish and rebases its manifest on the new
+  * snapshot, and only the slot holder of `published+1` can swing the
+  * pointer, so the pointer never skips or regresses. A writer that dies
+  * holding a slot poisons it (later commits fail loudly after a bounded
+  * wait); [[vacuum]] removes orphaned future manifests and heals the
+  * table. The reservation relies on the store's atomic
+  * create-fails-if-exists (HDFS `create(overwrite=false)`; on S3 the
+  * conditional `If-None-Match` PUT; the raw local FS has a
+  * check-then-act window that is irrelevant single-host and absent on
+  * the real stores).
   */
 object AtomicLanding {
 
@@ -88,6 +99,19 @@ object AtomicLanding {
     val out = fs.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
+
+  /** Exclusively reserve manifest slot `m` and write its content — the
+    * per-version lock of the optimistic protocol. Readers never look at
+    * manifests above the pointer, so the non-atomic content write after
+    * the atomic name reservation is never observed half-done. Returns
+    * false when the slot is already owned. */
+  private def reserveManifest(fs: FileSystem, m: HPath, content: String): Boolean =
+    if (fs.exists(m)) false
+    else try {
+      val out = fs.create(m, false) // create-fails-if-exists: the lock
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    } catch { case _: java.io.IOException if fs.exists(m) => false }
 
   /** Atomically make `dst` point at `tmp`'s content. Local raw FS: plain
     * rename overwrites in one syscall. Stores whose `FileSystem.rename`
@@ -185,13 +209,20 @@ object AtomicLanding {
     * micro-batch must not erase the watermark, or the replay would
     * double-commit. (Re-pointing a table at a brand-new checkpointed
     * stream therefore needs a fresh table path — batch ids restart at 0
-    * per checkpoint.) */
+    * per checkpoint.)
+    *
+    * Concurrent writers are safe: version allocation is the exclusive
+    * manifest create (see the object doc), a losing appender waits for
+    * the winner to publish and rebuilds its manifest on the published
+    * snapshot, and a slot poisoned by a dead writer fails the commit
+    * after `maxConflictWaitMs` with a message naming [[vacuum]] as the
+    * cure. The slow part (staging the data) happens BEFORE allocation,
+    * so the contended window is just manifest-write + pointer swing. */
   def commit(df: DataFrame, table: String, append: Boolean = false,
       beforePublish: () => Unit = () => (),
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None,
+      maxConflictWaitMs: Long = 30000L): Long = {
     val fs = fsOf(hp(table))
-    val next = currentVersion(table).getOrElse(-1L) + 1L
-    val effectiveBatch = batchId.orElse(lastBatchId(table))
     val staging = hp(table, ".staging", UUID.randomUUID().toString)
 
     df.write.parquet(staging.toString)
@@ -203,16 +234,41 @@ object AtomicLanding {
     fs.mkdirs(dataDir.getParent)
     require(fs.rename(staging, dataDir), s"rename $staging -> $dataDir failed")
 
-    val dirs = (if (append) liveDirs(table) else Nil) :+ s"data/$dirName"
-    val lines = effectiveBatch.map(b => s"# batch $b").toSeq ++ dirs
-    writeUtf8(fs, hp(table, "manifests", manifestName(next)),
-      lines.mkString("\n"))
+    fs.mkdirs(hp(table, "manifests"))
+    var next = currentVersion(table).getOrElse(-1L) + 1L
+    var waitedMs = 0L
+    var reserved = false
+    while (!reserved) {
+      // rebuilt per attempt: a lost race means the snapshot we append to
+      // (and the batch watermark we carry) just changed under us
+      val dirs = (if (append) liveDirs(table) else Nil) :+ s"data/$dirName"
+      val lines = batchId.orElse(lastBatchId(table))
+        .map(b => s"# batch $b").toSeq ++ dirs
+      reserved = reserveManifest(fs,
+        hp(table, "manifests", manifestName(next)), lines.mkString("\n"))
+      if (!reserved) {
+        require(waitedMs < maxConflictWaitMs,
+          s"version $next of $table is reserved by a stale in-flight " +
+            "commit (writer died before publishing?); vacuum() heals the table")
+        Thread.sleep(25); waitedMs += 25
+        currentVersion(table).foreach(cv => if (cv >= next) next = cv + 1L)
+      }
+    }
 
-    beforePublish()
-
-    val tmp = hp(table, s".$Pointer.${UUID.randomUUID()}")
-    writeUtf8(fs, tmp, manifestName(next))
-    swing(fs, tmp, hp(table, Pointer))
+    try {
+      beforePublish()
+      val tmp = hp(table, s".$Pointer.${UUID.randomUUID()}")
+      writeUtf8(fs, tmp, manifestName(next))
+      swing(fs, tmp, hp(table, Pointer))
+    } catch {
+      case t: Throwable =>
+        // an in-JVM failure releases its slot reservation so later
+        // commits don't block on it; a hard-killed process cannot —
+        // that poisoned slot is what vacuum() heals
+        try fs.delete(hp(table, "manifests", manifestName(next)), false)
+        catch { case _: Throwable => () }
+        throw t
+    }
     next
   }
 
@@ -254,8 +310,11 @@ object AtomicLanding {
 
   /** Remove everything no reader can reach: all staging dirs (committed
     * ones were MOVED out, so anything left is an aborted write), data
-    * dirs absent from the live manifest, and superseded manifests.
-    * Returns paths removed. */
+    * dirs absent from the live manifest, and superseded manifests —
+    * including orphaned FUTURE manifests, which is how a slot poisoned
+    * by a hard-killed writer is healed. Run with no writers in flight: a
+    * live reservation is indistinguishable from a poisoned one and will
+    * be reclaimed. Returns paths removed. */
   def vacuum(table: String): Seq[String] = {
     val fs = fsOf(hp(table))
     val live = liveDirs(table).map(_.stripPrefix("data/")).toSet

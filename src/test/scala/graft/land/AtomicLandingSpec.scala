@@ -141,22 +141,59 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, table).count() == nation.count() + 3)
   }
 
-  test("an orphaned future manifest (crash between manifest write and pointer swing) is unreadable") {
+  test("an orphaned future manifest (writer hard-killed between manifest write and pointer swing) is unreadable") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
     AtomicLanding.commit(nation, table)
-    // the kill-9 seam fires after the v1 manifest is on disk but before
-    // _CURRENT swings: time travel must refuse the never-published v1
-    intercept[RuntimeException] {
-      AtomicLanding.commit(nation.limit(1), table,
-        beforePublish = () => throw new RuntimeException("kill -9"))
-    }
-    assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(table, "manifests", "m-0000000001")))
+    // simulate the hard kill: the v1 manifest landed on disk but the
+    // process died before _CURRENT swung (an in-JVM failure would have
+    // released the slot) — time travel must refuse the never-published v1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "manifests", "m-0000000001"),
+      "data/never-published".getBytes("UTF-8"))
     intercept[IllegalArgumentException] {
       AtomicLanding.readVersion(spark, table, 1L)
     }
     assert(AtomicLanding.readVersion(spark, table, 0L).count() == nation.count())
+  }
+
+  test("optimistic concurrency: parallel appenders all commit, none lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    AtomicLanding.commit(nation.limit(1), table) // v0
+    val futures = (1 to 4).map { i =>
+      Future {
+        (1 to 3).map { _ =>
+          AtomicLanding.commit(nation.limit(i), table, append = true)
+        }
+      }
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds).flatten
+    // 12 concurrent appends -> 12 distinct versions, nothing overwritten
+    assert(versions.toSet.size == 12)
+    assert(AtomicLanding.currentVersion(table).contains(12L))
+    // every appended row survived: 1 + 3*(1+2+3+4)
+    assert(AtomicLanding.read(spark, table).count() == 1L + 3L * 10L)
+  }
+
+  test("a slot poisoned by a dead writer fails loudly; vacuum heals it") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    AtomicLanding.commit(nation.limit(2), table) // v0
+    // hard-killed writer: reserved v1, never published, never cleaned up
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "manifests", "m-0000000001"),
+      "data/zombie".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      AtomicLanding.commit(nation.limit(3), table, maxConflictWaitMs = 200L)
+    }
+    assert(ex.getMessage.contains("vacuum"))
+    assert(AtomicLanding.vacuum(table).exists(_.contains("m-0000000001")))
+    assert(AtomicLanding.commit(nation.limit(3), table) == 1L)
+    assert(AtomicLanding.read(spark, table).count() == 3L)
   }
 
   test("merge and overwrite carry the exactly-once batch watermark forward") {
