@@ -221,7 +221,8 @@ object AtomicLanding {
   def commit(df: DataFrame, table: String, append: Boolean = false,
       beforePublish: () => Unit = () => (),
       batchId: Option[Long] = None,
-      maxConflictWaitMs: Long = 30000L): Long = {
+      maxConflictWaitMs: Long = 30000L,
+      keepDirs: Seq[String] = Nil): Long = {
     val fs = fsOf(hp(table))
     val staging = hp(table, ".staging", UUID.randomUUID().toString)
 
@@ -241,7 +242,7 @@ object AtomicLanding {
     while (!reserved) {
       // rebuilt per attempt: a lost race means the snapshot we append to
       // (and the batch watermark we carry) just changed under us
-      val dirs = (if (append) liveDirs(table) else Nil) :+ s"data/$dirName"
+      val dirs = (if (append) liveDirs(table) else keepDirs) :+ s"data/$dirName"
       val lines = batchId.orElse(lastBatchId(table))
         .map(b => s"# batch $b").toSeq ++ dirs
       reserved = reserveManifest(fs,
@@ -306,6 +307,30 @@ object AtomicLanding {
     val df0 = read(spark, table)
     val df = if (numFiles > 0) df0.coalesce(numFiles) else df0
     commit(df, table, batchId = lastBatchId(table))
+  }
+
+  /** Bin-packing compaction: rewrite ONLY the data dirs at or below
+    * `smallBytes` into one merged dir and keep every large dir untouched
+    * in the new manifest. This is the shape that survives 100 TB: a
+    * year-old streaming table is a few huge compacted dirs plus a tail
+    * of small recent micro-batches, and folding the tail must not
+    * rewrite the body. No-op (returns the current version) when fewer
+    * than two dirs qualify. Run without concurrent writers, like any
+    * snapshot-replacing maintenance. */
+  def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
+      numFiles: Int = 1): Long = {
+    val fs = fsOf(hp(table))
+    val (small, big) = liveDirs(table).partition { d =>
+      fs.getContentSummary(hp(table, d)).getLength <= smallBytes
+    }
+    if (small.size < 2)
+      currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot at $table"))
+    else {
+      val merged = spark.read.parquet(small.map(d => s"$table/$d"): _*)
+        .coalesce(numFiles)
+      commit(merged, table, batchId = lastBatchId(table), keepDirs = big)
+    }
   }
 
   /** Remove everything no reader can reach: all staging dirs (committed

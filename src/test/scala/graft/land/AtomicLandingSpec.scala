@@ -179,6 +179,34 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, table).count() == 1L + 3L * 10L)
   }
 
+  test("compactSmall folds only the small-dir tail; big dirs are not rewritten") {
+    val table = freshTable()
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    AtomicLanding.commit(docs.coalesce(1), table) // the big body
+    val sink = AtomicLanding.streamSink(table)
+    (0L to 4L).foreach(b => sink(nation.limit(2), b)) // small tail
+    assert(AtomicLanding.liveDirCount(table) == 6)
+    val rows = AtomicLanding.read(spark, table).count()
+
+    // threshold between tail-dir size and body-dir size
+    AtomicLanding.compactSmall(spark, table, smallBytes = 20 * 1024)
+    assert(AtomicLanding.liveDirCount(table) == 2) // body + merged tail
+    assert(AtomicLanding.read(spark, table).count() == rows)
+    assert(AtomicLanding.lastBatchId(table).contains(4L)) // watermark kept
+    // the big dir survived by NAME — it was never rewritten
+    import scala.jdk.CollectionConverters._
+    val manifest = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        table, "manifests", f"m-${AtomicLanding.currentVersion(table).get}%010d"))
+      .asScala.filterNot(_.startsWith("#"))
+    val v0dirs = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(table, "manifests", "m-0000000000")).asScala
+    assert(v0dirs.forall(manifest.contains))
+    // idempotent: a second pass with one merged dir + one big dir is a no-op
+    val v = AtomicLanding.currentVersion(table).get
+    assert(AtomicLanding.compactSmall(spark, table, 20 * 1024) == v)
+  }
+
   test("a slot poisoned by a dead writer fails loudly; vacuum heals it") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
