@@ -104,14 +104,31 @@ object AtomicLanding {
     * per-version lock of the optimistic protocol. Readers never look at
     * manifests above the pointer, so the non-atomic content write after
     * the atomic name reservation is never observed half-done. Returns
-    * false when the slot is already owned. */
-  private def reserveManifest(fs: FileSystem, m: HPath, content: String): Boolean =
-    if (fs.exists(m)) false
+    * false when the slot is already owned.
+    *
+    * Local FS goes through NIO `CREATE_NEW` (a single O_EXCL open —
+    * Hadoop's RawLocalFileSystem create is check-then-act and two local
+    * writers could both "win"); HDFS `create(overwrite=false)` is atomic
+    * server-side, and an S3-class store supplies the conditional PUT. */
+  private def reserveManifest(fs: FileSystem, m: HPath, content: String): Boolean = {
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    if (fs.getUri.getScheme == "file") {
+      val p = java.nio.file.Paths.get(fs.makeQualified(m).toUri.getPath)
+      java.nio.file.Files.createDirectories(p.getParent)
+      try {
+        val out = java.nio.file.Files.newOutputStream(p,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else if (fs.exists(m)) false
     else try {
       val out = fs.create(m, false) // create-fails-if-exists: the lock
-      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      try out.write(bytes) finally out.close()
       true
     } catch { case _: java.io.IOException if fs.exists(m) => false }
+  }
 
   /** Atomically make `dst` point at `tmp`'s content. Local raw FS: plain
     * rename overwrites in one syscall. Stores whose `FileSystem.rename`
@@ -153,11 +170,17 @@ object AtomicLanding {
       case l if l.startsWith("# batch ") => l.stripPrefix("# batch ").trim.toLong
     }
 
-  /** Read the current snapshot — only ever sees fully-committed data. */
-  def read(spark: SparkSession, table: String): DataFrame = {
+  /** Read the current snapshot — only ever sees fully-committed data.
+    * `mergeSchema = true` unions the schemas of all live data dirs
+    * (columns added by later appends surface as nulls in older rows) at
+    * the cost of reading every dir's footer — leave it off for tables
+    * whose schema never evolved. */
+  def read(spark: SparkSession, table: String,
+      mergeSchema: Boolean = false): DataFrame = {
     val dirs = liveDirs(table)
     require(dirs.nonEmpty, s"no committed snapshot at $table")
-    spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(dirs.map(d => s"$table/$d"): _*)
   }
 
   /** Time travel: read the snapshot a PAST commit published. Works until
@@ -222,8 +245,28 @@ object AtomicLanding {
       beforePublish: () => Unit = () => (),
       batchId: Option[Long] = None,
       maxConflictWaitMs: Long = 30000L,
-      keepDirs: Seq[String] = Nil): Long = {
+      keepDirs: Seq[String] = Nil,
+      evolveSchema: Boolean = false): Long = {
     val fs = fsOf(hp(table))
+
+    // schema enforcement (Delta's rule): an append may never silently
+    // drop or retype a live column; ADDING columns is explicit
+    // (evolveSchema), and readers see them via read(mergeSchema = true)
+    if (append) currentVersion(table).foreach { _ =>
+      val live = read(df.sparkSession, table).schema
+      live.foreach { f =>
+        val inc = df.schema.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"append drops live column '${f.name}' — appends must carry every live column"))
+        require(inc.dataType == f.dataType,
+          s"append retypes live column '${f.name}': ${f.dataType} -> ${inc.dataType}")
+      }
+      val extras = df.schema.map(_.name).toSet -- live.map(_.name).toSet
+      require(extras.isEmpty || evolveSchema,
+        s"append adds columns [${extras.mkString(", ")}] — pass " +
+          "evolveSchema = true (and read with mergeSchema = true)")
+    }
+
     val staging = hp(table, ".staging", UUID.randomUUID().toString)
 
     df.write.parquet(staging.toString)

@@ -182,10 +182,9 @@ class AtomicLandingSpec extends AnyFunSuite {
   test("compactSmall folds only the small-dir tail; big dirs are not rewritten") {
     val table = freshTable()
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
-    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
     AtomicLanding.commit(docs.coalesce(1), table) // the big body
     val sink = AtomicLanding.streamSink(table)
-    (0L to 4L).foreach(b => sink(nation.limit(2), b)) // small tail
+    (0L to 4L).foreach(b => sink(docs.limit(2), b)) // small tail
     assert(AtomicLanding.liveDirCount(table) == 6)
     val rows = AtomicLanding.read(spark, table).count()
 
@@ -205,6 +204,36 @@ class AtomicLandingSpec extends AnyFunSuite {
     // idempotent: a second pass with one merged dir + one big dir is a no-op
     val v = AtomicLanding.currentVersion(table).get
     assert(AtomicLanding.compactSmall(spark, table, 20 * 1024) == v)
+  }
+
+  test("schema enforcement on append: no silent drops/retypes; evolution is explicit") {
+    import spark.implicits._
+    val table = freshTable()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    AtomicLanding.commit(base, table)
+
+    // dropping a live column is refused
+    val dropEx = intercept[IllegalArgumentException] {
+      AtomicLanding.commit(Seq(3L).toDF("id"), table, append = true)
+    }
+    assert(dropEx.getMessage.contains("drops live column"))
+    // retyping a live column is refused
+    val retypeEx = intercept[IllegalArgumentException] {
+      AtomicLanding.commit(Seq((3, "c")).toDF("id", "name"), table, append = true)
+    }
+    assert(retypeEx.getMessage.contains("retypes"))
+    // adding a column needs explicit opt-in...
+    val evolved = Seq((3L, "c", 0.5)).toDF("id", "name", "score")
+    val addEx = intercept[IllegalArgumentException] {
+      AtomicLanding.commit(evolved, table, append = true)
+    }
+    assert(addEx.getMessage.contains("evolveSchema"))
+    // ...and with it, merged reads surface the new column as null for old rows
+    AtomicLanding.commit(evolved, table, append = true, evolveSchema = true)
+    val merged = AtomicLanding.read(spark, table, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    assert(merged.count() == 3)
+    assert(merged.filter(col("score").isNull).count() == 2)
   }
 
   test("a slot poisoned by a dead writer fails loudly; vacuum heals it") {
