@@ -354,6 +354,31 @@ object Relational {
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
     }),
 
+    // ---- TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with
+    // a non-key predicate; count per priority ----
+    "q_tpch_order_priority" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      t(s, dir, "orders")
+        .join(l, col("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- TPC-H Q13 shape: outer-join count distribution (two-level
+    // aggregation: orders per customer, then customers per order-count;
+    // zero-order customers kept by the outer join) ----
+    "q_tpch_cust_dist" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") =!= "F")
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // ---- TPC-H Q5 shape: 6-way star join, local-supplier revenue by
     // nation (dims broadcast; the two fact tables shuffle on their keys) ----
     "q_tpch_local_supplier" -> ((s, dir) => {
@@ -614,6 +639,21 @@ object Relational {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_tpch_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q_tpch_shipping" ->
       """SELECT l_orderkey,
