@@ -79,6 +79,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // parquet-backed (the injection rule keys off scan statistics)
+    spark.range(0, 200000).selectExpr("id AS k", "id * 7 AS payload")
+      .write.parquet(s"$dir/fact")
+    spark.range(0, 2000).selectExpr("id AS k", "id % 50 AS attr")
+      .write.parquet(s"$dir/dim")
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // production thresholds (10 MB creation / 10 GB application side)
+      // scaled down to fixture bytes
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("attr") === 3)
+      val joined = fact.join(dim, "k")
+      // the injected runtime filter evaluates dim's bloom filter against
+      // every fact row BEFORE the shuffle — at 100 TB that's the
+      // difference between shuffling the whole fact table and ~1/50 of it
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("BloomFilterMightContain") ||
+        optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(joined.count() == 40L) // 2000/50 dim keys, one fact row each
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables equi-join with ZERO shuffle exchanges") {
     val o = graft.Tables.t(spark, TestSpark.Sf0001, "orders")
     val c = graft.Tables.t(spark, TestSpark.Sf0001, "customer")
