@@ -90,6 +90,38 @@ object TextStats {
         + lit(0.3d) * least(stopRatio * lit(5.0d), lit(1.0d))).as("score"))
   }
 
+  /** Collocation extraction: adjacent word pairs ranked by an
+    * integer-scaled lift `floor(1e6 * n_ab * N / (n_a * n_b))` — the
+    * PMI numerator/denominator without the log, so the score is pure
+    * bigint arithmetic and bit-identical in any engine (log via libm is
+    * NOT cross-engine stable; the log is monotone, so the ranking is
+    * the same). `minCount` suppresses hapax pairs, the standard PMI
+    * pathology. Three corpus-wide aggregations (bigrams, unigrams,
+    * total) + two broadcast joins of the small count tables — the big
+    * scan never self-joins. Scaled products stay under 2^63 for corpora
+    * to ~10^5 occurrences per bigram x 10^8 tokens; shard the counts
+    * before lifting beyond that. */
+  def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val w = words(col("text"))
+    val toks = docs.select(explode(w).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val bigrams = docs.select(explode(
+        when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bigrams
+      .join(broadcast(uni.select(col("t").as("w1"), col("n").as("n_a"))), "w1")
+      .join(broadcast(uni.select(col("t").as("w2"), col("n").as("n_b"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        expr("(n_ab * n_total * 1000000L) div (n_a * n_b)").as("lift_scaled"))
+  }
+
   /** Content fingerprints: md5 of the lowercased text plus a polynomial
     * rolling hash over the token sequence (order-sensitive, unlike the
     * shingle-set hashes — two docs with the same words in different order

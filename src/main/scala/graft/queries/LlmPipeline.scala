@@ -357,6 +357,14 @@ object LlmPipeline {
           min(col("code")).as("q_min"), max(col("code")).as("q_max"))
         .orderBy(col("vec_id"))),
 
+    // ---- collocation extraction: integer-scaled PMI lift (the log is
+    // monotone and libm logs are NOT cross-engine stable, so rank by
+    // the scaled ratio instead) ----
+    "q_collocations" -> ((s, dir) =>
+      TextStats.collocations(docs(s, dir), minCount = 5L)
+        .orderBy(col("lift_scaled").desc, col("w1").asc, col("w2").asc)
+        .limit(20)),
+
     // ---- array-function breadth over the token arrays ----
     "q_array_funcs" -> ((s, dir) => {
       val w = TextOps.words(col("text"))
@@ -753,6 +761,20 @@ object LlmPipeline {
         |  min(octet_length(encode(text))) AS min_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin,
+
+    "q_collocations" ->
+      """WITH w AS (SELECT string_split(text,' ') t FROM documents),
+        |toks AS (SELECT unnest(t) tok FROM w),
+        |uni AS (SELECT tok, count(*) n FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) n_total FROM toks),
+        |bi AS (
+        |  SELECT t[i] w1, t[i+1] w2, count(*) n_ab
+        |  FROM (SELECT t, unnest(range(1, len(t))) i FROM w)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, n_ab,
+        |  cast((n_ab * n_total * 1000000) // (a.n * b.n) as bigint) AS lift_scaled
+        |FROM bi JOIN uni a ON w1 = a.tok JOIN uni b ON w2 = b.tok CROSS JOIN tot
+        |ORDER BY lift_scaled DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
 
     "q_mix_apply" ->
       """WITH d AS (SELECT source, doc_id,

@@ -56,6 +56,25 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(ov.map(o => (o._1, o._2)) == Seq((1L, 100L)))
   }
 
+  test("collocations: a glued pair outranks frequent-but-independent words") {
+    // "san francisco" always adjacent; "data" and "table" frequent but
+    // independently placed — lift must rank the glued pair first
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"data w$i table san francisco data other table w$i end"))
+      .toDF("doc_id", "text")
+    val top = TextStats.collocations(docs, minCount = 5L)
+      .orderBy(col("lift_scaled").desc, col("w1"), col("w2"))
+      .as[(String, String, Long, Long)].collect()
+    assert(top.head._1 == "san" && top.head._2 == "francisco")
+    assert(top.head._3 == 10L) // every doc contributes the pair once
+    val liftOf = top.map(r => (r._1, r._2) -> r._4).toMap
+    // glued pair of two rare words: n_ab=10, n_a=n_b=10, N=100 -> lift
+    // 10.0; every other stable adjacency touches a doubled word
+    // (n=20 occurrences) -> exactly half the lift
+    assert(liftOf(("san", "francisco")) == 10000000L)
+    assert(top.tail.nonEmpty && top.tail.forall(_._4 == 5000000L))
+  }
+
   test("repetition: a looping template scores near 1, distinct text scores 0") {
     val docs = Seq(
       (1L, Seq.fill(20)("spam spam spam").mkString(" ")),     // 60 words, 1 distinct
