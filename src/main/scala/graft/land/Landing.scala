@@ -40,6 +40,25 @@ object Landing {
     path
   }
 
+  /** Range-clustered parquet: `repartitionByRange` + in-partition sort on
+    * the cluster columns, so each output file covers a DISJOINT value
+    * range and its parquet min/max statistics actually prune — a scan
+    * with a selective predicate on the cluster column skips whole files
+    * and row groups instead of reading everything and filtering. This is
+    * the layout move (Delta ZORDER's 1-D case) that turns a 100 TB
+    * time-range query into a few-file read. One range shuffle at write
+    * time, amortized over every subsequent read. */
+  def clusteredParquet(df: DataFrame, path: String,
+      clusterCols: Seq[String], nFiles: Int): String = {
+    require(clusterCols.nonEmpty, "clusteredParquet needs a cluster column")
+    import org.apache.spark.sql.functions.col
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
+
   /** Bucketed catalog table: co-locates rows by hash(bucketCols) at WRITE
     * time so later equi-joins/aggregations on those columns run with NO
     * exchange at all — the pre-shuffled layout both sides of a recurring

@@ -79,6 +79,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusteredParquet: files cover disjoint ranges, so min/max stats prune") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cluster").toString + "/orders"
+    val orders = graft.Tables.t(spark, TestSpark.Sf0001, "orders")
+    Landing.clusteredParquet(orders, dir, Seq("o_orderkey"), nFiles = 8)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ranges = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf))
+        try {
+          val stats = r.getFooter.getBlocks.asScala.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == "o_orderkey").get.getStatistics)
+          (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+        } finally r.close()
+      }.sortBy(_._1)
+    assert(ranges.size == 8)
+    // every file's range is disjoint from the next: a predicate on the
+    // cluster column can skip whole files on footer stats alone
+    ranges.sliding(2).foreach { case Seq((_, aMax), (bMin, _)) =>
+      assert(aMax <= bMin, s"overlapping file ranges: $ranges")
+    }
+    // and the predicate actually reaches the scan
+    val q = spark.read.parquet(dir).filter(col("o_orderkey") === 42L)
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters") && formatted.contains("o_orderkey"))
+    assert(q.count() <= orders.filter(col("o_orderkey") === 42L).count())
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
     // parquet-backed (the injection rule keys off scan statistics)
