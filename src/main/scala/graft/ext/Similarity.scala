@@ -174,6 +174,36 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
+  /** Incremental embedding near-dup: candidates between an incoming
+    * BATCH and the standing corpus only — corpus bands join broadcast
+    * batch bands, the corpus never self-joins, and cost scales with the
+    * batch. The embedding-modality mirror of
+    * [[Dedup.minhashNearDupPairsAgainst]] — the production ingest shape:
+    * dedup what arrives against what you have. */
+  def embedNearDupPairsAgainst(corpus: DataFrame, batch: DataFrame,
+      threshold: Double, nPlanes: Int = 192, bandBits: Int = 16,
+      seed: Long = 777L): DataFrame = {
+    val cb = hyperplaneBands(corpus, "vec_id", nPlanes, bandBits, seed)
+      .select(col("vec_id").as("corpus_id"), col("band"), col("bkey"))
+    val bb = hyperplaneBands(batch, "vec_id", nPlanes, bandBits, seed)
+      .select(col("vec_id").as("batch_id"), col("band"), col("bkey"))
+    val cand = cb.join(broadcast(bb), Seq("band", "bkey"))
+      .select(col("corpus_id"), col("batch_id")).distinct()
+    val cn = norms(corpus).select(col("vec_id").as("corpus_id"), col("n2").as("nc2"))
+    val bn = norms(batch).select(col("vec_id").as("batch_id"), col("n2").as("nb2"))
+    cand
+      .join(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("ec")), "corpus_id")
+      .join(broadcast(batch.select(col("vec_id").as("batch_id"), col("embedding").as("eb"))), "batch_id")
+      .withColumn("dots", dotScaled(col("ec"), col("eb")))
+      .join(cn, "corpus_id")
+      .join(broadcast(bn), "batch_id")
+      .withColumn("cos_sim",
+        col("dots").cast("double") /
+          sqrt(col("nc2").cast("double") * col("nb2").cast("double")))
+      .filter(col("cos_sim") >= lit(threshold))
+      .select(col("corpus_id"), col("batch_id"), col("cos_sim"))
+  }
+
   // ------------------------------------------------------- LSH-bucketed ANN
 
   /** 16 fixed random hyperplanes (seeded — reproducible across runs). */

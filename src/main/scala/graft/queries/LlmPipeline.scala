@@ -166,6 +166,20 @@ object LlmPipeline {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // ---- incremental embedding near-dup: an incoming batch (perturbed
+    // copies of the first 50 vectors) deduped against the standing
+    // corpus; corpus bands join BROADCAST batch bands, no corpus
+    // self-join — cost scales with the batch (the ingest shape) ----
+    "q_embed_neardup_incremental" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val batch = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      Similarity.embedNearDupPairsAgainst(e, batch, threshold = 0.9)
+        .orderBy(col("corpus_id"), col("batch_id"))
+    }),
+
     // ---- embedding preprocessing: L2-normalization. The fixture is
     // already unit-normalized, so the op must be observable — the query
     // normalizes a SCALED copy (x2, float-exact) and fingerprints the
@@ -594,6 +608,32 @@ object LlmPipeline {
         |      FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb)
         |SELECT vec_a, vec_b, cos_sim FROM c
         |WHERE cos_sim >= cast(0.9 as double) ORDER BY vec_a, vec_b""".stripMargin,
+
+    // exact all-CROSS-pairs oracle: every (corpus, batch) cosine, no
+    // corpus self-pairs — same scaled-integer dot recipe as neardup
+    "q_embed_neardup_incremental" ->
+      """WITH b AS (
+        |  SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(1.01 as double) as float)) embedding
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id, embedding FROM embeddings),
+        |nb AS (SELECT vec_id, list_sum(list_transform(embedding,
+        |        x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+        |      FROM b),
+        |nc AS (SELECT vec_id, list_sum(list_transform(embedding,
+        |        x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+        |      FROM c),
+        |d AS (SELECT c.vec_id corpus_id, b.vec_id batch_id,
+        |        list_sum(list_transform(list_zip(c.embedding, b.embedding),
+        |          p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+        |      FROM c CROSS JOIN b),
+        |s AS (SELECT corpus_id, batch_id,
+        |        cast(dots as double)/sqrt(cast(nc.n2 as double)*cast(nb.n2 as double)) cos_sim
+        |      FROM d JOIN nc ON nc.vec_id = corpus_id JOIN nb ON nb.vec_id = batch_id)
+        |SELECT corpus_id, batch_id, cos_sim FROM s
+        |WHERE cos_sim >= cast(0.9 as double)
+        |ORDER BY corpus_id, batch_id""".stripMargin,
 
     "q_binary_objects" ->
       """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes
