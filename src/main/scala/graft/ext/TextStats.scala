@@ -102,11 +102,15 @@ object TextStats {
     * to ~10^5 occurrences per bigram x 10^8 tokens; shard the counts
     * before lifting beyond that. */
   def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
-    val w = words(col("text"))
-    val toks = docs.select(explode(w).as("t"))
-    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    val bigrams = docs.select(explode(
+    // stage the split once (interpreted lambdas get no CSE — the
+    // q_repetition lesson), and derive the token total from the unigram
+    // counts instead of a second corpus scan
+    val staged = docs.select(words(col("text")).as("_w"))
+    val w = col("_w")
+    val uni = staged.select(explode(w).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("n_total"))
+    val bigrams = staged.select(explode(
         when(size(w) >= 2,
           transform(sequence(lit(1), size(w) - 1),
             i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
