@@ -22,6 +22,34 @@ class QuantizeSpec extends AnyFunSuite {
     assert(codes.values.flatten.forall(c => c >= -127L && c <= 127L))
   }
 
+  test("ranking by int8-code dot product preserves the exact cosine top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.topKBrute(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    val codes = Quantize.int8Codes(emb)
+    val qc = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    val approx = qc.crossJoin(
+        codes.select(col("vec_id").as("neighbor_id"), col("codes").as("cc")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", aggregate(
+        zip_with(col("qc"), col("cc"), (a, b) => a * b), lit(0L), _ + _))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the fixture is unit-normalized, so the integer code dot is a
+    // monotone-ish proxy for cosine; 4x less memory should still find
+    // most true neighbors
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall too low")
+  }
+
   test("int8Codes on the fixture corpus: reconstruction error within one step") {
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val stats = Quantize.dimStats(emb).collect()
