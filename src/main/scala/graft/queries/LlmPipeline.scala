@@ -27,6 +27,8 @@ object LlmPipeline {
     * binaryFile-source query — same idiom as the streaming fixture. */
   private val binSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  private val fmtSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
   val queries: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-groupBy, one shuffle, no pairs. The fixture
@@ -370,6 +372,30 @@ object LlmPipeline {
         .agg(sum(col("code") * (col("pos") + 1)).as("q_wsum"),
           min(col("code")).as("q_min"), max(col("code")).as("q_max"))
         .orderBy(col("vec_id"))),
+
+    // ---- source-format breadth: the same corpus written to and read
+    // back from ORC and headered CSV (explicit schema — inference is an
+    // engine-specific behavior); identical aggregates prove the
+    // round-trip is lossless in both formats ----
+    "q_format_roundtrip" -> ((s, dir) => {
+      val tmp = fmtSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+        val ds = docs(s, dir)
+        ds.write.mode("overwrite").orc(s"$d/orc")
+        ds.write.mode("overwrite").option("header", "true").csv(s"$d/csv")
+        d
+      })
+      val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+      def agg(df: org.apache.spark.sql.DataFrame, fmt: String) =
+        df.groupBy(lit(fmt).as("fmt"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"))
+      agg(s.read.orc(s"$tmp/orc"), "orc")
+        .unionByName(agg(
+          s.read.option("header", "true").schema(schema).csv(s"$tmp/csv"), "csv"))
+        .orderBy(col("fmt"))
+    }),
 
     // ---- collocation extraction: integer-scaled PMI lift (the log is
     // monotone and libm logs are NOT cross-engine stable, so rank by
@@ -801,6 +827,16 @@ object LlmPipeline {
         |  min(octet_length(encode(text))) AS min_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin,
+
+    "q_format_roundtrip" ->
+      """SELECT 'csv' AS fmt, count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS sum_chars,
+        |  cast(sum(length(text)) as bigint) AS sum_text_len
+        |FROM documents
+        |UNION ALL
+        |SELECT 'orc', count(*), cast(sum(n_chars) as bigint),
+        |  cast(sum(length(text)) as bigint)
+        |FROM documents ORDER BY fmt""".stripMargin,
 
     "q_collocations" ->
       """WITH w AS (SELECT string_split(text,' ') t FROM documents),
