@@ -182,6 +182,22 @@ object LlmPipeline {
         .orderBy(col("corpus_id"), col("batch_id"))
     }),
 
+    // ---- embedding dedup end-to-end: banded candidate pairs -> exact
+    // verify -> connected-components clustering -> cluster census. The
+    // embedding mirror of q_curation_funnel_cc's doc-side closure ----
+    "q_embed_cluster" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      val pairs = Similarity.embedNearDupPairs(e.unionByName(pert), threshold = 0.9)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      graft.ext.ConnectedComponents.components(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("component"))
+    }),
+
     // ---- embedding preprocessing: L2-normalization. The fixture is
     // already unit-normalized, so the op must be observable — the query
     // normalizes a SCALED copy (x2, float-exact) and fingerprints the
@@ -634,6 +650,38 @@ object LlmPipeline {
         |      FROM d JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb)
         |SELECT vec_a, vec_b, cos_sim FROM c
         |WHERE cos_sim >= cast(0.9 as double) ORDER BY vec_a, vec_b""".stripMargin,
+
+    // exact all-pairs + recursive-CTE closure: component(v) = min
+    // reachable id (incl. self), census per component
+    "q_embed_cluster" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
+        |  FROM embeddings WHERE vec_id < 50),
+        |n AS (SELECT vec_id, list_sum(list_transform(embedding,
+        |        x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+        |      FROM u),
+        |d AS (SELECT a.vec_id va, b.vec_id vb,
+        |        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+        |      FROM u a JOIN u b ON a.vec_id < b.vec_id),
+        |p AS (SELECT va, vb FROM d
+        |      JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
+        |      WHERE cast(dots as double)/sqrt(cast(na.n2 as double)*cast(nb.n2 as double))
+        |            >= cast(0.9 as double)),
+        |ed AS (SELECT va a, vb b FROM p UNION SELECT vb, va FROM p),
+        |rch AS (SELECT a, b FROM ed
+        |        UNION
+        |        SELECT r.a, e.b FROM rch r JOIN ed e ON r.b = e.a AND r.a <> e.b),
+        |comp AS (SELECT v.a AS vec_id,
+        |           least(v.a, min(r.b)) AS component
+        |         FROM (SELECT DISTINCT a FROM ed) v JOIN rch r ON r.a = v.a
+        |         GROUP BY v.a)
+        |SELECT component, count(*) AS n_members
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
 
     // exact all-CROSS-pairs oracle: every (corpus, batch) cosine, no
     // corpus self-pairs — same scaled-integer dot recipe as neardup
