@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import Similarity.dotScaled
+
+/** Product quantization — the codebook compression tier of the ANN
+  * stack (scalar int8 in [[Quantize]] is its 1-dim-subspace degenerate
+  * form): the D-dim vector splits into `m` contiguous subspaces of D/m
+  * dims, each subspace gets its own k-centroid codebook (Lloyd, seeded
+  * deterministically), and a vector encodes as `m` small ints — m bytes
+  * at k ≤ 256 against 4·D float bytes (32× here at D=64, m=8).
+  *
+  * Distances are exact integer arithmetic throughout: sub-distance
+  * ‖x−c‖² expands to dotScaled(x,x) − 2·dotScaled(x,c) + dotScaled(c,c),
+  * three scaled-integer dots, so assignment is deterministic on any
+  * cluster layout (centroid TRAINING uses float means and may drift in
+  * the last bits — that moves recall, never correctness, same trade as
+  * [[Ivf]]).
+  *
+  * Query scoring is ADC (asymmetric distance computation): the query
+  * keeps its exact subvectors and scores a candidate as the sum of its
+  * per-subspace dots with the candidate's CODEBOOK centroids — at scale
+  * the per-query (m × k) dot table is precomputed once and candidate
+  * scoring is m table lookups per vector, never a float loop over D.
+  */
+object Pq {
+
+  /** codebooks as a small broadcastable table: (sub, cid, cvec). */
+  final case class Codebooks(m: Int, subDim: Int, cents: Seq[(Int, Int, Seq[Float])])
+
+  private def centTable(spark: org.apache.spark.sql.SparkSession,
+      cb: Codebooks): DataFrame = {
+    import spark.implicits._
+    cb.cents.toDF("sub", "cid", "cvec")
+  }
+
+  /** (vec_id, sub, svec): the m contiguous sub-slices of each vector. */
+  def subvectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("svec"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.sub"), col("x.svec"))
+
+  /** (vec_id, sub, cid): nearest codebook centroid per subspace, by the
+    * exact integer sub-distance; `min_by` aggregates with map-side
+    * partial combine (N·m rows shuffle, not N·m·k ranked). */
+  def assign(subs: DataFrame, cb: Codebooks): DataFrame =
+    subs.join(broadcast(centTable(subs.sparkSession, cb)), "sub")
+      .withColumn("d2",
+        dotScaled(col("svec"), col("svec")) - lit(2L) * dotScaled(col("svec"), col("cvec"))
+          + dotScaled(col("cvec"), col("cvec")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  /** Train per-subspace codebooks: seed sub-codebook j from the j-th
+    * vector (by vec_id — deterministic), then Lloyd iterations over ALL
+    * subspaces in one distributed assign + one mean job per round. */
+  def train(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): Codebooks = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val seeds = emb.orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+    var cb = Codebooks(m, subDim, for {
+      s <- 0 until m
+      (v, j) <- seeds.zipWithIndex
+    } yield (s, j, v.slice(s * subDim, (s + 1) * subDim)))
+    val subs = subvectors(emb, m, subDim).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val means = assign(subs, cb)
+        .join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("svec")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("mean"))
+        .collect()
+        .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid")))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mean").toFloat).toSeq
+        }
+      // a centroid that lost every member keeps its previous position
+      cb = cb.copy(cents = cb.cents.map { case (s, c, old) =>
+        (s, c, means.getOrElse((s, c), old)) })
+    }
+    cb
+  }
+
+  /** (vec_id, codes): each vector as m codebook ids in subspace order. */
+  def encode(emb: DataFrame, cb: Codebooks): DataFrame =
+    assign(subvectors(emb, cb.m, cb.subDim), cb)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, x -> x.cid)").as("codes"))
+
+  /** ADC top-k: exact query subvectors against candidate CODES. Scored
+    * via the (query, sub, cid) dot join — the relational form of the
+    * per-query lookup table. Returns (query_id, rnk, neighbor_id). */
+  def topKAdc(emb: DataFrame, queries: DataFrame, k: Int, cb: Codebooks): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val codes = assign(subvectors(emb, cb.m, cb.subDim), cb)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cid"))
+    val qsubs = subvectors(queries, cb.m, cb.subDim)
+      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
+    // the per-query lookup table: m*k scaled dots per query
+    val lut = qsubs.join(broadcast(centTable(spark, cb)), "sub")
+      .select(col("query_id"), col("sub"), col("cid"),
+        dotScaled(col("svec"), col("cvec")).as("d"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"))
+  }
+
+  /** The production PQ shape: ADC prunes the corpus to a `shortlist`
+    * per query, exact scaled-integer cosine re-ranks only the
+    * shortlist. Degenerate-exact configuration (the gate): a codebook
+    * with `k = |corpus|` seeds and zero Lloyd iterations makes every
+    * subvector its own centroid — reconstruction is exact, the ADC
+    * score equals the exact dot bit-for-bit (same per-element floors,
+    * integer addition regroups freely) — and a shortlist ≥ |corpus|
+    * passes everything through, so the result equals brute force and
+    * sits under the same hash oracle as `q_cosine_topk`. */
+  def topKRerank(emb: DataFrame, queries: DataFrame, k: Int,
+      cb: Codebooks, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = topKAdc(emb, queries, shortlist, cb)
+      .select(col("query_id"), col("neighbor_id"))
+    val n2 = Similarity.norms(emb)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))), "query_id")
+      .withColumn("dots", dotScaled(col("qe"), col("ce")))
+      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))), "query_id")
+      .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")), "neighbor_id")
+      .withColumn("cos_sim",
+        col("dots").cast("double") /
+          sqrt(col("nq2").cast("double") * col("nc2").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+}

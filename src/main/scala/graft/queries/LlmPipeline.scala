@@ -233,6 +233,21 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- product quantization, degenerate-exact config: identity
+    // codebook (k = |corpus| seeds, zero Lloyd iterations) + full
+    // shortlist + exact re-rank == brute force by construction — the
+    // whole subspace→codebook→ADC→re-rank machinery under the hash
+    // oracle; production configs (m=8, k=16: 32x compression) are
+    // recall-tested in PqSpec ----
+    "q_cosine_pq_exact" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val n = e.count().toInt
+      val cb = graft.ext.Pq.train(e, m = 8, k = n, iters = 0)
+      graft.ext.Pq.topKRerank(e, e.filter(col("vec_id") < 10), k = 5,
+          cb, shortlist = n + 1)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- IVF approximate NN: distributed k-means coarse quantizer +
     // probe-nearest-lists (rows-only: approximate by design; exactness
     // at full probe and recall monotonicity asserted in the test suite) ----
@@ -610,6 +625,7 @@ object LlmPipeline {
     "q_cosine_topk_agg" -> CosineTopkOracle,
     "q_cosine_ivf_exact" -> CosineTopkOracle,
     "q_cosine_ann_exact" -> CosineTopkOracle,
+    "q_cosine_pq_exact" -> CosineTopkOracle,
 
     "q_embed_normalize" ->
       """WITH d AS (SELECT vec_id,
