@@ -238,13 +238,17 @@ object LlmPipeline {
     // shortlist + exact re-rank == brute force by construction — the
     // whole subspace→codebook→ADC→re-rank machinery under the hash
     // oracle; production configs (m=8, k=16: 32x compression) are
-    // recall-tested in PqSpec ----
+    // recall-tested in PqSpec. The gate runs on a 200-vector slice:
+    // the identity codebook is O(|corpus|²·m) by construction (every
+    // subvector is a centroid), which is the price of exactness, not a
+    // production plan — the slice keeps the bench honest while the
+    // machinery exercised is identical ----
     "q_cosine_pq_exact" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val n = e.count().toInt
-      val cb = graft.ext.Pq.train(e, m = 8, k = n, iters = 0)
+        .filter(col("vec_id") < 200)
+      val cb = graft.ext.Pq.train(e, m = 8, k = 200, iters = 0)
       graft.ext.Pq.topKRerank(e, e.filter(col("vec_id") < 10), k = 5,
-          cb, shortlist = n + 1)
+          cb, shortlist = 201)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -625,7 +629,29 @@ object LlmPipeline {
     "q_cosine_topk_agg" -> CosineTopkOracle,
     "q_cosine_ivf_exact" -> CosineTopkOracle,
     "q_cosine_ann_exact" -> CosineTopkOracle,
-    "q_cosine_pq_exact" -> CosineTopkOracle,
+
+    // CosineTopkOracle restricted to the 200-vector gate slice
+    "q_cosine_pq_exact" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |n AS (
+        |  SELECT vec_id, list_sum(list_transform(embedding,
+        |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+        |  FROM u),
+        |t AS (
+        |  SELECT q.vec_id qid, e.vec_id cid,
+        |         list_sum(list_transform(list_zip(q.embedding, e.embedding),
+        |           p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+        |  FROM u q JOIN u e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |s AS (
+        |  SELECT qid, cid,
+        |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+        |  FROM t JOIN n nq ON nq.vec_id = t.qid JOIN n nc ON nc.vec_id = t.cid),
+        |r AS (SELECT qid AS query_id, cid AS neighbor_id, cos_sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) rnk
+        |      FROM s)
+        |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
 
     "q_embed_normalize" ->
       """WITH d AS (SELECT vec_id,
