@@ -354,6 +354,32 @@ object Relational {
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
     }),
 
+    // ---- rule-based DQ validation (the reference's dq_validation
+    // stage, made real): all row-local rules fold into ONE scan via a
+    // lazy stack unpivot; unique/ref-integrity add one keyed job each.
+    // The unique rule is intentionally violated (multi-line orders) so
+    // the report proves it counts, not just passes ----
+    "q_dq_validate" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      validate(t(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 50),
+        Matches("l_returnflag", "^[ARN]$"),
+        Unique("l_orderkey"),
+        RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey")))
+        .orderBy(col("rule"), col("column"))
+    }),
+
+    // ---- deterministic masking (the reference's data_masking stage,
+    // made real): keyed pseudonym + partial redaction + numeric
+    // generalization, pure projection ----
+    "q_mask" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        graft.operators.Masking.pseudonym(col("c_custkey"), "s1").as("token"),
+        graft.operators.Masking.maskAllButLast("c_name", 4).as("name_masked"),
+        graft.operators.Masking.generalize(col("c_acctbal"), 100.0).as("bal_bucket"))
+        .orderBy(col("token"))),
+
     // ---- TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with
     // a non-key predicate; count per priority ----
     "q_tpch_order_priority" -> ((s, dir) => {
@@ -639,6 +665,33 @@ object Relational {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dq_validate" ->
+      """SELECT 'not_null' AS rule, 'l_orderkey' AS "column",
+        |  cast((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) as bigint) AS n_violations
+        |UNION ALL SELECT 'in_range', 'l_quantity',
+        |  cast((SELECT count(*) FROM lineitem
+        |        WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50)) as bigint)
+        |UNION ALL SELECT 'matches', 'l_returnflag',
+        |  cast((SELECT count(*) FROM lineitem
+        |        WHERE l_returnflag IS NOT NULL
+        |          AND NOT regexp_matches(l_returnflag, '^[ARN]$')) as bigint)
+        |UNION ALL SELECT 'unique', 'l_orderkey',
+        |  cast((SELECT coalesce(sum(n - 1), 0) FROM
+        |        (SELECT count(*) n FROM lineitem GROUP BY l_orderkey
+        |         HAVING count(*) > 1)) as bigint)
+        |UNION ALL SELECT 'ref_integrity', 'l_orderkey',
+        |  cast((SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IS NOT NULL
+        |          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) as bigint)
+        |ORDER BY rule, "column"""".stripMargin,
+
+    "q_mask" ->
+      """SELECT
+        |  cast(('0x'||substr(md5('s1:'||cast(c_custkey as varchar)),1,15)) as bigint) AS token,
+        |  repeat('*', greatest(length(c_name) - 4, 0)) || right(c_name, 4) AS name_masked,
+        |  cast(floor(cast(c_acctbal as double) / cast(100 as double)) as bigint) AS bal_bucket
+        |FROM customer ORDER BY token""".stripMargin,
 
     "q_tpch_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
