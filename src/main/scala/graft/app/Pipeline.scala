@@ -54,6 +54,34 @@ object Pipeline {
     Stage("data_masking", "data_masking", masking),
     Stage("data_publish", "data_publish", publish))
 
+  /** A real quality_check body: validate the landed data against the
+    * rules; ANY violation throws — the chain records "failed" and stops
+    * before masking/publish ever see bad data. */
+  def qualityStage(spark: org.apache.spark.sql.SparkSession,
+      rules: Seq[graft.operators.DataQuality.Rule]): CatalogEntry => Unit =
+    entry => {
+      import org.apache.spark.sql.functions.col
+      val bad = graft.operators.DataQuality
+        .validate(spark.read.parquet(entry.srcFilePath), rules)
+        .filter(col("n_violations") > 0L)
+        .collect()
+      if (bad.nonEmpty) throw new IllegalStateException(
+        "dq_validation failed: " + bad.map(r =>
+          s"${r.getString(0)}(${r.getString(1)})=${r.getLong(2)}").mkString(", "))
+    }
+
+  /** A real data_masking body: rewrite the landed data with the given
+    * column replacements into `<srcFilePath>_masked` — raw stays for
+    * the restricted zone, downstream publish reads the masked copy. */
+  def maskingStage(spark: org.apache.spark.sql.SparkSession,
+      masks: Seq[(String, org.apache.spark.sql.Column)]): CatalogEntry => Unit =
+    entry => {
+      val df = masks.foldLeft(spark.read.parquet(entry.srcFilePath)) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }
+      df.write.mode("overwrite").parquet(entry.srcFilePath + "_masked")
+    }
+
   /** Ingest, then run each stage in order, recording pass/fail in the
     * catalog. A failing stage marks its column "failed" and STOPS the
     * chain (the reference's Airflow behavior on task failure); the

@@ -52,6 +52,40 @@ class PipelineSpec extends AnyFunSuite {
       e.dataPublish == "passed")
   }
 
+  test("real DQ + masking stage bodies: clean data passes and lands masked; violations stop the chain") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{DataQuality, Masking}
+    val st = store()
+    val root = java.nio.file.Files.createTempDirectory("graft-pipe3").toString
+    val a = args(root)
+    // region fixture: r_regionkey 0..4, unique, non-null -> rules pass
+    Pipeline.run(env(st), a, Pipeline.defaultStages(
+      quality = Pipeline.qualityStage(spark, Seq(
+        DataQuality.NotNull("r_regionkey"),
+        DataQuality.InRange("r_regionkey", 0, 4),
+        DataQuality.Unique("r_regionkey"))),
+      masking = Pipeline.maskingStage(spark, Seq(
+        "r_name" -> Masking.pseudonym(col("r_name"), "s1").cast("string")))))
+    val e = st.catalogEntries(7).head
+    assert(e.dqValidation == "passed" && e.dataMasking == "passed")
+    val masked = spark.read.parquet(a.sourcePath + "_masked")
+    assert(masked.count() == 5)
+    assert(masked.filter(col("r_name").rlike("^[0-9]+$")).count() == 5) // names tokenized
+
+    // a rule the data violates: range too tight -> failed + chain stops
+    val st2 = store()
+    val root2 = java.nio.file.Files.createTempDirectory("graft-pipe4").toString
+    val ex = intercept[IllegalStateException] {
+      Pipeline.run(env(st2), args(root2), Pipeline.defaultStages(
+        quality = Pipeline.qualityStage(spark, Seq(
+          DataQuality.InRange("r_regionkey", 0, 2)))))
+    }
+    assert(ex.getMessage.contains("in_range"))
+    val e2 = st2.catalogEntries(7).head
+    assert(e2.dqValidation == "failed")
+    assert(e2.dataMasking == CatalogEntry.StatusNotStarted)
+  }
+
   test("a failing stage is marked failed, later stages never run") {
     val st = store()
     val root = java.nio.file.Files.createTempDirectory("graft-pipe2").toString
