@@ -116,20 +116,27 @@ object IngestionJob {
     }
   }
 
-  /** Config-driven maintenance for long-running atomic tables: once the
-    * live snapshot has accumulated more than `threshold` data dirs
-    * (each streaming micro-batch appends one), rewrite it as a single
-    * compacted snapshot and reclaim everything unreachable. The
+  /** Config-driven maintenance for long-running atomic tables, covering
+    * both accumulation shapes: a STREAMING table grows live data dirs
+    * (one per micro-batch append) and gets compacted + vacuumed; an
+    * OVERWRITE-per-run table keeps one live dir forever while
+    * superseded snapshots pile up, so it gets vacuumed once more than
+    * `threshold` old manifests are reclaimable (time travel to
+    * vacuumed versions ends there — the Delta retention trade). The
     * exactly-once batch-id watermark survives compaction, so a replayed
     * micro-batch is still skipped afterwards. `threshold <= 0` disables.
     * Returns the vacuumed paths (empty = nothing to do). */
   def maintain(spark: SparkSession, table: String, threshold: Int,
-      targetFiles: Int = 1): Seq[String] =
-    if (threshold > 0 &&
-        graft.land.AtomicLanding.liveDirCount(table) > threshold) {
-      graft.land.AtomicLanding.compact(spark, table, numFiles = targetFiles)
-      graft.land.AtomicLanding.vacuum(table)
-    } else Nil
+      targetFiles: Int = 1): Seq[String] = {
+    import graft.land.AtomicLanding
+    if (threshold <= 0) Nil
+    else if (AtomicLanding.liveDirCount(table) > threshold) {
+      AtomicLanding.compact(spark, table, numFiles = targetFiles)
+      AtomicLanding.vacuum(table)
+    } else if (AtomicLanding.supersededCount(table) > threshold)
+      AtomicLanding.vacuum(table)
+    else Nil
+  }
 
   private def record(env: JobEnv, args: Args, src: SourceSystem,
       startTs: Timestamp, logPath: String, lastExt: Option[Timestamp]): CatalogEntry = {

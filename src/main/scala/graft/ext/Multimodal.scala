@@ -124,11 +124,16 @@ object Multimodal {
         while (i < payload.length && payload(i).toChar.isWhitespace) i += 1
         val start = i
         while (i < payload.length && payload(i).toChar.isDigit) i += 1
-        if (i == start) -1L else new String(payload, start, i - start).toLong
+        // a digit run past 9 chars can't be a sane dimension and would
+        // overflow Long well before that — corrupt, parse as raw
+        if (i == start || i - start > 9) -1L
+        else new String(payload, start, i - start).toLong
       }
       val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
       i += 1 // the single whitespace byte terminating the header
-      if (w > 0 && h > 0 && maxval > 0 && maxval < 65536 &&
+      // bound w*h so the geometry product cannot overflow
+      if (w > 0 && h > 0 && w <= 1000000 && h <= 1000000 &&
+          maxval > 0 && maxval < 65536 &&
           payload.length - i == w * h * 3) MediaMeta(id, "ppm", payload.length.toLong, w, h, maxval)
       else raw
     } else if (payload.length >= 44 &&

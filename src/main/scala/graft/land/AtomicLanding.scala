@@ -170,6 +170,19 @@ object AtomicLanding {
       case l if l.startsWith("# batch ") => l.stripPrefix("# batch ").trim.toLong
     }
 
+  /** The published snapshot's schema, recorded in the manifest at commit
+    * time — schema enforcement reads one small manifest line instead of
+    * listing the table and merging parquet footers (which, with
+    * mergeSchema off, would also SAMPLE one file's footer and could miss
+    * an evolved column entirely). Tables written before schema lines
+    * existed fall back to a merged-footer read. */
+  def liveSchema(spark: SparkSession, table: String): Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(table).collectFirst {
+      case l if l.startsWith("# schema ") =>
+        org.apache.spark.sql.types.DataType.fromJson(
+          l.stripPrefix("# schema ")).asInstanceOf[org.apache.spark.sql.types.StructType]
+    }.orElse(currentVersion(table).map(_ => read(spark, table, mergeSchema = true).schema))
+
   /** Read the current snapshot — only ever sees fully-committed data.
     * `mergeSchema = true` unions the schemas of all live data dirs
     * (columns added by later appends surface as nulls in older rows) at
@@ -251,9 +264,13 @@ object AtomicLanding {
 
     // schema enforcement (Delta's rule): an append may never silently
     // drop or retype a live column; ADDING columns is explicit
-    // (evolveSchema), and readers see them via read(mergeSchema = true)
-    if (append) currentVersion(table).foreach { _ =>
-      val live = read(df.sparkSession, table).schema
+    // (evolveSchema), and readers see them via read(mergeSchema = true).
+    // The live schema comes from the manifest's schema line — one small
+    // read, covering EVERY live column including previously-evolved
+    // ones, with no footer listing per micro-batch.
+    val liveSch: Option[org.apache.spark.sql.types.StructType] =
+      if (append || keepDirs.nonEmpty) liveSchema(df.sparkSession, table) else None
+    if (append) liveSch.foreach { live =>
       live.foreach { f =>
         val inc = df.schema.find(_.name == f.name).getOrElse(
           throw new IllegalArgumentException(
@@ -265,6 +282,13 @@ object AtomicLanding {
       require(extras.isEmpty || evolveSchema,
         s"append adds columns [${extras.mkString(", ")}] — pass " +
           "evolveSchema = true (and read with mergeSchema = true)")
+    }
+    // the schema the NEW manifest records: live columns (in order) plus
+    // any explicitly-evolved additions; overwrite takes df's schema
+    val committedSchema = liveSch match {
+      case Some(live) => org.apache.spark.sql.types.StructType(
+        live.fields ++ df.schema.fields.filterNot(f => live.fieldNames.contains(f.name)))
+      case None => df.schema
     }
 
     val staging = hp(table, ".staging", UUID.randomUUID().toString)
@@ -287,13 +311,21 @@ object AtomicLanding {
       // (and the batch watermark we carry) just changed under us
       val dirs = (if (append) liveDirs(table) else keepDirs) :+ s"data/$dirName"
       val lines = batchId.orElse(lastBatchId(table))
-        .map(b => s"# batch $b").toSeq ++ dirs
+        .map(b => s"# batch $b").toSeq ++
+        Seq(s"# schema ${committedSchema.json}") ++ dirs
       reserved = reserveManifest(fs,
         hp(table, "manifests", manifestName(next)), lines.mkString("\n"))
       if (!reserved) {
+        // a lease-less protocol cannot distinguish a dead holder from a
+        // slow one — after the bounded wait we fail OUR commit (the
+        // staged dir becomes vacuum-able garbage) and leave the verdict
+        // to the operator: retry with a longer wait if the holder may
+        // still be alive, vacuum() only once no writer can be in flight
         require(waitedMs < maxConflictWaitMs,
-          s"version $next of $table is reserved by a stale in-flight " +
-            "commit (writer died before publishing?); vacuum() heals the table")
+          s"version $next of $table has been reserved by another writer for " +
+            s">${maxConflictWaitMs}ms — either a commit is still in flight " +
+            "(retry with a longer maxConflictWaitMs) or its writer died " +
+            "(vacuum() reclaims the orphaned slot once no writer is active)")
         Thread.sleep(25); waitedMs += 25
         currentVersion(table).foreach(cv => if (cv >= next) next = cv + 1L)
       }
@@ -335,6 +367,17 @@ object AtomicLanding {
   /** Data dirs in the live snapshot — the maintenance trigger metric: a
     * long-appending stream grows this by one per micro-batch. */
   def liveDirCount(table: String): Int = liveDirs(table).size
+
+  /** Superseded (unreachable but unreclaimed) manifests — the OTHER
+    * maintenance trigger: an overwrite-per-run table keeps liveDirCount
+    * at 1 forever while old snapshots pile up on disk until vacuumed. */
+  def supersededCount(table: String): Int = {
+    val dir = hp(table, "manifests")
+    val fs = fsOf(dir)
+    val current = currentVersion(table).map(manifestName)
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count(s => !current.contains(s.getPath.getName))
+  }
 
   /** Compaction — the answer to the streaming small-file problem: every
     * appended micro-batch adds a data dir, and a long-running stream

@@ -42,6 +42,9 @@ object DataQuality {
   /** Violation counts for every rule, one row per rule. Row-local rules
     * share a single scan; keyed rules each add one job. */
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty,
+      "validate() needs at least one rule — an empty rule list would " +
+        "trivially 'pass' whatever config produced it; fix the config")
     val (local, keyed) = rules.partition {
       case _: NotNull | _: InRange | _: Matches => true
       case _ => false

@@ -87,6 +87,21 @@ class IngestionJobSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, table).count() == rowsBefore)
   }
 
+  test("maintain vacuums an overwrite-per-run table once old snapshots pile up") {
+    import graft.land.AtomicLanding
+    val table = java.nio.file.Files.createTempDirectory("graft-app-ow").toString + "/t"
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    // five overwrite commits: liveDirCount stays 1, garbage accumulates
+    (1 to 5).foreach(i => AtomicLanding.commit(nation.limit(i), table))
+    assert(AtomicLanding.liveDirCount(table) == 1)
+    assert(AtomicLanding.supersededCount(table) == 4)
+    assert(IngestionJob.maintain(spark, table, threshold = 10).isEmpty) // under
+    val removed = IngestionJob.maintain(spark, table, threshold = 3)
+    assert(removed.count(_.contains("/data/")) == 4)
+    assert(AtomicLanding.supersededCount(table) == 0)
+    assert(AtomicLanding.read(spark, table).count() == 5) // live intact
+  }
+
   test("file pattern: relay inbound objects to raw zone and archive them") {
     val root = java.nio.file.Files.createTempDirectory("graft-app-f").toString
     val relay = new FileRelay()

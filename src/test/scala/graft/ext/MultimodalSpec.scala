@@ -34,6 +34,9 @@ class MultimodalSpec extends AnyFunSuite {
     // plain text
     val t = Multimodal.parseMeta(3L, "hello".getBytes("UTF-8"))
     assert(t == Multimodal.MediaMeta(3L, "raw", 5L, 5L, 0L, 0L))
+    // a dimension too long for Long must degrade, not throw
+    val huge = "P6\n99999999999999999999 1\n255\nxyz".getBytes("US-ASCII")
+    assert(Multimodal.parseMeta(4L, huge).codec == "raw")
   }
 
   test("decodeFeatures: distributed parse over real encoded payloads matches per-row parse") {

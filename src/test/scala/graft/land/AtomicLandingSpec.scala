@@ -200,6 +200,7 @@ class AtomicLandingSpec extends AnyFunSuite {
       .asScala.filterNot(_.startsWith("#"))
     val v0dirs = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(table, "manifests", "m-0000000000")).asScala
+      .filterNot(_.startsWith("#"))
     assert(v0dirs.forall(manifest.contains))
     // idempotent: a second pass with one merged dir + one big dir is a no-op
     val v = AtomicLanding.currentVersion(table).get
@@ -234,6 +235,13 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(merged.columns.toSet == Set("id", "name", "score"))
     assert(merged.count() == 3)
     assert(merged.filter(col("score").isNull).count() == 2)
+
+    // the evolved column is now LIVE: an append without it must fail —
+    // enforcement reads the manifest schema, not one sampled footer
+    val dropEvolved = intercept[IllegalArgumentException] {
+      AtomicLanding.commit(Seq((4L, "d")).toDF("id", "name"), table, append = true)
+    }
+    assert(dropEvolved.getMessage.contains("score"))
   }
 
   test("a slot poisoned by a dead writer fails loudly; vacuum heals it") {

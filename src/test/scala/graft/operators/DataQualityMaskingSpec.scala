@@ -33,6 +33,8 @@ class DataQualityMaskingSpec extends AnyFunSuite {
     val report = validate(df, Seq(NotNull("id"), InRange("v", 0, 10), Unique("id")))
       .as[(String, String, Long)].collect()
     assert(report.length == 3 && report.forall(_._3 == 0L))
+    // an empty rule list is a config error, not a trivial pass
+    assertThrows[IllegalArgumentException](validate(df, Seq.empty))
   }
 
   test("pseudonymized keys keep referential integrity: masked join == raw join") {
