@@ -39,6 +39,23 @@ object DataQuality {
     case _ => throw new IllegalArgumentException(s"not row-local: $r")
   }
 
+  /** Zero-extra-pass variant for row-local rules: attach the violation
+    * counters to the DataFrame itself via Spark's Observation API — the
+    * counts are collected DURING whatever action the caller already
+    * runs (typically the landing write), so validating costs no second
+    * scan at all. Read `observation.get` after the action; keys are
+    * `rule:column`. Keyed rules (unique / ref-integrity) can't ride a
+    * row-local observation — run [[validate]] for those. */
+  def observed(df: DataFrame, rules: Seq[Rule], name: String = "dq")
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    require(rules.nonEmpty, "observed() needs at least one rule")
+    val aggs = rules.map(r =>
+      coalesce(sum(when(violation(r), 1L).otherwise(0L)), lit(0L))
+        .as(s"${r.name}:${r.column}"))
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Violation counts for every rule, one row per rule. Row-local rules
     * share a single scan; keyed rules each add one job. */
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {

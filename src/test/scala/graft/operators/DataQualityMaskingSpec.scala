@@ -37,6 +37,19 @@ class DataQualityMaskingSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](validate(df, Seq.empty))
   }
 
+  test("observed rules count violations during the write itself — no second scan") {
+    import DataQuality._
+    val df = Seq((Some(1L), 10.0), (None, -4.0), (Some(3L), 200.0))
+      .toDF("id", "v")
+    val (instrumented, obs) = observed(df,
+      Seq(NotNull("id"), InRange("v", 0, 100)))
+    val out = java.nio.file.Files.createTempDirectory("graft-obs").toString + "/p"
+    instrumented.write.parquet(out) // the ONLY action that runs
+    assert(obs.get("not_null:id") == 1L)
+    assert(obs.get("in_range:v") == 2L)
+    assert(spark.read.parquet(out).count() == 3) // data landed unchanged
+  }
+
   test("pseudonymized keys keep referential integrity: masked join == raw join") {
     val c = graft.Tables.t(spark, TestSpark.Sf0001, "customer")
     val o = graft.Tables.t(spark, TestSpark.Sf0001, "orders")
