@@ -432,6 +432,14 @@ object LlmPipeline {
         .orderBy(col("fmt"))
     }),
 
+    // ---- sequence packing: the concat-and-chunk layout pretraining
+    // uses — per-source token streams cut into 256-token context
+    // windows, docs spanning boundaries (no padding waste). Pure
+    // integer window arithmetic ----
+    "q_pack" -> ((s, dir) =>
+      graft.ext.Packing.concatChunk(docs(s, dir), "source", c = 256)
+        .orderBy(col("stream"), col("doc_id"))),
+
     // ---- collocation extraction: integer-scaled PMI lift (the log is
     // monotone and libm logs are NOT cross-engine stable, so rank by
     // the scaled ratio instead) ----
@@ -917,6 +925,19 @@ object LlmPipeline {
         |  min(octet_length(encode(text))) AS min_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id, source AS stream,
+        |    cast(len(regexp_extract_all(text, '\S+')) as bigint) n_tok
+        |  FROM documents),
+        |o AS (SELECT doc_id, stream, n_tok,
+        |    cast(coalesce(sum(n_tok) OVER (PARTITION BY stream ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) ofs
+        |  FROM t)
+        |SELECT doc_id, stream, n_tok, ofs AS "offset",
+        |  cast(ofs // 256 as bigint) AS start_bin,
+        |  cast((ofs + greatest(n_tok - 1, 0)) // 256 as bigint) AS end_bin
+        |FROM o ORDER BY stream, doc_id""".stripMargin,
 
     "q_format_roundtrip" ->
       """SELECT 'csv' AS fmt, count(*) AS n_docs,
