@@ -38,6 +38,49 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
 
+  /** Exact duplicate-SPAN extraction (word granularity) — the
+    * substring-level dedup tier: find every position where a word
+    * n-gram occurs more than once ANYWHERE in the corpus, then merge
+    * overlapping/adjacent hits per document into maximal spans
+    * `[span_start, span_end]` (1-based word indexes, inclusive). The
+    * spans are what substring-dedup pipelines cut out of documents
+    * that merely EMBED boilerplate without being near-dups overall.
+    *
+    * Cost shape: one explode to (doc, pos, gram-hash), one groupBy on
+    * the 8-byte hash for the duplicate filter (frequency, never pair
+    * enumeration — a gram repeated a million times costs one count),
+    * one per-doc ordered window for the interval merge. Nothing is
+    * ever all-pairs. */
+  def duplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = col("_w")
+    val grams = docs.select(col("doc_id"), words(col("text")).as("_w"))
+      .filter(size(w) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => struct(i.as("pos"),
+            xxhash64(concat_ws(" ", slice(w, i, lit(n)))).as("gh")))).as("g"))
+      .select(col("doc_id"), col("g.pos"), col("g.gh"))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("gh"))
+    val hits = grams.join(dupGrams, "gh")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    // interval merge: a hit at pos covers [pos, pos+n-1]; a new span
+    // starts when pos exceeds the running max end of all earlier hits
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val before = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("pos") + (n - 1)).over(before),
+          lit(Long.MinValue)) + 1L, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(run))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   val MinhashK = 120

@@ -432,6 +432,14 @@ object LlmPipeline {
         .orderBy(col("fmt"))
     }),
 
+    // ---- exact duplicate-span extraction: positions of corpus-repeated
+    // word 5-grams merged into maximal per-doc spans — the
+    // substring-dedup tier that cuts embedded boilerplate out of
+    // otherwise-unique documents ----
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), n = 5)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // ---- sequence packing: the concat-and-chunk layout pretraining
     // uses — per-source token streams cut into 256-token context
     // windows, docs spanning boundaries (no padding waste). Pure
@@ -925,6 +933,28 @@ object LlmPipeline {
         |  min(octet_length(encode(text))) AS min_bytes,
         |  max(octet_length(encode(text))) AS max_bytes
         |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin,
+
+    // duplicated-5-gram positions (by the gram STRING — Spark joins on
+    // xxhash64, identical counts short of a 64-bit collision), merged
+    // into spans with the same gaps-and-islands arithmetic
+    "q_dup_spans" ->
+      """WITH wl AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |g AS (SELECT doc_id, unnest(range(1, len(w) - 3)) pos, w
+        |      FROM wl WHERE len(w) >= 5),
+        |gr AS (SELECT doc_id, pos, array_to_string(w[pos:pos+4],' ') s FROM g),
+        |dup AS (SELECT s FROM gr GROUP BY s HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, cast(pos as bigint) pos FROM gr JOIN dup USING (s)),
+        |m AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > coalesce(max(pos + 4) OVER (PARTITION BY doc_id
+        |         ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         -9223372036854775807) + 1
+        |       THEN 1 ELSE 0 END brk FROM hits),
+        |i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+        |        ORDER BY pos ROWS UNBOUNDED PRECEDING) span_id FROM m)
+        |SELECT doc_id, cast(min(pos) as bigint) AS span_start,
+        |  cast(max(pos) + 4 as bigint) AS span_end
+        |FROM i GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q_pack" ->
       """WITH t AS (SELECT doc_id, source AS stream,

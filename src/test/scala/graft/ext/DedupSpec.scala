@@ -16,6 +16,36 @@ class DedupSpec extends AnyFunSuite {
     (5L, "tiny doc"),
   ).toDF("doc_id", "text")
 
+
+  test("duplicateSpans: embedded boilerplate yields merged maximal spans, unique text none") {
+    val d = Seq(
+      // docs 10/11 embed the same 7-word boilerplate at different offsets
+      // inside otherwise-unique text; doc 12 is fully unique
+      (10L, "u1 u2 u3 please read the following terms and conditions carefully t1 t2 t3"),
+      (11L, "v1 v2 please read the following terms and conditions carefully w1 w2 w3 w4"),
+      (12L, "totally unique words that appear nowhere else in this tiny corpus at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    // the 8-word boilerplate sits at words 4..11 of doc 10 (1-based) and
+    // 3..10 of doc 11: its four overlapping duplicated 5-grams merge
+    // into ONE maximal span each; the unique doc yields nothing
+    assert(spans == Set((10L, 4L, 11L), (11L, 3L, 10L)))
+  }
+
+  test("duplicateSpans merges adjacent-but-disjoint hits and keeps separated ones apart") {
+    val rep = "r1 r2 r3 r4 r5"
+    val d = Seq(
+      (1L, s"$rep a b c d e f g h $rep"),   // two separated copies -> two spans
+      (2L, s"$rep $rep")                    // adjacent copies -> one merged span
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spans.contains((2L, 1L, 10L)))   // merged across the boundary
+    assert(spans.exists(s => s._1 == 1L && s._2 == 1L))
+    assert(spans.exists(s => s._1 == 1L && s._3 == 18L))
+  }
+
   test("exactDupGroups collapses identical texts to one group") {
     val g = Dedup.exactDupGroups(docs).collect()
     assert(g.length == 4) // 3+4 share a fingerprint
