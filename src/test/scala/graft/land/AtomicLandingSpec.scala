@@ -242,6 +242,21 @@ class AtomicLandingSpec extends AnyFunSuite {
       AtomicLanding.commit(Seq((4L, "d")).toDF("id", "name"), table, append = true)
     }
     assert(dropEvolved.getMessage.contains("score"))
+
+    // tables written before schema lines existed: strip the line from
+    // the live manifest — enforcement falls back to merged footers and
+    // still catches the drop
+    val v = AtomicLanding.currentVersion(table).get
+    val mPath = java.nio.file.Paths.get(table, "manifests", f"m-$v%010d")
+    val stripped = java.nio.file.Files.readAllLines(mPath)
+    java.nio.file.Files.write(mPath,
+      String.join("\n",
+        stripped.stream.filter(l => !l.startsWith("# schema")).toArray(
+          n => new Array[String](n)): _*).getBytes("UTF-8"))
+    val legacy = intercept[IllegalArgumentException] {
+      AtomicLanding.commit(Seq((5L, "e")).toDF("id", "name"), table, append = true)
+    }
+    assert(legacy.getMessage.contains("score"))
   }
 
   test("a slot poisoned by a dead writer fails loudly; vacuum heals it") {
