@@ -54,6 +54,10 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = col("_w")
+    // materialized once: both the frequency filter and the hit join
+    // consume the exploded grams, and re-running the explode (an
+    // interpreted lambda chain) costs more than storing the 3-column
+    // result
     val grams = docs.select(col("doc_id"), words(col("text")).as("_w"))
       .filter(size(w) >= n)
       .select(col("doc_id"), explode(
@@ -61,6 +65,7 @@ object Dedup {
           i => struct(i.as("pos"),
             xxhash64(concat_ws(" ", slice(w, i, lit(n)))).as("gh")))).as("g"))
       .select(col("doc_id"), col("g.pos"), col("g.gh"))
+      .localCheckpoint(true)
     val dupGrams = grams.groupBy(col("gh"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2).select(col("gh"))
     val hits = grams.join(dupGrams, "gh")
