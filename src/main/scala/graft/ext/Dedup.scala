@@ -86,6 +86,30 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** Apply [[duplicateSpans]]: rewrite each document with every
+    * duplicated span removed (aggressive boilerplate excision — the
+    * cut-don't-drop alternative to whole-document dedup). Span lists
+    * ride a per-doc array through one join; the word filter is a pure
+    * nested higher-order expression, so the rewrite costs the span
+    * computation plus one projection. Returns (doc_id, n_kept,
+    * clean_text). */
+  def scrubSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val spanArr = duplicateSpans(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("sp"))
+    docs.join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), words(col("text")).as("w"),
+        coalesce(col("sp"), array().cast("array<struct<s:bigint,e:bigint>>")).as("sp"))
+      .select(col("doc_id"), filter(
+        transform(sequence(lit(1), size(col("w"))),
+          i => struct(i.cast("long").as("i"), element_at(col("w"), i).as("word"))),
+        x => !exists(col("sp"),
+          s => x("i") >= s("s") && x("i") <= s("e"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", transform(col("kept"), x => x("word"))).as("clean_text"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   val MinhashK = 120

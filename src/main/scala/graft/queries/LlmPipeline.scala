@@ -440,6 +440,14 @@ object LlmPipeline {
       Dedup.duplicateSpans(docs(s, dir), n = 5)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // ---- span-scrub application: duplicated spans cut OUT of each doc
+    // (boilerplate excision, not whole-doc dropping); gated on a
+    // word-count + md5 fingerprint of the rewritten text ----
+    "q_scrub_spans" -> ((s, dir) =>
+      Dedup.scrubSpans(docs(s, dir), n = 5)
+        .select(col("doc_id"), col("n_kept"), md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))),
+
     // ---- sequence packing: the concat-and-chunk layout pretraining
     // uses — per-source token streams cut into 256-token context
     // windows, docs spanning boundaries (no padding waste). Pure
@@ -955,6 +963,37 @@ object LlmPipeline {
         |  cast(max(pos) + 4 as bigint) AS span_end
         |FROM i GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // the q_dup_spans span set re-derived, then every in-span word
+    // position anti-joined away and the survivors re-joined in order
+    "q_scrub_spans" ->
+      """WITH wl AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |g AS (SELECT doc_id, unnest(range(1, len(w) - 3)) pos, w
+        |      FROM wl WHERE len(w) >= 5),
+        |gr AS (SELECT doc_id, pos, array_to_string(w[pos:pos+4],' ') s FROM g),
+        |dup AS (SELECT s FROM gr GROUP BY s HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, cast(pos as bigint) pos FROM gr JOIN dup USING (s)),
+        |m AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > coalesce(max(pos + 4) OVER (PARTITION BY doc_id
+        |         ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |         -9223372036854775807) + 1
+        |       THEN 1 ELSE 0 END brk FROM hits),
+        |i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+        |        ORDER BY pos ROWS UNBOUNDED PRECEDING) span_id FROM m),
+        |spans AS (SELECT doc_id, min(pos) ss, max(pos) + 4 se
+        |          FROM i GROUP BY doc_id, span_id),
+        |posn AS (SELECT doc_id, unnest(range(1, len(w) + 1)) i, w FROM wl),
+        |kept AS (SELECT p.doc_id, p.i, p.w[p.i] word FROM posn p
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |           WHERE s.doc_id = p.doc_id AND p.i BETWEEN s.ss AND s.se))
+        |SELECT w.doc_id,
+        |  cast(coalesce(k.n, 0) as bigint) AS n_kept,
+        |  md5(coalesce(k.txt, '')) AS clean_fp
+        |FROM wl w LEFT JOIN (
+        |  SELECT doc_id, count(*) n,
+        |    array_to_string(list(word ORDER BY i), ' ') txt
+        |  FROM kept GROUP BY doc_id) k ON w.doc_id = k.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     "q_pack" ->
       """WITH t AS (SELECT doc_id, source AS stream,

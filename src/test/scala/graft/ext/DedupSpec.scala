@@ -46,6 +46,21 @@ class DedupSpec extends AnyFunSuite {
     assert(spans.exists(s => s._1 == 1L && s._3 == 18L))
   }
 
+
+  test("scrubSpans cuts duplicated spans out, leaves unique docs untouched") {
+    val d = Seq(
+      (10L, "u1 u2 u3 please read the following terms and conditions carefully t1 t2 t3"),
+      (11L, "v1 v2 please read the following terms and conditions carefully w1 w2 w3 w4"),
+      (12L, "totally unique words that appear nowhere else in this tiny corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(d, n = 5)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) == ((6L, "u1 u2 u3 t1 t2 t3")))      // span 4..11 removed
+    assert(out(11L) == ((6L, "v1 v2 w1 w2 w3 w4")))      // span 3..10 removed
+    assert(out(12L)._1 == 13L)                           // untouched
+    assert(out(12L)._2.startsWith("totally unique"))
+  }
+
   test("exactDupGroups collapses identical texts to one group") {
     val g = Dedup.exactDupGroups(docs).collect()
     assert(g.length == 4) // 3+4 share a fingerprint
