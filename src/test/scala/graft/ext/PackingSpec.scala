@@ -27,6 +27,33 @@ class PackingSpec extends AnyFunSuite {
     assert(out(11L) == ((0L, 2L, 0L, 0L)))
   }
 
+  test("property: offsets tile every stream exactly for arbitrary corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("a", "bb", "ccc", "dddd")
+    val text = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 4L), text)))
+    val prop = Prop.forAllNoShrink(corpus, Gen.chooseNum(1, 16)) { (rows, c) =>
+      val docs = rows.zipWithIndex
+        .map { case ((src, t), i) => (i.toLong, s"s$src", t) }
+        .toDF("doc_id", "source", "text")
+      val packed = Packing.concatChunk(docs, "source", c).collect()
+      packed.groupBy(_.getString(1)).forall { case (_, rs) =>
+        val byId = rs.sortBy(_.getLong(0))
+        // offset chain tiles exactly AND bins never precede offsets
+        byId.head.getLong(3) == 0L &&
+          byId.sliding(2).forall {
+            case Array(a, b) => b.getLong(3) == a.getLong(3) + a.getLong(2)
+            case _ => true
+          } &&
+          byId.forall(r => r.getLong(4) == r.getLong(3) / c &&
+            r.getLong(5) == (r.getLong(3) + math.max(r.getLong(2) - 1, 0)) / c)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("no token is lost or duplicated: bin spans tile the stream exactly") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val packed = Packing.concatChunk(docs, "source", c = 256).collect()
