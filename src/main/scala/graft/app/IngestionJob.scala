@@ -127,14 +127,23 @@ object IngestionJob {
     * micro-batch is still skipped afterwards. `threshold <= 0` disables.
     * Returns the vacuumed paths (empty = nothing to do). */
   def maintain(spark: SparkSession, table: String, threshold: Int,
-      targetFiles: Int = 1): Seq[String] = {
+      targetFiles: Int = 1,
+      reservationGraceMs: Long = 600000L): Seq[String] = {
     import graft.land.AtomicLanding
+    // Concurrent-writer safe, because this runs IN the commit path where
+    // other writers may be live: vacuum gets a grace period so a
+    // concurrent writer's future-slot reservation (its per-version lock)
+    // and freshly staged data survive, and a compact whose snapshot a
+    // concurrent commit overtook detects the conflict (expectedVersion)
+    // and is skipped this run — maintenance is best-effort and the next
+    // run retries it.
     if (threshold <= 0) Nil
     else if (AtomicLanding.liveDirCount(table) > threshold) {
-      AtomicLanding.compact(spark, table, numFiles = targetFiles)
-      AtomicLanding.vacuum(table)
+      try AtomicLanding.compact(spark, table, numFiles = targetFiles)
+      catch { case _: java.util.ConcurrentModificationException => () }
+      AtomicLanding.vacuum(table, futureGraceMs = reservationGraceMs)
     } else if (AtomicLanding.supersededCount(table) > threshold)
-      AtomicLanding.vacuum(table)
+      AtomicLanding.vacuum(table, futureGraceMs = reservationGraceMs)
     else Nil
   }
 

@@ -223,13 +223,16 @@ object AtomicLanding {
     * the refinement; the commit protocol is identical. */
   def merge(updates: DataFrame, table: String, key: String): Long = {
     val spark = updates.sparkSession
-    val merged = read(spark, table)
+    val base = currentVersion(table)
+    val merged = read(spark, table, mergeSchema = true)
       .join(updates.select(key), Seq(key), "left_anti")
-      .unionByName(updates)
+      .unionByName(updates, allowMissingColumns = true)
     // safe to read-while-writing: the staging write scans the OLD data
     // dirs, which stay on disk until a later vacuum — publishing only
-    // swings the pointer
-    commit(merged, table)
+    // swings the pointer. expectedVersion fails the publish if a
+    // concurrent commit landed after our snapshot read (the rewrite
+    // would erase it otherwise).
+    commit(merged, table, expectedVersion = base)
   }
 
   /** Write `df` and publish atomically; returns the committed version.
@@ -259,7 +262,8 @@ object AtomicLanding {
       batchId: Option[Long] = None,
       maxConflictWaitMs: Long = 30000L,
       keepDirs: Seq[String] = Nil,
-      evolveSchema: Boolean = false): Long = {
+      evolveSchema: Boolean = false,
+      expectedVersion: Option[Long] = None): Long = {
     val fs = fsOf(hp(table))
 
     // schema enforcement (Delta's rule): an append may never silently
@@ -267,28 +271,34 @@ object AtomicLanding {
     // (evolveSchema), and readers see them via read(mergeSchema = true).
     // The live schema comes from the manifest's schema line — one small
     // read, covering EVERY live column including previously-evolved
-    // ones, with no footer listing per micro-batch.
-    val liveSch: Option[org.apache.spark.sql.types.StructType] =
-      if (append || keepDirs.nonEmpty) liveSchema(df.sparkSession, table) else None
-    if (append) liveSch.foreach { live =>
-      live.foreach { f =>
-        val inc = df.schema.find(_.name == f.name).getOrElse(
-          throw new IllegalArgumentException(
-            s"append drops live column '${f.name}' — appends must carry every live column"))
-        require(inc.dataType == f.dataType,
-          s"append retypes live column '${f.name}': ${f.dataType} -> ${inc.dataType}")
+    // ones, with no footer listing per micro-batch. Recomputed on every
+    // reservation attempt: a losing writer rebases onto a snapshot whose
+    // schema a concurrent evolveSchema append may have just changed, so
+    // a stale pre-loop schema would silently drop the evolved column
+    // from the manifest it records.
+    def enforcedSchema(): org.apache.spark.sql.types.StructType = {
+      val liveSch: Option[org.apache.spark.sql.types.StructType] =
+        if (append || keepDirs.nonEmpty) liveSchema(df.sparkSession, table) else None
+      if (append) liveSch.foreach { live =>
+        live.foreach { f =>
+          val inc = df.schema.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"append drops live column '${f.name}' — appends must carry every live column"))
+          require(inc.dataType == f.dataType,
+            s"append retypes live column '${f.name}': ${f.dataType} -> ${inc.dataType}")
+        }
+        val extras = df.schema.map(_.name).toSet -- live.map(_.name).toSet
+        require(extras.isEmpty || evolveSchema,
+          s"append adds columns [${extras.mkString(", ")}] — pass " +
+            "evolveSchema = true (and read with mergeSchema = true)")
       }
-      val extras = df.schema.map(_.name).toSet -- live.map(_.name).toSet
-      require(extras.isEmpty || evolveSchema,
-        s"append adds columns [${extras.mkString(", ")}] — pass " +
-          "evolveSchema = true (and read with mergeSchema = true)")
-    }
-    // the schema the NEW manifest records: live columns (in order) plus
-    // any explicitly-evolved additions; overwrite takes df's schema
-    val committedSchema = liveSch match {
-      case Some(live) => org.apache.spark.sql.types.StructType(
-        live.fields ++ df.schema.fields.filterNot(f => live.fieldNames.contains(f.name)))
-      case None => df.schema
+      // the schema the NEW manifest records: live columns (in order) plus
+      // any explicitly-evolved additions; overwrite takes df's schema
+      liveSch match {
+        case Some(live) => org.apache.spark.sql.types.StructType(
+          live.fields ++ df.schema.fields.filterNot(f => live.fieldNames.contains(f.name)))
+        case None => df.schema
+      }
     }
 
     val staging = hp(table, ".staging", UUID.randomUUID().toString)
@@ -308,11 +318,11 @@ object AtomicLanding {
     var reserved = false
     while (!reserved) {
       // rebuilt per attempt: a lost race means the snapshot we append to
-      // (and the batch watermark we carry) just changed under us
+      // (and the batch watermark and schema we carry) just changed under us
       val dirs = (if (append) liveDirs(table) else keepDirs) :+ s"data/$dirName"
       val lines = batchId.orElse(lastBatchId(table))
         .map(b => s"# batch $b").toSeq ++
-        Seq(s"# schema ${committedSchema.json}") ++ dirs
+        Seq(s"# schema ${enforcedSchema().json}") ++ dirs
       reserved = reserveManifest(fs,
         hp(table, "manifests", manifestName(next)), lines.mkString("\n"))
       if (!reserved) {
@@ -332,6 +342,17 @@ object AtomicLanding {
     }
 
     try {
+      // snapshot-conflict detection for whole-snapshot rewrites (merge /
+      // compact): those callers computed `df` from version E, and if a
+      // concurrent append won a version in between, publishing the
+      // rewrite would silently erase that append's rows. Detect-and-fail
+      // (Delta's non-append conflict rule) — the caller retries from the
+      // fresh snapshot; the reserved slot is released below.
+      expectedVersion.foreach { e =>
+        if (next != e + 1L) throw new java.util.ConcurrentModificationException(
+          s"$table moved to version ${next - 1} while rewriting snapshot $e — " +
+            "a concurrent commit landed; retry the rewrite from the current snapshot")
+      }
       beforePublish()
       val tmp = hp(table, s".$Pointer.${UUID.randomUUID()}")
       writeUtf8(fs, tmp, manifestName(next))
@@ -390,9 +411,14 @@ object AtomicLanding {
     * after compaction. */
   def compact(spark: SparkSession, table: String,
       numFiles: Int = 0): Long = {
-    val df0 = read(spark, table)
+    val base = currentVersion(table)
+    // mergeSchema: a schema-evolved table has columns that live only in
+    // newer data dirs; the default single-footer sample could silently
+    // drop them from the rewrite — and vacuum() then deletes the only
+    // dirs that had the data, making the loss permanent
+    val df0 = read(spark, table, mergeSchema = true)
     val df = if (numFiles > 0) df0.coalesce(numFiles) else df0
-    commit(df, table, batchId = lastBatchId(table))
+    commit(df, table, batchId = lastBatchId(table), expectedVersion = base)
   }
 
   /** Bin-packing compaction: rewrite ONLY the data dirs at or below
@@ -406,16 +432,21 @@ object AtomicLanding {
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
       numFiles: Int = 1): Long = {
     val fs = fsOf(hp(table))
+    val base = currentVersion(table)
     val (small, big) = liveDirs(table).partition { d =>
       fs.getContentSummary(hp(table, d)).getLength <= smallBytes
     }
     if (small.size < 2)
-      currentVersion(table).getOrElse(
+      base.getOrElse(
         throw new IllegalStateException(s"no committed snapshot at $table"))
     else {
-      val merged = spark.read.parquet(small.map(d => s"$table/$d"): _*)
+      // mergeSchema for the same reason as compact(): an evolved column
+      // present in only some of the small dirs must survive the fold
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(small.map(d => s"$table/$d"): _*)
         .coalesce(numFiles)
-      commit(merged, table, batchId = lastBatchId(table), keepDirs = big)
+      commit(merged, table, batchId = lastBatchId(table), keepDirs = big,
+        expectedVersion = base)
     }
   }
 
@@ -423,22 +454,58 @@ object AtomicLanding {
     * ones were MOVED out, so anything left is an aborted write), data
     * dirs absent from the live manifest, and superseded manifests —
     * including orphaned FUTURE manifests, which is how a slot poisoned
-    * by a hard-killed writer is healed. Run with no writers in flight: a
-    * live reservation is indistinguishable from a poisoned one and will
-    * be reclaimed. Returns paths removed. */
-  def vacuum(table: String): Seq[String] = {
+    * by a hard-killed writer is healed. Returns paths removed.
+    *
+    * `futureGraceMs = 0` (operator-invoked healing) reclaims everything
+    * and must run with no writers in flight: a live reservation is
+    * indistinguishable from a poisoned one. A POSITIVE grace makes
+    * vacuum safe to run alongside writers — a FUTURE manifest (version
+    * above the pointer) younger than the grace is a concurrent writer's
+    * live per-version lock and is preserved, and so are recent staging
+    * dirs (a writer stages data BEFORE reserving its slot). Auto-
+    * maintenance in the ingestion commit path uses this mode. */
+  def vacuum(table: String, futureGraceMs: Long = 0L): Seq[String] = {
     val fs = fsOf(hp(table))
-    val live = liveDirs(table).map(_.stripPrefix("data/")).toSet
-    val current = currentVersion(table).map(manifestName)
+    val cur = currentVersion(table)
+    val current = cur.map(manifestName)
+    val now = System.currentTimeMillis()
+    def young(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      futureGraceMs > 0 && now - s.getModificationTime < futureGraceMs
+    // A young FUTURE manifest is a concurrent writer's live per-version
+    // lock: it AND the data dirs it references must survive.
+    def isLiveReservation(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val v = s.getPath.getName.stripPrefix("m-")
+      young(s) && v.forall(_.isDigit) && cur.forall(_ < v.toLong)
+    }
+    val mDir = hp(table, "manifests")
+    val manifests: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.exists(mDir)) fs.listStatus(mDir).toSeq else Nil
+    val (keptManifests, doomedManifests) = manifests.partition(s =>
+      current.contains(s.getPath.getName) || isLiveReservation(s))
+    def referenced(ms: Seq[org.apache.hadoop.fs.FileStatus]): Set[String] =
+      ms.flatMap(s => readUtf8(fs, s.getPath).split("\n").toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.stripPrefix("data/"))).toSet
+    val keep = referenced(keptManifests)
+    val everReferenced = keep ++ referenced(doomedManifests)
+    // Data-dir doom rules: referenced by a kept manifest -> keep;
+    // referenced only by doomed manifests -> superseded garbage, any age;
+    // referenced by NOTHING -> aborted-commit garbage unless young (a
+    // live writer moves staging -> data/ BEFORE reserving its slot).
+    def doomedData(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = s.getPath.getName
+      !keep.contains(n) && (everReferenced.contains(n) || !young(s))
+    }
     val doomed = Seq(
-      hp(table, ".staging") -> ((_: String) => true),
-      hp(table, "data") -> ((n: String) => !live.contains(n)),
-      hp(table, "manifests") -> ((n: String) => !current.contains(n)))
+      hp(table, ".staging") -> ((s: org.apache.hadoop.fs.FileStatus) => !young(s)),
+      hp(table, "data") -> (doomedData _),
+      hp(table, "manifests") -> ((s: org.apache.hadoop.fs.FileStatus) =>
+        doomedManifests.exists(_.getPath == s.getPath)))
     doomed.flatMap { case (dir, cond) =>
       if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir).toSeq.map(_.getPath)
-        .filter(p => cond(p.getName)).map { p =>
-          fs.delete(p, true); p.toString
+      else fs.listStatus(dir).toSeq
+        .filter(cond).map { s =>
+          fs.delete(s.getPath, true); s.getPath.toString
         }
     }
   }

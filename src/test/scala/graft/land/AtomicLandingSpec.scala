@@ -333,4 +333,80 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$table/data").listFiles().count(_.isDirectory) == 1)
     assert(AtomicLanding.read(spark, table).count() == 8)
   }
+
+  test("compact + vacuum preserve a schema-evolved column (no permanent loss)") {
+    import spark.implicits._
+    val table = freshTable()
+    AtomicLanding.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), table)
+    AtomicLanding.commit(Seq((3L, "c", 0.5)).toDF("id", "name", "score"),
+      table, append = true, evolveSchema = true)
+
+    // the compaction rewrite must read with merged schemas: the `score`
+    // column lives ONLY in the newer data dir, and a single-footer
+    // sample could drop it — permanently, once vacuum deletes the
+    // original dirs
+    AtomicLanding.compact(spark, table, numFiles = 1)
+    AtomicLanding.vacuum(table)
+    val df = AtomicLanding.read(spark, table, mergeSchema = true)
+    assert(df.columns.toSet == Set("id", "name", "score"))
+    assert(df.filter(col("score") === 0.5).count() == 1)
+    // the manifest schema still advertises the column, and enforcement
+    // still protects it after the rewrite
+    assert(AtomicLanding.liveSchema(spark, table).get.fieldNames.contains("score"))
+
+    // compactSmall's fold path must survive evolution too
+    val t2 = freshTable()
+    AtomicLanding.commit(Seq((1L, "a")).toDF("id", "name"), t2)
+    AtomicLanding.commit(Seq((2L, "b", 7L)).toDF("id", "name", "extra"),
+      t2, append = true, evolveSchema = true)
+    AtomicLanding.compactSmall(spark, t2, smallBytes = 1024 * 1024)
+    AtomicLanding.vacuum(t2)
+    val df2 = AtomicLanding.read(spark, t2, mergeSchema = true)
+    assert(df2.columns.toSet == Set("id", "name", "extra"))
+    assert(df2.filter(col("extra") === 7L).count() == 1)
+  }
+
+  test("vacuum with a grace period spares a concurrent writer's live reservation and staged data") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    (1 to 3).foreach(i => AtomicLanding.commit(nation.limit(i), table)) // v0..v2
+    // a concurrent writer mid-commit: data moved under data/, slot m-3
+    // reserved, pointer not yet swung
+    val wdir = java.nio.file.Paths.get(table, "data", "inflight-dir")
+    java.nio.file.Files.createDirectories(wdir)
+    java.nio.file.Files.write(wdir.resolve("part-0.parquet"), Array[Byte](1))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, "manifests", "m-0000000003"),
+      "data/inflight-dir".getBytes("UTF-8"))
+
+    val removed = AtomicLanding.vacuum(table, futureGraceMs = 60000L)
+    // superseded snapshots ARE reclaimed (any age)...
+    assert(removed.count(_.contains("/data/")) == 2)
+    assert(removed.count(_.contains("/manifests/")) == 2)
+    // ...but the live reservation and its data survive
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "manifests", "m-0000000003")))
+    assert(java.nio.file.Files.exists(wdir))
+    assert(AtomicLanding.read(spark, table).count() == 3) // live snapshot intact
+
+    // grace 0 = operator healing: the orphaned reservation is reclaimed
+    val healed = AtomicLanding.vacuum(table)
+    assert(healed.exists(_.contains("m-0000000003")))
+    assert(healed.exists(_.contains("inflight-dir")))
+  }
+
+  test("a snapshot rewrite that a concurrent commit overtook fails instead of erasing it") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    AtomicLanding.commit(nation.limit(2), table) // v0
+    AtomicLanding.commit(nation.limit(3), table, append = true) // v1 — the "concurrent" append
+    // a rewrite computed from snapshot v0 must NOT publish over v1
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      AtomicLanding.commit(nation.limit(1), table, expectedVersion = Some(0L))
+    }
+    assert(ex.getMessage.contains("concurrent"))
+    // the failed rewrite released its slot: the next commit takes v2
+    assert(AtomicLanding.commit(nation.limit(4), table, append = true) == 2L)
+    assert(AtomicLanding.read(spark, table).count() == 9)
+  }
 }
