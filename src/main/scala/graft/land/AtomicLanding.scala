@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{ChecksumFileSystem, FileContext, FileSystem, Options, Path => HPath}
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** ACID landing commits.
@@ -38,20 +38,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * All IO goes through the Hadoop `FileSystem`/`FileContext` abstraction
   * (the same one `graft.files.FileRelay` uses), so the identical protocol
-  * runs on `file://`, `hdfs://`, or any mounted Hadoop FS. Atomicity of
-  * step (5) per store:
-  *   - local FS: the pointer swing is one POSIX `rename(2)` (the raw,
-  *     non-checksummed FS is used for metadata so no stale `.crc`
-  *     sidecars shadow the overwritten pointer);
+  * runs on `file://`, `hdfs://`, `s3a://`, or any mounted Hadoop FS.
+  * Atomicity of step (5) is the [[PointerStore]] seam:
+  *   - local FS: one POSIX `rename(2)` (the raw, non-checksummed FS is
+  *     used for metadata so no stale `.crc` sidecars shadow the
+  *     overwritten pointer);
   *   - HDFS: `FileSystem.rename` refuses an existing destination, so the
   *     swing falls back to `FileContext.rename(..., OVERWRITE)` — HDFS's
   *     documented atomic overwriting rename;
-  *   - object stores without atomic rename (S3 et al.): the swing must
-  *     become the store's conditional small-object PUT
-  *     (compare-and-swap on the pointer key). That is the ONLY primitive
-  *     the protocol needs from the store — data dirs and manifests are
-  *     immutable and never overwritten, so reader isolation never
-  *     depends on directory-rename atomicity.
+  *   - object stores without atomic rename (S3 et al.): a direct
+  *     whole-object PUT of the pointer key — already atomic for readers.
+  *     That is the ONLY primitive the protocol needs from the store —
+  *     data dirs and manifests are immutable and never overwritten, so
+  *     reader isolation never depends on directory-rename atomicity
+  *     (proven by the multi-writer suite running under a wrapper FS that
+  *     refuses overwriting renames, `S3SimAtomicLandingSpec`).
   * Multi-writer commits use optimistic concurrency, the same shape as
   * Delta's protocol: the EXCLUSIVE create of manifest `m-(v+1)` is the
   * per-version lock — at most one writer can own a version, a loser
@@ -95,11 +96,6 @@ object AtomicLanding {
     new String(buf, StandardCharsets.UTF_8)
   }
 
-  private def writeUtf8(fs: FileSystem, p: HPath, s: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-  }
-
   /** Exclusively reserve manifest slot `m` and write its content — the
     * per-version lock of the optimistic protocol. Readers never look at
     * manifests above the pointer, so the non-atomic content write after
@@ -129,17 +125,6 @@ object AtomicLanding {
       true
     } catch { case _: java.io.IOException if fs.exists(m) => false }
   }
-
-  /** Atomically make `dst` point at `tmp`'s content. Local raw FS: plain
-    * rename overwrites in one syscall. Stores whose `FileSystem.rename`
-    * refuses an existing destination (HDFS) get the `FileContext`
-    * OVERWRITE form instead. */
-  private def swing(fs: FileSystem, tmp: HPath, dst: HPath): Unit =
-    if (!fs.rename(tmp, dst)) {
-      val fc = FileContext.getFileContext(fs.getUri, hconf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
-        Options.Rename.OVERWRITE)
-    }
 
   /** The published version, if any commit has ever completed. */
   def currentVersion(table: String): Option[Long] = {
@@ -354,9 +339,10 @@ object AtomicLanding {
             "a concurrent commit landed; retry the rewrite from the current snapshot")
       }
       beforePublish()
-      val tmp = hp(table, s".$Pointer.${UUID.randomUUID()}")
-      writeUtf8(fs, tmp, manifestName(next))
-      swing(fs, tmp, hp(table, Pointer))
+      // the pointer swing goes through the PointerStore seam: rename-based
+      // on POSIX/HDFS, direct-PUT on object stores without atomic rename
+      PointerStore.forPointer(fs, hconf, hp(table, Pointer))
+        .publish(manifestName(next))
     } catch {
       case t: Throwable =>
         // an in-JVM failure releases its slot reservation so later
