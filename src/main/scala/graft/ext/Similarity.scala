@@ -206,22 +206,29 @@ object Similarity {
 
   // ------------------------------------------------------- LSH-bucketed ANN
 
-  /** 16 fixed random hyperplanes (seeded — reproducible across runs). */
+  /** 16 fixed random hyperplanes (seeded — reproducible across runs).
+    * Float components: the signature dot below is the exact scaled-integer
+    * [[dotScaled]], whose contract is (array<float>, array<float>), and
+    * floats emit as exact double literals for the cross-engine oracle. */
   val AnnPlanes = 16
   val AnnDim = 64
-  private val hyperplanes: Seq[Seq[Double]] = {
+  val annHyperplanes: Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(424242L)
-    Seq.fill(AnnPlanes)(Seq.fill(AnnDim)(rnd.nextGaussian()))
+    Seq.fill(AnnPlanes)(Seq.fill(AnnDim)(rnd.nextGaussian().toFloat))
   }
 
-  /** 16-bit random-hyperplane signature: bit j = sign(v · h_j). Plain
-    * double dot — the signature is a bucketing key only, never compared
-    * across engines. */
+  /** 16-bit random-hyperplane signature: bit j = sign(v · h_j). The dot
+    * is the exact scaled-integer [[dotScaled]] — integer accumulation is
+    * order-independent, so the signature (and therefore every bucket the
+    * ANN probes) is bit-reproducible on ANY engine that follows the same
+    * floor(double·double·1e15) chain; the DuckDB oracle for
+    * `q_cosine_ann` re-derives it independently. sign(floor(x·1e15))
+    * differs from sign(x) only inside |x| < 1e-15 — irrelevant for a
+    * bucketing key. */
   def annSignature(v: Column): Column = {
-    val bits = hyperplanes.zipWithIndex.map { case (h, j) =>
+    val bits = annHyperplanes.zipWithIndex.map { case (h, j) =>
       val hLit = array(h.map(lit): _*)
-      when(aggregate(zip_with(v, hLit, (x, p) => x.cast("double") * p),
-        lit(0.0d), (acc, t) => acc + t) > 0d, lit(1L << j)).otherwise(lit(0L))
+      when(dotScaled(v, hLit) > 0L, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

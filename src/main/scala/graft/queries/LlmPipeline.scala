@@ -214,8 +214,11 @@ object LlmPipeline {
         .orderBy(col("vec_id"))
     }),
 
-    // ---- LSH-bucketed approximate NN (no oracle: approximate by design;
-    // recall vs the brute-force baseline is asserted in the test suite) ----
+    // ---- LSH-bucketed approximate NN at the PRODUCTION config (4 bands
+    // x 4 bits) — fully hash-gated: the signature dot is the exact
+    // scaled-integer dot_scaled, so buckets are bit-reproducible, and the
+    // oracle re-derives signature -> bands -> candidates -> exact rank in
+    // DuckDB from the same seeded hyperplane constants ----
     "q_cosine_ann" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.topKAnn(e, e.filter(col("vec_id") < 10), k = 5)
@@ -252,13 +255,17 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // ---- IVF approximate NN: distributed k-means coarse quantizer +
-    // probe-nearest-lists (rows-only: approximate by design; exactness
-    // at full probe and recall monotonicity asserted in the test suite) ----
+    // ---- IVF approximate NN, partial probe (4 of 16 lists — genuinely
+    // approximate), fully hash-gated: with iters = 0 the coarse quantizer
+    // is the first 16 vectors by vec_id and every subsequent step
+    // (assignment, probe selection, in-list rank) is exact scaled-integer
+    // math, so the oracle replays the whole index build + probe in SQL.
+    // Lloyd-trained centroids stay covered by q_cosine_ivf_exact (full
+    // probe, hash-green) and IvfSpec's recall-monotonicity test ----
     "q_cosine_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       graft.ext.Ivf.topKIvf(e, e.filter(col("vec_id") < 10), k = 5,
-          nLists = 16, nProbe = 4)
+          nLists = 16, nProbe = 4, iters = 0)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -653,6 +660,8 @@ object LlmPipeline {
     "q_cosine_topk_agg" -> CosineTopkOracle,
     "q_cosine_ivf_exact" -> CosineTopkOracle,
     "q_cosine_ann_exact" -> CosineTopkOracle,
+    "q_cosine_ann" -> CosineAnnOracle,
+    "q_cosine_ivf" -> CosineIvfOracle,
 
     // CosineTopkOracle restricted to the 200-vector gate slice
     "q_cosine_pq_exact" ->
@@ -1116,4 +1125,104 @@ object LlmPipeline {
       |      FROM s)
       |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
+
+  /** The exact scaled-integer dot between two float-list SQL expressions —
+    * DuckDB's replay of [[graft.functions.DotScaled]]: floor(double ·
+    * double · 1e15) per element, integer sum (order-independent). */
+  private def sqlDot(a: String, b: String): String =
+    s"""cast(list_sum(list_transform(list_zip($a, $b),
+       |      x -> cast(floor(cast(x[1] as double)*cast(x[2] as double)*1e15) as bigint))) as bigint)""".stripMargin
+
+  /** The seeded ANN hyperplanes as a SQL VALUES literal. Float components
+    * widen to double exactly, and `Double.toString` round-trips, so DuckDB
+    * computes signature dots on bit-identical constants. */
+  private lazy val AnnPlanesValues: String =
+    graft.ext.Similarity.annHyperplanes.zipWithIndex.map { case (h, i) =>
+      s"($i, [${h.map(f => f.toDouble.toString).mkString(", ")}])"
+    }.mkString("(VALUES\n    ", ",\n    ", ") p(plane_id, hvec)")
+
+  /** Full replay of the production hyperplane-LSH ANN (4 bands x 4 bits,
+    * k = 5): signature bit j = sign of the exact scaled-integer dot with
+    * seeded plane j, band keys are 4-bit slices, candidates share >= 1
+    * (band, bkey), and the final rank is the exact cosine within
+    * candidates only — identical, step for step, to
+    * [[graft.ext.Similarity.topKAnn]]'s dataflow. */
+  private lazy val CosineAnnOracle: String =
+    s"""WITH planes AS (SELECT * FROM $AnnPlanesValues),
+       |sig AS (
+       |  SELECT e.vec_id,
+       |    cast(sum(CASE WHEN ${sqlDot("e.embedding", "p.hvec")} > 0
+       |             THEN (cast(1 as bigint) << p.plane_id)
+       |             ELSE cast(0 as bigint) END) as bigint) AS sig
+       |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id),
+       |bands AS (
+       |  SELECT vec_id, b.band, (sig >> (b.band * 4)) & 15 AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+       |  FROM bands q JOIN bands c ON q.band = c.band AND q.bkey = c.bkey
+       |    AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |n AS (
+       |  SELECT vec_id, list_sum(list_transform(embedding,
+       |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+       |  FROM embeddings),
+       |t AS (
+       |  SELECT cand.qid, cand.cid,
+       |         ${sqlDot("q.embedding", "e.embedding")} dots
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+       |            JOIN embeddings e ON e.vec_id = cand.cid),
+       |s AS (
+       |  SELECT qid, cid,
+       |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+       |  FROM t JOIN n nq ON nq.vec_id = t.qid JOIN n nc ON nc.vec_id = t.cid),
+       |r AS (SELECT qid AS query_id, cid AS neighbor_id, cos_sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) rnk
+       |      FROM s)
+       |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Full replay of the partial-probe IVF (16 lists, probe 4, k = 5,
+    * iters = 0): centroids are the first 16 vectors by vec_id, every
+    * vector joins its argmax-dot list (ties -> lower cid), each query
+    * probes its 4 nearest lists, and ranking is the exact cosine inside
+    * the probed lists only — identical to
+    * [[graft.ext.Ivf.topKIvf]](iters = 0)'s dataflow. */
+  private lazy val CosineIvfOracle: String =
+    s"""WITH c AS (
+       |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,
+       |         embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |ad AS (
+       |  SELECT e.vec_id, c.cid, ${sqlDot("e.embedding", "c.cvec")} dot
+       |  FROM embeddings e CROSS JOIN c),
+       |asn AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) rn
+       |    FROM ad) WHERE rn = 1),
+       |pr AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT vec_id AS query_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) rn
+       |    FROM ad WHERE vec_id < 10) WHERE rn <= 4),
+       |n AS (
+       |  SELECT vec_id, list_sum(list_transform(embedding,
+       |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+       |  FROM embeddings),
+       |t AS (
+       |  SELECT pr.query_id qid, asn.neighbor_id cid,
+       |         ${sqlDot("q.embedding", "e.embedding")} dots
+       |  FROM pr JOIN asn ON asn.cid = pr.cid AND asn.neighbor_id <> pr.query_id
+       |          JOIN embeddings q ON q.vec_id = pr.query_id
+       |          JOIN embeddings e ON e.vec_id = asn.neighbor_id),
+       |s AS (
+       |  SELECT qid, cid,
+       |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+       |  FROM t JOIN n nq ON nq.vec_id = t.qid JOIN n nc ON nc.vec_id = t.cid),
+       |r AS (SELECT qid AS query_id, cid AS neighbor_id, cos_sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) rnk
+       |      FROM s)
+       |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
 }
