@@ -72,11 +72,22 @@ trait CredentialProvider {
   /** The secret payload for `name`, or an empty map if absent. */
   def secret(name: String): Map[String, String]
 
+  /** Binary secret payload (the reference's SecretBinary branch,
+    * `dataIngestionUtils.py:113-115`): raw decoded bytes, or None when the
+    * secret is absent or string-typed. Backends without a binary notion
+    * return None. */
+  def secretBinary(name: String): Option[Array[Byte]] = None
+
+  /** The reference's per-source secret name scheme
+    * (`dataIngestionUtils.py:71`). */
+  def dbSecretName(fmPrefix: String, srcSysId: Int): String =
+    s"$fmPrefix-ingstn-db-secrets-$srcSysId"
+
   /** The reference's per-source DB password lookup: secret
     * `{fmPrefix}-ingstn-db-secrets-{srcSysId}`, key = srcSysId
     * (`dataIngestionUtils.py:78-85,100-110`). */
   def dbPassword(fmPrefix: String, srcSysId: Int): Option[String] =
-    secret(s"$fmPrefix-ingstn-db-secrets-$srcSysId").get(srcSysId.toString)
+    secret(dbSecretName(fmPrefix, srcSysId)).get(srcSysId.toString)
 }
 
 /** Environment-variable provider: secret `my-name` key `k` is read from
@@ -111,4 +122,105 @@ final class PropsFileCredentialProvider(dir: String) extends CredentialProvider 
 final class InMemoryCredentialProvider(secrets: Map[String, Map[String, String]])
     extends CredentialProvider {
   def secret(name: String): Map[String, String] = secrets.getOrElse(name, Map.empty)
+}
+
+/** File-backed emulation of the Secrets Manager DATA MODEL the reference
+  * consumes (`/root/reference/ingestion/utils/dataIngestionUtils.py:70-115`,
+  * `pg_connect.py:41-73`): secret `<name>` lives at `<dir>/<name>.secret`,
+  * whose content is the GetSecretValue response body — a JSON object
+  * carrying either `SecretString` (itself a JSON-encoded flat string map,
+  * e.g. the control store's host/port/username/password/dbname or the
+  * per-source `{"<src_sys_id>": "<password>"}`) or `SecretBinary`
+  * (base64, decoded to raw bytes exactly as `dataIngestionUtils.py:113-115`
+  * does). No AWS SDK in the sandbox — the emulation proves the key scheme
+  * and both decode paths; a cloud deployment swaps in an SDK-backed
+  * implementation of the same trait.
+  */
+final class SecretsStoreCredentialProvider(dir: String) extends CredentialProvider {
+
+  private def responseBody(name: String): Option[Map[String, String]] = {
+    val f = new java.io.File(dir, s"$name.secret")
+    if (!f.exists()) None
+    else Some(FlatJson.parse(java.nio.file.Files.readString(f.toPath)))
+  }
+
+  /** The SecretString branch: the inner payload parsed as a flat map
+    * (`dataIngestionUtils.py:108-111`: `json.loads` then key lookup). */
+  def secret(name: String): Map[String, String] =
+    responseBody(name).flatMap(_.get("SecretString"))
+      .map(FlatJson.parse).getOrElse(Map.empty)
+
+  /** The SecretBinary branch: base64-decoded raw bytes
+    * (`dataIngestionUtils.py:113-115`). None when the secret is absent or
+    * string-typed — mirroring the reference's either/or response shape. */
+  override def secretBinary(name: String): Option[Array[Byte]] =
+    responseBody(name).flatMap(_.get("SecretBinary"))
+      .map(java.util.Base64.getDecoder.decode)
+}
+
+/** Minimal flat-JSON-object codec for secret payloads: `{"k": "v", ...}`
+  * with string keys and string/number/bool/null values (values coerced to
+  * their literal text; nulls dropped). Handles the full JSON string escape
+  * set including \uXXXX. Deliberately NOT a general JSON parser — secrets
+  * in the reference are flat maps, and the engine takes no JSON library
+  * dependency. */
+private[app] object FlatJson {
+
+  def parse(s: String): Map[String, String] = {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def fail(msg: String) =
+      throw new IllegalArgumentException(s"bad secret JSON at $i: $msg")
+    def expect(c: Char): Unit = { ws(); if (i >= s.length || s(i) != c) fail(s"expected '$c'"); i += 1 }
+    def str(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          if (i >= s.length) fail("dangling escape")
+          s(i) match {
+            case '"' => b += '"'; case '\\' => b += '\\'; case '/' => b += '/'
+            case 'b' => b += '\b'; case 'f' => b += '\f'; case 'n' => b += '\n'
+            case 'r' => b += '\r'; case 't' => b += '\t'
+            case 'u' =>
+              if (i + 4 >= s.length) fail("truncated \\u")
+              b += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+              i += 4
+            case c => fail(s"bad escape \\$c")
+          }
+        } else b += s(i)
+        i += 1
+      }
+      expect('"')
+      b.result()
+    }
+    def scalar(): Option[String] = {
+      ws()
+      if (i < s.length && s(i) == '"') Some(str())
+      else {
+        val start = i
+        while (i < s.length && !",}".contains(s(i)) && !s(i).isWhitespace) i += 1
+        s.substring(start, i) match {
+          case "null" => None
+          case "" => fail("empty value")
+          case lit => Some(lit)
+        }
+      }
+    }
+    val out = Map.newBuilder[String, String]
+    expect('{')
+    ws()
+    if (i < s.length && s(i) == '}') { i += 1; return out.result() }
+    var more = true
+    while (more) {
+      val k = str()
+      expect(':')
+      scalar().foreach(v => out += k -> v)
+      ws()
+      if (i < s.length && s(i) == ',') { i += 1; ws() }
+      else { expect('}'); more = false }
+    }
+    out.result()
+  }
 }

@@ -25,6 +25,16 @@ object EventTrigger {
         assetId = assetId,
         execId = paths.execId(srcSysId, assetId, ts))
     }
+
+  /** The Lambda end to end (`dag_trigerrer.py:9-30`): a conforming key
+    * launches `{src}_{asset}_workflow` through the sink; a non-conforming
+    * key launches nothing. Returns the launched DAG id. */
+  def fire(paths: PathConvention, key: String, sink: TriggerSink): Option[String] =
+    paths.parseEventKey(key).map { case (srcSysId, assetId) =>
+      val id = TriggerSink.dagId(srcSysId, assetId)
+      sink.trigger(id)
+      id
+    }
 }
 
 /** The 4-stage pipeline protocol — re-expression of the reference DAG

@@ -46,6 +46,46 @@ class ConfigSpec extends AnyFunSuite {
     assert(creds.secret("absent").isEmpty)
   }
 
+  test("secrets-store provider: reference key scheme + SecretString JSON payload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sm")
+    // the per-source ingestion secret: {fm_prefix}-ingstn-db-secrets-{src_sys_id}
+    // whose SecretString is {"<src_sys_id>": "<password>"}
+    // (dataIngestionUtils.py:71,108-111)
+    java.nio.file.Files.writeString(dir.resolve("dl-fw-ingstn-db-secrets-3.secret"),
+      """{"SecretString": "{\"3\": \"pw-three\"}"}""")
+    // the control-store secret: host/port/username/password/dbname
+    // (pg_connect.py:69-73); numeric port arrives as its literal text
+    java.nio.file.Files.writeString(dir.resolve("control-db.secret"),
+      """{"SecretString": "{\"host\": \"ctrl\", \"port\": 5432, """ +
+        """\"username\": \"svc\", \"password\": \"s3\\u0063ret\", \"dbname\": \"meta\"}"}""")
+    val creds = new SecretsStoreCredentialProvider(dir.toString)
+    assert(creds.dbSecretName("dl-fw", 3) == "dl-fw-ingstn-db-secrets-3")
+    assert(creds.dbPassword("dl-fw", 3).contains("pw-three"))
+    assert(creds.secret("control-db") == Map(
+      "host" -> "ctrl", "port" -> "5432", "username" -> "svc",
+      "password" -> "s3cret", "dbname" -> "meta"))
+    assert(creds.secret("absent").isEmpty)
+    assert(creds.dbPassword("dl-fw", 99).isEmpty)
+  }
+
+  test("secrets-store provider: SecretBinary decodes base64 to raw bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-smb")
+    val raw = Array[Byte](0, 1, 2, -1, 127, 10, 34, 92)
+    val b64 = java.util.Base64.getEncoder.encodeToString(raw)
+    java.nio.file.Files.writeString(dir.resolve("dl-fw-ingstn-db-secrets-9.secret"),
+      s"""{"SecretBinary": "$b64"}""")
+    val creds = new SecretsStoreCredentialProvider(dir.toString)
+    // the binary branch returns decoded bytes (dataIngestionUtils.py:113-115)
+    assert(creds.secretBinary("dl-fw-ingstn-db-secrets-9").get.toSeq == raw.toSeq)
+    // and the string branch is empty for a binary secret — either/or shape
+    assert(creds.secret("dl-fw-ingstn-db-secrets-9").isEmpty)
+    // a string secret has no binary payload
+    java.nio.file.Files.writeString(dir.resolve("s.secret"),
+      """{"SecretString": "{\"k\": \"v\"}"}""")
+    assert(creds.secretBinary("s").isEmpty)
+    assert(creds.secretBinary("absent").isEmpty)
+  }
+
   test("run logger: timed blocks log and rethrow; buffer ships via relay") {
     val buf = new BufferSink
     val log = new RunLogger(Seq(buf))
