@@ -24,13 +24,17 @@ object Packing {
 
   /** (doc_id, stream, n_tok, offset, start_bin, end_bin) for capacity
     * `c` tokens per context window. Empty docs occupy zero tokens and
-    * land at their offset's bin. */
-  def concatChunk(docs: DataFrame, streamCol: String, c: Int): DataFrame = {
+    * land at their offset's bin. The token counter is pluggable: the
+    * default whitespace count is the oracle-replayable baseline;
+    * token-exact budgeting passes [[Bpe.tokenCount]] instead (same
+    * plan shape — still a pure projection feeding one ordered window). */
+  def concatChunk(docs: DataFrame, streamCol: String, c: Int,
+      tokens: org.apache.spark.sql.Column = tokenCount(col("text"))): DataFrame = {
     require(c > 0, "context capacity must be positive")
     val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     docs.select(col("doc_id"), col(streamCol).as("stream"),
-        tokenCount(col("text")).cast("long").as("n_tok"))
+        tokens.cast("long").as("n_tok"))
       .withColumn("offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
       .withColumn("start_bin", expr(s"offset div $c"))
       .withColumn("end_bin",

@@ -105,5 +105,14 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         // construct MinHashSig directly
         MinHashSig(children.head, graft.ext.Dedup.minhashSeeds)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bpe_encode takes exactly 1 argument")
+        // the engine's standard merges table; trained tables construct
+        // BpeEncode directly
+        BpeEncode(children.head, graft.ext.Bpe.Standard)
+      }))
   }
 }
