@@ -92,9 +92,16 @@ object Dedup {
     * ride a per-doc array through one join; the word filter is a pure
     * nested higher-order expression, so the rewrite costs the span
     * computation plus one projection. Returns (doc_id, n_kept,
-    * clean_text). */
-  def scrubSpans(docs: DataFrame, n: Int = 5): DataFrame = {
-    val spanArr = duplicateSpans(docs, n)
+    * clean_text).
+    *
+    * Pass `spans` to apply ALREADY-COMPUTED spans (the production shape:
+    * detect once, then scrub — detection is the expensive half, and a
+    * curation pipeline that also reports the spans shouldn't pay the
+    * gram explode twice). Must be a [[duplicateSpans]]-shaped frame
+    * (doc_id, span_start, span_end). */
+  def scrubSpans(docs: DataFrame, n: Int = 5,
+      spans: Option[DataFrame] = None): DataFrame = {
+    val spanArr = spans.getOrElse(duplicateSpans(docs, n))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("sp"))
     docs.join(spanArr, Seq("doc_id"), "left")
