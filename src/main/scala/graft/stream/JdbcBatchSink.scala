@@ -1,5 +1,6 @@
 package graft.stream
 
+import java.sql.DriverManager
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
@@ -11,29 +12,85 @@ import org.apache.spark.sql.functions.lit
   *
   * `foreachBatch` is at-least-once: after a crash the engine replays the
   * last unacknowledged micro-batch. A DISTRIBUTED JDBC write cannot join
-  * one transaction (every executor task holds its own connection), so
-  * instead of a transactional watermark this sink makes each batch write
-  * IDEMPOTENT: rows carry their `batch_id`, and the driver deletes any
-  * rows of that id before the distributed append. A replay — even of a
-  * partially-written batch — first erases the partial leftovers, then
-  * rewrites the batch whole; the table converges to exactly one copy of
-  * every batch. This is the standard effectively-once recipe for stores
-  * without cross-connection transactions.
+  * one transaction (every executor task holds its own connection), so the
+  * batch lands in two steps:
+  *
+  *  1. The distributed write goes to a STAGE table (`<table>_stage`),
+  *     never the target. `Overwrite` drops and recreates the stage, so
+  *     any partial rows a crashed earlier attempt left behind are erased
+  *     before this attempt's rows land.
+  *  2. One driver-side transaction swings the batch into the target:
+  *     DELETE the batch id (erases a replayed batch's earlier copy) +
+  *     INSERT..SELECT from the stage. Readers never see the target
+  *     between states — the old DELETE-then-append design exposed a
+  *     window where the batch was missing; here the swap is atomic.
+  *
+  * Residual window, for the record: Spark's JDBC writer commits one
+  * transaction per partition, so a task that COMMITS its stage rows but
+  * dies before reporting success is retried and appends the partition
+  * twice — into the stage. A same-attempt stage retry is the only way to
+  * hit it (a failed attempt's transaction rolls back), and a batch
+  * REPLAY is immune (step 1 rebuilds the stage from scratch). Stores
+  * needing absolute exactness under that race key rows on
+  * (batch_id, pk) and upsert; everything this engine tests (crash,
+  * replay, partial leftovers) converges to exactly one copy per batch.
   *
   * At scale the DELETE is indexed on `batch_id` (one range per replay,
-  * normally a no-op) and the append runs with the source's parallelism,
-  * `numPartitions`-throttled by the caller if the store needs it.
+  * normally a no-op), the INSERT..SELECT is a server-side copy (no
+  * second network round trip for the data), and the stage append runs
+  * with the source's parallelism.
   */
 final class JdbcBatchSink(url: String, props: Properties, table: String) {
 
   /** Use with `writeStream.foreachBatch(sink.apply _)`. */
   def apply(df: DataFrame, batchId: Long): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url, props)
+    val stage = s"${table}_stage"
+    val staged = df.withColumn("batch_id", lit(batchId))
+    staged.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
+
+    // positional SELECT *: Spark's JDBC writer quotes (lower-cases) the
+    // identifiers it creates, while user DDL usually folds to upper — a
+    // name-based column list would have to guess the casing of both
+    // tables. The stage is always written as df.columns + batch_id, so
+    // an existing target must use that column order (the created-here
+    // target does by construction).
+    val conn = DriverManager.getConnection(url, props)
     try {
-      val st = conn.prepareStatement(s"DELETE FROM $table WHERE batch_id = ?")
-      try { st.setLong(1, batchId); st.executeUpdate(); () } finally st.close()
+      conn.setAutoCommit(false)
+      val meta = conn.getMetaData
+      val exists = {
+        val rs = meta.getTables(null, null, table.toUpperCase, null)
+        try rs.next() finally rs.close()
+      }
+      val st = conn.createStatement()
+      try {
+        if (!exists)
+          st.executeUpdate(
+            s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        // the target's batch_id may be folded (user DDL) or quoted
+        // lowercase (created from the Spark-written stage) — resolve the
+        // exact stored name and quote it
+        val bcol = {
+          def cols(t: String): Seq[String] = {
+            val rs = meta.getColumns(null, null, t, null)
+            val b = Seq.newBuilder[String]
+            try while (rs.next()) b += rs.getString("COLUMN_NAME") finally rs.close()
+            b.result()
+          }
+          val found = cols(table) match {
+            case Nil => cols(table.toUpperCase)
+            case c => c
+          }
+          found.find(_.equalsIgnoreCase("batch_id"))
+            .map(n => "\"" + n + "\"").getOrElse("batch_id")
+        }
+        val del = conn.prepareStatement(s"DELETE FROM $table WHERE $bcol = ?")
+        try { del.setLong(1, batchId); del.executeUpdate(); () } finally del.close()
+        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
     } finally conn.close()
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 }

@@ -60,4 +60,42 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     assert(count("WHERE k = 99") == 0)           // partial leftover erased
     assert(count("WHERE batch_id = 1") == 3)
   }
+
+  test("stage garbage from a crashed attempt never reaches the target") {
+    import spark.implicits._
+    // plant junk in the stage table, as a crashed attempt would leave it
+    val c = DriverManager.getConnection(url)
+    try {
+      c.createStatement().executeUpdate(
+        "CREATE TABLE junk_out (k BIGINT, batch_id BIGINT)")
+      c.createStatement().executeUpdate(
+        "CREATE TABLE junk_out_stage (k BIGINT, batch_id BIGINT)")
+      c.createStatement().executeUpdate(
+        "INSERT INTO junk_out_stage VALUES (777, 0)")
+    } finally c.close()
+    val sink = new JdbcBatchSink(url, props, "junk_out")
+    sink(Seq(1L, 2L).toDF("k"), 0L)
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement()
+        .executeQuery("SELECT count(*) FROM junk_out WHERE k = 777")
+      rs.next(); assert(rs.getLong(1) == 0)      // junk overwritten, not swapped
+      val rs2 = c2.createStatement()
+        .executeQuery("SELECT count(*) FROM junk_out")
+      rs2.next(); assert(rs2.getLong(1) == 2)
+    } finally c2.close()
+  }
+
+  test("the target table is created on first batch when absent") {
+    import spark.implicits._
+    val sink = new JdbcBatchSink(url, props, "fresh_out")
+    sink(Seq(10L, 11L, 12L).toDF("k"), 5L)
+    val c = DriverManager.getConnection(url)
+    try {
+      // the created-from-stage table carries Spark's quoted lowercase ids
+      val rs = c.createStatement()
+        .executeQuery("SELECT count(*) FROM fresh_out WHERE \"batch_id\" = 5")
+      rs.next(); assert(rs.getLong(1) == 3)
+    } finally c.close()
+  }
 }
