@@ -69,4 +69,35 @@ object Decontaminate {
     corpus.join(
       overlaps(corpus, bench, minShared, n, stopTopK).select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+
+  /** [[overlaps]] for benchmark sets TOO BIG TO BROADCAST as a join
+    * table: a Bloom sketch of the benchmark shingle hashes (built by the
+    * native `bloom_filter_agg`, inlined as a literal — the only
+    * driver-side object is the sketch itself, `numBits/8` bytes
+    * regardless of benchmark size) pre-filters corpus shingles with the
+    * codegen `might_contain` BEFORE the shuffled exact join, so the
+    * shuffle carries only probable hits. False positives cost shuffle
+    * rows, never correctness — the exact join eliminates them, and the
+    * result equals [[overlaps]] row for row (that identity is the
+    * `q_decontaminate_bloom` hash gate). The join deliberately has no
+    * broadcast hint: this is the path for when the bench side must
+    * shuffle too. */
+  def overlapsBloom(corpus: DataFrame, bench: DataFrame, minShared: Int,
+      n: Int = 3, expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val cs = corpus.select(col("doc_id"),
+      explode(shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val bs = bench.select(col("doc_id").as("bench_id"),
+      explode(shingles(col("text"), n)).as("s"))
+      .select(col("bench_id"), xxhash64(col("s")).as("h"))
+    val sketch = bs.agg(
+      expr(s"bloom_filter_agg(h, ${expectedItems}L, ${numBits}L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    cs.filter(call_function("might_contain", lit(sketch), col("h")))
+      .join(bs, "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -85,6 +85,24 @@ object Ivf {
     Index(cents, lists, norms(emb).localCheckpoint(true))
   }
 
+  /** Append a batch to an existing index WITHOUT retraining: arriving
+    * vectors are assigned to the FROZEN coarse quantizer and unioned
+    * into the inverted lists — the production ingest shape (the corpus
+    * pass built the index once; each batch pays one assign job that
+    * scales with the batch). Recall characteristics remain those of the
+    * original quantizer; retrain when distribution drift matters. */
+  def addToIndex(index: Index, batch: DataFrame): Index = {
+    val lists = assign(batch, index.cents)
+      .join(batch, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("cid"),
+        col("embedding").as("ce"))
+      .unionByName(index.lists)
+      .localCheckpoint(true)
+    Index(index.cents,
+      lists,
+      norms(batch).unionByName(index.n2).localCheckpoint(true))
+  }
+
   /** Probe an existing index: rank by exact scaled-integer cosine inside
     * the `nProbe` nearest lists only. */
   def probe(index: Index, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {

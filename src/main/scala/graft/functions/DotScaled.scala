@@ -106,6 +106,30 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(children.head, graft.ext.Dedup.minhashSeeds)
       }))
     e.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "bloom_filter_agg takes (hash, estimatedItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "might_contain takes exactly 2 arguments")
+        // Spark ships the expression (codegen probe over a bloom_filter_agg
+        // sketch) but registers it only for the runtime-filter rewrite;
+        // the engine exposes it for explicit bloom pre-filters
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (children: Seq[Expression]) => {

@@ -121,6 +121,19 @@ object LlmPipeline {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // ---- bloom-prefiltered decontamination: the huge-benchmark path
+    // (bench side too big to broadcast) — a bloom_filter_agg sketch
+    // pre-filters corpus shingles before a shuffled exact join. Same
+    // oracle as q_decontaminate: bloom false positives cost shuffle
+    // rows, never rows in the answer ----
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ext.Decontaminate.overlapsBloom(
+          d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+          minShared = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // ---- Gopher-style repetition signals (duplicate word / 3-gram
     // fractions): template spam scores high ----
     "q_repetition" -> ((s, dir) =>
@@ -652,6 +665,19 @@ object LlmPipeline {
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |c AS (SELECT * FROM sh WHERE doc_id >= 10),
+        |b AS (SELECT doc_id bench_id, s FROM sh WHERE doc_id < 10)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM c JOIN b ON c.s = b.s
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // identical answer through the bloom-prefiltered plan: the sketch is
+    // a superset filter, the exact join removes its false positives
+    "q_decontaminate_bloom" ->
       """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),

@@ -186,6 +186,40 @@ object Streaming {
       s.table("q_stream_dedup_mem")
         .select(col("event_type"), col("count").as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- stream-STATIC join: the streaming enrichment shape — events
+    // flow through a stateless join against a static dimension (the
+    // dimension is re-read per micro-batch; no watermark, no state
+    // store). At 100 TB the static side is a broadcast or bucketed
+    // table; the stream side never shuffles for the join itself ----
+    "q_stream_static_join" -> ((s, dir) => {
+      val tmp = fullSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-qsjoin").toString
+        t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .coalesce(1)
+          .write.mode("overwrite").option("timestampFormat", MicrosFmt)
+          .json(s"$d/in")
+        d
+      })
+      val src = s.readStream.schema(fullEventSchema)
+        .option("timestampFormat", MicrosFmt).json(s"$tmp/in")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      withFewPartitions(s) {
+        val q = src.join(broadcast(dim), src("user_id") === dim("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type")).count()
+          .writeStream
+          .format("memory").queryName("q_stream_static_mem")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table("q_stream_static_mem")
+        .select(col("c_mktsegment"), col("event_type"), col("count").as("n"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -204,6 +238,11 @@ object Streaming {
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
 
     // gaps-and-islands with the session-window boundary rule: a gap of
     // EXACTLY 30 minutes starts a new session (Spark's session end is

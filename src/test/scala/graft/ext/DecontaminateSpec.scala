@@ -56,6 +56,23 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(ov.map(o => (o._1, o._2)) == Seq((1L, 100L)))
   }
 
+  test("overlapsBloom: identical answer; the plan carries the bloom probe") {
+    val df = Decontaminate.overlapsBloom(corpus, bench, minShared = 10)
+    val ov = df.as[(Long, Long, Long)].collect().toSeq
+    val exact = Decontaminate.overlaps(corpus, bench, minShared = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ov.sorted == exact.sorted)
+    // the pre-filter is really in the plan (not optimized away)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(500))
+    // a deliberately tiny, saturated sketch still yields the exact
+    // answer — false positives only widen the join input
+    val sat = Decontaminate.overlapsBloom(corpus, bench, minShared = 10,
+        expectedItems = 4, numBits = 64)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(sat.sorted == exact.sorted)
+  }
+
   test("collocations: a glued pair outranks frequent-but-independent words") {
     // "san francisco" always adjacent; "data" and "table" frequent but
     // independently placed — lift must rank the glued pair first

@@ -55,4 +55,22 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(once == brute) // full probe of a prebuilt index is exact
   }
+
+  test("incremental append: index + batch probes exactly like a full corpus") {
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val batch = emb.filter(col("vec_id") < 100)
+    val idx = Ivf.buildIndex(corpus, nLists = 16)
+    val grown = Ivf.addToIndex(idx, batch)
+    // every vector is in exactly one list after the append
+    assert(grown.lists.count() == emb.count())
+    assert(grown.lists.select("neighbor_id").distinct().count() == emb.count())
+    // full probe of the grown index == brute force over the FULL corpus
+    val probed = Ivf.probe(grown, queries, k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.topKBrute(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == brute)
+    // the quantizer was NOT retrained by the append
+    assert(grown.cents == idx.cents)
+  }
 }
