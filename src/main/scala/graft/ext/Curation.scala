@@ -36,27 +36,29 @@ object Curation {
     * component. Differs from the greedy rule on chains — with pairs
     * (2,3), (1,3) greedy keeps {1, 2} (2 is never a doc_b) while CC
     * clusters {1,2,3} together and keeps only 1. */
+  /** Cluster the verified near-dup pair graph. The pair graph is orders
+    * of magnitude smaller than the corpus (only verified edges), and
+    * each CC round runs ~6 tiny shuffles — at the session's corpus-sized
+    * partition count the per-round fixed cost dominates, so the
+    * iteration runs at few partitions and the setting is restored after.
+    * At true 100 TB pair volumes the caller runs
+    * ConnectedComponents.components directly under its own partitioning. */
+  private def componentsFewPartitions(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      ConnectedComponents.components(pairs).localCheckpoint(true)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   def dropNearDupsCC(docs: DataFrame, threshold: Double): DataFrame = {
     // materialize the pair graph at FULL parallelism first — the LSH
     // band join is corpus-sized work; only the iteration below is tiny
     val pairs = Dedup.minhashNearDupPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
-    // the pair graph is orders of magnitude smaller than the corpus
-    // (only verified near-dup edges), and each CC round runs ~6 tiny
-    // shuffles — at the session's corpus-sized partition count the
-    // per-round fixed cost dominates, so the iteration runs at few
-    // partitions and the setting is restored after. At true 100 TB pair
-    // volumes the caller runs ConnectedComponents.components directly
-    // under its own partitioning.
-    val spark = docs.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val comp =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        ConnectedComponents.components(pairs).localCheckpoint(true)
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    val drop = comp
+    val drop = componentsFewPartitions(pairs)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
@@ -72,7 +74,7 @@ object Curation {
     val pairs = Dedup.minhashNearDupPairs(docs, threshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
-    val comp = ConnectedComponents.components(pairs)
+    val comp = componentsFewPartitions(pairs)
     val scored = docs.join(TextStats.qualityScore(docs), Seq("doc_id"))
       .join(comp, Seq("doc_id"), "left_outer")
       // singletons form their own component

@@ -126,6 +126,30 @@ object TextStats {
         expr("(n_ab * n_total * 1000000L) div (n_a * n_b)").as("lift_scaled"))
   }
 
+  /** Per-document top-k keyword extraction by integer-scaled TF-IDF:
+    * score = (tf · N · 10^6) div df — the idf log dropped the same way
+    * [[collocations]] drops the PMI log (monotone per term, and unlike
+    * summed BM25 the per-term ranking never adds scores across terms,
+    * so the surrogate preserves the order while staying pure bigint —
+    * bit-identical in any engine). Two corpus aggregations (term
+    * frequencies, document frequencies) + one broadcast of the df table
+    * + one per-doc ranking window; the corpus never self-joins. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_scaled", expr("(tf * n_docs * 1000000L) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score_scaled"))
+  }
+
   /** Content fingerprints: md5 of the lowercased text plus a polynomial
     * rolling hash over the token sequence (order-sensitive, unlike the
     * shingle-set hashes — two docs with the same words in different order

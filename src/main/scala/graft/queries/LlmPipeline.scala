@@ -41,6 +41,9 @@ object LlmPipeline {
     "ignoreLeadingWhiteSpace" -> "false",
     "ignoreTrailingWhiteSpace" -> "false")
 
+  /** Once-per-(jvm, sf dir) ACID table for the time-travel gate. */
+  private val acidSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), materialized
     * eagerly: q_scrub_spans APPLIES spans the pipeline already detected
     * (q_dup_spans measures detection itself each time) — the pair no
@@ -121,6 +124,27 @@ object LlmPipeline {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // ---- ACID landing under the driver's value gate: commit the corpus
+    // as snapshot v0, append the even-doc half as v1, then read BOTH
+    // versions back through the manifest pointer — time travel, append
+    // isolation, and the read path all gated on exact counts the oracle
+    // re-derives from the raw table ----
+    "q_acid_timetravel" -> ((s, dir) => {
+      val tbl = acidSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-acid").toString + "/t"
+        val ds = docs(s, dir).select(col("doc_id"), col("source"))
+        graft.land.AtomicLanding.commit(ds, d)
+        graft.land.AtomicLanding.commit(ds.filter(col("doc_id") % 2 === 0), d,
+          append = true)
+        d
+      })
+      val v0 = graft.land.AtomicLanding.readVersion(s, tbl, 0L)
+        .groupBy(lit(0L).as("version")).agg(count(lit(1)).as("n_rows"))
+      val v1 = graft.land.AtomicLanding.readVersion(s, tbl, 1L)
+        .groupBy(lit(1L).as("version")).agg(count(lit(1)).as("n_rows"))
+      v0.unionByName(v1).orderBy(col("version"))
+    }),
+
     // ---- bloom-prefiltered decontamination: the huge-benchmark path
     // (bench side too big to broadcast) — a bloom_filter_agg sketch
     // pre-filters corpus shingles before a shuffled exact join. Same
@@ -172,6 +196,12 @@ object LlmPipeline {
     "q_shard" -> ((s, dir) =>
       graft.ext.Sharding.census(docs(s, dir), col("doc_id"), col("text"), 8)
         .orderBy(col("shard"))),
+
+    // ---- keyword extraction: per-doc top-3 terms by integer-scaled
+    // TF-IDF (log-free monotone surrogate — bit-stable cross-engine) ----
+    "q_tfidf_topterms" -> ((s, dir) =>
+      TextStats.tfIdfTopTerms(docs(s, dir), k = 3)
+        .orderBy(col("doc_id"), col("rnk"))),
 
     // ---- heuristic language ID vs the labeled lang column ----
     "q_lang_id" -> ((s, dir) =>
@@ -657,6 +687,27 @@ object LlmPipeline {
 
     "q_bpe_tokens" -> BpeTokensOracle,
     "q_pack_bpe" -> PackBpeOracle,
+
+    "q_acid_timetravel" ->
+      """SELECT cast(0 as bigint) AS version, count(*) AS n_rows FROM documents
+        |UNION ALL
+        |SELECT cast(1 as bigint), cast(count(*) + sum(CASE WHEN doc_id % 2 = 0
+        |  THEN 1 ELSE 0 END) as bigint) FROM documents
+        |ORDER BY version""".stripMargin,
+
+    "q_tfidf_topterms" ->
+      """WITH wl AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) tf
+        |       FROM (SELECT doc_id, unnest(t) tok FROM wl) GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) nd FROM documents),
+        |s AS (SELECT doc_id, tok,
+        |        cast((tf * nd * 1000000) // df as bigint) score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY (tf * nd * 1000000) // df DESC, tok ASC) rnk
+        |      FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, rnk, tok AS term, score AS score_scaled
+        |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q_shard" ->
       """SELECT cast('0x'||substr(md5(cast(doc_id as varchar)),1,15) as bigint) % 8 AS shard,
