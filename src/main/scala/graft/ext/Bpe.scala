@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * per-position list rewrite (the DuckDB oracle) with identical results.
   */
 final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
-  require(merges.nonEmpty, "empty merges table")
+  // an EMPTY table is legitimate: the identity tokenizer (every word
+  // stays characters) — what train() yields on a corpus with no
+  // repeated pair, and the natural zero of the merge hierarchy
   merges.foreach { case (a, b) =>
     require(a.nonEmpty && b.nonEmpty, "empty merge side")
     require(a != b, s"self-merge rule ($a,$b) breaks conflict-free passes")

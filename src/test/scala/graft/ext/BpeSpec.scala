@@ -36,6 +36,12 @@ class BpeSpec extends AnyFunSuite {
     val t = new BpeTable(Seq(("a", "b")))
     assert(t.encode("abab").toSeq == Seq("ab", "ab"))
     assert(t.encode("aab").toSeq == Seq("a", "ab"))
+    // the empty table is the identity tokenizer, and training on a
+    // corpus with no repeatable pair yields it rather than throwing
+    assert(new BpeTable(Nil).encode("abc").toSeq == Seq("a", "b", "c"))
+    import spark.implicits._
+    val empty = Bpe.train(Seq.empty[String].toDF("text"), col("text"), 10)
+    assert(empty.merges.isEmpty)
   }
 
   test("columnar bpe_encode matches the in-memory encoder; count upgrades packing") {

@@ -54,6 +54,22 @@ class ShardingSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("census partitions any corpus exactly, for any shard count") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val prop = Prop.forAllNoShrink(
+      Gen.chooseNum(1, 64), Gen.chooseNum(1, 32)) { (nRows, nShards) =>
+      val df = (0L until nRows.toLong).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      val m = Sharding.census(df, col("doc_id"), col("text"), nShards)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      m.map(_._2).sum == nRows.toLong &&
+        m.forall { case (s, _) => s >= 0 && s < nShards } &&
+        m.map(_._1).distinct.length == m.length
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("within-shard order is the salted hash, uncorrelated with input order") {
     val df = fixture
     val assigned = Sharding.assign(df, col("doc_id"), 8)
