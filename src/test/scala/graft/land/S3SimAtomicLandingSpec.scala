@@ -86,6 +86,28 @@ class S3SimAtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, table).count() == 1L + 3L * 10L)
   }
 
+  test("exactly-once streaming sink holds on the no-rename store") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    val sink = AtomicLanding.streamSink(table)
+    sink(nation.limit(2), 0L)
+    sink(nation.limit(3), 1L)
+    assert(AtomicLanding.read(spark, table).count() == 5)
+    assert(AtomicLanding.lastBatchId(table).contains(1L))
+    // crash-replay of the last unacknowledged batch: skipped, not doubled
+    sink(nation.limit(3), 1L)
+    assert(AtomicLanding.read(spark, table).count() == 5)
+    assert(AtomicLanding.currentVersion(table).contains(1L))
+    // the stream resumes past the replay
+    sink(nation.limit(1), 2L)
+    assert(AtomicLanding.read(spark, table).count() == 6)
+    // compaction on the no-rename store keeps the batch watermark
+    AtomicLanding.compact(spark, table)
+    assert(AtomicLanding.lastBatchId(table).contains(2L))
+    sink(nation.limit(4), 2L) // replay after compaction still skipped
+    assert(AtomicLanding.read(spark, table).count() == 6)
+  }
+
   test("a slot poisoned by a dead writer fails loudly; vacuum heals it") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
