@@ -88,9 +88,13 @@ object Decontaminate {
     val cs = corpus.select(col("doc_id"),
       explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // materialized once: both the sketch action and the exact join scan
+    // the bench shingles, and this path exists precisely because the
+    // bench side is big
     val bs = bench.select(col("doc_id").as("bench_id"),
       explode(shingles(col("text"), n)).as("s"))
       .select(col("bench_id"), xxhash64(col("s")).as("h"))
+      .localCheckpoint(true)
     val sketch = bs.agg(
       expr(s"bloom_filter_agg(h, ${expectedItems}L, ${numBits}L)").as("bf"))
       .head().getAs[Array[Byte]]("bf")

@@ -92,15 +92,22 @@ object Ivf {
     * scales with the batch). Recall characteristics remain those of the
     * original quantizer; retrain when distribution drift matters. */
   def addToIndex(index: Index, batch: DataFrame): Index = {
-    val lists = assign(batch, index.cents)
-      .join(batch, "vec_id")
+    // replay-safe: an at-least-once ingest can resend vectors already
+    // indexed; a duplicate list row would make probe() emit the same
+    // neighbor at two ranks and silently evict the true k-th answer
+    val fresh = batch.join(
+        index.lists.select(col("neighbor_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val lists = assign(fresh, index.cents)
+      .join(fresh, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("cid"),
         col("embedding").as("ce"))
       .unionByName(index.lists)
       .localCheckpoint(true)
     Index(index.cents,
       lists,
-      norms(batch).unionByName(index.n2).localCheckpoint(true))
+      norms(fresh).unionByName(index.n2).localCheckpoint(true))
   }
 
   /** Probe an existing index: rank by exact scaled-integer cosine inside

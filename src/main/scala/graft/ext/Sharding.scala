@@ -51,10 +51,13 @@ object Sharding {
 
   /** Deal `df` into `outDir/shard=K/` parquet, pseudo-randomly ordered
     * within each shard, and return the manifest (shard, n_rows,
-    * content_fp) — also written to `outDir/_manifest`. One shuffle: the
-    * repartition carries rows to their shard's tasks, the sort happens
-    * in-task, and the parquet writer splits directories on the shard
-    * column. */
+    * content_fp) — also written to `outDir/_manifest`. One compute pass:
+    * the repartition carries rows to their shard's tasks, the sort
+    * happens in-task, the parquet writer splits directories on the
+    * shard column, and the manifest is then aggregated from the WRITTEN
+    * files (reading back the compressed layout instead of re-running
+    * the upstream plan — which also makes the manifest a proof of what
+    * actually landed, not of what was intended). */
   def writeShards(df: DataFrame, key: Column, content: Column, nShards: Int,
       outDir: String): DataFrame = {
     assign(df, key, nShards)
@@ -62,8 +65,11 @@ object Sharding {
       .sortWithinPartitions(col("shard"), col("ord"), key)
       .drop("ord")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
-    val manifest = census(df, key, content, nShards)
+    val manifest = df.sparkSession.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        bit_xor(TextOps.hash60(content)).as("content_fp"))
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
-    manifest
+    df.sparkSession.read.parquet(s"$outDir/_manifest")
   }
 }

@@ -126,15 +126,18 @@ object TextStats {
         expr("(n_ab * n_total * 1000000L) div (n_a * n_b)").as("lift_scaled"))
   }
 
-  /** Per-document top-k keyword extraction by integer-scaled TF-IDF:
-    * score = (tf · N · 10^6) div df — the idf log dropped the same way
-    * [[collocations]] drops the PMI log (monotone per term, and unlike
-    * summed BM25 the per-term ranking never adds scores across terms,
-    * so the surrogate preserves the order while staying pure bigint —
-    * bit-identical in any engine). Two corpus aggregations (term
+  /** Per-document top-k distinctive terms by the integer rarity score
+    * score = (tf · N · 10^6) div df — term frequency times the inverse
+    * document-frequency RATIO. Deliberately NOT log TF-IDF: dropping
+    * the log is order-preserving only between terms of equal tf
+    * (tf=1,df=1 outranks tf=10,df=N/2 here, while log TF-IDF flips
+    * them), so this favors rare terms more aggressively. The trade is
+    * made for the same reason [[collocations]] drops the PMI log: the
+    * score stays pure bigint and bit-identical in any engine, where a
+    * libm log would not hash-gate. Two corpus aggregations (term
     * frequencies, document frequencies) + one broadcast of the df table
     * + one per-doc ranking window; the corpus never self-joins. */
-  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+  def topTermsByRarity(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

@@ -206,10 +206,22 @@ object AtomicLanding {
     * UNION updates, published with the usual atomic swing. At 100 TB
     * per-partition rewrite with pruning (Delta's file-level MERGE) is
     * the refinement; the commit protocol is identical. */
-  def merge(updates: DataFrame, table: String, key: String): Long = {
+  def merge(updates: DataFrame, table: String, key: String,
+      allowMissingColumns: Boolean = false): Long = {
     val spark = updates.sparkSession
     val base = currentVersion(table)
-    val merged = read(spark, table, mergeSchema = true)
+    val live = read(spark, table, mergeSchema = true)
+    // an updates frame missing a live column would silently rewrite
+    // every matched row with NULL there (unionByName pads) — refuse
+    // unless the caller explicitly asks for that
+    if (!allowMissingColumns) {
+      val missing = live.columns.toSet -- updates.columns.toSet
+      require(missing.isEmpty,
+        s"merge updates are missing live column(s) ${missing.mkString(", ")} — " +
+          "matched rows would be rewritten with NULLs there; pass " +
+          "allowMissingColumns = true to do that deliberately")
+    }
+    val merged = live
       .join(updates.select(key), Seq(key), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
     // safe to read-while-writing: the staging write scans the OLD data
@@ -447,9 +459,12 @@ object AtomicLanding {
     * indistinguishable from a poisoned one. A POSITIVE grace makes
     * vacuum safe to run alongside writers — a FUTURE manifest (version
     * above the pointer) younger than the grace is a concurrent writer's
-    * live per-version lock and is preserved, and so are recent staging
-    * dirs (a writer stages data BEFORE reserving its slot). Auto-
-    * maintenance in the ingestion commit path uses this mode. */
+    * live per-version lock and is preserved, unreferenced data dirs get
+    * the same age grace (a writer moves staging -> data/ BEFORE
+    * reserving its slot), and `.staging` is not touched at all (its
+    * mtime freezes at write start, so NO age bound can distinguish a
+    * long-running write from an abandoned one). Auto-maintenance in the
+    * ingestion commit path uses this mode. */
   def vacuum(table: String, futureGraceMs: Long = 0L): Seq[String] = {
     val fs = fsOf(hp(table))
     val cur = currentVersion(table)
@@ -468,12 +483,24 @@ object AtomicLanding {
       if (fs.exists(mDir)) fs.listStatus(mDir).toSeq else Nil
     val (keptManifests, doomedManifests) = manifests.partition(s =>
       current.contains(s.getPath.getName) || isLiveReservation(s))
+    def parseRefs(text: String): Seq[String] =
+      text.split("\n").toSeq.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.stripPrefix("data/"))
     def referenced(ms: Seq[org.apache.hadoop.fs.FileStatus]): Set[String] =
-      ms.flatMap(s => readUtf8(fs, s.getPath).split("\n").toSeq
-        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map(_.stripPrefix("data/"))).toSet
+      ms.flatMap(s => parseRefs(readUtf8(fs, s.getPath))).toSet
+    // a DOOMED manifest may vanish mid-read when two vacuums race (both
+    // writers' auto-maintenance can run concurrently) — the peer that
+    // deleted it also handled its data dirs, so treat missing as empty.
+    // Kept manifests stay strict: losing the CURRENT manifest mid-read
+    // must fail loudly, never silently unreference live data.
+    def referencedLenient(ms: Seq[org.apache.hadoop.fs.FileStatus]): Set[String] =
+      ms.flatMap { s =>
+        try parseRefs(readUtf8(fs, s.getPath))
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }.toSet
     val keep = referenced(keptManifests)
-    val everReferenced = keep ++ referenced(doomedManifests)
+    val everReferenced = keep ++ referencedLenient(doomedManifests)
     // Data-dir doom rules: referenced by a kept manifest -> keep;
     // referenced only by doomed manifests -> superseded garbage, any age;
     // referenced by NOTHING -> aborted-commit garbage unless young (a
@@ -482,8 +509,13 @@ object AtomicLanding {
       val n = s.getPath.getName
       !keep.contains(n) && (everReferenced.contains(n) || !young(s))
     }
+    // .staging is reclaimed ONLY by full (grace = 0, writers-stopped)
+    // vacuum: a staging dir's mtime is frozen at write START (task files
+    // land under _temporary), so any write longer than the grace would
+    // be deleted MID-WRITE by concurrent auto-maintenance if age-gated
     val doomed = Seq(
-      hp(table, ".staging") -> ((s: org.apache.hadoop.fs.FileStatus) => !young(s)),
+      hp(table, ".staging") -> ((_: org.apache.hadoop.fs.FileStatus) =>
+        futureGraceMs == 0L),
       hp(table, "data") -> (doomedData _),
       hp(table, "manifests") -> ((s: org.apache.hadoop.fs.FileStatus) =>
         doomedManifests.exists(_.getPath == s.getPath)))

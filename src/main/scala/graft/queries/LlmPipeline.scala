@@ -44,15 +44,21 @@ object LlmPipeline {
   /** Once-per-(jvm, sf dir) ACID table for the time-travel gate. */
   private val acidSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
-  /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), materialized
-    * eagerly: q_scrub_spans APPLIES spans the pipeline already detected
-    * (q_dup_spans measures detection itself each time) — the pair no
-    * longer runs the gram explode twice per suite pass. */
-  private val spansMemo =
-    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
-  private def spansFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    spansMemo.getOrElseUpdate(dir,
-      Dedup.duplicateSpans(docs(s, dir), n = 5).localCheckpoint(true))
+  /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
+    * parquet like the sibling memos (a cached DataFrame would pin
+    * localCheckpoint blocks to one SparkContext): q_scrub_spans APPLIES
+    * spans the pipeline already detected (q_dup_spans measures
+    * detection itself each time) — the pair no longer runs the gram
+    * explode twice per suite pass. */
+  private val spansSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private def spansFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val p = spansSpooled.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-spans").toString + "/spans"
+      Dedup.duplicateSpans(docs(s, dir), n = 5).write.parquet(d)
+      d
+    })
+    s.read.parquet(p)
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -197,10 +203,11 @@ object LlmPipeline {
       graft.ext.Sharding.census(docs(s, dir), col("doc_id"), col("text"), 8)
         .orderBy(col("shard"))),
 
-    // ---- keyword extraction: per-doc top-3 terms by integer-scaled
-    // TF-IDF (log-free monotone surrogate — bit-stable cross-engine) ----
-    "q_tfidf_topterms" -> ((s, dir) =>
-      TextStats.tfIdfTopTerms(docs(s, dir), k = 3)
+    // ---- keyword extraction: per-doc top-3 distinctive terms by the
+    // integer rarity score tf·N div df (NOT log TF-IDF — see the
+    // operator doc; the log-free score is bit-stable cross-engine) ----
+    "q_top_terms" -> ((s, dir) =>
+      TextStats.topTermsByRarity(docs(s, dir), k = 3)
         .orderBy(col("doc_id"), col("rnk"))),
 
     // ---- heuristic language ID vs the labeled lang column ----
@@ -695,7 +702,7 @@ object LlmPipeline {
         |  THEN 1 ELSE 0 END) as bigint) FROM documents
         |ORDER BY version""".stripMargin,
 
-    "q_tfidf_topterms" ->
+    "q_top_terms" ->
       """WITH wl AS (SELECT doc_id, string_split(text,' ') t FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) tf
         |       FROM (SELECT doc_id, unnest(t) tok FROM wl) GROUP BY 1, 2),

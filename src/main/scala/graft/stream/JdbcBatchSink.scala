@@ -58,10 +58,15 @@ final class JdbcBatchSink(url: String, props: Properties, table: String) {
     try {
       conn.setAutoCommit(false)
       val meta = conn.getMetaData
-      val exists = {
-        val rs = meta.getTables(null, null, table.toUpperCase, null)
-        try rs.next() finally rs.close()
-      }
+      // probe every identifier fold (Derby/H2 store unquoted names
+      // upper, PostgreSQL lower) — an upper-only probe on a
+      // lower-folding store would re-CREATE every batch and die on the
+      // second one
+      val exists = Seq(table, table.toUpperCase, table.toLowerCase)
+        .distinct.exists { t =>
+          val rs = meta.getTables(null, null, t, null)
+          try rs.next() finally rs.close()
+        }
       val st = conn.createStatement()
       try {
         if (!exists)
@@ -77,10 +82,8 @@ final class JdbcBatchSink(url: String, props: Properties, table: String) {
             try while (rs.next()) b += rs.getString("COLUMN_NAME") finally rs.close()
             b.result()
           }
-          val found = cols(table) match {
-            case Nil => cols(table.toUpperCase)
-            case c => c
-          }
+          val found = Seq(table, table.toUpperCase, table.toLowerCase)
+            .distinct.map(cols).find(_.nonEmpty).getOrElse(Nil)
           found.find(_.equalsIgnoreCase("batch_id"))
             .map(n => "\"" + n + "\"").getOrElse("batch_id")
         }

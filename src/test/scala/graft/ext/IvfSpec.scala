@@ -72,5 +72,12 @@ class IvfSpec extends AnyFunSuite {
     assert(probed == brute)
     // the quantizer was NOT retrained by the append
     assert(grown.cents == idx.cents)
+    // replay safety: re-appending the same batch changes nothing — an
+    // at-least-once ingest must not double-index a vector
+    val replayed = Ivf.addToIndex(grown, batch)
+    assert(replayed.lists.count() == emb.count())
+    val probedAgain = Ivf.probe(replayed, queries, k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probedAgain == probed)
   }
 }

@@ -125,6 +125,26 @@ class AtomicLandingSpec extends AnyFunSuite {
       .head().getString(0) != "RENAMED")
   }
 
+  test("merge refuses updates missing a live column unless told otherwise") {
+    val table = freshTable()
+    val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
+    AtomicLanding.commit(nation, table)
+    import spark.implicits._
+    // updates lack every column but (key, name) — a silent union would
+    // NULL n_regionkey and n_comment out of the matched row
+    val partial = Seq((3L, "RENAMED")).toDF("n_nationkey", "n_name")
+    val ex = intercept[IllegalArgumentException](
+      AtomicLanding.merge(partial, table, "n_nationkey"))
+    assert(ex.getMessage.contains("allowMissingColumns"))
+    assert(AtomicLanding.currentVersion(table).contains(0L)) // nothing published
+    // the explicit opt-in does exactly the documented thing
+    AtomicLanding.merge(partial, table, "n_nationkey", allowMissingColumns = true)
+    val row = AtomicLanding.read(spark, table)
+      .filter(col("n_nationkey") === 3).head()
+    assert(row.getAs[String]("n_name") == "RENAMED")
+    assert(row.isNullAt(row.fieldIndex("n_regionkey")))
+  }
+
   test("the whole protocol runs through the Hadoop FS API: scheme-qualified file:// table") {
     val table = "file:" + freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
