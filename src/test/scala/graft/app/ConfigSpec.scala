@@ -86,6 +86,31 @@ class ConfigSpec extends AnyFunSuite {
     assert(creds.secretBinary("absent").isEmpty)
   }
 
+  test("flat-JSON parser round-trips arbitrary string maps (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val keyGen = Gen.nonEmptyListOf(Gen.asciiPrintableChar).map(_.mkString)
+    val valGen = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableChar, Gen.oneOf('"', '\\', '\n', '\t', '\u0001')))
+      .map(_.mkString)
+    val mapGen = Gen.mapOf(Gen.zip(keyGen, valGen))
+    val prop = Prop.forAllNoShrink(mapGen) { m =>
+      val json = m.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+        .mkString("{", ", ", "}")
+      FlatJson.parse(json) == m
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("run logger: timed blocks log and rethrow; buffer ships via relay") {
     val buf = new BufferSink
     val log = new RunLogger(Seq(buf))

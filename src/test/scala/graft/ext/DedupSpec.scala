@@ -47,6 +47,33 @@ class DedupSpec extends AnyFunSuite {
   }
 
 
+  test("duplicateSpans invariants hold on arbitrary corpora (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny vocab forces shared n-grams; docs of 0..20 words
+    val docGen = Gen.listOfN(8,
+      Gen.chooseNum(0, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+    val prop = Prop.forAllNoShrink(docGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val spans = Dedup.duplicateSpans(df, n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val lens = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> t.split(" ", -1).length.toLong }.toMap
+      spans.forall { case (d, s, e) => s >= 1 && s <= e && e <= lens(d) } &&
+        spans.groupBy(_._1).forall { case (_, sp) =>
+          // maximal merge: consecutive spans per doc are separated by
+          // a gap of at least one word (else they would have merged)
+          sp.sortBy(_._2).sliding(2).forall {
+            case Array((_, _, e1), (_, s2, _)) => s2 > e1 + 1
+            case _ => true
+          }
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("scrubSpans cuts duplicated spans out, leaves unique docs untouched") {
     val d = Seq(
       (10L, "u1 u2 u3 please read the following terms and conditions carefully t1 t2 t3"),
