@@ -41,7 +41,9 @@ object Multimodal {
       col("doc_id").as("media_id"),
       expr("CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' ELSE 'audio' END")
         .as("modality"),
-      encode(col("text"), "utf-8").as("payload"))
+      // null text -> empty payload (mirrors encodeMedia's guard) — a
+      // NULL payload would NPE every downstream byte-level parser
+      encode(coalesce(col("text"), lit("")), "utf-8").as("payload"))
 
   // ------------------------------------------------------------- encoders
 

@@ -24,12 +24,17 @@ object Quantiles {
 
   /** One row per (group, p): the exact discrete p-quantile of
     * `valueCol`. `ps` should be exact binary fractions (0.25, 0.5, ...)
-    * so ceil(p*n) is reproducible in IEEE arithmetic. */
+    * so ceil(p*n) is reproducible in IEEE arithmetic. NULL values are
+    * excluded (standard quantile semantics) — ranked in, Spark's
+    * nulls-first ascending order would hand low quantiles NULL and
+    * shift every other rank, where SQL's nulls-last ordering would
+    * not. */
   def exactDiscrete(df: DataFrame, valueCol: String,
       groupCols: Seq[String], ps: Seq[Double]): DataFrame = {
     val part = Window.partitionBy(groupCols.map(col): _*)
     val w = part.orderBy(col(valueCol))
-    df.withColumn("rn", row_number().over(w))
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(part))
       .withColumn("p", explode(array(ps.map(lit): _*)))
       .filter(col("rn") ===

@@ -37,8 +37,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    // deterministic spread: row identity, not rand() — re-execution of a
-    // task (speculation, stage retry) must salt each row identically
+    // spread by synthetic row id, not rand(). NOTE the limit: a row's id
+    // (and so its salt) depends on partition layout and can change
+    // under stage retry or AQE re-planning — fine HERE because join and
+    // aggregate results are salt-value-independent (any spread works),
+    // but never build salt-SENSITIVE logic (per-salt state, salt-keyed
+    // sampling) on this; that needs a hash of real key columns
     val saltedBig = big.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val saltRange = explode(sequence(lit(0), lit(salts - 1))).as("_salt")

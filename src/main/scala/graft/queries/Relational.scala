@@ -319,6 +319,9 @@ object Relational {
         .groupBy((col("user_id") % 10).as("bucket"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count()
+        // an empty (bucket, type) cell pivots to NULL; the oracle's
+        // count FILTER yields 0 — align the engines
+        .na.fill(0L)
         .orderBy(col("bucket"))),
 
     // ---- analytic window-function breadth: lag/lead/dense_rank/ntile/

@@ -35,13 +35,41 @@ object Streaming {
   private val fullSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val dupSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** NDJSON spool of the full event projection, once per (jvm, sf dir):
+    * ONE file (one AvailableNow micro-batch) at micro timestamp
+    * precision (the writer's default millis truncation could flip an
+    * event across a window/join boundary vs the untruncated oracle).
+    * Shared by every full-schema streaming query — the spool contract
+    * lives HERE, once. */
+  private def fullEventSpool(s: SparkSession, dir: String): String =
+    fullSpooled.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-qsjoin").toString
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .coalesce(1)
+        .write.mode("overwrite").option("timestampFormat", MicrosFmt)
+        .json(s"$d/in")
+      d
+    })
+
+  /** A fresh streaming reader over [[fullEventSpool]]. */
+  private def fullEventStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(fullEventSchema)
+      .option("timestampFormat", MicrosFmt)
+      .json(s"${fullEventSpool(s, dir)}/in")
+
   /** Stateful streaming allocates its state stores PER shuffle
     * partition (4 per partition for a join), so a fixture-sized drain at
     * the session's corpus-tuned partition count pays mostly store
     * machinery — run the micro-batches at few partitions and restore
     * after (measured 4.6 s @32 → 2.6 s @4 for the join at sf0.1).
     * Partition count is a per-workload dial; state per partition stays
-    * bounded either way. */
+    * bounded either way. CAVEAT: the dial is session-global conf, so
+    * this assumes the harness's one-query-at-a-time execution —
+    * a concurrent query on the same session could plan its shuffle at
+    * the temporary count; a multi-tenant deployment would clone the
+    * session (`spark.newSession()` shares the context, not the conf)
+    * instead of mutating shared state. */
   private def withFewPartitions[A](s: SparkSession)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -86,17 +114,7 @@ object Streaming {
     // spooled at micro precision — the writer's default millis truncation
     // could flip a pair across the 30-minute boundary vs the oracle. ----
     "q_stream_join" -> ((s, dir) => {
-      val tmp = fullSpooled.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("graft-qsjoin").toString
-        t(s, dir, "events")
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-          .coalesce(1)
-          .write.mode("overwrite").option("timestampFormat", MicrosFmt)
-          .json(s"$d/in")
-        d
-      })
-      def src() = s.readStream.schema(fullEventSchema)
-        .option("timestampFormat", MicrosFmt).json(s"$tmp/in")
+      def src() = fullEventStream(s, dir)
       val clicks = src().filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"),
           col("event_id").as("click_id"))
@@ -121,22 +139,16 @@ object Streaming {
     }),
 
     // ---- session windows: gap-merged per-user activity bursts, the
-    // native Structured Streaming sessionization (vs q_sessionize's
-    // batch gaps-and-islands — same 30-min rule, same answer). Session
-    // start is emitted as epoch micros: the engines' nanosecond
-    // truncation agrees on integers where raw timestamps might not. ----
+    // native Structured Streaming sessionization. NOT answer-identical
+    // to q_sessionize's batch gaps-and-islands: session_window starts a
+    // new session at gap >= 30 min (session end exclusive) while
+    // q_sessionize's rule is gap > 30 min — a pair exactly 30 min apart
+    // lands in one session there and two here; each query's oracle
+    // encodes its own boundary. Session start is emitted as epoch
+    // micros: the engines' nanosecond truncation agrees on integers
+    // where raw timestamps might not. ----
     "q_stream_session" -> ((s, dir) => {
-      val tmp = fullSpooled.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("graft-qsjoin").toString
-        t(s, dir, "events")
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-          .coalesce(1)
-          .write.mode("overwrite").option("timestampFormat", MicrosFmt)
-          .json(s"$d/in")
-        d
-      })
-      val src = s.readStream.schema(fullEventSchema)
-        .option("timestampFormat", MicrosFmt).json(s"$tmp/in")
+      val src = fullEventStream(s, dir)
       val sess = src
         .withWatermark("ts", "1 hour")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -194,17 +206,7 @@ object Streaming {
     // store). At 100 TB the static side is a broadcast or bucketed
     // table; the stream side never shuffles for the join itself ----
     "q_stream_static_join" -> ((s, dir) => {
-      val tmp = fullSpooled.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("graft-qsjoin").toString
-        t(s, dir, "events")
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-          .coalesce(1)
-          .write.mode("overwrite").option("timestampFormat", MicrosFmt)
-          .json(s"$d/in")
-        d
-      })
-      val src = s.readStream.schema(fullEventSchema)
-        .option("timestampFormat", MicrosFmt).json(s"$tmp/in")
+      val src = fullEventStream(s, dir)
       val dim = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       withFewPartitions(s) {

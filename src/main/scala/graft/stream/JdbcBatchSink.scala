@@ -58,13 +58,20 @@ final class JdbcBatchSink(url: String, props: Properties, table: String) {
     try {
       conn.setAutoCommit(false)
       val meta = conn.getMetaData
+      // metadata lookups take LIKE patterns where '_' is a wildcard —
+      // unescaped, a sibling like 'eventsXout' would satisfy the
+      // 'events_out' probe, CREATE would be skipped, and every batch
+      // would die on the missing target
+      val esc = meta.getSearchStringEscape
+      def likeEscape(s: String): String =
+        s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       // probe every identifier fold (Derby/H2 store unquoted names
       // upper, PostgreSQL lower) — an upper-only probe on a
       // lower-folding store would re-CREATE every batch and die on the
       // second one
       val exists = Seq(table, table.toUpperCase, table.toLowerCase)
         .distinct.exists { t =>
-          val rs = meta.getTables(null, null, t, null)
+          val rs = meta.getTables(null, null, likeEscape(t), null)
           try rs.next() finally rs.close()
         }
       val st = conn.createStatement()
@@ -77,7 +84,7 @@ final class JdbcBatchSink(url: String, props: Properties, table: String) {
         // exact stored name and quote it
         val bcol = {
           def cols(t: String): Seq[String] = {
-            val rs = meta.getColumns(null, null, t, null)
+            val rs = meta.getColumns(null, null, likeEscape(t), null)
             val b = Seq.newBuilder[String]
             try while (rs.next()) b += rs.getString("COLUMN_NAME") finally rs.close()
             b.result()

@@ -33,6 +33,27 @@ class TemporalJoinSpec extends AnyFunSuite {
       (3L, None)))       // no right row for key 20
   }
 
+  test("asof: NULL timestamps match nothing on either side, both directions") {
+    val left = Seq(
+      (1L, 10L, Some(ts("2024-01-01 10:00:00"))),
+      (2L, 10L, None) // null left time: keeps its row, matches nothing
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (101L, 10L, None), // null right time: can satisfy neither bound
+      (102L, 10L, Some(ts("2024-01-01 09:00:00")))
+    ).toDF("rid", "k", "rt")
+    val back = AsofJoin.asof(left, right, "k", "t", "rt", Seq("rid"), "rid")
+      .orderBy("id").select("id", "asof_rid")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(back == Seq((1L, Some(102L)), (2L, None)))
+    val fwd = AsofJoin.asofForward(left, right, "k", "t", "rt", Seq("rid"), "rid")
+      .orderBy("id").select("id", "asof_rid")
+      .as[(Long, Option[Long])].collect().toSeq
+    // 09:00 < 10:00, so forward finds nothing for row 1 either — and the
+    // null-time rows never produce a bogus carry
+    assert(fwd == Seq((1L, None), (2L, None)))
+  }
+
   test("asof matches a window-SQL reference on the fixture events") {
     val ev = graft.Tables.t(spark, TestSpark.Sf0001, "events")
     val p = ev.filter(col("event_type") === "purchase")
