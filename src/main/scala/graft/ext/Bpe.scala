@@ -102,9 +102,13 @@ object Bpe {
   val Standard: BpeTable = new BpeTable(StandardMerges)
 
   /** The engine's pretokenizer — letter runs, digit runs, single
-    * punctuation marks (same classes as [[TextOps.bpeTokenCount]]). */
+    * punctuation marks (same classes as [[TextOps.bpeTokenCount]]).
+    * NULL text coalesces to the empty stream (so [[tokenCount]] yields 0,
+    * not size(NULL) = -1) — matching the oracle's LEFT JOIN + coalesce
+    * semantics for absent documents. */
   def pretokens(text: Column): Column =
-    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+    regexp_extract_all(coalesce(text, lit("")),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** BPE-encode one word column with the standard table (registered as
     * `bpe_encode` by [[graft.functions.GraftExtensions]]). */
@@ -113,6 +117,20 @@ object Bpe {
   /** The document's full subword-token stream, in order. */
   def tokens(text: Column): Column =
     flatten(transform(pretokens(text), w => encodeWord(w)))
+
+  /** BPE-encode with an ARBITRARY merges table — the planned path for
+    * TRAINED vocabularies, where the table is runtime state the
+    * session-registered `bpe_encode` (pinned to [[Standard]]) cannot
+    * carry. Same native expression, same codegen; only the constructor
+    * argument differs. */
+  def encodeWordWith(table: BpeTable, word: Column): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.GraftShims.expression(word), table))
+
+  /** [[tokens]] under an arbitrary (e.g. trained) merges table. */
+  def tokensWith(table: BpeTable, text: Column): Column =
+    flatten(transform(pretokens(text), w => encodeWordWith(table, w)))
 
   /** Token-exact count — the drop-in upgrade for
     * [[TextOps.bpeTokenCount]]'s regex approximation. */

@@ -97,10 +97,17 @@ object TextStats {
     * NOT cross-engine stable; the log is monotone, so the ranking is
     * the same). `minCount` suppresses hapax pairs, the standard PMI
     * pathology. Three corpus-wide aggregations (bigrams, unigrams,
-    * total) + two broadcast joins of the small count tables — the big
-    * scan never self-joins. Scaled products stay under 2^63 for corpora
-    * to ~10^5 occurrences per bigram x 10^8 tokens; shard the counts
-    * before lifting beyond that. */
+    * total) + two UNHINTED equi-joins of the count tables — the big
+    * scan never self-joins, and the unigram table carries NO broadcast
+    * hint: at 100 TB the distinct-term table is 10^8-10^9 rows, past any
+    * driver/broadcast limit, and `term` is a high-cardinality
+    * well-distributed shuffle key. Catalyst's size-based auto-broadcast
+    * (or AQE's runtime re-plan) still picks a broadcast when the vocab
+    * measures small, so nothing is lost at low scale. Only the one-row
+    * corpus total keeps an explicit hint — that side is bounded by
+    * construction. Scaled products stay under 2^63 for corpora to ~10^5
+    * occurrences per bigram x 10^8 tokens; shard the counts before
+    * lifting beyond that. */
   def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
     // stage the split once (interpreted lambdas get no CSE — the
     // q_repetition lesson), and derive the token total from the unigram
@@ -119,8 +126,8 @@ object TextStats {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
     bigrams
-      .join(broadcast(uni.select(col("t").as("w1"), col("n").as("n_a"))), "w1")
-      .join(broadcast(uni.select(col("t").as("w2"), col("n").as("n_b"))), "w2")
+      .join(uni.select(col("t").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("t").as("w2"), col("n").as("n_b")), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("n_ab"),
         expr("(n_ab * n_total * 1000000L) div (n_a * n_b)").as("lift_scaled"))
@@ -135,8 +142,13 @@ object TextStats {
     * made for the same reason [[collocations]] drops the PMI log: the
     * score stays pure bigint and bit-identical in any engine, where a
     * libm log would not hash-gate. Two corpus aggregations (term
-    * frequencies, document frequencies) + one broadcast of the df table
-    * + one per-doc ranking window; the corpus never self-joins. */
+    * frequencies, document frequencies) + one UNHINTED equi-join back on
+    * `term` + one per-doc ranking window; the corpus never self-joins.
+    * The df table carries NO broadcast hint — it is vocabulary-sized
+    * (10^8-10^9 distinct terms at 100 TB), so the scale-safe plan is a
+    * shuffle join on the well-distributed `term` key; Catalyst's
+    * size-based auto-broadcast still upgrades it when df measures small.
+    * Only the one-row doc count keeps an explicit hint. */
   def topTermsByRarity(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -145,7 +157,7 @@ object TextStats {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_scaled").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score_scaled", expr("(tf * n_docs * 1000000L) div df"))
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -60,6 +60,26 @@ object LlmPipeline {
     s.read.parquet(p)
   }
 
+  /** Fixed q_bpe_trained training budget: enough merges to form real
+    * multi-char subwords on the fixture corpus, dictionary bound far
+    * above the fixture vocab (the bound is the 100 TB driver-state cap,
+    * not a fixture tuning knob). */
+  private val TrainedNMerges = 64
+  private val TrainedMaxWords = 20000
+
+  /** Once-per-(jvm, sf dir) TRAINED merges table + the dir last trained,
+    * so the Verify-time oracle dump (which runs AFTER all queries — see
+    * [[graft.Verify]]) can replay the learned merge list through the same
+    * recursive-CTE oracle as the standard table. */
+  private val trainedCache = scala.collection.concurrent.TrieMap[String, graft.ext.BpeTable]()
+  @volatile private var trainedDirLast: Option[String] = None
+  private def trainedTableFor(s: SparkSession, dir: String): graft.ext.BpeTable = {
+    val t = trainedCache.getOrElseUpdate(dir,
+      graft.ext.Bpe.train(docs(s, dir), col("text"), TrainedNMerges, TrainedMaxWords))
+    trainedDirLast = Some(dir)
+    t
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ---- exact dedup: hash-groupBy, one shuffle, no pairs. The fixture
@@ -189,6 +209,22 @@ object LlmPipeline {
     // overlap rule fails the hash gate ----
     "q_bpe_tokens" -> ((s, dir) => {
       val toks = graft.ext.Bpe.tokens(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          md5(array_join(toks, "|")).as("token_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- the TRAINED path end-to-end: one distributed word-count pass
+    // + the bounded driver merge loop learns a merges table from the
+    // corpus itself, then the same native expression tokenizes under it.
+    // The oracle replays the LEARNED merge list (dumped after this query
+    // runs — Verify's ordering) through the same recursive CTE, so a
+    // trainer that learns the wrong pair, in the wrong order, fails the
+    // hash gate — this is the path a real pipeline user runs ----
+    "q_bpe_trained" -> ((s, dir) => {
+      val table = trainedTableFor(s, dir)
+      val toks = graft.ext.Bpe.tokensWith(table, col("text"))
       docs(s, dir)
         .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
           md5(array_join(toks, "|")).as("token_fp"))
@@ -616,7 +652,18 @@ object LlmPipeline {
     * 60-bit md5 hashes, exact integer accumulation for dot products,
     * cast(int as double)/cast(int as double) ratios, explicit double
     * literals (DuckDB parses bare 0.6 as DECIMAL). */
-  val oracles: Map[String, String] = Map(
+  /** The q_bpe_trained oracle is generated from the LEARNED merge list,
+    * which only exists after the query trains — so `oracles` is a def
+    * that appends it at dump time ([[graft.Verify]] runs every query,
+    * then dumps the SQL; a dump before the query ran fails loudly here
+    * rather than emitting silently-wrong SQL). */
+  def oracles: Map[String, String] = staticOracles +
+    ("q_bpe_trained" -> bpeTokensOracle(bpeEncodeCtes(mergesValuesSql(
+      trainedDirLast.flatMap(trainedCache.get).getOrElse(throw new IllegalStateException(
+        "q_bpe_trained oracle requested before the query trained a table — " +
+        "run SparkEntry.queries(\"q_bpe_trained\") first (Verify does)")).merges))))
+
+  private val staticOracles: Map[String, String] = Map(
 
     "q_dedup_exact" ->
       """WITH d AS (SELECT doc_id, text FROM documents
@@ -1276,12 +1323,24 @@ object LlmPipeline {
       |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin
 
-  /** The standard merges table as a SQL VALUES literal (tokens are
-    * letters only — no escaping needed). */
-  private lazy val BpeMergesValues: String =
-    graft.ext.Bpe.StandardMerges.zipWithIndex.map { case ((a, b), r) =>
+  /** A merges table as a SQL VALUES literal. Sides are provably ASCII
+    * alphanumeric for any table over [[graft.ext.Bpe.pretokens]] output —
+    * letter runs and digit runs are the only multi-char words (a
+    * punctuation word is one char, so it has no pairs to merge) — but
+    * verify anyway: an unquotable token must fail here, not corrupt SQL. */
+  private def mergesValuesSql(merges: Seq[(String, String)]): String = {
+    require(merges.nonEmpty, "empty merges table has no VALUES form")
+    merges.zipWithIndex.map { case ((a, b), r) =>
+      require((a + b).forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')),
+        s"unquotable merge token ($a,$b)")
       s"('$a', '$b', $r)"
     }.mkString("(VALUES ", ", ", ") m(a, b, r)")
+  }
+
+  /** The standard merges table as a SQL VALUES literal. */
+  private lazy val BpeMergesValues: String =
+    mergesValuesSql(graft.ext.Bpe.StandardMerges)
 
   /** Replay of the BPE encoder as a recursive CTE — the shared prefix of
     * `q_bpe_tokens` and `q_pack_bpe`: each step merges every occurrence
@@ -1291,8 +1350,10 @@ object LlmPipeline {
     * conflict-free), and a word is terminal when no adjacent pair is in
     * the table. Distinct words encode once (`fin`), then join back to
     * the per-document word stream (`w`). */
-  private lazy val BpeEncodeCtes: String =
-    s"""merges AS (SELECT * FROM $BpeMergesValues),
+  private lazy val BpeEncodeCtes: String = bpeEncodeCtes(BpeMergesValues)
+
+  private def bpeEncodeCtes(mergesValues: String): String =
+    s"""merges AS (SELECT * FROM $mergesValues),
        |d AS (SELECT doc_id,
        |        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') ws
        |      FROM documents),
@@ -1323,8 +1384,10 @@ object LlmPipeline {
        |    list_transform(range(1, len(e.t)), i -> e.t[i]||chr(1)||e.t[i+1]),
        |    a||chr(1)||b)) IS NULL)""".stripMargin
 
-  private lazy val BpeTokensOracle: String =
-    s"""WITH RECURSIVE $BpeEncodeCtes,
+  private lazy val BpeTokensOracle: String = bpeTokensOracle(BpeEncodeCtes)
+
+  private def bpeTokensOracle(ctes: String): String =
+    s"""WITH RECURSIVE $ctes,
        |agg AS (
        |  SELECT w.doc_id,
        |    cast(sum(len(f.t)) as bigint) n_tokens,

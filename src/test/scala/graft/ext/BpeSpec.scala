@@ -73,6 +73,32 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("null text tokenizes to the empty stream (count 0, not -1)") {
+    import spark.implicits._
+    val d = Seq((1L, Option("the cat")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), Bpe.tokenCount(col("text")).as("n"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(r(1)._2 == 0, s"NULL text must count 0 tokens, got ${r(1)._2}")
+    assert(r(0)._2 == 3) // "the" | "c","at"
+  }
+
+  test("tokensWith plans a trained table through the same native expression") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val trained = Bpe.train(docs, col("text"), nMerges = 30)
+    val viaExpr = docs.limit(30)
+      .select(col("doc_id"), Bpe.tokensWith(trained, col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val texts = docs.limit(30).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+    texts.foreach { case (id, text) =>
+      val expect = re.findAllIn(text).toSeq.flatMap(w => trained.encode(w))
+      assert(viaExpr(id) == expect, s"doc $id")
+    }
+  }
+
   test("trainer learns the fixture's frequent pairs and round-trips") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val trained = Bpe.train(docs, col("text"), nMerges = 30)

@@ -53,6 +53,35 @@ class TextStatsSpec extends AnyFunSuite {
     assert(s(0).getAs[Long]("fp_roll") == s(1).getAs[Long]("fp_roll"))
   }
 
+  test("vocab-side joins are shuffle joins, not forced broadcasts") {
+    // At 100 TB the unigram/df tables are vocabulary-sized (1e8-1e9
+    // rows) — a forced broadcast would kill the job. With size-based
+    // auto-broadcast disabled, the ONLY way a BroadcastHashJoin can
+    // appear is a hint in the operator code; assert there is none.
+    // (The one-row corpus-total cross joins legitimately broadcast via
+    // BroadcastNestedLoopJoin — those are bounded by construction.)
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fixture = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      for (q <- Seq(TextStats.collocations(fixture, 2L),
+                    TextStats.topTermsByRarity(fixture, 3))) {
+        graft.Bench.materialize(q)
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"vocab join was force-broadcast:\n$plan")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"expected a shuffle equi-join on the vocab side:\n$plan")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bpe token count: letter runs, digit runs, punctuation marks") {
     val d = Seq((1L, "hello world42 x-y!")).toDF("doc_id", "text")
     val n = d.select(TextOps.bpeTokenCount(col("text"))).as[Int].head()
