@@ -81,7 +81,16 @@ object Decontaminate {
     * result equals [[overlaps]] row for row (that identity is the
     * `q_decontaminate_bloom` hash gate). The join deliberately has no
     * broadcast hint: this is the path for when the bench side must
-    * shuffle too. */
+    * shuffle too.
+    *
+    * EAGER, unlike the sibling builders: constructing the frame runs two
+    * Spark actions (the bench-shingle localCheckpoint + the sketch
+    * `.head()`) and pins the checkpointed shingles in executor storage —
+    * the sketch must exist before the corpus filter can be planned.
+    * Callers composing lazy pipelines should invoke it once and reuse
+    * the returned frame; for a bench side too big even for executor
+    * storage, swap the localCheckpoint for a parquet spool (same plan,
+    * disk-backed lineage cut). */
   def overlapsBloom(corpus: DataFrame, bench: DataFrame, minShared: Int,
       n: Int = 3, expectedItems: Long = 1L << 20,
       numBits: Long = 1L << 23): DataFrame = {

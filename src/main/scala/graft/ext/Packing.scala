@@ -15,10 +15,18 @@ import TextOps.tokenCount
   * A document spans bins when it crosses a boundary (the standard
   * pretraining behavior — no padding waste, splits allowed).
   *
-  * One ordered-window pass per stream, partitioned by the stream key —
-  * at 100 TB each source/shard packs independently and in parallel;
-  * the cumulative sum never crosses stream boundaries, so there is no
-  * global sequential dependency.
+  * The running offset is computed HIERARCHICALLY, so one giant stream
+  * never serializes onto one partition: docs split into contiguous
+  * doc_id blocks (`idBlock` ids per block), the cumulative sum runs
+  * per (stream, block) — parallel across blocks — and each block's
+  * starting offset comes from a per-(stream, block) totals table
+  * (corpus_size / idBlock rows, tiny) cumsum'd per stream and joined
+  * back on the same (stream, block) key the local window already
+  * partitioned by. Same trick as [[Sharding]]'s manifest: the only
+  * sequential pass runs over block AGGREGATES, ~10^4-10^6x smaller
+  * than the corpus. Block order equals doc order because blocks are
+  * doc_id-contiguous (ids are assumed non-negative, as fixture and
+  * shard layouts guarantee).
   */
 object Packing {
 
@@ -27,17 +35,37 @@ object Packing {
     * land at their offset's bin. The token counter is pluggable: the
     * default whitespace count is the oracle-replayable baseline;
     * token-exact budgeting passes [[Bpe.tokenCount]] instead (same
-    * plan shape — still a pure projection feeding one ordered window). */
+    * plan shape — projections feeding block-local windows). `idBlock`
+    * is the doc_id span per cumsum block: any value yields identical
+    * results (offsets are associative); it only tunes parallelism. */
   def concatChunk(docs: DataFrame, streamCol: String, c: Int,
-      tokens: org.apache.spark.sql.Column = tokenCount(col("text"))): DataFrame = {
+      tokens: org.apache.spark.sql.Column = tokenCount(col("text")),
+      idBlock: Long = 1L << 16): DataFrame = {
     require(c > 0, "context capacity must be positive")
-    val w = Window.partitionBy(col("stream")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    docs.select(col("doc_id"), col(streamCol).as("stream"),
+    require(idBlock > 0, "idBlock must be positive")
+    val base = docs.select(col("doc_id"), col(streamCol).as("stream"),
         tokens.cast("long").as("n_tok"))
-      .withColumn("offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("_blk", expr(s"doc_id div $idBlock"))
+    // local running offset within (stream, block) — parallel across blocks
+    val wLoc = Window.partitionBy(col("stream"), col("_blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    // block base offsets: cumsum over per-block TOTALS, one row per
+    // (stream, block) — the only stream-sequential pass, corpus/idBlock
+    // rows (recurse the same trick if even that table ever gets big)
+    val wBlk = Window.partitionBy(col("stream")).orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val blockBase = base.groupBy(col("stream"), col("_blk"))
+      .agg(sum(col("n_tok")).as("_blk_tok"))
+      .withColumn("_base", coalesce(sum(col("_blk_tok")).over(wBlk), lit(0L)))
+      .select(col("stream"), col("_blk"), col("_base"))
+    base
+      .withColumn("_loc", coalesce(sum(col("n_tok")).over(wLoc), lit(0L)))
+      .join(blockBase, Seq("stream", "_blk"))
+      .withColumn("offset", col("_base") + col("_loc"))
       .withColumn("start_bin", expr(s"offset div $c"))
       .withColumn("end_bin",
         expr(s"(offset + greatest(n_tok - 1L, 0L)) div $c"))
+      .select(col("doc_id"), col("stream"), col("n_tok"),
+        col("offset"), col("start_bin"), col("end_bin"))
   }
 }

@@ -51,13 +51,15 @@ object Sharding {
 
   /** Deal `df` into `outDir/shard=K/` parquet, pseudo-randomly ordered
     * within each shard, and return the manifest (shard, n_rows,
-    * content_fp) — also written to `outDir/_manifest`. One compute pass:
-    * the repartition carries rows to their shard's tasks, the sort
-    * happens in-task, the parquet writer splits directories on the
-    * shard column, and the manifest is then aggregated from the WRITTEN
-    * files (reading back the compressed layout instead of re-running
-    * the upstream plan — which also makes the manifest a proof of what
-    * actually landed, not of what was intended). */
+    * content_fp) — also written to `outDir/_manifest`. The WRITE is one
+    * compute pass (repartition carries rows to their shard's tasks, the
+    * sort happens in-task, the parquet writer splits directories on the
+    * shard column); the MANIFEST then costs a second, separate scan of
+    * the written files — deliberate: reading back the landed layout
+    * makes the manifest a proof of what actually landed, not of what
+    * was intended, but a caller who trusts the write and cannot afford
+    * re-reading the corpus should derive the census from the upstream
+    * plan ([[census]]) instead. */
   def writeShards(df: DataFrame, key: Column, content: Column, nShards: Int,
       outDir: String): DataFrame = {
     assign(df, key, nShards)

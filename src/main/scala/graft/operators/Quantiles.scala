@@ -28,7 +28,10 @@ object Quantiles {
     * excluded (standard quantile semantics) — ranked in, Spark's
     * nulls-first ascending order would hand low quantiles NULL and
     * shift every other rank, where SQL's nulls-last ordering would
-    * not. */
+    * not. Consequence callers must know: a group whose values are ALL
+    * NULL disappears from the output entirely (n = 0 ranks nothing) —
+    * right-join the distinct group keys back with a NULL `q` if group
+    * presence matters downstream. */
   def exactDiscrete(df: DataFrame, valueCol: String,
       groupCols: Seq[String], ps: Seq[Double]): DataFrame = {
     val part = Window.partitionBy(groupCols.map(col): _*)

@@ -385,6 +385,23 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- the PRODUCTION PQ shape, fully hash-gated: m=8 subspaces,
+    // k=16 codes (32x compression), iters = 0 so the codebook is the
+    // first 16 vectors' sub-slices (SQL-reproducible, the same pinning
+    // trick as q_cosine_ivf) — then a genuinely approximate
+    // shortlist=50-of-500 ADC prune + exact integer re-rank. Every step
+    // (sub-distance assignment, ADC lookup-table sum, both rankings) is
+    // scaled-integer math with total-order tie-breaks, so the oracle
+    // replays codebook -> assign -> ADC -> shortlist -> re-rank exactly;
+    // Lloyd-TRAINED codebooks stay covered by PqSpec's recall tests ----
+    "q_cosine_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = graft.ext.Pq.train(e, m = 8, k = 16, iters = 0)
+      graft.ext.Pq.topKRerank(e, e.filter(col("vec_id") < 10), k = 5,
+          cb, shortlist = 50)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- IVF approximate NN, partial probe (4 of 16 lists — genuinely
     // approximate), fully hash-gated: with iters = 0 the coarse quantizer
     // is the first 16 vectors by vec_id and every subsequent step
@@ -655,13 +672,12 @@ object LlmPipeline {
   /** The q_bpe_trained oracle is generated from the LEARNED merge list,
     * which only exists after the query trains — so `oracles` is a def
     * that appends it at dump time ([[graft.Verify]] runs every query,
-    * then dumps the SQL; a dump before the query ran fails loudly here
-    * rather than emitting silently-wrong SQL). */
-  def oracles: Map[String, String] = staticOracles +
-    ("q_bpe_trained" -> bpeTokensOracle(bpeEncodeCtes(mergesValuesSql(
-      trainedDirLast.flatMap(trainedCache.get).getOrElse(throw new IllegalStateException(
-        "q_bpe_trained oracle requested before the query trained a table — " +
-        "run SparkEntry.queries(\"q_bpe_trained\") first (Verify does)")).merges))))
+    * then dumps the SQL). If the query never ran the entry is OMITTED
+    * (the driver then records a rows-only check for a result that does
+    * not exist either) rather than crashing the whole oracle dump. */
+  def oracles: Map[String, String] = staticOracles ++
+    trainedDirLast.flatMap(trainedCache.get).map(t =>
+      "q_bpe_trained" -> bpeTokensOracle(bpeEncodeCtes(mergesValuesSql(t.merges))))
 
   private val staticOracles: Map[String, String] = Map(
 
@@ -859,6 +875,7 @@ object LlmPipeline {
     "q_cosine_ann_exact" -> CosineTopkOracle,
     "q_cosine_ann" -> CosineAnnOracle,
     "q_cosine_ivf" -> CosineIvfOracle,
+    "q_cosine_pq" -> CosinePqOracle,
 
     // CosineTopkOracle restricted to the 200-vector gate slice
     "q_cosine_pq_exact" ->
@@ -1481,6 +1498,57 @@ object LlmPipeline {
     * probes its 4 nearest lists, and ranking is the exact cosine inside
     * the probed lists only — identical to
     * [[graft.ext.Ivf.topKIvf]](iters = 0)'s dataflow. */
+  /** Full SQL replay of the production PQ path (`q_cosine_pq`): the
+    * iters=0 codebook is the first 16 vectors' 8-dim sub-slices (cid =
+    * vec_id rank), assignment is the exact integer sub-distance
+    * ||x-c||² = dot(x,x) - 2·dot(x,c) + dot(c,c) with (d2, cid)
+    * tie-break, ADC scores sum the per-subspace query·centroid scaled
+    * dots over each neighbor's codes, the top-50 shortlist feeds the
+    * exact cosine re-rank. Integer math end to end — the one float
+    * step (cos_sim) is the same IEEE divide/sqrt as CosineTopkOracle. */
+  private lazy val CosinePqOracle: String =
+    s"""WITH seeds AS (
+       |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) cid, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |ss AS (SELECT unnest(range(0, 8)) sub),
+       |cb AS (SELECT sub, cid, embedding[sub*8+1 : sub*8+8] cvec
+       |       FROM seeds CROSS JOIN ss),
+       |sv AS (SELECT vec_id, sub, embedding[sub*8+1 : sub*8+8] svec
+       |       FROM embeddings CROSS JOIN ss),
+       |ad AS (SELECT sv.vec_id, sv.sub, cb.cid,
+       |         ${sqlDot("sv.svec", "sv.svec")} - 2*${sqlDot("sv.svec", "cb.cvec")}
+       |           + ${sqlDot("cb.cvec", "cb.cvec")} d2
+       |       FROM sv JOIN cb ON cb.sub = sv.sub),
+       |asn AS (SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) rn
+       |    FROM ad) WHERE rn = 1),
+       |lut AS (SELECT sv.vec_id query_id, sv.sub, cb.cid,
+       |          ${sqlDot("sv.svec", "cb.cvec")} d
+       |        FROM sv JOIN cb ON cb.sub = sv.sub WHERE sv.vec_id < 10),
+       |adc AS (SELECT l.query_id, a.vec_id neighbor_id, cast(sum(l.d) as bigint) score
+       |        FROM asn a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+       |        WHERE a.vec_id <> l.query_id GROUP BY 1, 2),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn
+       |    FROM adc) WHERE rn <= 50),
+       |n AS (SELECT vec_id, list_sum(list_transform(embedding,
+       |        x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+       |      FROM embeddings),
+       |t AS (SELECT s.query_id qid, s.neighbor_id cid,
+       |        ${sqlDot("q.embedding", "e.embedding")} dots
+       |      FROM sl s JOIN embeddings q ON q.vec_id = s.query_id
+       |                JOIN embeddings e ON e.vec_id = s.neighbor_id),
+       |sc AS (SELECT qid, cid,
+       |        cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+       |       FROM t JOIN n nq ON nq.vec_id = t.qid JOIN n nc ON nc.vec_id = t.cid),
+       |r AS (SELECT qid AS query_id, cid AS neighbor_id, cos_sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) rnk
+       |      FROM sc)
+       |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   private lazy val CosineIvfOracle: String =
     s"""WITH c AS (
        |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,

@@ -443,6 +443,30 @@ object Relational {
           (abs(col("n_approx") - col("n_exact")).cast("double") /
             col("n_exact").cast("double") <= 0.1).as("within_10pct"))
         .orderBy(col("event_type"))),
+
+    // ---- the sketch MERGE contract (the 100 TB path: shards sketch
+    // independently, a tiny union-merge folds them — raw values never
+    // re-shuffle): per-(type, shard) HLL sketches union-merge per type,
+    // and the merged estimate must land inside the same 10% envelope as
+    // the direct sketch. The exact count (its own scan — this is a
+    // verification row, the production pipeline keeps only sketches)
+    // anchors the oracle; the within-envelope flag is the merge
+    // correctness claim the gate pins ----
+    "q_hll_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val merged = ev
+        .groupBy(col("event_type"), expr("user_id % 8").as("shard"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_approx"))
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(merged, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.1).as("within_10pct"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -665,6 +689,13 @@ object Relational {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // merged-sketch estimate must sit in the envelope; the exact count
+    // is the replayable anchor (same shape as q_approx_distinct)
+    "q_hll_merge" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

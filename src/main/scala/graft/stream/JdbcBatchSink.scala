@@ -48,12 +48,12 @@ final class JdbcBatchSink(url: String, props: Properties, table: String) {
     val staged = df.withColumn("batch_id", lit(batchId))
     staged.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
 
-    // positional SELECT *: Spark's JDBC writer quotes (lower-cases) the
-    // identifiers it creates, while user DDL usually folds to upper — a
-    // name-based column list would have to guess the casing of both
-    // tables. The stage is always written as df.columns + batch_id, so
-    // an existing target must use that column order (the created-here
-    // target does by construction).
+    // the batch swing copies BY NAME in the target's column order: the
+    // exact stored identifiers of both tables come from JDBC metadata
+    // (Spark's writer quotes lowercase; user DDL folds — usually upper),
+    // so a pre-existing target with the same columns in a DIFFERENT
+    // order gets each value in the right column, and a target whose
+    // column SET differs fails loudly instead of cross-wiring
     val conn = DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)
@@ -79,24 +79,35 @@ final class JdbcBatchSink(url: String, props: Properties, table: String) {
         if (!exists)
           st.executeUpdate(
             s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
-        // the target's batch_id may be folded (user DDL) or quoted
-        // lowercase (created from the Spark-written stage) — resolve the
-        // exact stored name and quote it
-        val bcol = {
-          def cols(t: String): Seq[String] = {
-            val rs = meta.getColumns(null, null, likeEscape(t), null)
-            val b = Seq.newBuilder[String]
-            try while (rs.next()) b += rs.getString("COLUMN_NAME") finally rs.close()
-            b.result()
-          }
-          val found = Seq(table, table.toUpperCase, table.toLowerCase)
-            .distinct.map(cols).find(_.nonEmpty).getOrElse(Nil)
-          found.find(_.equalsIgnoreCase("batch_id"))
-            .map(n => "\"" + n + "\"").getOrElse("batch_id")
+        // resolve the exact stored column names of both tables, trying
+        // every identifier fold (as-given / upper / lower)
+        def cols(t: String): Seq[String] = {
+          val rs = meta.getColumns(null, null, likeEscape(t), null)
+          val b = Seq.newBuilder[String]
+          try while (rs.next()) b += rs.getString("COLUMN_NAME") finally rs.close()
+          b.result()
         }
+        def resolved(t: String): Seq[String] =
+          Seq(t, t.toUpperCase, t.toLowerCase).distinct.map(cols)
+            .find(_.nonEmpty).getOrElse(Nil)
+        val stageCols = resolved(stage)
+        val targetCols = resolved(table)
+        require(stageCols.nonEmpty && targetCols.nonEmpty,
+          s"column metadata unresolved: stage=$stageCols target=$targetCols")
+        require(targetCols.map(_.toLowerCase).sorted ==
+            stageCols.map(_.toLowerCase).sorted,
+          s"target $table columns $targetCols are not the stage's " +
+            s"$stageCols — refusing a cross-wired copy")
+        def q(n: String) = "\"" + n + "\""
+        val bcol = targetCols.find(_.equalsIgnoreCase("batch_id")).map(q)
+          .getOrElse("batch_id")
         val del = conn.prepareStatement(s"DELETE FROM $table WHERE $bcol = ?")
         try { del.setLong(1, batchId); del.executeUpdate(); () } finally del.close()
-        st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+        val insCols = targetCols.map(q).mkString(", ")
+        val selCols = targetCols
+          .map(tc => q(stageCols.find(_.equalsIgnoreCase(tc)).get)).mkString(", ")
+        st.executeUpdate(
+          s"INSERT INTO $table ($insCols) SELECT $selCols FROM $stage")
         conn.commit()
       } catch {
         case e: Throwable => conn.rollback(); throw e

@@ -54,6 +54,24 @@ class PackingSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("hierarchical offsets: one giant stream packs across many blocks, identically") {
+    import org.apache.spark.sql.functions.lit
+    // force the worst case — the WHOLE corpus is a single stream — and
+    // pack with 64-id blocks (8 blocks at sf0.001): the block-local
+    // cumsums + block-base join must reproduce the one-window answer
+    // bit for bit, while the heavy per-doc pass partitions by block
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .withColumn("one", lit("all"))
+    val fine = Packing.concatChunk(docs, "one", c = 256, idBlock = 64L)
+    val coarse = Packing.concatChunk(docs, "one", c = 256) // single block
+    assert(fine.orderBy("doc_id").collect().toSeq ==
+      coarse.orderBy("doc_id").collect().toSeq)
+    // the per-doc window's exchange hashes on (stream, _blk), not the
+    // stream alone — that's the partition-parallelism claim
+    val plan = fine.queryExecution.executedPlan.toString
+    assert(plan.contains("_blk"), s"expected block-partitioned window:\n$plan")
+  }
+
   test("no token is lost or duplicated: bin spans tile the stream exactly") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val packed = Packing.concatChunk(docs, "source", c = 256).collect()

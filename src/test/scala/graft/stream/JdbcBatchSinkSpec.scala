@@ -86,6 +86,34 @@ class JdbcBatchSinkSpec extends AnyFunSuite {
     } finally c2.close()
   }
 
+  test("a pre-existing target with the columns in a DIFFERENT order fills by name") {
+    import spark.implicits._
+    // user DDL puts batch_id FIRST — a positional SELECT * would write
+    // k values into batch_id and batch ids into k
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      "CREATE TABLE swapped_out (batch_id BIGINT, k BIGINT)")
+    finally c.close()
+    val sink = new JdbcBatchSink(url, props, "swapped_out")
+    sink(Seq(41L, 42L).toDF("k"), 3L)
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT count(*) FROM swapped_out WHERE batch_id = 3 AND k IN (41, 42)")
+      rs.next(); assert(rs.getLong(1) == 2)
+    } finally c2.close()
+  }
+
+  test("a target whose column SET differs fails loudly, not cross-wired") {
+    import spark.implicits._
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      "CREATE TABLE wrongset_out (other BIGINT, batch_id BIGINT)")
+    finally c.close()
+    val sink = new JdbcBatchSink(url, props, "wrongset_out")
+    assertThrows[IllegalArgumentException](sink(Seq(1L).toDF("k"), 0L))
+  }
+
   test("the target table is created on first batch when absent") {
     import spark.implicits._
     val sink = new JdbcBatchSink(url, props, "fresh_out")
