@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve evidence: generate an N× replica of an sf dir by
+  * key-shifted replication, time headline relational + LLM-pipeline
+  * queries at both scales, and print ONE JSON line with per-query
+  * (base_sec, scaled_sec, ratio) plus the executed join strategies at
+  * each scale — the direct check that a 10× scale-up keeps wall time
+  * ~linear and flips no plan the wrong way (a broadcast that should
+  * have been a shuffle shows up here as a super-linear ratio or an OOM,
+  * a lost broadcast as a changed join census).
+  *
+  * Replication preserves join cardinality per replica: every foreign
+  * key shifts by `i * (max(primary)+1)`, so replica i joins exactly and
+  * only replica i — the scaled workload is N disjoint copies of the
+  * base workload, the same shape a 10× bigger TPC-H dbgen would give
+  * (dimension tables nation/region stay fixed, as in TPC-H). Document
+  * text gets a per-replica word tag so the vocabulary scales too (the
+  * dedup/text operators would otherwise see every replica as one giant
+  * duplicate class, which quadratically inflates near-dup pairs instead
+  * of scaling the real workload).
+  *
+  * Usage: runMain graft.ScaleBench [baseDir] [outDir] [replicas]
+  * (defaults /root/testdata/sf0.1 /tmp/graft_sf1 10; generation is
+  * skipped when outDir already holds a lineitem).
+  */
+object ScaleBench {
+
+  /** Queries timed at both scales: the TPC-H-shaped joins/aggs plus the
+    * text/dedup pipeline rows the verdict called out. */
+  val Headline: Seq[String] = Seq(
+    "q_agg_pricing", "q_join_large", "q_tpch_order_priority",
+    "q_tpch_local_supplier", "q_tpch_small_qty", "q_salted_agg",
+    "q_window_running", "q_dedup_exact", "q_dedup_minhash",
+    "q_text_stats", "q_top_terms", "q_collocations", "q_pack")
+
+  private def span(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head().getLong(0) + 1L
+
+  /** n copies; each listed key column shifts by i*span so replica i
+    * joins only replica i. */
+  private def replicate(df: DataFrame, n: Int, shifts: Map[String, Long]): DataFrame = {
+    val withI = df.withColumn("_i", explode(sequence(lit(0L), lit(n - 1L))))
+    shifts.foldLeft(withI) { case (d, (c, k)) =>
+      d.withColumn(c, col(c) + col("_i") * lit(k))
+    }
+  }
+
+  def generate(spark: SparkSession, base: String, out: String, n: Int): Unit = {
+    if (new java.io.File(s"$out/lineitem.parquet").exists()) return
+    def rd(t: String) = spark.read.parquet(s"$base/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.drop("_i").write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    val (ko, kp, ks, kc) = (span(rd("orders"), "o_orderkey"),
+      span(rd("part"), "p_partkey"), span(rd("supplier"), "s_suppkey"),
+      span(rd("customer"), "c_custkey"))
+    wr(replicate(rd("lineitem"), n,
+      Map("l_orderkey" -> ko, "l_partkey" -> kp, "l_suppkey" -> ks)), "lineitem")
+    wr(replicate(rd("orders"), n,
+      Map("o_orderkey" -> ko, "o_custkey" -> kc)), "orders")
+    wr(replicate(rd("customer"), n, Map("c_custkey" -> kc)), "customer")
+    wr(replicate(rd("supplier"), n, Map("s_suppkey" -> ks)), "supplier")
+    wr(replicate(rd("part"), n, Map("p_partkey" -> kp)), "part")
+    rd("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
+    rd("region").write.mode("overwrite").parquet(s"$out/region.parquet")
+
+    val docs = rd("documents")
+    val kd = span(docs, "doc_id")
+    // replica 0 keeps the original text; others word-tag so the corpus
+    // (and its vocabulary) scales instead of replicating dup classes
+    wr(replicate(docs, n, Map("doc_id" -> kd))
+      .withColumn("text", when(col("_i") === 0L, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit("r"), col("_i"), w)), " "))), "documents")
+
+    val ev = rd("events") // ts arrives as nanos-long on a Sessions.build session
+    wr(replicate(ev, n, Map(
+      "event_id" -> span(ev, "event_id"), "user_id" -> span(ev, "user_id"))),
+      "events")
+  }
+
+  private def joinCensus(df: DataFrame): String = {
+    val p = df.queryExecution.executedPlan.toString
+    def c(s: String) = s.r.findAllIn(p).size
+    s"bhj=${c("BroadcastHashJoin")},smj=${c("SortMergeJoin")},shj=${c("ShuffledHashJoin")}"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val n = if (args.length > 2) args(2).toInt else 10
+    val spark = Sessions.build(Sessions.cpusFromEnv, "graft-scalebench")
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, out, n)
+
+    val qs = Headline.map(name => name -> SparkEntry.queries(name))
+    def time(dir: String): Map[String, (Double, String)] = {
+      qs.foreach { case (_, fn) => Bench.materialize(fn(spark, dir)) } // warm-up
+      def pass(): Map[String, (Double, String)] = qs.map { case (name, fn) =>
+        val df = fn(spark, dir)
+        val t0 = System.nanoTime()
+        Bench.materialize(df)
+        name -> (((System.nanoTime() - t0) / 1e9, joinCensus(df)))
+      }.toMap
+      val p1 = pass(); val p2 = pass()
+      qs.map { case (name, _) =>
+        val (a, ja) = p1(name); val (b, _) = p2(name)
+        name -> ((math.min(a, b), ja))
+      }.toMap
+    }
+    val baseT = time(base)
+    val scaledT = time(out)
+    val rows = Headline.map { q =>
+      val (b, jb) = baseT(q); val (s, js) = scaledT(q)
+      f""""$q":{"base_sec":$b%.3f,"scaled_sec":$s%.3f,"ratio":${s / b}%.2f,"joins_base":"$jb","joins_scaled":"$js"}"""
+    }.mkString(",")
+    val rb = baseT.values.map(_._1).sum
+    val rs = scaledT.values.map(_._1).sum
+    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}}""")
+    spark.stop()
+  }
+}
