@@ -136,6 +136,25 @@ object Bpe {
     * [[TextOps.bpeTokenCount]]'s regex approximation. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Persist a merges table as (rank, left, right) parquet — the
+    * production handoff: train once, load everywhere (every executor
+    * plans the same expression from the same loaded table). */
+  def save(spark: org.apache.spark.sql.SparkSession, table: BpeTable,
+      path: String): Unit = {
+    import spark.implicits._
+    table.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merges table saved by [[save]] (rank order restored — the
+    * rank IS the merge priority, so order is semantics, not layout). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeTable =
+    new BpeTable(
+      spark.read.parquet(path).orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq)
+
   /** Train a merges table: ONE distributed pass aggregates word counts;
     * the merge loop then runs over the top-`maxWords` dictionary on the
     * driver (bounded state). Deterministic: ties break on pair order.

@@ -1,0 +1,186 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Similarity.{dotScaled, dotScaledHof, norms}
+
+/** IVF-PQ — the composed production ANN index (the FAISS `IVFx,PQy`
+  * shape): a coarse quantizer routes each vector to one of `nLists`
+  * inverted lists ([[Ivf]]), and the vector's RESIDUAL against its list
+  * centroid is product-quantized to `m` codes ([[Pq]]'s subspace
+  * machinery over residuals, codebooks shared across lists — the
+  * standard simplification). A query then (1) picks its `nProbe`
+  * nearest lists by exact integer dot, (2) ADC-scores every candidate
+  * in those lists as `dot(q, c_list) + Σ_sub dot(q_sub, r̂_sub)` — m
+  * lookup-table adds per candidate, never a float loop over D — and
+  * (3) exact-re-ranks only the top-`shortlist`. At 100 TB this is the
+  * memory-bound layout: m bytes per vector in the hot path (32× under
+  * 4·D float bytes at D=64, m=8) and |probed|/|lists| of the corpus
+  * scanned per query.
+  *
+  * Determinism: residuals are computed in DOUBLE — the difference of
+  * two floats is exactly representable in a double (≤ 49 significand
+  * bits), so `cast(x as double) - cast(c as double)` is bit-identical
+  * in any engine, where float subtraction vs double-promoted
+  * subtraction would drift in the last bit. Every distance/score is the
+  * scaled-integer dot; ties break on (d2, code) / (score, neighbor_id)
+  * total orders. With both quantizers pinned (iters = 0: coarse = first
+  * nLists vectors, residual codebooks = first k residual slices) the
+  * whole index build + probe replays in SQL — the `q_cosine_ivfpq`
+  * oracle does exactly that. Lloyd-trained quantizers move recall,
+  * never correctness (the exact re-rank is unaffected).
+  */
+object IvfPq {
+
+  /** A built index: coarse centroids, residual codebooks (sub, code,
+    * rvec — DOUBLE), the per-vector codes, and the corpus norms for the
+    * exact re-rank. `codes`/`n2` are checkpointed: built once, probed
+    * many times. */
+  final case class Index(
+      cents: Seq[(Int, Seq[Float])],
+      cb: Seq[(Int, Int, Seq[Double])],
+      m: Int, subDim: Int,
+      codes: DataFrame, // (neighbor_id, cid, sub, code)
+      n2: DataFrame)    // (vec_id, n2)
+
+  private def coarseDf(s: SparkSession, cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    import s.implicits._
+    cents.toDF("cid", "cvec")
+  }
+
+  private def cbDf(s: SparkSession, cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cb.toDF("sub", "code", "rvec")
+  }
+
+  /** (vec_id, cid, res): each vector's double-exact residual against its
+    * assigned coarse centroid. */
+  def residuals(emb: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame =
+    Ivf.assign(emb, cents)
+      .join(emb, "vec_id")
+      .join(broadcast(coarseDf(emb.sparkSession, cents)), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("embedding"), col("cvec"),
+          (x, c) => x.cast("double") - c.cast("double")).as("res"))
+
+  private def subSlices(df: DataFrame, vecCol: String, m: Int, subDim: Int,
+      out: String): DataFrame =
+    df.withColumn("_x", explode(array((0 until m).map(sI =>
+        struct(lit(sI).as("sub"),
+          slice(col(vecCol), sI * subDim + 1, subDim).as(out))): _*)))
+      .drop(vecCol)
+      .withColumn("sub", col("_x.sub"))
+      .withColumn(out, col("_x." + out))
+      .drop("_x")
+
+  /** (vec_id, cid, sub, code): nearest residual-codebook entry per
+    * subspace by the exact integer sub-distance, ties to the lower code.
+    * `min_by` aggregates with map-side combine — N·m rows shuffle, not
+    * N·m·k ranked. */
+  def assignCodes(res: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
+      m: Int, subDim: Int): DataFrame =
+    subSlices(res, "res", m, subDim, "svec")
+      .join(broadcast(cbDf(res.sparkSession, cb)), "sub")
+      .withColumn("d2", dotScaledHof(col("svec"), col("svec"))
+        - lit(2L) * dotScaledHof(col("svec"), col("rvec"))
+        + dotScaledHof(col("rvec"), col("rvec")))
+      .groupBy(col("vec_id"), col("cid"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** Build: coarse quantizer ([[Ivf.train]], `itersCoarse` Lloyd
+    * rounds), residuals, residual codebooks seeded from the first `k`
+    * vectors' residual slices + `itersPq` Lloyd rounds, then one
+    * assignment pass materializes the codes. */
+  def buildIndex(emb: DataFrame, nLists: Int = 16, m: Int = 8, k: Int = 16,
+      itersCoarse: Int = 0, itersPq: Int = 0): Index = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val cents = Ivf.train(emb, nLists, itersCoarse)
+    val res = residuals(emb, cents).localCheckpoint(true)
+    val seeds = res.orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("res").toSeq)
+    var cb: Seq[(Int, Int, Seq[Double])] = for {
+      sI <- 0 until m
+      (v, j) <- seeds.zipWithIndex.toSeq
+    } yield (sI, j, v.slice(sI * subDim, (sI + 1) * subDim))
+    (1 to itersPq).foreach { _ =>
+      val means = assignCodes(res, cb, m, subDim)
+        .join(subSlices(res, "res", m, subDim, "svec"), Seq("vec_id", "cid", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("svec")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mean"))
+        .collect()
+        .groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mean")).toSeq
+        }
+      // a code that lost every member keeps its previous position
+      cb = cb.map { case (sI, c, old) => (sI, c, means.getOrElse((sI, c), old)) }
+    }
+    val codes = assignCodes(res, cb, m, subDim)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .localCheckpoint(true)
+    Index(cents, cb, m, subDim, codes, norms(emb).localCheckpoint(true))
+  }
+
+  /** Probe: nProbe nearest lists by exact integer dot, ADC prune to
+    * `shortlist`, exact scaled-integer cosine re-rank to top `k`.
+    * Returns (query_id, rnk, neighbor_id, cos_sim). */
+  def probe(emb: DataFrame, index: Index, queries: DataFrame, k: Int,
+      nProbe: Int, shortlist: Int): DataFrame = {
+    val s = queries.sparkSession
+    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val probes = q0
+      .crossJoin(broadcast(coarseDf(s, index.cents)))
+      .withColumn("cdot", dotScaled(col("qe"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid"), col("cdot"))
+    // the per-query lookup table: m·k residual dots per query
+    val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
+      .join(broadcast(cbDf(s, index.cb)), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        dotScaledHof(col("qs"), col("rvec")).as("d"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val cand = probes.join(index.codes, "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      // cdot is constant per (query, cid) and a neighbor lives in ONE
+      // list: max() just carries it through the m-row group
+      .agg((max(col("cdot")) + sum(col("d"))).as("score"))
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .withColumn("dots", dotScaled(col("qe"), col("ce")))
+      .join(broadcast(index.n2.select(col("vec_id").as("query_id"),
+        col("n2").as("nq2"))), "query_id")
+      .join(index.n2.select(col("vec_id").as("neighbor_id"),
+        col("n2").as("nc2")), "neighbor_id")
+      .withColumn("cos_sim",
+        col("dots").cast("double") /
+          sqrt(col("nq2").cast("double") * col("nc2").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Build + probe in one call (the coverage-query path). */
+  def topK(emb: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
+      m: Int = 8, kCodes: Int = 16, nProbe: Int = 4, shortlist: Int = 50,
+      itersCoarse: Int = 0, itersPq: Int = 0): DataFrame =
+    probe(emb, buildIndex(emb, nLists, m, kCodes, itersCoarse, itersPq),
+      queries, k, nProbe, shortlist)
+}

@@ -68,4 +68,29 @@ object Packing {
       .select(col("doc_id"), col("stream"), col("n_tok"),
         col("offset"), col("start_bin"), col("end_bin"))
   }
+
+  /** The materialized training windows: one row per (stream, bin, doc
+    * slice) — exactly which token range of which document fills which
+    * fixed-capacity context window, the manifest a loader consumes.
+    * Derived from [[concatChunk]] by exploding each doc's bin span;
+    * pure integer arithmetic (so the layout replays in any engine):
+    *   start_in_doc = max(bin·c − offset, 0)
+    *   len          = min((bin+1)·c, offset+n_tok) − max(bin·c, offset)
+    * Zero-token docs are dropped — they occupy no window space. Every
+    * bin's slice lengths sum to exactly c (the final bin of a stream
+    * excepted), and concatenating slices in (bin, offset) order rebuilds
+    * the stream: PackingSpec pins both invariants. */
+  def windows(docs: DataFrame, streamCol: String, c: Int,
+      tokens: org.apache.spark.sql.Column = tokenCount(col("text")),
+      idBlock: Long = 1L << 16): DataFrame =
+    concatChunk(docs, streamCol, c, tokens, idBlock)
+      .filter(col("n_tok") > 0)
+      .withColumn("bin", explode(sequence(col("start_bin"), col("end_bin"))))
+      .withColumn("start_in_doc",
+        greatest(col("bin") * c - col("offset"), lit(0L)))
+      .withColumn("len",
+        least((col("bin") + 1) * c, col("offset") + col("n_tok"))
+          - greatest(col("bin") * c, col("offset")))
+      .select(col("stream"), col("bin"), col("doc_id"),
+        col("start_in_doc"), col("len"))
 }

@@ -402,6 +402,20 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- IVF-PQ, the COMPOSED production index (FAISS IVFx,PQy shape),
+    // fully hash-gated: coarse routing (16 lists, nProbe=4) over
+    // residual PQ codes (m=8, k=16), ADC prune to a 50-of-500 shortlist,
+    // exact integer re-rank. Both quantizers pinned (iters=0) — coarse =
+    // first 16 vectors, residual codebooks = first 16 residual slices —
+    // and residuals are double-exact (float diffs fit doubles), so the
+    // oracle replays route->residual->codes->ADC->re-rank step for step.
+    // Lloyd-trained quantizers stay covered by IvfPqSpec recall T ----
+    "q_cosine_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ext.IvfPq.topK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- IVF approximate NN, partial probe (4 of 16 lists — genuinely
     // approximate), fully hash-gated: with iters = 0 the coarse quantizer
     // is the first 16 vectors by vec_id and every subsequent step
@@ -614,6 +628,13 @@ object LlmPipeline {
     "q_pack" -> ((s, dir) =>
       graft.ext.Packing.concatChunk(docs(s, dir), "source", c = 256)
         .orderBy(col("stream"), col("doc_id"))),
+
+    // ---- the MATERIALIZED windows: one row per (stream, window, doc
+    // slice) — the manifest a training loader actually consumes; pure
+    // integer slice arithmetic over the same hierarchical offsets ----
+    "q_pack_windows" -> ((s, dir) =>
+      graft.ext.Packing.windows(docs(s, dir), "source", c = 256)
+        .orderBy(col("stream"), col("bin"), col("doc_id"))),
 
     // ---- token-exact packing: the same concat-and-chunk layout with
     // the REAL BPE token counts (budget-true context windows) — the
@@ -876,6 +897,7 @@ object LlmPipeline {
     "q_cosine_ann" -> CosineAnnOracle,
     "q_cosine_ivf" -> CosineIvfOracle,
     "q_cosine_pq" -> CosinePqOracle,
+    "q_cosine_ivfpq" -> CosineIvfPqOracle,
 
     // CosineTopkOracle restricted to the 200-vector gate slice
     "q_cosine_pq_exact" ->
@@ -1231,6 +1253,25 @@ object LlmPipeline {
         |  cast((ofs + greatest(n_tok - 1, 0)) // 256 as bigint) AS end_bin
         |FROM o ORDER BY stream, doc_id""".stripMargin,
 
+    "q_pack_windows" ->
+      """WITH t AS (SELECT doc_id, source AS stream,
+        |    cast(len(regexp_extract_all(text, '\S+')) as bigint) n_tok
+        |  FROM documents),
+        |o AS (SELECT doc_id, stream, n_tok,
+        |    cast(coalesce(sum(n_tok) OVER (PARTITION BY stream ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) ofs
+        |  FROM t),
+        |b AS (SELECT doc_id, stream, n_tok, ofs,
+        |    cast(ofs // 256 as bigint) sb,
+        |    cast((ofs + n_tok - 1) // 256 as bigint) eb
+        |  FROM o WHERE n_tok > 0),
+        |w AS (SELECT doc_id, stream, n_tok, ofs, unnest(range(sb, eb + 1)) bin
+        |  FROM b)
+        |SELECT stream, bin, doc_id,
+        |  cast(greatest(bin*256 - ofs, 0) as bigint) AS start_in_doc,
+        |  cast(least((bin+1)*256, ofs + n_tok) - greatest(bin*256, ofs) as bigint) AS len
+        |FROM w ORDER BY stream, bin, doc_id""".stripMargin,
+
     "q_format_roundtrip" ->
       """SELECT 'csv' AS fmt, count(*) AS n_docs,
         |  cast(sum(n_chars) as bigint) AS sum_chars,
@@ -1547,6 +1588,84 @@ object LlmPipeline {
        |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) rnk
        |      FROM sc)
        |SELECT query_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Full SQL replay of IVF-PQ (`q_cosine_ivfpq`): coarse route (first
+    * 16 vectors as centroids, max-int-dot assignment), DOUBLE-exact
+    * residuals, residual codebooks from the first 16 residual slices,
+    * (d2, code)-tie-broken code assignment, ADC = coarse dot + per-sub
+    * LUT sum, top-50 shortlist, exact cosine re-rank. */
+  private lazy val CosineIvfPqOracle: String =
+    s"""WITH c AS (
+       |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,
+       |         embedding AS cvec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |ad AS (
+       |  SELECT e.vec_id, c.cid, ${sqlDot("e.embedding", "c.cvec")} dot
+       |  FROM embeddings e CROSS JOIN c),
+       |asn AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) rn
+       |    FROM ad) WHERE rn = 1),
+       |pr AS (
+       |  SELECT query_id, cid, cdot FROM (
+       |    SELECT vec_id AS query_id, cid, dot AS cdot,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) rn
+       |    FROM ad WHERE vec_id < 10) WHERE rn <= 4),
+       |r AS (
+       |  SELECT e.vec_id, a.cid,
+       |    list_transform(list_zip(e.embedding, c.cvec),
+       |      x -> cast(x[1] as double) - cast(x[2] as double)) res
+       |  FROM embeddings e JOIN asn a ON a.vec_id = e.vec_id
+       |       JOIN c ON c.cid = a.cid),
+       |ss AS (SELECT unnest(range(0, 8)) sub),
+       |cbs AS (
+       |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) code, res
+       |  FROM (SELECT vec_id, res FROM r ORDER BY vec_id LIMIT 16)),
+       |cb AS (SELECT sub, code, res[sub*8+1 : sub*8+8] rvec FROM cbs CROSS JOIN ss),
+       |sv AS (SELECT vec_id, cid, sub, res[sub*8+1 : sub*8+8] svec
+       |       FROM r CROSS JOIN ss),
+       |d2t AS (
+       |  SELECT sv.vec_id, sv.cid, sv.sub, cb.code,
+       |    ${sqlDot("sv.svec", "sv.svec")} - 2*${sqlDot("sv.svec", "cb.rvec")}
+       |      + ${sqlDot("cb.rvec", "cb.rvec")} d2
+       |  FROM sv JOIN cb ON cb.sub = sv.sub),
+       |codes AS (SELECT vec_id, cid, sub, code FROM (
+       |    SELECT vec_id, cid, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) rn
+       |    FROM d2t) WHERE rn = 1),
+       |qs AS (SELECT e.vec_id query_id, ss.sub,
+       |         e.embedding[ss.sub*8+1 : ss.sub*8+8] qsv
+       |       FROM embeddings e CROSS JOIN ss WHERE e.vec_id < 10),
+       |lut AS (SELECT qs.query_id, qs.sub, cb.code,
+       |          ${sqlDot("qs.qsv", "cb.rvec")} d
+       |        FROM qs JOIN cb ON cb.sub = qs.sub),
+       |adc AS (
+       |  SELECT p.query_id, k.vec_id neighbor_id,
+       |    cast(max(p.cdot) + sum(l.d) as bigint) score
+       |  FROM pr p JOIN codes k ON k.cid = p.cid AND k.vec_id <> p.query_id
+       |       JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub
+       |                 AND l.code = k.code
+       |  GROUP BY 1, 2),
+       |sl AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) rn
+       |    FROM adc) WHERE rn <= 50),
+       |n AS (SELECT vec_id, list_sum(list_transform(embedding,
+       |        x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+       |      FROM embeddings),
+       |t AS (SELECT s.query_id qid, s.neighbor_id cid2,
+       |        ${sqlDot("q.embedding", "e.embedding")} dots
+       |      FROM sl s JOIN embeddings q ON q.vec_id = s.query_id
+       |                JOIN embeddings e ON e.vec_id = s.neighbor_id),
+       |sc AS (SELECT qid, cid2,
+       |        cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+       |       FROM t JOIN n nq ON nq.vec_id = t.qid JOIN n nc ON nc.vec_id = t.cid2),
+       |rr AS (SELECT qid AS query_id, cid2 AS neighbor_id, cos_sim,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid2 ASC) rnk
+       |      FROM sc)
+       |SELECT query_id, rnk, neighbor_id, cos_sim FROM rr WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
   private lazy val CosineIvfOracle: String =

@@ -99,6 +99,16 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("trained table round-trips through parquet save/load, rank order intact") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val trained = Bpe.train(docs, col("text"), nMerges = 20)
+    val p = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/merges"
+    Bpe.save(spark, trained, p)
+    val loaded = Bpe.load(spark, p)
+    assert(loaded.merges == trained.merges) // order IS semantics
+    assert(loaded.encode("the").toSeq == trained.encode("the").toSeq)
+  }
+
   test("trainer learns the fixture's frequent pairs and round-trips") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val trained = Bpe.train(docs, col("text"), nMerges = 30)

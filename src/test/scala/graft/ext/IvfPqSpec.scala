@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** IVF-PQ composed index: losslessness of the machinery at the
+  * degenerate config, recall behavior of the real one. */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val emb =
+    spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("full probe + full shortlist equals brute force exactly") {
+    // every list probed and every candidate re-ranked: the ADC layer can
+    // prune nothing, so the composed machinery must be lossless no
+    // matter how bad the codebooks are
+    val n = emb.count().toInt
+    val got = IvfPq.topK(emb, queries, k = 5, nLists = 8, m = 8, kCodes = 16,
+        nProbe = 8, shortlist = n + 1)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val want = Similarity.topKBrute(emb, queries, k = 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(got == want)
+  }
+
+  test("recall is monotone in nProbe; trained quantizers keep it high") {
+    val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16,
+      itersCoarse = 1, itersPq = 1)
+    val exact = Similarity.topKBrute(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int): Double = {
+      val got = IvfPq.probe(emb, idx, queries, k = 5, nProbe, shortlist = 50)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r8 = recall(8)
+    assert(r8 >= r1, s"recall fell with more probes: $r1 -> $r8")
+    assert(r8 > 0.5, s"full-probe recall too low: $r8")
+  }
+
+  test("codes are the compressed representation: m small ints per vector") {
+    val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16)
+    val perVec = idx.codes.groupBy("neighbor_id").count()
+      .agg(min("count"), max("count")).head()
+    assert(perVec.getLong(0) == 8L && perVec.getLong(1) == 8L)
+    val codeRange = idx.codes.agg(min("code"), max("code")).head()
+    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) < 16)
+  }
+}

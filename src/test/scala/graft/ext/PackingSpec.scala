@@ -72,6 +72,31 @@ class PackingSpec extends AnyFunSuite {
     assert(plan.contains("_blk"), s"expected block-partitioned window:\n$plan")
   }
 
+  test("windows: every bin fills to exactly c (stream-final excepted) and rebuilds each doc") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val c = 256
+    val w = Packing.windows(docs, "source", c).collect()
+    val lastBin = w.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).max }
+    w.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case ((s, b), rs) =>
+      val total = rs.map(_.getLong(4)).sum
+      if (b < lastBin(s)) assert(total == c, s"bin ($s,$b) holds $total")
+      else assert(total <= c)
+    }
+    // per doc: slices in bin order tile [0, n_tok) — nothing lost, nothing doubled
+    val counts = Packing.concatChunk(docs, "source", c).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    w.groupBy(_.getLong(2)).foreach { case (doc, rs) =>
+      val slices = rs.sortBy(_.getLong(1)).map(r => (r.getLong(3), r.getLong(4))).toSeq
+      assert(slices.head._1 == 0L)
+      slices.sliding(2).foreach {
+        case Seq((s1, l1), (s2, _)) => assert(s2 == s1 + l1)
+        case _ =>
+      }
+      assert(slices.map(_._2).sum == counts(doc), s"doc $doc")
+    }
+  }
+
   test("no token is lost or duplicated: bin spans tile the stream exactly") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val packed = Packing.concatChunk(docs, "source", c = 256).collect()
