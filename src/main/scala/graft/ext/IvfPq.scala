@@ -147,7 +147,11 @@ object IvfPq {
         dotScaledHof(col("qs"), col("rvec")).as("d"))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    val cand = probes.join(index.codes, "cid")
+    // probes is bounded by the query batch (|queries| x nProbe rows):
+    // broadcast it into the corpus-sized codes table — a shuffle join
+    // on the 16-value cid key would funnel the corpus through nLists
+    // partitions at scale
+    val cand = index.codes.join(broadcast(probes), "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
@@ -175,6 +179,34 @@ object IvfPq {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Persist a built index: quantizers + codes + norms as parquet under
+    * one root — the production handoff (build once on the corpus pass,
+    * probe from any later job). Geometry (m, subDim) is recovered from
+    * the codebook table itself, so there is no side metadata file to
+    * drift out of sync. */
+  def save(index: Index, path: String): Unit = {
+    val s = index.codes.sparkSession
+    coarseDf(s, index.cents).repartition(1)
+      .write.mode("overwrite").parquet(s"$path/cents")
+    cbDf(s, index.cb).repartition(1)
+      .write.mode("overwrite").parquet(s"$path/cb")
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    index.n2.write.mode("overwrite").parquet(s"$path/n2")
+  }
+
+  /** Load an index saved by [[save]]. The codes/norms stay as lazy
+    * parquet scans — probing a loaded index never re-reads the corpus. */
+  def load(s: SparkSession, path: String): Index = {
+    val cents = s.read.parquet(s"$path/cents").orderBy("cid").collect()
+      .map(r => (r.getAs[Int]("cid"),
+        r.getAs[scala.collection.Seq[Float]]("cvec").toSeq)).toSeq
+    val cb = s.read.parquet(s"$path/cb").orderBy("sub", "code").collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Double]]("rvec").toSeq)).toSeq
+    Index(cents, cb, cb.map(_._1).max + 1, cb.head._3.size,
+      s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/n2"))
   }
 
   /** Build + probe in one call (the coverage-query path). */

@@ -44,6 +44,21 @@ class IvfPqSpec extends AnyFunSuite {
     assert(r8 > 0.5, s"full-probe recall too low: $r8")
   }
 
+  test("a saved index probes identically after reload in a fresh lineage") {
+    val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16,
+      itersCoarse = 1, itersPq = 1)
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    IvfPq.save(idx, p)
+    val loaded = IvfPq.load(spark, p)
+    assert(loaded.m == idx.m && loaded.subDim == idx.subDim)
+    assert(loaded.cents == idx.cents && loaded.cb == idx.cb)
+    val a = IvfPq.probe(emb, idx, queries, k = 5, nProbe = 2, shortlist = 20)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val b = IvfPq.probe(emb, loaded, queries, k = 5, nProbe = 2, shortlist = 20)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(a == b)
+  }
+
   test("codes are the compressed representation: m small ints per vector") {
     val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16)
     val perVec = idx.codes.groupBy("neighbor_id").count()
