@@ -431,6 +431,93 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // ---- TPC-H Q6 shape: the pure scan-filter-aggregate — every
+    // predicate must reach the parquet scan (PushedFilters), no join,
+    // no shuffle beyond the final 1-row combine ----
+    "q_tpch_revenue_gap" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1997-01-01") &&
+                col("l_discount") >= lit(0.05d) &&
+                col("l_discount") <= lit(0.07d) &&
+                col("l_quantity") < lit(24.0d))
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // ---- TPC-H Q14 shape: promo share — conditional aggregation over
+    // one fact⋈dim join, ratio as one fixed IEEE chain over two exact
+    // decimal sums ----
+    "q_tpch_promo_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1996-07-01"))
+      val p = t(s, dir, "part")
+      val disc = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          (lit(100.0d) *
+            (sum(when(col("p_type") === "ECONOMY", disc)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+             sum(disc).cast("double"))).as("promo_pct"),
+          sum(disc).cast("double").as("total_revenue"))
+    }),
+
+    // ---- TPC-H Q15 shape: top supplier by revenue — the max is joined
+    // back on the EXACT decimal sum (no global window, no single-
+    // partition sort; ties all surface, deterministically ordered) ----
+    "q_tpch_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("rev"))
+      val mx = rev.agg(max(col("rev")).as("mx"))
+      rev.join(broadcast(mx), col("rev") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev").cast("double").as("revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- TPC-H Q19 shape: disjunctive multi-attribute predicates
+    // (brand x size x quantity bands) over the fact⋈dim join — the
+    // OR-of-ANDs the optimizer must not mangle ----
+    "q_tpch_brand_qty" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#11" && col("l_quantity") >= 1 &&
+            col("l_quantity") <= 11 && col("p_size") <= 5) ||
+          (col("p_brand") === "Brand#13" && col("l_quantity") >= 10 &&
+            col("l_quantity") <= 20 && col("p_size") <= 10) ||
+          (col("p_brand") === "Brand#14" && col("l_quantity") >= 20 &&
+            col("l_quantity") <= 30 && col("p_size") <= 15))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- TPC-H Q10 shape: returned-item revenue per customer, global
+    // top 20 (sort + limit plans as TakeOrderedAndProject — no single-
+    // partition window; rank on the exact decimal sum) ----
+    "q_tpch_returned_top" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("rev"))
+        .orderBy(col("rev").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"), col("rev").cast("double").as("revenue"))
+    }),
+
     // ---- sketch tier: HyperLogLog distinct estimate, sanity-bounded
     // against the exact count (the estimate itself is engine-specific,
     // so the oracle checks the exact count and the error bound flag) ----
@@ -687,6 +774,65 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_tpch_revenue_gap" ->
+      """SELECT cast(sum(cast(l_extendedprice as decimal(18,2))
+        |              * cast(l_discount as decimal(18,2))) as double) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= cast(0.05 as double)
+        |  AND l_discount <= cast(0.07 as double)
+        |  AND l_quantity < cast(24 as double)""".stripMargin,
+
+    "q_tpch_promo_share" ->
+      """SELECT cast(100 as double) *
+        |  (cast(sum(CASE WHEN p_type = 'ECONOMY'
+        |       THEN cast(l_extendedprice as decimal(18,2))
+        |            * (1 - cast(l_discount as decimal(18,2)))
+        |       ELSE cast(0 as decimal(18,2)) END) as double)
+        |   / cast(sum(cast(l_extendedprice as decimal(18,2))
+        |              * (1 - cast(l_discount as decimal(18,2)))) as double))
+        |  AS promo_pct,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))
+        |           * (1 - cast(l_discount as decimal(18,2)))) as double)
+        |  AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'""".stripMargin,
+
+    "q_tpch_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(cast(l_extendedprice as decimal(18,2))
+        |        * (1 - cast(l_discount as decimal(18,2)))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, cast(rev as double) AS revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_brand_qty" ->
+      """SELECT cast(sum(cast(l_extendedprice as decimal(18,2))
+        |              * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND l_quantity >= 1 AND l_quantity <= 11 AND p_size <= 5)
+        |   OR (p_brand = 'Brand#13' AND l_quantity >= 10 AND l_quantity <= 20 AND p_size <= 10)
+        |   OR (p_brand = 'Brand#14' AND l_quantity >= 20 AND l_quantity <= 30 AND p_size <= 15)""".stripMargin,
+
+    "q_tpch_returned_top" ->
+      """WITH rev AS (
+        |  SELECT c_custkey,
+        |    sum(cast(l_extendedprice as decimal(18,2))
+        |        * (1 - cast(l_discount as decimal(18,2)))) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |       JOIN customer ON o_custkey = c_custkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY c_custkey)
+        |SELECT c_custkey, cast(rev as double) AS revenue
+        |FROM rev ORDER BY rev DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
