@@ -176,4 +176,85 @@ object Multimodal {
   def binaryObjects(spark: SparkSession, glob: String): DataFrame =
     spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("length"), col("content"))
+
+  // --------------------------------------------------- media transforms
+
+  /** Nearest-neighbor resize of a P6 payload to (tw, th) — integer
+    * index arithmetic only, so the output bytes are deterministic on
+    * any engine/platform. Non-PPM or corrupt payloads yield None (the
+    * caller decides drop-vs-passthrough; silent garbage never flows). */
+  def resizePpm(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    val meta = parseMeta(0L, payload)
+    if (meta.codec != "ppm") None
+    else {
+      val (w, h) = (meta.d1.toInt, meta.d2.toInt)
+      val off = payload.length - w * h * 3 // header length
+      val out = new Array[Byte](tw * th * 3)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * h / th).toInt
+        var x = 0
+        while (x < tw) {
+          val sx = (x.toLong * w / tw).toInt
+          val si = off + (sy * w + sx) * 3
+          val di = (y * tw + x) * 3
+          out(di) = payload(si); out(di + 1) = payload(si + 1)
+          out(di + 2) = payload(si + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Some(encodePpm(tw, th, out))
+    }
+  }
+
+  /** Frame-sample a PCM WAV payload: keep every `stride`-th frame (a
+    * frame = one blockAlign of bytes across channels) — the audio
+    * analog of video frame sampling; the sample rate divides by the
+    * stride so duration semantics survive. Non-WAV yields None. */
+  def sampleWavFrames(payload: Array[Byte], stride: Int): Option[Array[Byte]] = {
+    require(stride > 0, "stride must be positive")
+    val meta = parseMeta(0L, payload)
+    if (meta.codec != "wav") None
+    else {
+      val channels = meta.d1.toInt
+      val rate = meta.d2.toInt
+      val bits = meta.d3.toInt
+      val blockAlign = channels * bits / 8
+      val nFrames = (payload.length - 44) / blockAlign
+      val kept = (0 until nFrames by stride).toArray
+      val out = new Array[Byte](kept.length * blockAlign)
+      var j = 0
+      while (j < kept.length) {
+        System.arraycopy(payload, 44 + kept(j) * blockAlign,
+          out, j * blockAlign, blockAlign)
+        j += 1
+      }
+      Some(encodeWav(channels, math.max(1, rate / stride), bits, out))
+    }
+  }
+
+  /** Distributed media transform: images resize to (tw, th), audio
+    * frame-samples at `stride`, text passes through — one mapPartitions
+    * pass (byte parsing is genuine per-record imperative work; the
+    * Python-ecosystem equivalent is a pandas UDF over mapInPandas, same
+    * batch shape). Corrupt containers pass through UNCHANGED rather
+    * than vanish: a 100 TB curation run wants the quarantine decision
+    * downstream, not silent row loss here. */
+  def transformMedia(media: DataFrame, tw: Int, th: Int, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("modality"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, modality, payload) =>
+        val out = modality match {
+          case "image" => resizePpm(payload, tw, th).getOrElse(payload)
+          case "audio" => sampleWavFrames(payload, stride).getOrElse(payload)
+          case _ => payload
+        }
+        MediaRecord(id, modality, out)
+      })
+      .toDF().withColumnRenamed("mediaId", "media_id")
+  }
 }

@@ -463,6 +463,20 @@ object LlmPipeline {
           col("d1"), col("d2"), col("d3"))
         .orderBy(col("media_id"))),
 
+    // ---- the media TRANSFORM path under the gate: resize (2x2) +
+    // frame-sample (stride 2) over real containers, then decode — the
+    // output geometry is fully derivable from doc_id formulas, so the
+    // oracle predicts every byte count and header field without running
+    // the codec (a transform that wrote a malformed container or the
+    // wrong geometry hash-fails) ----
+    "q_multimodal_transform" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.transformMedia(Multimodal.encodeMedia(docs(s, dir)),
+            tw = 2, th = 2, stride = 2))
+        .select(col("media_id"), col("codec"), col("nBytes").as("n_bytes"),
+          col("d1"), col("d2"), col("d3"))
+        .orderBy(col("media_id"))),
+
     // ---- opaque-object scan: the binaryFile source over a generated
     // media dir (S4-as-DataFrame) — file id parsed from the path, byte
     // length from the source's own metadata column, verified against the
@@ -1350,6 +1364,31 @@ object LlmPipeline {
         |  CASE doc_id%3
         |    WHEN 1 THEN cast(1+doc_id%5 as bigint)
         |    WHEN 2 THEN cast(8000+1000*(doc_id%5) as bigint)
+        |    ELSE cast(0 as bigint) END AS d2,
+        |  CASE doc_id%3
+        |    WHEN 1 THEN cast(255 as bigint)
+        |    WHEN 2 THEN cast(CASE WHEN doc_id%4<2 THEN 8 ELSE 16 END as bigint)
+        |    ELSE cast(0 as bigint) END AS d3
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // after transformMedia(tw=2, th=2, stride=2): images are 2x2 (11-byte
+    // header + 12 pixel bytes), audio keeps ceil(frames/2) frames at
+    // half rate, raw passes through — all predictable from doc_id
+    "q_multimodal_transform" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id%3 WHEN 1 THEN 'ppm' WHEN 2 THEN 'wav' ELSE 'raw' END AS codec,
+        |  CASE doc_id%3
+        |    WHEN 1 THEN cast(23 as bigint)
+        |    WHEN 2 THEN cast(44 + ((1+doc_id%9 + 1)//2) * (1+doc_id%2)
+        |                     * (CASE WHEN doc_id%4<2 THEN 1 ELSE 2 END) as bigint)
+        |    ELSE cast(octet_length(encode(text)) as bigint) END AS n_bytes,
+        |  CASE doc_id%3
+        |    WHEN 1 THEN cast(2 as bigint)
+        |    WHEN 2 THEN cast(1+doc_id%2 as bigint)
+        |    ELSE cast(octet_length(encode(text)) as bigint) END AS d1,
+        |  CASE doc_id%3
+        |    WHEN 1 THEN cast(2 as bigint)
+        |    WHEN 2 THEN cast((8000+1000*(doc_id%5))//2 as bigint)
         |    ELSE cast(0 as bigint) END AS d2,
         |  CASE doc_id%3
         |    WHEN 1 THEN cast(255 as bigint)

@@ -531,6 +531,25 @@ object Relational {
             col("n_exact").cast("double") <= 0.1).as("within_10pct"))
         .orderBy(col("event_type"))),
 
+    // ---- mergeable quantile sketch (approx_percentile — KLL-style,
+    // map-side partials, no sort) next to the exact discrete quantile:
+    // the 100 TB percentile path, envelope-gated like the HLL rows (the
+    // sketch's value is engine-specific; the exact anchor + bound flag
+    // are not) ----
+    "q_approx_quantile" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val exact = graft.operators.Quantiles
+        .exactDiscrete(ev, "value", Seq("event_type"), Seq(0.5))
+        .select(col("event_type"), col("q").as("p50_exact"))
+      val approx = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("pa"))
+      exact.join(approx, "event_type")
+        .select(col("event_type"), col("p50_exact"),
+          (abs(col("pa") - col("p50_exact")) <=
+            lit(0.05d) * abs(col("p50_exact"))).as("within_5pct"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- the sketch MERGE contract (the 100 TB path: shards sketch
     // independently, a tiny union-merge folds them — raw values never
     // re-shuffle): per-(type, shard) HLL sketches union-merge per type,
@@ -838,6 +857,19 @@ object Relational {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         | TRUE AS within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // sketch quantile must sit in the envelope; the exact discrete
+    // median is the replayable anchor (q_quantiles' ceil convention)
+    "q_approx_quantile" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) rn,
+        |    count(*) OVER (PARTITION BY event_type) n
+        |  FROM events)
+        |SELECT event_type, value AS p50_exact, TRUE AS within_5pct
+        |FROM ranked
+        |WHERE rn = greatest(cast(ceil(cast(0.5 as double) * n) as bigint), 1)
+        |ORDER BY event_type""".stripMargin,
 
     // merged-sketch estimate must sit in the envelope; the exact count
     // is the replayable anchor (same shape as q_approx_distinct)

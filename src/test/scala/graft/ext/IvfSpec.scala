@@ -80,4 +80,34 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(probedAgain == probed)
   }
+
+  test("streaming vector ingest: micro-batches append to the frozen index") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    // the production ingest loop: a file stream of new vectors, each
+    // micro-batch assigned to the FROZEN quantizer and unioned into the
+    // lists (addToIndex is replay-safe, so at-least-once is fine)
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfstream").toString
+    emb.filter(col("vec_id") < 50)
+      .coalesce(1).write.mode("append").parquet(s"$d/in")
+    emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+      .coalesce(1).write.mode("append").parquet(s"$d/in")
+    var idx = Ivf.buildIndex(corpus, nLists = 16)
+    val cents0 = idx.cents
+    val q = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$d/in")
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) => { idx = Ivf.addToIndex(idx, df); () })
+      .option("checkpointLocation", s"$d/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(idx.cents == cents0) // quantizer never retrained mid-stream
+    assert(idx.lists.count() == emb.count())
+    val probed = Ivf.probe(idx, queries, k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.topKBrute(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probed == brute)
+  }
 }

@@ -65,6 +65,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad == 0) // fixture text is ascii: 1 byte per char
   }
 
+  test("resizePpm: nearest-neighbor to target dims, valid container out") {
+    val pixels = Array.tabulate(6 * 4 * 3)(i => (i % 251).toByte)
+    val ppm = Multimodal.encodePpm(6, 4, pixels)
+    val small = Multimodal.resizePpm(ppm, 3, 2).get
+    val meta = Multimodal.parseMeta(0L, small)
+    assert(meta.codec == "ppm" && meta.d1 == 3 && meta.d2 == 2)
+    // nearest-neighbor: output pixel (0,0) is source pixel (0,0), and
+    // (x,y) maps to (x*w/tw, y*h/th) — spot-check the corner pixels
+    val off = small.length - 3 * 2 * 3
+    val srcOff = ppm.length - 6 * 4 * 3
+    assert(small(off) == ppm(srcOff))                       // (0,0) <- (0,0)
+    assert(small(off + (1 * 3 + 2) * 3) ==                  // (2,1) <- (4,2)
+      ppm(srcOff + (2 * 6 + 4) * 3))
+    // upscale works too (pure index math, no interpolation state)
+    val big = Multimodal.resizePpm(ppm, 12, 8).get
+    assert(Multimodal.parseMeta(0L, big).d1 == 12)
+    // non-PPM input refuses rather than emitting garbage
+    assert(Multimodal.resizePpm("not an image".getBytes, 2, 2).isEmpty)
+  }
+
+  test("sampleWavFrames: every k-th frame kept, rate divided, container valid") {
+    val data = Array.tabulate(10 * 2)(i => i.toByte) // 10 frames, 2 bytes each
+    val wav = Multimodal.encodeWav(1, 8000, 16, data)
+    val sampled = Multimodal.sampleWavFrames(wav, 3).get
+    val meta = Multimodal.parseMeta(0L, sampled)
+    assert(meta.codec == "wav" && meta.d2 == 8000 / 3)
+    // frames 0, 3, 6, 9 kept
+    val out = sampled.drop(44)
+    assert(out.length == 4 * 2)
+    assert(out(0) == data(0) && out(2) == data(6) &&
+      out(4) == data(12) && out(6) == data(18))
+    assert(Multimodal.sampleWavFrames("nope".getBytes, 2).isEmpty)
+  }
+
+  test("transformMedia: distributed resize + frame-sample over the media table") {
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val media = Multimodal.encodeMedia(docs)
+    val out = Multimodal.transformMedia(media, tw = 2, th = 2, stride = 2)
+    assert(out.count() == media.count()) // nothing vanishes
+    val meta = Multimodal.decodeFeatures(out)
+    // every image is now 2x2; every audio payload still parses as wav
+    meta.filter(col("codec") === "ppm").collect().foreach { r =>
+      assert(r.getLong(3) == 2 && r.getLong(4) == 2)
+    }
+    assert(meta.filter(col("codec") === "wav").count() ==
+      Multimodal.decodeFeatures(media).filter(col("codec") === "wav").count())
+  }
+
   test("binaryObjects reads opaque files with path + length + content") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bin")
     java.nio.file.Files.write(tmp.resolve("a.bin"), Array[Byte](1, 2, 3))

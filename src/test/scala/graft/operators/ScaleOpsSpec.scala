@@ -113,6 +113,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(q.count() <= orders.filter(col("o_orderkey") === 42L).count())
   }
 
+  test("Q6 shape: every predicate reaches the parquet scan, columns pruned") {
+    val q = graft.SparkEntry.queries("q_tpch_revenue_gap")(
+      spark, TestSpark.Sf0001)
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // all three value predicates pushed — a scan that filters post-read
+    // re-reads the whole fact table at 100 TB
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(formatted.contains(s"($c,"), s"$c not in PushedFilters:\n$formatted")
+    }
+    // projection pruning: the 4 referenced columns only
+    val read = formatted.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"scan reads unused columns: $read")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
     // parquet-backed (the injection rule keys off scan statistics)
