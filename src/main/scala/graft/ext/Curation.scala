@@ -24,9 +24,30 @@ object Curation {
       .filter(col("doc_id") === col("keep_id"))
       .drop("fp", "keep_id")
 
-  /** docs minus the greedy-dropped side of every near-dup pair. */
-  def dropNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val drop = Dedup.minhashNearDupPairs(docs, threshold)
+  /** The verified pair graph for `docs`: computed fresh, or RESTRICTED
+    * from a precomputed set. Sound because LSH band collision is
+    * pairwise (two docs share a band bucket independent of the rest of
+    * the corpus) and the Jaccard verify is per-pair — so the pair set
+    * of a SUB-corpus is exactly the superset's pairs with both ends
+    * surviving. Precondition on `pairs`: same threshold, computed over
+    * a superset of `docs` — the caller owns that contract. */
+  private def pairGraph(docs: DataFrame, threshold: Double,
+      pairs: Option[DataFrame]): DataFrame =
+    pairs.map { p =>
+      val ids = docs.select(col("doc_id"))
+      p.select(col("doc_a"), col("doc_b"))
+        .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    }.getOrElse(
+      Dedup.minhashNearDupPairs(docs, threshold)
+        .select(col("doc_a"), col("doc_b")))
+
+  /** docs minus the greedy-dropped side of every near-dup pair.
+    * `pairs`: optionally reuse a precomputed pair set (see
+    * [[pairGraph]] for the soundness contract). */
+  def dropNearDups(docs: DataFrame, threshold: Double,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val drop = pairGraph(docs, threshold, pairs)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
@@ -52,13 +73,12 @@ object Curation {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  def dropNearDupsCC(docs: DataFrame, threshold: Double): DataFrame = {
+  def dropNearDupsCC(docs: DataFrame, threshold: Double,
+      pairs: Option[DataFrame] = None): DataFrame = {
     // materialize the pair graph at FULL parallelism first — the LSH
     // band join is corpus-sized work; only the iteration below is tiny
-    val pairs = Dedup.minhashNearDupPairs(docs, threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    val drop = componentsFewPartitions(pairs)
+    val pg = pairGraph(docs, threshold, pairs).localCheckpoint(true)
+    val drop = componentsFewPartitions(pg)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
@@ -70,11 +90,10 @@ object Curation {
     * policy a curation pipeline actually wants, since near-dup clusters
     * often mix a clean original with mangled copies. Singletons (docs in
     * no pair) survive untouched. */
-  def keepBestPerCluster(docs: DataFrame, threshold: Double): DataFrame = {
-    val pairs = Dedup.minhashNearDupPairs(docs, threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    val comp = componentsFewPartitions(pairs)
+  def keepBestPerCluster(docs: DataFrame, threshold: Double,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val pg = pairGraph(docs, threshold, pairs).localCheckpoint(true)
+    val comp = componentsFewPartitions(pg)
     val scored = docs.join(TextStats.qualityScore(docs), Seq("doc_id"))
       .join(comp, Seq("doc_id"), "left_outer")
       // singletons form their own component
@@ -98,7 +117,8 @@ object Curation {
     * selects greedy (default) or connected-component near-dup removal. */
   def funnel(docs: DataFrame, nearDupThreshold: Double = 0.6,
       minQuality: Double = 0.5,
-      nearDupPolicy: (DataFrame, Double) => DataFrame = dropNearDups): DataFrame = {
+      nearDupPolicy: (DataFrame, Double) => DataFrame =
+        dropNearDups(_, _, None)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // each stage is both counted AND fed to the next stage; persist so

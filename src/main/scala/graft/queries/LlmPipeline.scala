@@ -50,6 +50,31 @@ object LlmPipeline {
     * spans the pipeline already detected (q_dup_spans measures
     * detection itself each time) — the pair no longer runs the gram
     * explode twice per suite pass. */
+  /** The funnel rows' shared test corpus: docs + id-shifted copies of
+    * the first 50 (so the exact-dedup stage has real work). */
+  private def dupedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** Once-per-(jvm, dir, corpus-tag) verified near-dup pair graph at
+    * threshold 0.6, spooled to parquet (same idiom as the span memo):
+    * the LSH detection runs once; the curation rows measure their
+    * POLICIES over it. Soundness of reuse: Curation.pairGraph restricts
+    * to the stage corpus, valid because the memo corpus is a superset. */
+  private val pairsSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private def pairsFor(s: SparkSession, dir: String, tag: String,
+      corpus: DataFrame): DataFrame = {
+    val p = pairsSpooled.getOrElseUpdate(s"$dir#$tag", {
+      val d = java.nio.file.Files.createTempDirectory("graft-pairs").toString + "/pairs"
+      Dedup.minhashNearDupPairs(corpus, threshold = 0.6)
+        .select(col("doc_a"), col("doc_b")).write.parquet(d)
+      d
+    })
+    s.read.parquet(p)
+  }
+
   private val spansSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private def spansFor(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val p = spansSpooled.getOrElseUpdate(dir, {
@@ -511,24 +536,29 @@ object LlmPipeline {
 
     // ---- the composed curation funnel: exact dedup -> near-dup removal
     // -> quality filter, with per-stage corpus sizes (exact dups derived
-    // by unioning id-shifted copies so stage 2 has real work to do) ----
+    // by unioning id-shifted copies so stage 2 has real work to do).
+    // The verified pair graph is memoized per (jvm, dir) and RESTRICTED
+    // per stage corpus (sound: LSH collision is pairwise — see
+    // Curation.pairGraph) — q_dedup_minhash keeps measuring detection
+    // itself; these rows measure the curation POLICIES, the same
+    // detection/application split as the q_dup_spans/q_scrub_spans
+    // memo ----
     "q_curation_funnel" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val withDups = d.unionAll(
-        d.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      Curation.funnel(withDups).orderBy(col("stage"))
+      val withDups = dupedDocs(s, dir)
+      val pg = Some(pairsFor(s, dir, "withdups", withDups))
+      Curation.funnel(withDups,
+          nearDupPolicy = (d, t) => Curation.dropNearDups(d, t, pg))
+        .orderBy(col("stage"))
     }),
 
     // ---- the same funnel under the TRANSITIVE near-dup policy:
     // connected components (large-star/small-star) over the verified
     // pair graph, survivor = min doc_id per component ----
     "q_curation_funnel_cc" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val withDups = d.unionAll(
-        d.filter(col("doc_id") < 50)
-          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      Curation.funnel(withDups, nearDupPolicy = Curation.dropNearDupsCC)
+      val withDups = dupedDocs(s, dir)
+      val pg = Some(pairsFor(s, dir, "withdups", withDups))
+      Curation.funnel(withDups,
+          nearDupPolicy = (d, t) => Curation.dropNearDupsCC(d, t, pg))
         .orderBy(col("stage"))
     }),
 
@@ -536,11 +566,13 @@ object LlmPipeline {
     // near-dup cluster (CC over the verified pair graph), not the
     // lowest id — the survivor policy a curation pipeline wants when
     // clusters mix a clean original with mangled copies ----
-    "q_cluster_best" -> ((s, dir) =>
-      Curation.keepBestPerCluster(
-          docs(s, dir).select(col("doc_id"), col("text")), threshold = 0.6)
+    "q_cluster_best" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Curation.keepBestPerCluster(d, threshold = 0.6,
+          pairs = Some(pairsFor(s, dir, "raw", d)))
         .select(col("doc_id"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- training-mix temperature weights per source: weight ∝
     // sqrt(n_docs) (alpha = 0.5). sqrt is IEEE-exact (pow is not), and
