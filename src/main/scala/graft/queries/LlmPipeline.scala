@@ -44,6 +44,9 @@ object LlmPipeline {
   /** Once-per-(jvm, sf dir) ACID table for the time-travel gate. */
   private val acidSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Once-per-(jvm, sf dir) ACID table for the MERGE (upsert) gate. */
+  private val mergeSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
     * parquet like the sibling memos (a cached DataFrame would pin
     * localCheckpoint blocks to one SparkContext): q_scrub_spans APPLIES
@@ -194,6 +197,30 @@ object LlmPipeline {
       val v1 = graft.land.AtomicLanding.readVersion(s, tbl, 1L)
         .groupBy(lit(1L).as("version")).agg(count(lit(1)).as("n_rows"))
       v0.unionByName(v1).orderBy(col("version"))
+    }),
+
+    // ---- the ACID MERGE (upsert) under the gate: keyed updates rewrite
+    // matched rows, fresh keys append, untouched rows survive — one
+    // snapshot rewrite behind the pointer swing (read-while-write safe,
+    // expectedVersion guards lost concurrent commits). The oracle
+    // derives the exact post-merge state from the raw table ----
+    "q_acid_merge" -> ((s, dir) => {
+      val tbl = mergeSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-acidmerge").toString + "/t"
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("source"), length(col("text")).as("n"))
+        graft.land.AtomicLanding.commit(base, d)
+        val upd = base.filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("source"), lit(-1).as("n"))
+          .unionByName(base.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 20000).as("doc_id"), col("source"),
+              lit(-2).as("n")))
+        graft.land.AtomicLanding.merge(upd, d, "doc_id")
+        d
+      })
+      graft.land.AtomicLanding.read(s, tbl)
+        .select(col("doc_id"), col("n"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- bloom-prefiltered decontamination: the huge-benchmark path
@@ -831,6 +858,16 @@ object LlmPipeline {
         |SELECT cast(1 as bigint), cast(count(*) + sum(CASE WHEN doc_id % 2 = 0
         |  THEN 1 ELSE 0 END) as bigint) FROM documents
         |ORDER BY version""".stripMargin,
+
+    // post-merge state: ids < 100 rewritten to the -1 sentinel, 50 fresh
+    // shifted keys appended at -2, everything else untouched
+    "q_acid_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id < 100 THEN -1 ELSE length(text) END AS n
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 20000, -2 FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin,
 
     "q_top_terms" ->
       """WITH wl AS (SELECT doc_id, string_split(text,' ') t FROM documents),
