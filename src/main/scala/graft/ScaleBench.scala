@@ -34,7 +34,8 @@ object ScaleBench {
     "q_agg_pricing", "q_join_large", "q_tpch_order_priority",
     "q_tpch_local_supplier", "q_tpch_small_qty", "q_salted_agg",
     "q_window_running", "q_dedup_exact", "q_dedup_minhash",
-    "q_text_stats", "q_top_terms", "q_collocations", "q_pack")
+    "q_text_stats", "q_top_terms", "q_collocations", "q_pack",
+    "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq")
 
   private def span(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head().getLong(0) + 1L
@@ -49,10 +50,22 @@ object ScaleBench {
   }
 
   def generate(spark: SparkSession, base: String, out: String, n: Int): Unit = {
-    if (new java.io.File(s"$out/lineitem.parquet").exists()) return
     def rd(t: String) = spark.read.parquet(s"$base/$t.parquet")
     def wr(df: DataFrame, t: String): Unit =
       df.drop("_i").write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
+      val e = rd("embeddings")
+      // per-(replica, dimension) perturbation so replica vectors are
+      // DIRECTIONALLY distinct (a pure scalar scale would leave cosine
+      // = 1 across replicas and quadratically inflate near-dup classes
+      // instead of scaling the corpus) — top-k rows stay well-posed
+      wr(replicate(e, n, Map("vec_id" -> span(e, "vec_id")))
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x.cast("double") * (lit(1.0d) + col("_i").cast("double") * lit(1e-3d)
+            * ((j % 7) + 1).cast("double"))).cast("float"))), "embeddings")
+    }
+    if (new java.io.File(s"$out/lineitem.parquet").exists()) return
 
     val (ko, kp, ks, kc) = (span(rd("orders"), "o_orderkey"),
       span(rd("part"), "p_partkey"), span(rd("supplier"), "s_suppkey"),

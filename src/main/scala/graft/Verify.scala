@@ -11,7 +11,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional trailing args: run only the named queries (dev iteration;
-    // the driver passes none and gets the full dump)
+    // the driver passes none and gets the full dump). Unknown names fail
+    // fast — a typo that silently selected nothing would dump a stale,
+    // exit-0 run
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val sel =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap

@@ -126,7 +126,9 @@ object IvfPq {
   }
 
   /** Probe: nProbe nearest lists by exact integer dot, ADC prune to
-    * `shortlist`, exact scaled-integer cosine re-rank to top `k`.
+    * `shortlist`, exact scaled-integer cosine re-rank to top `k`
+    * ([[Similarity.rerankExact]] — joins `emb` for the shortlisted
+    * candidates only; queries must be in the indexed corpus).
     * Returns (query_id, rnk, neighbor_id, cos_sim). */
   def probe(emb: DataFrame, index: Index, queries: DataFrame, k: Int,
       nProbe: Int, shortlist: Int): DataFrame = {
@@ -161,24 +163,7 @@ object IvfPq {
       .withColumn("rn", row_number().over(ws))
       .filter(col("rn") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    cand
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
-        "neighbor_id")
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe"))), "query_id")
-      .withColumn("dots", dotScaled(col("qe"), col("ce")))
-      .join(broadcast(index.n2.select(col("vec_id").as("query_id"),
-        col("n2").as("nq2"))), "query_id")
-      .join(index.n2.select(col("vec_id").as("neighbor_id"),
-        col("n2").as("nc2")), "neighbor_id")
-      .withColumn("cos_sim",
-        col("dots").cast("double") /
-          sqrt(col("nq2").cast("double") * col("nc2").cast("double")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+    Similarity.rerankExact(cand, emb, queries, index.n2, k)
   }
 
   /** Persist a built index: quantizers + codes + norms as parquet under
@@ -196,8 +181,13 @@ object IvfPq {
     index.n2.write.mode("overwrite").parquet(s"$path/n2")
   }
 
-  /** Load an index saved by [[save]]. The codes/norms stay as lazy
-    * parquet scans — probing a loaded index never re-reads the corpus. */
+  /** Load an index saved by [[save]]. The codes/norms load as lazy
+    * parquet scans, so the ADC prune runs off the saved compressed
+    * layout alone; [[probe]]'s final EXACT re-rank still joins the
+    * corpus embeddings for the shortlisted candidates (that is the
+    * re-rank's definition — skip it only if ADC order suffices), and
+    * queries must be part of the indexed corpus (the norm join drops
+    * unknown query ids). */
   def load(s: SparkSession, path: String): Index = {
     val cents = s.read.parquet(s"$path/cents").orderBy("cid").collect()
       .map(r => (r.getAs[Int]("cid"),

@@ -58,9 +58,12 @@ object Multimodal {
   }
 
   /** Binary PPM (netpbm P6): ASCII header + w*h*3 raw pixel bytes. */
-  def encodePpm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+  def encodePpm(width: Int, height: Int, pixels: Array[Byte],
+      maxval: Int = 255): Array[Byte] = {
     require(pixels.length == width * height * 3, "pixel buffer size mismatch")
-    val header = s"P6\n$width $height\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    require(maxval > 0 && maxval < 65536, s"invalid maxval $maxval")
+    val header = s"P6\n$width $height\n$maxval\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     header ++ pixels
   }
 
@@ -205,7 +208,9 @@ object Multimodal {
         }
         y += 1
       }
-      Some(encodePpm(tw, th, out))
+      // carry the SOURCE maxval: samples are copied verbatim, so a
+      // rewritten intensity scale would silently re-grade every pixel
+      Some(encodePpm(tw, th, out, meta.d3.toInt))
     }
   }
 

@@ -127,24 +127,9 @@ object Pq {
     * passes everything through, so the result equals brute force and
     * sits under the same hash oracle as `q_cosine_topk`. */
   def topKRerank(emb: DataFrame, queries: DataFrame, k: Int,
-      cb: Codebooks, shortlist: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cand = topKAdc(emb, queries, shortlist, cb)
-      .select(col("query_id"), col("neighbor_id"))
-    val n2 = Similarity.norms(emb)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    cand
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
-      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))), "query_id")
-      .withColumn("dots", dotScaled(col("qe"), col("ce")))
-      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))), "query_id")
-      .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")), "neighbor_id")
-      .withColumn("cos_sim",
-        col("dots").cast("double") /
-          sqrt(col("nq2").cast("double") * col("nc2").cast("double")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
-  }
+      cb: Codebooks, shortlist: Int): DataFrame =
+    Similarity.rerankExact(
+      topKAdc(emb, queries, shortlist, cb)
+        .select(col("query_id"), col("neighbor_id")),
+      emb, queries, Similarity.norms(emb), k)
 }

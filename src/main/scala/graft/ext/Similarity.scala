@@ -71,6 +71,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** The shared EXACT re-rank tail of every shortlist-based ANN path
+    * ([[Pq.topKRerank]], [[IvfPq.probe]]): candidate (query_id,
+    * neighbor_id) pairs join back the corpus embeddings and norms,
+    * score by the exact scaled-integer cosine, rank (cos desc, id asc),
+    * keep top k. One definition so a change to the tie-break or the
+    * 1e15 scale cannot silently miss a copy. Contract: queries are part
+    * of the indexed corpus — a query absent from `n2` drops out via the
+    * inner norm join ([[Ivf.probe]] fuses the same math into its list
+    * join instead of re-joining the corpus; that divergence is a
+    * deliberate fusion, not a second implementation of the contract). */
+  def rerankExact(cand: DataFrame, emb: DataFrame, queries: DataFrame,
+      n2: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"))), "query_id")
+      .withColumn("dots", dotScaled(col("qe"), col("ce")))
+      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))),
+        "query_id")
+      .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")),
+        "neighbor_id")
+      .withColumn("cos_sim",
+        col("dots").cast("double") /
+          sqrt(col("nq2").cast("double") * col("nc2").cast("double")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+  }
+
   /** Brute-force top-k via ranking window: partition by query, order by
     * (cos desc, id asc) for a deterministic tie-break. The baseline path;
     * shuffles once on query_id. */

@@ -770,7 +770,14 @@ object LlmPipeline {
     * (the driver then records a rows-only check for a result that does
     * not exist either) rather than crashing the whole oracle dump. */
   def oracles: Map[String, String] = staticOracles ++
-    trainedDirLast.flatMap(trainedCache.get).map(t =>
+    // single-dir contract: the trained oracle replays the LAST dir's
+    // learned merges — pairing one dir's dump with another dir's merges
+    // is only possible if a caller interleaves dirs before dumping,
+    // which Verify's one-dir main never does. An EMPTY learned table
+    // (pairless corpus — the legitimate identity tokenizer) has no
+    // VALUES form, so the entry is omitted (rows-only downgrade for
+    // that one row) rather than crashing the whole dump.
+    trainedDirLast.flatMap(trainedCache.get).filter(_.merges.nonEmpty).map(t =>
       "q_bpe_trained" -> bpeTokensOracle(bpeEncodeCtes(mergesValuesSql(t.merges))))
 
   private val staticOracles: Map[String, String] = Map(

@@ -865,7 +865,7 @@ object Relational {
         |  SELECT event_type, value,
         |    row_number() OVER (PARTITION BY event_type ORDER BY value) rn,
         |    count(*) OVER (PARTITION BY event_type) n
-        |  FROM events)
+        |  FROM events WHERE value IS NOT NULL)
         |SELECT event_type, value AS p50_exact, TRUE AS within_5pct
         |FROM ranked
         |WHERE rn = greatest(cast(ceil(cast(0.5 as double) * n) as bigint), 1)

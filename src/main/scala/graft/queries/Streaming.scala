@@ -34,7 +34,8 @@ object Streaming {
   private val spooled = scala.collection.concurrent.TrieMap[String, String]()
   private val fullSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val dupSpooled = scala.collection.concurrent.TrieMap[String, String]()
-  private val ingested = scala.collection.concurrent.TrieMap[String, String]()
+  private val ingested = scala.collection.concurrent.TrieMap[
+    String, (String, graft.catalog.InMemoryMetadataStore)]()
 
   /** NDJSON spool of the full event projection, once per (jvm, sf dir):
     * ONE file (one AvailableNow micro-batch) at micro timestamp
@@ -208,11 +209,15 @@ object Streaming {
     // batchId-deduped foreachBatch) -> catalog run record (C3 ordering:
     // record only after the landing committed) -> read the landed table
     // at its live version. Oracle = the batch aggregate over the same
-    // events: end-to-end ingestion must lose/duplicate nothing.
+    // events + the pinned run count: end-to-end ingestion must
+    // lose/duplicate nothing, and the record must actually be IN the
+    // catalog — `n_runs` is read back from the store on EVERY
+    // invocation, so a missing/duplicated record hash-fails (n_runs is
+    // column-gated, not a require that passes by construction).
     // Memoized per (jvm, dir) — re-invocations read the landed ACID
-    // table, which is exactly what a downstream consumer does ----
+    // table and the catalog, which is what a downstream consumer does ----
     "q_stream_ingest" -> ((s, dir) => {
-      val tbl = ingested.getOrElseUpdate(dir, {
+      val (tbl, store) = ingested.getOrElseUpdate(dir, {
         val root = java.nio.file.Files.createTempDirectory("graft-qsingest").toString
         val landed = s"$root/landed"
         val src = fullEventStream(s, dir)
@@ -225,21 +230,22 @@ object Streaming {
           q.awaitTermination()
         }
         // C3: the run record commits AFTER the landing write succeeded
-        val store = new graft.catalog.InMemoryMetadataStore()
+        val st = new graft.catalog.InMemoryMetadataStore()
         val now = new java.sql.Timestamp(0L) // fixed: results must not carry wall clock
-        store.insertCatalogEntry(graft.model.CatalogEntry(
+        st.insertCatalogEntry(graft.model.CatalogEntry(
           execId = s"stream-ingest-$dir", srcSysId = 1, assetId = 1,
           dqValidation = graft.model.CatalogEntry.StatusNotStarted,
           dataPublish = graft.model.CatalogEntry.StatusNotStarted,
           dataMasking = graft.model.CatalogEntry.StatusNotStarted,
           srcFilePath = landed, s3LogPath = s"$root/log", procStartTs = now,
           createdTs = now, lastExtTime = None))
-        require(store.catalogEntries(1).size == 1, "run record missing")
-        landed
+        (landed, st)
       })
+      val nRuns = store.catalogEntries(1).size.toLong
       graft.land.AtomicLanding.read(s, tbl)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
+        .withColumn("n_runs", lit(nRuns))
         .orderBy(col("event_type"))
     }),
 
@@ -284,9 +290,11 @@ object Streaming {
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    // landed ACID table == the spooled stream, exactly (no loss, no dup)
+    // landed ACID table == the spooled stream, exactly (no loss, no
+    // dup), and exactly ONE run record in the catalog
     "q_stream_ingest" ->
-      """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids
+      """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
+        |  cast(1 as bigint) AS n_runs
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_static_join" ->
