@@ -47,6 +47,9 @@ object LlmPipeline {
   /** Once-per-(jvm, sf dir) ACID table for the MERGE (upsert) gate. */
   private val mergeSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Once-per-(jvm, sf dir) ACID table for the COMPACTION gate. */
+  private val compactSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
     * parquet like the sibling memos (a cached DataFrame would pin
     * localCheckpoint blocks to one SparkContext): q_scrub_spans APPLIES
@@ -221,6 +224,29 @@ object LlmPipeline {
       graft.land.AtomicLanding.read(s, tbl)
         .select(col("doc_id"), col("n"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- ACID compaction under the gate: a streaming table's tail of
+    // small appended dirs folds into one snapshot (atomic swing; old
+    // dirs stay for readers until vacuum) — data must be bit-identical
+    // across the rewrite AND the dir count must actually drop to 1; the
+    // live-dir count is column-gated so a compaction that silently
+    // skipped (or dropped rows) hash-fails ----
+    "q_acid_compact" -> ((s, dir) => {
+      val tbl = compactSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-acidcompact").toString + "/t"
+        val base = docs(s, dir).select(col("doc_id"), col("source"))
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") % 4 === 0), d)
+        (1 to 3).foreach(i => graft.land.AtomicLanding.commit(
+          base.filter(col("doc_id") % 4 === i), d, append = true))
+        graft.land.AtomicLanding.compact(s, d, numFiles = 1)
+        d
+      })
+      graft.land.AtomicLanding.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_ids"))
+        .withColumn("n_live_dirs",
+          lit(graft.land.AtomicLanding.liveDirCount(tbl).toLong))
     }),
 
     // ---- bloom-prefiltered decontamination: the huge-benchmark path
@@ -865,6 +891,12 @@ object LlmPipeline {
         |SELECT cast(1 as bigint), cast(count(*) + sum(CASE WHEN doc_id % 2 = 0
         |  THEN 1 ELSE 0 END) as bigint) FROM documents
         |ORDER BY version""".stripMargin,
+
+    // four appended quarters compacted to ONE live dir, no row lost
+    "q_acid_compact" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_ids,
+        |  cast(1 as bigint) AS n_live_dirs
+        |FROM documents""".stripMargin,
 
     // post-merge state: ids < 100 rewritten to the -1 sentinel, 50 fresh
     // shifted keys appended at -2, everything else untouched
