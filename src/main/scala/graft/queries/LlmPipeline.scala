@@ -50,6 +50,9 @@ object LlmPipeline {
   /** Once-per-(jvm, sf dir) ACID table for the COMPACTION gate. */
   private val compactSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Once-per-(jvm, sf dir) ACID table for the VACUUM gate. */
+  private val vacuumSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
     * parquet like the sibling memos (a cached DataFrame would pin
     * localCheckpoint blocks to one SparkContext): q_scrub_spans APPLIES
@@ -247,6 +250,29 @@ object LlmPipeline {
           countDistinct(col("doc_id")).as("n_ids"))
         .withColumn("n_live_dirs",
           lit(graft.land.AtomicLanding.liveDirCount(tbl).toLong))
+    }),
+
+    // ---- the maintenance trilogy's last act, VACUUM, under the gate:
+    // append + compact leaves superseded manifests/dirs on disk (reader
+    // safety); a full writers-stopped vacuum must reclaim ALL of them
+    // and NONE of the live snapshot — superseded count is column-gated
+    // at 0 alongside the intact row identity ----
+    "q_acid_vacuum" -> ((s, dir) => {
+      val tbl = vacuumSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-acidvacuum").toString + "/t"
+        val base = docs(s, dir).select(col("doc_id"), col("source"))
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") % 2 === 0), d)
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") % 2 === 1), d,
+          append = true)
+        graft.land.AtomicLanding.compact(s, d, numFiles = 1)
+        graft.land.AtomicLanding.vacuum(d)
+        d
+      })
+      graft.land.AtomicLanding.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_ids"))
+        .withColumn("n_superseded",
+          lit(graft.land.AtomicLanding.supersededCount(tbl).toLong))
     }),
 
     // ---- bloom-prefiltered decontamination: the huge-benchmark path
@@ -891,6 +917,12 @@ object LlmPipeline {
         |SELECT cast(1 as bigint), cast(count(*) + sum(CASE WHEN doc_id % 2 = 0
         |  THEN 1 ELSE 0 END) as bigint) FROM documents
         |ORDER BY version""".stripMargin,
+
+    // append + compact + full vacuum: rows intact, zero superseded left
+    "q_acid_vacuum" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_ids,
+        |  cast(0 as bigint) AS n_superseded
+        |FROM documents""".stripMargin,
 
     // four appended quarters compacted to ONE live dir, no row lost
     "q_acid_compact" ->
