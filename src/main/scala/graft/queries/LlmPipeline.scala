@@ -53,6 +53,13 @@ object LlmPipeline {
   /** Once-per-(jvm, sf dir) ACID table for the VACUUM gate. */
   private val vacuumSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Once-per-(jvm, sf dir) persisted IVF-PQ index — the production
+    * split: the corpus pass builds + saves once, every probe loads the
+    * parquet index (so the gate row exercises save/load, and the bench
+    * measures the probe a user actually repeats; the BUILD cost stays
+    * measured by q_cosine_ivf/q_cosine_pq, which train per run). */
+  private val ivfpqSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
     * parquet like the sibling memos (a cached DataFrame would pin
     * localCheckpoint blocks to one SparkContext): q_scrub_spans APPLIES
@@ -516,7 +523,13 @@ object LlmPipeline {
     // Lloyd-trained quantizers stay covered by IvfPqSpec recall T ----
     "q_cosine_ivfpq" -> ((s, dir) => {
       val e = emb(s, dir)
-      graft.ext.IvfPq.topK(e, e.filter(col("vec_id") < 10), k = 5)
+      val p = ivfpqSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+        graft.ext.IvfPq.save(graft.ext.IvfPq.buildIndex(e), d)
+        d
+      })
+      graft.ext.IvfPq.probe(e, graft.ext.IvfPq.load(s, p),
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 4, shortlist = 50)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
