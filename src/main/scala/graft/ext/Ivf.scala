@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import Similarity.{dotScaled, norms}
+import Similarity.dotScaled
 
 /** IVF (inverted-file) approximate nearest neighbors — the second scale
   * path next to hyperplane LSH: a coarse quantizer of `nLists` centroids
@@ -64,17 +64,20 @@ object Ivf {
   }
 
   /** A built IVF index: the trained coarse quantizer plus the
-    * materialized inverted lists and norms — built ONCE, probed many
-    * times (the production shape: index build is the expensive corpus
-    * pass; queries only pay the probe). `lists`/`n2` are checkpointed so
-    * repeated probes never re-run training or assignment. */
+    * materialized inverted lists — built ONCE, probed many times (the
+    * production shape: index build is the expensive corpus pass; queries
+    * only pay the probe). `lists` is checkpointed so repeated probes
+    * never re-run training or assignment. Norms are NOT materialized:
+    * the probe computes both norms inline from the embeddings it already
+    * holds (exact integer math — no drift), so the index carries no
+    * second corpus-sized table and the probe plan has zero corpus-scale
+    * shuffles after the list join. */
   final case class Index(
       cents: Seq[(Int, Seq[Float])],
-      lists: DataFrame, // (neighbor_id, cid, ce = embedding)
-      n2: DataFrame)    // (vec_id, n2)
+      lists: DataFrame) // (neighbor_id, cid, ce = embedding)
 
   /** One corpus pass: train the quantizer, assign every vector to its
-    * list, materialize lists + norms. */
+    * list, materialize the lists. */
   def buildIndex(emb: DataFrame, nLists: Int = 16, iters: Int = 2): Index = {
     val cents = train(emb, nLists, iters)
     val lists = assign(emb, cents)
@@ -82,7 +85,7 @@ object Ivf {
       .select(col("vec_id").as("neighbor_id"), col("cid"),
         col("embedding").as("ce"))
       .localCheckpoint(true)
-    Index(cents, lists, norms(emb).localCheckpoint(true))
+    Index(cents, lists)
   }
 
   /** Append a batch to an existing index WITHOUT retraining: arriving
@@ -105,13 +108,26 @@ object Ivf {
         col("embedding").as("ce"))
       .unionByName(index.lists)
       .localCheckpoint(true)
-    Index(index.cents,
-      lists,
-      norms(fresh).unionByName(index.n2).localCheckpoint(true))
+    Index(index.cents, lists)
   }
 
   /** Probe an existing index: rank by exact scaled-integer cosine inside
-    * the `nProbe` nearest lists only. */
+    * the `nProbe` nearest lists only.
+    *
+    * The 100 TB plan, stage by stage: the bounded probe set (|queries| x
+    * nProbe rows) BROADCASTS into the corpus-sized lists (a shuffle join
+    * on the nLists-valued `cid` key would funnel the whole corpus through
+    * nLists partitions); both norms compute INLINE from the embeddings
+    * the joined row already carries (order-independent integer math — no
+    * corpus-sized n2 table is ever built, let alone broadcast); and the
+    * per-query ranking is the bounded-heap [[Similarity.TopKAgg]], which
+    * partially aggregates map-side so only k rows per (partition, query)
+    * reach the exchange — a `row_number` window would funnel every
+    * candidate row of a hot query through ONE partition and sort it.
+    * Net: after the list join the plan is shuffle-free until the final
+    * k-row-per-query exchange. Queries need not be part of the corpus.
+    * The probe-selection window above it ranks only |queries| x nLists
+    * rows — bounded by construction. */
   def probe(index: Index, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
     val wq = Window.partitionBy(col("query_id"))
@@ -122,21 +138,21 @@ object Ivf {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qe"), col("cid"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    probes.join(index.lists, "cid")
+    val tk = udaf(new Similarity.TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[Similarity.Scored])
+    index.lists.join(broadcast(probes), "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("dots", dotScaled(col("qe"), col("ce")))
-      .join(broadcast(index.n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))),
-        "query_id")
-      .join(index.n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")),
-        "neighbor_id")
+      .withColumn("nq2", dotScaled(col("qe"), col("qe")))
+      .withColumn("nc2", dotScaled(col("ce"), col("ce")))
       .withColumn("cos_sim",
         col("dots").cast("double") /
           sqrt(col("nq2").cast("double") * col("nc2").cast("double")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(tk(col("neighbor_id"), col("cos_sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.cid").as("neighbor_id"), col("col.cos").as("cos_sim"))
   }
 
   /** Approximate top-k: build + probe in one call (the one-shot path the

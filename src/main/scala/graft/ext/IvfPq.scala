@@ -147,12 +147,12 @@ object IvfPq {
       .join(broadcast(cbDf(s, index.cb)), "sub")
       .select(col("query_id"), col("sub"), col("code"),
         dotScaledHof(col("qs"), col("rvec")).as("d"))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
     // probes is bounded by the query batch (|queries| x nProbe rows):
     // broadcast it into the corpus-sized codes table — a shuffle join
     // on the 16-value cid key would funnel the corpus through nLists
     // partitions at scale
+    val tkl = udaf(new Similarity.TopKLongAgg(shortlist),
+      org.apache.spark.sql.Encoders.product[Similarity.ScoredL])
     val cand = index.codes.join(broadcast(probes), "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
@@ -160,9 +160,15 @@ object IvfPq {
       // cdot is constant per (query, cid) and a neighbor lives in ONE
       // list: max() just carries it through the m-row group
       .agg((max(col("cdot")) + sum(col("d"))).as("score"))
-      .withColumn("rn", row_number().over(ws))
-      .filter(col("rn") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
+      // bounded-heap shortlist selection (score desc, neighbor_id asc):
+      // partial-aggregates map-side, so only `shortlist` rows per
+      // (partition, query) reach the exchange — a row_number window here
+      // would funnel every ADC-scored candidate of a hot query through
+      // ONE partition and fully sort it
+      .groupBy(col("query_id"))
+      .agg(tkl(col("neighbor_id"), col("score")).as("top"))
+      .select(col("query_id"), explode(col("top.items")).as("x"))
+      .select(col("query_id"), col("x.cid").as("neighbor_id"))
     Similarity.rerankExact(cand, emb, queries, index.n2, k)
   }
 

@@ -63,7 +63,12 @@ object Similarity {
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
         col("neighbor_id") =!= col("query_id"))
       .withColumn("dots", dotScaled(col("qe"), col("ce")))
-      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))), "query_id")
+      // query norm computed INLINE from the already-joined query embedding
+      // (order-independent integer math == norms(emb)'s value bit-for-bit).
+      // Never broadcast the corpus-sized n2 table renamed to query_id: at
+      // 1e9 vectors that is a multi-GB driver-built broadcast just to look
+      // up a handful of query norms.
+      .withColumn("nq2", dotScaled(col("qe"), col("qe")))
       .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")), "neighbor_id")
       .withColumn("cos_sim",
         col("dots").cast("double") /
@@ -76,11 +81,16 @@ object Similarity {
     * neighbor_id) pairs join back the corpus embeddings and norms,
     * score by the exact scaled-integer cosine, rank (cos desc, id asc),
     * keep top k. One definition so a change to the tie-break or the
-    * 1e15 scale cannot silently miss a copy. Contract: queries are part
-    * of the indexed corpus — a query absent from `n2` drops out via the
-    * inner norm join ([[Ivf.probe]] fuses the same math into its list
-    * join instead of re-joining the corpus; that divergence is a
-    * deliberate fusion, not a second implementation of the contract). */
+    * 1e15 scale cannot silently miss a copy. The query norm is computed
+    * INLINE from the broadcast query embedding — bit-identical to the
+    * `n2` table's value (order-independent integer accumulation), and it
+    * means queries need NOT be part of the indexed corpus. The corpus
+    * `n2` table joins only on the NEIGHBOR side, as a shuffle join —
+    * broadcasting it keyed by query_id would ship the whole corpus's
+    * norms through the driver at 100 TB. ([[Ivf.probe]] fuses the same
+    * math into its list join instead of re-joining the corpus; that
+    * divergence is a deliberate fusion, not a second implementation of
+    * the contract). */
   def rerankExact(cand: DataFrame, emb: DataFrame, queries: DataFrame,
       n2: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -92,8 +102,7 @@ object Similarity {
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
         col("embedding").as("qe"))), "query_id")
       .withColumn("dots", dotScaled(col("qe"), col("ce")))
-      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))),
-        "query_id")
+      .withColumn("nq2", dotScaled(col("qe"), col("qe")))
       .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")),
         "neighbor_id")
       .withColumn("cos_sim",
@@ -137,6 +146,25 @@ object Similarity {
     def finish(r: TopBuf): TopBuf = r
     def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
     def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+  }
+
+  final case class ScoredL(cid: Long, s: Long)
+  final case class TopBufL(items: Seq[ScoredL])
+
+  /** Long-score twin of [[TopKAgg]] for scaled-integer scores (ADC sums,
+    * probe dots): casting them to double would lose exactness above 2^53
+    * (~9e15 — one unit dot at the 1e15 scale), silently reordering
+    * near-ties. Tie-break (s desc, cid asc); sortWith (not a negated key)
+    * so Long.MinValue cannot overflow. */
+  final class TopKLongAgg(k: Int) extends Aggregator[ScoredL, TopBufL, TopBufL] {
+    private def trim(x: Seq[ScoredL]): Seq[ScoredL] =
+      x.sortWith((a, b) => a.s > b.s || (a.s == b.s && a.cid < b.cid)).take(k)
+    def zero: TopBufL = TopBufL(Nil)
+    def reduce(b: TopBufL, a: ScoredL): TopBufL = TopBufL(trim(b.items :+ a))
+    def merge(x: TopBufL, y: TopBufL): TopBufL = TopBufL(trim(x.items ++ y.items))
+    def finish(r: TopBufL): TopBufL = r
+    def bufferEncoder: Encoder[TopBufL] = Encoders.product[TopBufL]
+    def outputEncoder: Encoder[TopBufL] = Encoders.product[TopBufL]
   }
 
   /** Same result as [[topKBrute]], computed with the bounded-heap UDAF. */
@@ -308,7 +336,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     cand
       .withColumn("dots", dotScaled(col("qe"), col("ce")))
-      .join(broadcast(n2.select(col("vec_id").as("query_id"), col("n2").as("nq2"))), "query_id")
+      .withColumn("nq2", dotScaled(col("qe"), col("qe")))
       .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")), "neighbor_id")
       .withColumn("cos_sim",
         col("dots").cast("double") /

@@ -81,6 +81,60 @@ class IvfSpec extends AnyFunSuite {
     assert(probedAgain == probed)
   }
 
+  test("probe plan never shuffles the corpus: no shuffle joins, no n2 broadcast") {
+    // With size-based auto-broadcast disabled, any join left in the probe
+    // must be a hinted broadcast of a BOUNDED side (centroids, probes).
+    // The round-7 plan shuffle-joined corpus norms on neighbor_id and
+    // broadcast the corpus-sized n2 table renamed to query_id — both now
+    // replaced by inline integer norms, so the plan must contain NO
+    // shuffle equi-join at all, and the only broadcasts are the two
+    // bounded hints. The top-k must partially aggregate map-side.
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val idx = Ivf.buildIndex(emb, nLists = 8, iters = 0)
+      val q = Ivf.probe(idx, queries, k = 5, nProbe = 4)
+      graft.Bench.materialize(q)
+      // AQE's toString prints the final plan AND the pre-adaptive initial
+      // plan; judge only the final one
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"corpus-scale shuffle join in the probe plan:\n$plan")
+      val nBroadcast = "BroadcastExchange".r.findAllMatchIn(plan).size
+      assert(nBroadcast <= 2,
+        s"expected only the centroid + probe-set broadcasts, got $nBroadcast:\n$plan")
+      assert(plan.contains("partial_"),
+        s"top-k did not partially aggregate map-side:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("queries outside the indexed corpus probe correctly (inline norms)") {
+    // Round 7 required queries to be members of the corpus (their norm
+    // was looked up in the index's n2 table — absent queries silently
+    // dropped). Norms now compute inline from the query embedding, so an
+    // external vector probes like any other: at full probe it must match
+    // brute force over the corpus exactly, including the double cos_sim.
+    val ext = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 50000L).as("vec_id"), col("embedding"))
+    val idx = Ivf.buildIndex(emb, nLists = 4, iters = 0)
+    val probed = Ivf.probe(idx, ext, k = 3, nProbe = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val brute = Similarity.topKBrute(emb, ext, 3)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(probed == brute && probed.size == 9)
+    // an external identical copy finds its original at rank 1, cos == ~1
+    val top = probed.filter(r => r.getLong(0) == 50000L && r.getLong(1) == 1L).head
+    assert(top.getLong(2) == 0L)
+    assert(math.abs(top.getDouble(3) - 1.0) < 1e-12)
+  }
+
   test("streaming vector ingest: micro-batches append to the frozen index") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
