@@ -54,18 +54,22 @@ object ScaleBench {
     def wr(df: DataFrame, t: String): Unit =
       df.drop("_i").write.mode("overwrite").parquet(s"$out/$t.parquet")
 
-    if (!new java.io.File(s"$out/embeddings.parquet").exists()) {
-      val e = rd("embeddings")
-      // per-(replica, dimension) perturbation so replica vectors are
-      // DIRECTIONALLY distinct (a pure scalar scale would leave cosine
-      // = 1 across replicas and quadratically inflate near-dup classes
-      // instead of scaling the corpus) — top-k rows stay well-posed
-      wr(replicate(e, n, Map("vec_id" -> span(e, "vec_id")))
-        .withColumn("embedding", transform(col("embedding"), (x, j) =>
-          (x.cast("double") * (lit(1.0d) + col("_i").cast("double") * lit(1e-3d)
-            * ((j % 7) + 1).cast("double"))).cast("float"))), "embeddings")
-    }
-    if (new java.io.File(s"$out/lineitem.parquet").exists()) return
+    // skip is keyed on a completion marker written AFTER the last table —
+    // keying on any individual table's existence would treat an
+    // interrupted previous run as complete and silently bench against
+    // missing or stale tables
+    val marker = new java.io.File(s"$out/_GRAFT_COMPLETE")
+    if (marker.exists()) return
+
+    val e = rd("embeddings")
+    // per-(replica, dimension) perturbation so replica vectors are
+    // DIRECTIONALLY distinct (a pure scalar scale would leave cosine
+    // = 1 across replicas and quadratically inflate near-dup classes
+    // instead of scaling the corpus) — top-k rows stay well-posed
+    wr(replicate(e, n, Map("vec_id" -> span(e, "vec_id")))
+      .withColumn("embedding", transform(col("embedding"), (x, j) =>
+        (x.cast("double") * (lit(1.0d) + col("_i").cast("double") * lit(1e-3d)
+          * ((j % 7) + 1).cast("double"))).cast("float"))), "embeddings")
 
     val (ko, kp, ks, kc) = (span(rd("orders"), "o_orderkey"),
       span(rd("part"), "p_partkey"), span(rd("supplier"), "s_suppkey"),
@@ -93,6 +97,8 @@ object ScaleBench {
     wr(replicate(ev, n, Map(
       "event_id" -> span(ev, "event_id"), "user_id" -> span(ev, "user_id"))),
       "events")
+
+    marker.createNewFile()
   }
 
   private def joinCensus(df: DataFrame): String = {

@@ -24,18 +24,30 @@ object Curation {
       .filter(col("doc_id") === col("keep_id"))
       .drop("fp", "keep_id")
 
+  /** A precomputed verified near-dup pair set, tagged with the threshold
+    * it was verified at. Carrying the threshold makes the reuse contract
+    * checkable: [[pairGraph]] rejects a set whose threshold differs from
+    * the one the caller asks for, instead of silently yielding wrong
+    * survivors. */
+  final case class PairSet(pairs: DataFrame, threshold: Double)
+
   /** The verified pair graph for `docs`: computed fresh, or RESTRICTED
     * from a precomputed set. Sound because LSH band collision is
     * pairwise (two docs share a band bucket independent of the rest of
     * the corpus) and the Jaccard verify is per-pair — so the pair set
     * of a SUB-corpus is exactly the superset's pairs with both ends
-    * surviving. Precondition on `pairs`: same threshold, computed over
-    * a superset of `docs` — the caller owns that contract. */
+    * surviving. Remaining precondition on `pairs`: computed over a
+    * SUPERSET of `docs` (the threshold half of the old contract is now
+    * enforced by the require). */
   private def pairGraph(docs: DataFrame, threshold: Double,
-      pairs: Option[DataFrame]): DataFrame =
-    pairs.map { p =>
+      pairs: Option[PairSet]): DataFrame =
+    pairs.map { ps =>
+      require(ps.threshold == threshold,
+        s"precomputed pair set was verified at threshold ${ps.threshold}, " +
+          s"but this call asks for $threshold — reusing it would yield " +
+          "wrong survivors")
       val ids = docs.select(col("doc_id"))
-      p.select(col("doc_a"), col("doc_b"))
+      ps.pairs.select(col("doc_a"), col("doc_b"))
         .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
         .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
     }.getOrElse(
@@ -46,7 +58,7 @@ object Curation {
     * `pairs`: optionally reuse a precomputed pair set (see
     * [[pairGraph]] for the soundness contract). */
   def dropNearDups(docs: DataFrame, threshold: Double,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[PairSet] = None): DataFrame = {
     val drop = pairGraph(docs, threshold, pairs)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(drop, Seq("doc_id"), "left_anti")
@@ -74,7 +86,7 @@ object Curation {
   }
 
   def dropNearDupsCC(docs: DataFrame, threshold: Double,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[PairSet] = None): DataFrame = {
     // materialize the pair graph at FULL parallelism first — the LSH
     // band join is corpus-sized work; only the iteration below is tiny
     val pg = pairGraph(docs, threshold, pairs).localCheckpoint(true)
@@ -91,7 +103,7 @@ object Curation {
     * often mix a clean original with mangled copies. Singletons (docs in
     * no pair) survive untouched. */
   def keepBestPerCluster(docs: DataFrame, threshold: Double,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[PairSet] = None): DataFrame = {
     val pg = pairGraph(docs, threshold, pairs).localCheckpoint(true)
     val comp = componentsFewPartitions(pg)
     val scored = docs.join(TextStats.qualityScore(docs), Seq("doc_id"))

@@ -57,11 +57,16 @@ object Multimodal {
     out
   }
 
-  /** Binary PPM (netpbm P6): ASCII header + w*h*3 raw pixel bytes. */
+  /** Binary PPM (netpbm P6): ASCII header + w*h*3 raw pixel bytes.
+    * Only 1-byte samples are supported, so maxval is capped at 255 — the
+    * netpbm spec mandates 2-byte big-endian samples above that, and
+    * emitting a >255 maxval with 1-byte data would be malformed for
+    * external readers (parseMeta's length check rejects such files). */
   def encodePpm(width: Int, height: Int, pixels: Array[Byte],
       maxval: Int = 255): Array[Byte] = {
     require(pixels.length == width * height * 3, "pixel buffer size mismatch")
-    require(maxval > 0 && maxval < 65536, s"invalid maxval $maxval")
+    require(maxval > 0 && maxval <= 255,
+      s"invalid maxval $maxval: only 1-byte samples (maxval <= 255) supported")
     val header = s"P6\n$width $height\n$maxval\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     header ++ pixels

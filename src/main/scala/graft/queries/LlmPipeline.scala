@@ -81,14 +81,16 @@ object LlmPipeline {
     * to the stage corpus, valid because the memo corpus is a superset. */
   private val pairsSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private def pairsFor(s: SparkSession, dir: String, tag: String,
-      corpus: DataFrame): DataFrame = {
+      corpus: DataFrame): graft.ext.Curation.PairSet = {
     val p = pairsSpooled.getOrElseUpdate(s"$dir#$tag", {
       val d = java.nio.file.Files.createTempDirectory("graft-pairs").toString + "/pairs"
       Dedup.minhashNearDupPairs(corpus, threshold = 0.6)
         .select(col("doc_a"), col("doc_b")).write.parquet(d)
       d
     })
-    s.read.parquet(p)
+    // the PairSet carries the verification threshold so a consumer
+    // asking for a different one fails loudly (Curation.pairGraph)
+    graft.ext.Curation.PairSet(s.read.parquet(p), threshold = 0.6)
   }
 
   private val spansSpooled = scala.collection.concurrent.TrieMap[String, String]()
@@ -330,9 +332,13 @@ object LlmPipeline {
     // + the bounded driver merge loop learns a merges table from the
     // corpus itself, then the same native expression tokenizes under it.
     // The oracle replays the LEARNED merge list (dumped after this query
-    // runs — Verify's ordering) through the same recursive CTE, so a
-    // trainer that learns the wrong pair, in the wrong order, fails the
-    // hash gate — this is the path a real pipeline user runs ----
+    // runs — Verify's ordering) through the same recursive CTE. Note the
+    // gate's scope: because the oracle is generated FROM the learned
+    // table, it verifies that the distributed tokenization faithfully
+    // replays whatever merges were learned — NOT that the learning
+    // itself picked the right pairs in the right order. Trainer
+    // correctness is pinned separately by BpeSpec's fixture assertions
+    // (exact expected merge list on a known corpus) ----
     "q_bpe_trained" -> ((s, dir) => {
       val table = trainedTableFor(s, dir)
       val toks = graft.ext.Bpe.tokensWith(table, col("text"))

@@ -127,4 +127,21 @@ class BpeSpec extends AnyFunSuite {
     assert(nToks < nChars, s"trained table should merge something: $nToks vs $nChars")
     words.foreach(w => assert(trained.encode(w).mkString == w))
   }
+
+  test("trainer learns the EXACT expected merge list on a hand-computed fixture") {
+    // The q_bpe_trained oracle replays whatever table was learned, so it
+    // cannot catch a trainer that picks wrong pairs — this fixture pins
+    // the learning itself. Corpus: hug x3, pug x2, bun x1.
+    //   round 1: (u,g)=5 beats (h,u)=3, (p,u)=2, (b,u)=1, (u,n)=1
+    //   round 2: (h,ug)=3; round 3: (p,ug)=2
+    //   round 4: tie at 1 — (b,u) < (u,n) lexicographically
+    //   round 5: (bu,n)=1; round 6: nothing left -> exhausted early
+    import spark.implicits._
+    val docs = Seq("hug hug hug pug pug bun").toDF("text")
+    val trained = Bpe.train(docs, col("text"), nMerges = 6)
+    assert(trained.merges == Seq(
+      ("u", "g"), ("h", "ug"), ("p", "ug"), ("b", "u"), ("bu", "n")))
+    assert(trained.encode("hug").toSeq == Seq("hug"))
+    assert(trained.encode("bun").toSeq == Seq("bun"))
+  }
 }
