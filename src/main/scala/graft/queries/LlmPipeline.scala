@@ -553,6 +553,55 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- the TRAINED quantizer paths under a measured-recall envelope
+    // (the q_hll_merge pattern): Lloyd-trained float centroids/codebooks
+    // don't replay cross-engine (libm convergence), so instead of a
+    // value replay these rows compute recall@10 against the exact
+    // brute-force top-k and gate a pinned in-envelope flag — a trained
+    // quantizer that collapses (wrong assignments, degenerate
+    // centroids) drags recall below the floor and hash-fails the row.
+    // Envelopes sized by graft.RecallProbe: IVF(nLists=16, nProbe=4,
+    // iters=3) measures 0.81-0.91 across sf0.001/0.01/0.1 -> floor
+    // 0.7; PQ(m=8, k=16, iters=2, shortlist=50) measures 0.60-0.69 ->
+    // floor 0.5. Both floors sit several flipped-neighbor quanta below
+    // the worst measurement, so last-bit centroid drift (the only
+    // nondeterminism, see Ivf's scaladoc) cannot flip the flag ----
+    "q_cosine_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val k = 10
+      val approx = graft.ext.Ivf.topKIvf(e, q, k,
+        nLists = 16, nProbe = 4, iters = 3)
+      val hits = approx.select(col("query_id"), col("neighbor_id"))
+        .join(Similarity.topKBrute(e, q, k)
+          .select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      q.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_queries"), lit(k).cast("long").as("k"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * k).cast("double") >= lit(0.7d))
+            .as("recall_in_envelope"))
+    }),
+
+    "q_cosine_pq_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val k = 10
+      val cb = graft.ext.Pq.train(e, m = 8, k = 16, iters = 2)
+      val approx = graft.ext.Pq.topKRerank(e, q, k, cb, shortlist = 50)
+      val hits = approx.select(col("query_id"), col("neighbor_id"))
+        .join(Similarity.topKBrute(e, q, k)
+          .select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      q.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_queries"), lit(k).cast("long").as("k"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * k).cast("double") >= lit(0.5d))
+            .as("recall_in_envelope"))
+    }),
+
     // ---- IVF at full probe (nProbe = nLists): every list is scanned, so
     // the result is exact by construction — which puts the whole IVF
     // machinery (train -> assign -> probe -> in-list exact rank) under the
@@ -1070,6 +1119,18 @@ object LlmPipeline {
     "q_cosine_ann" -> CosineAnnOracle,
     "q_cosine_ivf" -> CosineIvfOracle,
     "q_cosine_pq" -> CosinePqOracle,
+
+    // the trained-quantizer envelope rows: the oracle replays the exact
+    // fields (query-set size, k) and pins the measured-recall flag TRUE —
+    // see the q_cosine_ivf_trained query comment for the envelope sizing
+    "q_cosine_ivf_trained" ->
+      """SELECT cast(count(*) as bigint) AS n_queries,
+        | cast(10 as bigint) AS k, TRUE AS recall_in_envelope
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    "q_cosine_pq_trained" ->
+      """SELECT cast(count(*) as bigint) AS n_queries,
+        | cast(10 as bigint) AS k, TRUE AS recall_in_envelope
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "q_cosine_ivfpq" -> CosineIvfPqOracle,
 
     // CosineTopkOracle restricted to the 200-vector gate slice
