@@ -172,6 +172,59 @@ object IvfPq {
     Similarity.rerankExact(cand, emb, queries, index.n2, k)
   }
 
+  /** [[probe]] for UNBOUNDED query sets — the ANN-self-join /
+    * dedup-by-ANN shape where queries ≈ corpus and nothing query-sized
+    * may broadcast. Identical values to [[probe]] (every score is the
+    * same deterministic integer math; only physical strategy changes):
+    *
+    *   - codes ⋈ probes becomes a SALTED shuffle join: `cid` has only
+    *     `nLists` values, so a plain shuffle join would funnel the whole
+    *     corpus through nLists partitions. The codes side keys on
+    *     (cid, pmod(neighbor_id, salts)); the probe side explodes each
+    *     row into `salts` copies — nLists·salts effective keys, corpus
+    *     rows never replicate (only the |Q|·nProbe probe rows do).
+    *   - the per-query LUT (|Q|·m·k rows — corpus-sized here) shuffle-
+    *     joins on the high-cardinality (query_id, sub, code) key.
+    *   - the exact re-rank shuffle-joins the query embeddings
+    *     ([[Similarity.rerankExact]] with broadcastQueries = false).
+    *
+    * The only broadcasts left are the two index-geometry tables
+    * (centroids: nLists rows; codebooks: m·k rows) — both O(index
+    * config), independent of corpus and query-set size. */
+  def probeShuffled(emb: DataFrame, index: Index, queries: DataFrame,
+      k: Int, nProbe: Int, shortlist: Int, salts: Int = 8): DataFrame = {
+    val s = queries.sparkSession
+    val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    val probes = q0
+      .crossJoin(broadcast(coarseDf(s, index.cents)))
+      .withColumn("cdot", dotScaled(col("qe"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid"), col("cdot"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
+      .join(broadcast(cbDf(s, index.cb)), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        dotScaledHof(col("qs"), col("rvec")).as("d"))
+    val tkl = udaf(new Similarity.TopKLongAgg(shortlist),
+      org.apache.spark.sql.Encoders.product[Similarity.ScoredL])
+    val cand = index.codes
+      .withColumn("salt", pmod(col("neighbor_id"), lit(salts)).cast("int"))
+      .join(probes, Seq("cid", "salt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(lut, Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg((max(col("cdot")) + sum(col("d"))).as("score"))
+      .groupBy(col("query_id"))
+      .agg(tkl(col("neighbor_id"), col("score")).as("top"))
+      .select(col("query_id"), explode(col("top.items")).as("x"))
+      .select(col("query_id"), col("x.cid").as("neighbor_id"))
+    Similarity.rerankExact(cand, emb, queries, index.n2, k,
+      broadcastQueries = false)
+  }
+
   /** Persist a built index: quantizers + codes + norms as parquet under
     * one root — the production handoff (build once on the corpus pass,
     * probe from any later job). Geometry (m, subDim) is recovered from

@@ -90,17 +90,25 @@ object Similarity {
     * norms through the driver at 100 TB. ([[Ivf.probe]] fuses the same
     * math into its list join instead of re-joining the corpus; that
     * divergence is a deliberate fusion, not a second implementation of
-    * the contract). */
+    * the contract).
+    *
+    * `broadcastQueries` selects the physical strategy for attaching the
+    * query embedding — values are identical either way. `true` (default)
+    * fits the production probe shape: a bounded query batch broadcasts
+    * into the candidate set. `false` shuffle-joins on query_id instead,
+    * for the ANN-self-join / dedup-by-ANN shape where queries ≈ corpus
+    * and broadcasting them would ship the corpus through the driver. */
   def rerankExact(cand: DataFrame, emb: DataFrame, queries: DataFrame,
-      n2: DataFrame, k: Int): DataFrame = {
+      n2: DataFrame, k: Int, broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
     cand
       .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")),
         "neighbor_id")
-      .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe"))), "query_id")
+      .join(if (broadcastQueries) broadcast(q) else q, "query_id")
       .withColumn("dots", dotScaled(col("qe"), col("ce")))
       .withColumn("nq2", dotScaled(col("qe"), col("qe")))
       .join(n2.select(col("vec_id").as("neighbor_id"), col("n2").as("nc2")),

@@ -539,6 +539,20 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- the ANN SELF-JOIN shape: every corpus vector probes the same
+    // IVF-PQ index (queries = corpus, the dedup-by-ANN workload), via
+    // probeShuffled — nothing query-sized broadcasts: salted shuffle
+    // join for codes x probes, shuffle joins for the LUT and the
+    // re-rank's query embeddings. Values are identical to the broadcast
+    // probe (same integer math), so the same replay oracle gates it with
+    // the query predicate widened to the whole corpus ----
+    "q_cosine_ivfpq_selfjoin" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ext.IvfPq.probeShuffled(e, graft.ext.IvfPq.buildIndex(e), e,
+          k = 5, nProbe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- IVF approximate NN, partial probe (4 of 16 lists — genuinely
     // approximate), fully hash-gated: with iters = 0 the coarse quantizer
     // is the first 16 vectors by vec_id and every subsequent step
@@ -1132,6 +1146,10 @@ object LlmPipeline {
         | cast(10 as bigint) AS k, TRUE AS recall_in_envelope
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "q_cosine_ivfpq" -> CosineIvfPqOracle,
+    // same replay, query set = the whole corpus (the self-join shape) —
+    // the physical-strategy difference (salted shuffle joins vs
+    // broadcast probes) is invisible to the replayed values
+    "q_cosine_ivfpq_selfjoin" -> cosineIvfPqOracleFor("vec_id >= 0"),
 
     // CosineTopkOracle restricted to the 200-vector gate slice
     "q_cosine_pq_exact" ->
@@ -1854,7 +1872,14 @@ object LlmPipeline {
     * residuals, residual codebooks from the first 16 residual slices,
     * (d2, code)-tie-broken code assignment, ADC = coarse dot + per-sub
     * LUT sum, top-50 shortlist, exact cosine re-rank. */
-  private lazy val CosineIvfPqOracle: String =
+  private lazy val CosineIvfPqOracle: String = cosineIvfPqOracleFor("vec_id < 10")
+
+  /** The IVF-PQ replay oracle, parameterized by the query-set predicate
+    * (over the unqualified `vec_id` of the embeddings table) — the same
+    * SQL gates both the broadcast-probe row (bounded query batch) and
+    * the shuffled self-join row (queries = corpus): the replayed math is
+    * identical, only the engine's physical join strategy differs. */
+  private def cosineIvfPqOracleFor(qPred: String): String =
     s"""WITH c AS (
        |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,
        |         embedding AS cvec
@@ -1871,7 +1896,7 @@ object LlmPipeline {
        |  SELECT query_id, cid, cdot FROM (
        |    SELECT vec_id AS query_id, cid, dot AS cdot,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) rn
-       |    FROM ad WHERE vec_id < 10) WHERE rn <= 4),
+       |    FROM ad WHERE $qPred) WHERE rn <= 4),
        |r AS (
        |  SELECT e.vec_id, a.cid,
        |    list_transform(list_zip(e.embedding, c.cvec),
@@ -1896,7 +1921,7 @@ object LlmPipeline {
        |    FROM d2t) WHERE rn = 1),
        |qs AS (SELECT e.vec_id query_id, ss.sub,
        |         e.embedding[ss.sub*8+1 : ss.sub*8+8] qsv
-       |       FROM embeddings e CROSS JOIN ss WHERE e.vec_id < 10),
+       |       FROM embeddings e CROSS JOIN ss WHERE e.$qPred),
        |lut AS (SELECT qs.query_id, qs.sub, cb.code,
        |          ${sqlDot("qs.qsv", "cb.rvec")} d
        |        FROM qs JOIN cb ON cb.sub = qs.sub),

@@ -67,4 +67,42 @@ class IvfPqSpec extends AnyFunSuite {
     val codeRange = idx.codes.agg(min("code"), max("code")).head()
     assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) < 16)
   }
+
+  test("probeShuffled equals probe row-for-row (self-join query set)") {
+    val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16)
+    val a = IvfPq.probe(emb, idx, emb, k = 3, nProbe = 2, shortlist = 20)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val b = IvfPq.probeShuffled(emb, idx, emb, k = 3, nProbe = 2,
+        shortlist = 20, salts = 4)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("probeShuffled plan broadcasts nothing query- or corpus-sized") {
+    // With size-based auto-broadcast off, the only broadcasts allowed in
+    // the unbounded-query probe are the two index-geometry hints
+    // (centroids, codebooks) — the probe set, LUT, query embeddings, and
+    // corpus codes/norms must all arrive via shuffle joins.
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16)
+      val q = IvfPq.probeShuffled(emb, idx, emb, k = 3, nProbe = 2,
+        shortlist = 20, salts = 4)
+      graft.Bench.materialize(q)
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val nBroadcast = "BroadcastExchange".r.findAllMatchIn(plan).size
+      assert(nBroadcast <= 2,
+        s"expected only the centroid + codebook broadcasts, got $nBroadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffle joins for the query-sized sides:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
