@@ -36,6 +36,8 @@ object Streaming {
   private val dupSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ingested = scala.collection.concurrent.TrieMap[
     String, (String, graft.catalog.InMemoryMetadataStore)]()
+  private val compactIngested = scala.collection.concurrent.TrieMap[
+    String, (String, Int)]()
 
   /** NDJSON spool of the full event projection, once per (jvm, sf dir):
     * ONE file (one AvailableNow micro-batch) at micro timestamp
@@ -249,6 +251,66 @@ object Streaming {
         .orderBy(col("event_type"))
     }),
 
+    // ---- the riskiest production interaction, composed under the gate:
+    // EXACTLY-ONCE streaming sink + AUTO-COMPACTION racing inside the
+    // same stream. The spool is written as 4 files and read with
+    // maxFilesPerTrigger=1, so AvailableNow drains in 4 micro-batches;
+    // after each commit the foreachBatch body runs the maintenance rule
+    // (liveDirCount >= 3 -> compact to 1 dir), so compaction fires
+    // EXACTLY once mid-stream (dirs go 1,2,3->1,2); then the last
+    // micro-batch is REPLAYED through the sink (foreachBatch's
+    // at-least-once contract after a crash) — the batch-id watermark
+    // must have survived the compaction rewrite for the replay to
+    // skip. Every claim is a gated column: row identity (a broken
+    // replay-skip doubles n_events), n_compactions pinned 1 (the rule
+    // must actually fire mid-stream), n_live_dirs pinned 2 (the
+    // post-compaction tail must be the only thing appended after) ----
+    "q_stream_compact" -> ((s, dir) => {
+      val (tbl, nCompactions) = compactIngested.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-qscompact").toString
+        t(s, dir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          .repartition(4)
+          .write.mode("overwrite").option("timestampFormat", MicrosFmt)
+          .json(s"$root/in")
+        val landed = s"$root/landed"
+        val sink = graft.land.AtomicLanding.streamSink(landed)
+        val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+        val src = s.readStream.schema(fullEventSchema)
+          .option("timestampFormat", MicrosFmt)
+          .option("maxFilesPerTrigger", 1)
+          .json(s"$root/in")
+        withFewPartitions(s) {
+          val q = src.writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              sink(df, batchId)
+              if (graft.land.AtomicLanding.liveDirCount(landed) >= 3) {
+                graft.land.AtomicLanding.compact(s, landed, numFiles = 1)
+                compactions.incrementAndGet(); ()
+              }
+            }
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        // the post-crash replay: re-offer the final batch id with a full
+        // corpus payload — the sink must skip it on the watermark that
+        // compaction carried over (a lost watermark lands every row again)
+        val lastId = graft.land.AtomicLanding.lastBatchId(landed)
+          .getOrElse(sys.error(s"no batch watermark on $landed"))
+        sink(s.read.schema(fullEventSchema)
+          .option("timestampFormat", MicrosFmt).json(s"$root/in"), lastId)
+        (landed, compactions.get())
+      })
+      graft.land.AtomicLanding.read(s, tbl)
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .withColumn("n_compactions", lit(nCompactions.toLong))
+        .withColumn("n_live_dirs",
+          lit(graft.land.AtomicLanding.liveDirCount(tbl).toLong))
+    }),
+
     // ---- stream-STATIC join: the streaming enrichment shape — events
     // flow through a stateless join against a static dimension (the
     // dimension is re-read per micro-batch; no watermark, no state
@@ -296,6 +358,15 @@ object Streaming {
       """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
         |  cast(1 as bigint) AS n_runs
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exactly-once + mid-stream auto-compaction: row identity over the
+    // whole corpus (a broken replay-skip after compaction doubles
+    // n_events), exactly one compaction fired, exactly the compacted
+    // dir + the post-compaction tail live
+    "q_stream_compact" ->
+      """SELECT count(*) AS n_events, count(DISTINCT event_id) AS n_ids,
+        |  cast(1 as bigint) AS n_compactions, cast(2 as bigint) AS n_live_dirs
+        |FROM events""".stripMargin,
 
     "q_stream_static_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n
