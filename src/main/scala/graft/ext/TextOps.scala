@@ -42,18 +42,42 @@ object TextOps {
       i => concat_ws(" ", slice(w, i, lit(n)))))
   }
 
-  /** Count of non-whitespace runs — the token count used by text stats. */
-  def tokenCount(text: Column): Column =
+  /** Count of non-whitespace runs — the token count used by text stats.
+    * Resolves to the codegen'd [[graft.functions.TokenCount]] byte scan;
+    * [[tokenCountRegex]] is the value-identical reference formulation. */
+  def tokenCount(text: Column): Column = call_function("token_runs", text, lit("ws"))
+
+  /** Reference formulation of [[tokenCount]] (equivalence-test target,
+    * and the literal shape the DuckDB oracle reproduces). */
+  def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
+  /** Count of code points outside `[A-Za-z0-9\s]` — the punctuation
+    * density numerator in quality scoring. Native byte scan; the regex
+    * reference is [[punctCountRegex]]. */
+  def punctCount(text: Column): Column = call_function("token_runs", text, lit("punct"))
+
+  /** Reference formulation of [[punctCount]]. */
+  def punctCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
   /** BPE-ish subword segmentation count: letter runs, digit runs, and
-    * single punctuation marks each count as one token. */
-  def bpeTokenCount(text: Column): Column =
+    * single punctuation marks each count as one token. Native byte scan;
+    * the regex reference is [[bpeTokenCountRegex]]. */
+  def bpeTokenCount(text: Column): Column = call_function("token_runs", text, lit("bpe"))
+
+  /** Reference formulation of [[bpeTokenCount]]. */
+  def bpeTokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** How many tokens of `w` are in the given word list. */
   def countIn(w: Column, vocab: Seq[String]): Column =
-    size(filter(w, t => t.isin(vocab.map(x => x: Any): _*)))
+    // size(filter(w, isin(vocab))) with the filter lambda unrolled into
+    // chained array_removes: a higher-order filter is CodegenFallback
+    // and forces the WHOLE projection interpreted, while array_remove
+    // (which drops every occurrence) keeps codegen. Identical counts —
+    // null/empty tokens are counted by neither formulation.
+    size(w) - size(vocab.foldLeft(w)((arr, v) => array_remove(arr, v)))
 
   /** Exact ratio of two int columns as an engine-identical double. */
   def ratio(num: Column, den: Column): Column =

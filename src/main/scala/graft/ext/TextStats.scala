@@ -16,13 +16,23 @@ object TextStats {
   /** Per-doc stats: token counts, distinct tokens, token chars, stopword
     * ratio. */
   def stats(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    docs.select(
-      col("doc_id"), col("lang"),
-      size(w).as("n_tok"),
-      size(array_distinct(w)).as("n_uniq"),
-      aggregate(w, lit(0), (a, t) => a + length(t)).as("tok_chars"),
-      ratio(countIn(w, Stopwords), size(w)).as("stop_ratio"))
+    // stage the split ONCE (the q_repetition lesson: the lambda-bearing
+    // expressions below run interpreted, outside codegen, where
+    // common-subexpression elimination does not apply — referencing
+    // `words(text)` five times re-split every document five times)
+    val w = col("_w")
+    docs.withColumn("_w", words(col("text")))
+      .select(
+        col("doc_id"), col("lang"),
+        size(w).as("n_tok"),
+        size(array_distinct(w)).as("n_uniq"),
+        // ≡ aggregate(w, 0, (a,t) => a + length(t)) — single-space split
+        // yields exactly count(spaces)+1 tokens, so the summed token
+        // lengths are the non-space chars: length - (n_tok - 1). The
+        // arithmetic form keeps the projection in whole-stage codegen
+        // where the interpreted aggregate lambda would not.
+        (length(col("text")) - size(w) + lit(1)).as("tok_chars"),
+        ratio(countIn(w, Stopwords), size(w)).as("stop_ratio"))
   }
 
   /** Gopher-style repetition signals: the fraction of duplicate words
@@ -58,8 +68,9 @@ object TextStats {
   /** doc_id, lang (labeled), pred_lang (heuristic argmax with a fixed
     * tie-break order en > de > es > fr > und). */
   def langId(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
-    val counted = docs.select(
+    // staged split: four per-family countIn filters over one `_w`
+    val w = col("_w")
+    val counted = docs.withColumn("_w", words(col("text"))).select(
       (Seq(col("doc_id"), col("lang")) ++
         langStops.map { case (l, ws) => countIn(w, ws).as(s"c_$l") }): _*)
     counted.withColumn("pred_lang",
@@ -77,13 +88,13 @@ object TextStats {
     * stopword term. A fixed left-associated chain of IEEE double ops —
     * engine-identical given identical inputs. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val w = words(col("text"))
+    // staged split (countIn's filter lambda keeps this projection
+    // interpreted, so the two `w` references would re-split otherwise)
+    val w = col("_w")
     val nTok = tokenCount(col("text"))
-    val punctRatio = ratio(
-      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))),
-      length(col("text")))
+    val punctRatio = ratio(punctCount(col("text")), length(col("text")))
     val stopRatio = ratio(countIn(w, Stopwords), size(w))
-    docs.select(
+    docs.withColumn("_w", words(col("text"))).select(
       col("doc_id"),
       (lit(0.4d) * least(nTok.cast("double") / lit(100.0d), lit(1.0d))
         + lit(0.3d) * (lit(1.0d) - punctRatio)

@@ -138,5 +138,19 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         // BpeEncode directly
         BpeEncode(children.head, graft.ext.Bpe.Standard)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("token_runs"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_runs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "token_runs takes (text, mode) with mode a string literal")
+        val mode = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"token_runs mode must be a string literal, got $other")
+        }
+        TokenCount(children.head, mode)
+      }))
   }
 }
