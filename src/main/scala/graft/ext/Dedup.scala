@@ -131,20 +131,22 @@ object Dedup {
                         rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** doc_id, sh (distinct shingle set), sig (MinHash signature array).
-    * Shingle hashes are computed ONCE into an intermediate column — the
-    * k=120 permutations then scan that array per row; no explode, no
-    * shuffle. The permutation input is xxhash64 (native, codegen), NOT the
+  /** doc_id, hx (distinct shingle hashes), sig (MinHash signature array).
+    * Shingle hashes come from the single-byte-scan
+    * [[graft.functions.ShingleHash]] expression — no shingle string is
+    * ever materialized (the interpreted split/slice/concat_ws chain
+    * dominated this stack's cost at the 100x scale point) — and the k=120
+    * permutations then scan that array per row; no explode, no shuffle.
+    * The permutation input is xxhash64 (native, codegen), NOT the
     * md5-based hash60: the signature is internal to LSH bucketing — only
     * the exact-Jaccard verify is oracle-compared — so the cheap hash is
     * free to use here (hash60 costs an md5 hex round trip per shingle).
     */
   def minhashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
     docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .withColumn("hx", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
+      .select(col("doc_id"),
+        call_function("shingle_hash", col("text"), lit(n)).as("hx"))
       .withColumn("sig", call_function("minhash_sig", col("hx")))
-      .drop("hx")
 
   /** Built-ins-only signature (equivalence target for the native
     * [[graft.functions.MinHashSig]] expression). */
@@ -159,14 +161,17 @@ object Dedup {
       .drop("hx")
   }
 
-  /** One row per (doc, band): the band key is the concatenated signature
-    * slice. Join within (band, bkey) buckets only. */
+  /** One row per (doc, band): the band key is the xxhash64 of the
+    * signature slice (a long, not the concatenated string — band rows are
+    * the corpus x 24, so key width matters at scale). Join within
+    * (band, bkey) buckets only. A hash collision between two DIFFERENT
+    * slices merely adds a candidate pair that exact-Jaccard verification
+    * then scores — candidate recall can only grow, so the final pair set
+    * is unchanged-or-closer-to-exact vs string keys. */
   private def bandRows(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), posexplode(transform(
         sequence(lit(0), lit(MinhashBands - 1)),
-        b => concat_ws(",", transform(
-          slice(col("sig"), b * lit(MinhashRows) + lit(1), lit(MinhashRows)),
-          x => x.cast("string"))))))
+        b => xxhash64(slice(col("sig"), b * lit(MinhashRows) + lit(1), lit(MinhashRows))))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
 
   /** Candidate pairs: same band, same key, a < b — NEVER all-pairs. */
@@ -179,19 +184,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact shingle-STRING sets for just the docs named by a candidate
+    * pair frame — the verify tier never touches non-candidate docs, so
+    * the interpreted string-shingle chain runs over a set bounded by the
+    * LSH candidate count, not the corpus. */
+  private def candidateShingleSets(docs: DataFrame, ids: DataFrame,
+      n: Int): DataFrame =
+    docs.join(ids.toDF("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+
   /** LSH candidates verified with the exact shingle-set Jaccard. Output:
     * (doc_a, doc_b, jaccard) for pairs at or above the threshold.
     *
-    * The signature table is persisted: the plan references it FOUR times
-    * (both sides of the band self-join, both sides of the verify join) and
-    * recomputing the signature lambda chain per reference dominated the
-    * runtime 10x. At cluster scale the same intermediate would be
-    * persisted (or written to a staging table) for exactly this reason.
+    * The signature table is persisted: the plan references it twice (both
+    * sides of the band self-join) plus the candidate-id semi-join, and
+    * recomputing the signature per reference dominated the runtime. At
+    * cluster scale the same intermediate would be persisted (or written
+    * to a staging table) for exactly this reason. Exact verification
+    * re-derives shingle STRINGS — never hash-approximated — but only for
+    * docs that appear in a candidate pair ([[candidateShingleSets]]);
+    * the corpus-wide tier deals exclusively in the byte-scan hashes.
     */
   def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val sigs = minhashSignatures(docs).persist()
-    val sets = sigs.select(col("doc_id"), col("sh"))
-    candidatePairs(sigs)
+    val base = docs.select(col("doc_id"), col("text"))
+    val sigs = minhashSignatures(base).persist()
+    val cand = candidatePairs(sigs)
+    val sets = candidateShingleSets(base,
+      cand.select(explode(array(col("doc_a"), col("doc_b")))), 3)
+    cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -212,15 +232,19 @@ object Dedup {
     * the self-dedup pass's job, not this one's. */
   def minhashNearDupPairsAgainst(corpus: DataFrame, batch: DataFrame,
       threshold: Double = 0.6): DataFrame = {
-    val cs = minhashSignatures(corpus).persist()
-    val bs = minhashSignatures(batch).persist()
+    val cb = corpus.select(col("doc_id"), col("text"))
+    val bb = batch.select(col("doc_id"), col("text"))
+    val cs = minhashSignatures(cb).persist()
+    val bs = minhashSignatures(bb).persist()
     val cand = bandRows(cs).select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
       .join(bandRows(bs).select(col("doc_id").as("new_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col("corpus_id"), col("new_id")).distinct()
     cand
-      .join(cs.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
-      .join(bs.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(candidateShingleSets(cb, cand.select(col("corpus_id")), 3)
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")
+      .join(candidateShingleSets(bb, cand.select(col("new_id")), 3)
+        .select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
       .withColumn("inter", size(array_intersect(col("sh_c"), col("sh_n"))))
       .withColumn("uni", size(col("sh_c")) + size(col("sh_n")) - col("inter"))
       .withColumn("jaccard", ratio(col("inter"), col("uni")))

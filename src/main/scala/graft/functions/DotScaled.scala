@@ -139,6 +139,19 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeEncode(children.head, graft.ext.Bpe.Standard)
       }))
     e.injectFunction((
+      new FunctionIdentifier("shingle_hash"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "shingle_hash takes (text, n) with n an int literal")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash n must be an int literal, got $other")
+        }
+        ShingleHash(children.head, n)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("token_runs"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_runs"),
       (children: Seq[Expression]) => {
