@@ -30,8 +30,11 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffl
   *    plain. It is the defense to reach for only when one key's
   *    partials still flood a single reducer (orders of magnitude
   *    hotter than this fixture), and production salting should target
-  *    DETECTED hot keys, not the whole keyspace. Results must stay
-  *    identical either way — that part is asserted.
+  *    DETECTED hot keys, not the whole keyspace — the third A/B leg
+  *    runs [[graft.operators.Skew.saltedSumCountTargeted]] (sample the
+  *    histogram, salt only the flagged keys) to show the tail paying
+  *    nothing. Results must stay identical across all three — that part
+  *    is asserted.
   *
   * Prints ONE JSON line. Usage:
   * runMain graft.SkewBench [scaledDir] [skewDir] [skewThreshold] [advisorySize]
@@ -176,21 +179,33 @@ object SkewBench {
       .agg(sum(col("l_quantity")).as("sum_value"), count(lit(1)).as("n"))
     def saltedAgg() = graft.operators.Skew.saltedSumCount(
       li, "l_orderkey", col("l_quantity"), salts = 16)
+    // the targeted variant: threshold at 1% of rows flags exactly the 3
+    // hot keys (each ~10%), so the uniform tail skips the extra phase
+    def targetedAgg() = graft.operators.Skew.saltedSumCountTargeted(
+      li, "l_orderkey", col("l_quantity"), salts = 16,
+      hotRowThreshold = nRows / 100, sampleFraction = 0.01)
     Bench.materialize(plainAgg()); Bench.materialize(saltedAgg()) // warm
+    Bench.materialize(targetedAgg())
     val plainSec = time(Bench.materialize(plainAgg()))
     val saltedSec = time(Bench.materialize(saltedAgg()))
+    val targetedSec = time(Bench.materialize(targetedAgg()))
+    val targetedHot = targetedAgg().filter(col("l_orderkey") === hot(0))
+      .select(col("n")).head().getLong(0)
     val plainHot = plainAgg().filter(col("l_orderkey") === hot(0))
       .select(col("n")).head().getLong(0)
     val saltedHot = saltedAgg().filter(col("l_orderkey") === hot(0))
       .select(col("n")).head().getLong(0)
     require(plainHot == saltedHot,
       s"salted agg diverged on the hot key: $plainHot vs $saltedHot")
+    require(plainHot == targetedHot,
+      s"targeted agg diverged on the hot key: $plainHot vs $targetedHot")
 
     println(s"""{"metric":"skew_curve","scaled_dir":"$scaled","rows":$nRows,""" +
       f""""hot_share":$hotShare%.3f,"hot_keys":${hot.size},""" +
       f""""join_sec":$joinSec%.3f,"join_sec_nosplit":$joinSecNoSplit%.3f,""" +
       f""""aqe_skew_splits":$nSkewSplits,"join_groups":$joinRows,""" +
       f""""agg_plain_sec":$plainSec%.3f,"agg_salted_sec":$saltedSec%.3f,""" +
+      f""""agg_targeted_sec":$targetedSec%.3f,""" +
       s""""hot_key_rows":$plainHot}""")
     spark.stop()
   }

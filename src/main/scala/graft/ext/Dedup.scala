@@ -207,10 +207,15 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
-    val sigs = minhashSignatures(base).persist()
-    val cand = candidatePairs(sigs)
+    // persist only (doc_id, sig): the hx arrays are banding input, not
+    // banding state — caching them would double the cached bytes
+    val sigs = minhashSignatures(base).select(col("doc_id"), col("sig")).persist()
+    // cand is referenced three times (id derivation + both verify joins)
+    // and sets twice — persist both; each is bounded by the LSH candidate
+    // count, not the corpus
+    val cand = candidatePairs(sigs).persist()
     val sets = candidateShingleSets(base,
-      cand.select(explode(array(col("doc_a"), col("doc_b")))), 3)
+      cand.select(explode(array(col("doc_a"), col("doc_b")))), 3).persist()
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -234,12 +239,12 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val cb = corpus.select(col("doc_id"), col("text"))
     val bb = batch.select(col("doc_id"), col("text"))
-    val cs = minhashSignatures(cb).persist()
-    val bs = minhashSignatures(bb).persist()
+    val cs = minhashSignatures(cb).select(col("doc_id"), col("sig")).persist()
+    val bs = minhashSignatures(bb).select(col("doc_id"), col("sig")).persist()
     val cand = bandRows(cs).select(col("doc_id").as("corpus_id"), col("band"), col("bkey"))
       .join(bandRows(bs).select(col("doc_id").as("new_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
-      .select(col("corpus_id"), col("new_id")).distinct()
+      .select(col("corpus_id"), col("new_id")).distinct().persist()
     cand
       .join(candidateShingleSets(cb, cand.select(col("corpus_id")), 3)
         .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")), "corpus_id")

@@ -120,22 +120,23 @@ object TextStats {
     * occurrences per bigram x 10^8 tokens; shard the counts before
     * lifting beyond that. */
   def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
-    // stage the split once (interpreted lambdas get no CSE — the
-    // q_repetition lesson), and derive the token total from the unigram
-    // counts instead of a second corpus scan
-    val staged = docs.select(words(col("text")).as("_w"))
-    val w = col("_w")
-    val uni = staged.select(explode(w).as("t"))
+    // derive the token total from the unigram counts instead of a second
+    // corpus scan
+    val uni = docs.select(explode(words(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n"))
     val total = uni.agg(sum(col("n")).as("n_total"))
-    val bigrams = staged.select(explode(
-        when(size(w) >= 2,
-          transform(sequence(lit(1), size(w) - 1),
-            i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("b.w1"), col("b.w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    // bigram occurrences come from the byte-scan word_ngrams expression
+    // and aggregate on the JOINED string ("w1 w2") — equivalent grouping
+    // because words cannot contain the separator — then split back into
+    // columns only for the minCount survivors. The previous interpreted
+    // transform built a two-string struct per window position and was
+    // this query's dominant cost at the 100x scale point.
+    val bigrams = docs.select(explode(
+        call_function("word_ngrams", col("text"), lit(2))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
+      .select(substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"), col("n_ab"))
     bigrams
       .join(uni.select(col("t").as("w1"), col("n").as("n_a")), "w1")
       .join(uni.select(col("t").as("w2"), col("n").as("n_b")), "w2")

@@ -152,6 +152,19 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHash(children.head, n)
       }))
     e.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "word_ngrams takes (text, n) with n an int literal")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams n must be an int literal, got $other")
+        }
+        WordNgrams(children.head, n)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("token_runs"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_runs"),
       (children: Seq[Expression]) => {

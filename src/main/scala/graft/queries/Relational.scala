@@ -102,6 +102,18 @@ object Relational {
           col("sum_value").cast("double").as("sum_value"), col("n"))
         .orderBy(col("event_type"))),
 
+    // ---- hot-key-TARGETED salting: the sample pass detects the heavy
+    // event types and salts only those; the oracle is the plain GROUP BY
+    // (salting is a physical spread — any detection outcome must produce
+    // identical values, which is exactly what the hash gate checks) ----
+    "q_salted_agg_targeted" -> ((s, dir) =>
+      graft.operators.Skew.saltedSumCountTargeted(
+          t(s, dir, "events"), "event_type", dec(col("value")),
+          salts = 8, hotRowThreshold = 200L, sampleFraction = 0.1)
+        .select(col("event_type"),
+          col("sum_value").cast("double").as("sum_value"), col("n"))
+        .orderBy(col("event_type"))),
+
     // ---- date/time scalar breadth over l_shipdate (extract, truncate,
     // month-end, day arithmetic) — only functions with identical
     // cross-engine semantics (dayofweek numbering differs, so it's out) ----
@@ -692,6 +704,12 @@ object Relational {
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
 
     "q_salted_agg" ->
+      """SELECT event_type,
+        |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_salted_agg_targeted" ->
       """SELECT event_type,
         |  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
         |  count(*) AS n

@@ -40,6 +40,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("targeted salting detects the hot key, salts only it, and stays exact") {
+    val plain = skewed.groupBy("k")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    // full-fraction sample -> detection is exact: k=0 (5000 rows) is the
+    // only key past the 1000-row threshold
+    val targeted = Skew.saltedSumCountTargeted(skewed, "k", col("v"),
+      salts = 8, hotRowThreshold = 1000L, sampleFraction = 1.0)
+      .orderBy("k").collect().toSeq
+    assert(targeted == plain)
+    // no key past the threshold -> single-phase plan, same values
+    val untouched = Skew.saltedSumCountTargeted(skewed, "k", col("v"),
+      salts = 8, hotRowThreshold = 100000L, sampleFraction = 1.0)
+      .orderBy("k").collect().toSeq
+    assert(untouched == plain)
+    // override path: caller-supplied hot set (warehouse stats), same values
+    val overridden = Skew.saltedSumCountTargeted(skewed, "k", col("v"),
+      salts = 8, hotRowThreshold = 1000L,
+      hotKeysOverride = Some(Seq(0L)))
+      .orderBy("k").collect().toSeq
+    assert(overridden == plain)
+  }
+
+  test("targeted salting spreads ONLY the hot key over salt groups") {
+    // observe phase-1 grouping directly: hot key 0 lands in >1 salt
+    // group, every tail key stays in exactly one
+    val salted = skewed.withColumn("_salt",
+        when(col("k").isin(0L),
+          pmod(xxhash64(monotonically_increasing_id()), lit(8)))
+          .otherwise(lit(0L)))
+      .groupBy(col("k"), col("_salt")).agg(count(lit(1)).as("c"))
+      .groupBy(col("k")).agg(countDistinct(col("_salt")).as("groups"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted(0L) > 1L, "hot key should spread over several salt groups")
+    assert((1L to 100L).forall(salted(_) == 1L), "tail keys must not be salted")
+  }
+
   test("AQE splits the skewed sort-merge join partition at runtime (the no-salt path)") {
     val tuned = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
