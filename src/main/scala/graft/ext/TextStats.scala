@@ -16,23 +16,26 @@ object TextStats {
   /** Per-doc stats: token counts, distinct tokens, token chars, stopword
     * ratio. */
   def stats(docs: DataFrame): DataFrame = {
-    // stage the split ONCE (the q_repetition lesson: the lambda-bearing
-    // expressions below run interpreted, outside codegen, where
-    // common-subexpression elimination does not apply — referencing
-    // `words(text)` five times re-split every document five times)
-    val w = col("_w")
-    docs.withColumn("_w", words(col("text")))
+    // the whole profile — token count, distinct count, stopword hits —
+    // comes from ONE word_profile byte scan (staged so CollapseProject
+    // keeps the single evaluation; field extracts are cheap). The split
+    // + array_distinct + chained-array_remove formulation this replaces
+    // allocated the token array plus one copy per removed stopword per
+    // document and was the 100x curve's worst surviving row.
+    val p = col("_p")
+    docs.withColumn("_p",
+        call_function("word_profile", col("text"),
+          lit(Stopwords.mkString(",")), lit(true)))
       .select(
         col("doc_id"), col("lang"),
-        size(w).as("n_tok"),
-        size(array_distinct(w)).as("n_uniq"),
+        p.getField("n_tok").as("n_tok"),
+        p.getField("n_uniq").as("n_uniq"),
         // ≡ aggregate(w, 0, (a,t) => a + length(t)) — single-space split
         // yields exactly count(spaces)+1 tokens, so the summed token
-        // lengths are the non-space chars: length - (n_tok - 1). The
-        // arithmetic form keeps the projection in whole-stage codegen
-        // where the interpreted aggregate lambda would not.
-        (length(col("text")) - size(w) + lit(1)).as("tok_chars"),
-        ratio(countIn(w, Stopwords), size(w)).as("stop_ratio"))
+        // lengths are the non-space chars: length - (n_tok - 1).
+        (length(col("text")) - p.getField("n_tok") + lit(1)).as("tok_chars"),
+        ratio(element_at(p.getField("hits"), 1), p.getField("n_tok"))
+          .as("stop_ratio"))
   }
 
   /** Gopher-style repetition signals: the fraction of duplicate words
@@ -68,11 +71,16 @@ object TextStats {
   /** doc_id, lang (labeled), pred_lang (heuristic argmax with a fixed
     * tie-break order en > de > es > fr > und). */
   def langId(docs: DataFrame): DataFrame = {
-    // staged split: four per-family countIn filters over one `_w`
-    val w = col("_w")
-    val counted = docs.withColumn("_w", words(col("text"))).select(
-      (Seq(col("doc_id"), col("lang")) ++
-        langStops.map { case (l, ws) => countIn(w, ws).as(s"c_$l") }): _*)
+    // all four per-family hit counts from one word_profile byte scan
+    // (uniq disabled — language ID doesn't pay the distinct-token table)
+    val spec = langStops.map(_._2.mkString(",")).mkString("|")
+    val p = col("_p")
+    val counted = docs.withColumn("_p",
+        call_function("word_profile", col("text"), lit(spec), lit(false)))
+      .select(
+        (Seq(col("doc_id"), col("lang")) ++
+          langStops.zipWithIndex.map { case ((l, _), i) =>
+            element_at(p.getField("hits"), i + 1).as(s"c_$l") }): _*)
     counted.withColumn("pred_lang",
       when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
            col("c_en") >= col("c_fr") && col("c_en") > 0, "en")
@@ -88,13 +96,16 @@ object TextStats {
     * stopword term. A fixed left-associated chain of IEEE double ops —
     * engine-identical given identical inputs. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    // staged split (countIn's filter lambda keeps this projection
-    // interpreted, so the two `w` references would re-split otherwise)
-    val w = col("_w")
+    // stopword term from one word_profile scan (uniq disabled); length
+    // and punctuation terms from the token_runs byte scans
+    val p = col("_p")
     val nTok = tokenCount(col("text"))
     val punctRatio = ratio(punctCount(col("text")), length(col("text")))
-    val stopRatio = ratio(countIn(w, Stopwords), size(w))
-    docs.withColumn("_w", words(col("text"))).select(
+    val stopRatio = ratio(element_at(p.getField("hits"), 1),
+      p.getField("n_tok"))
+    docs.withColumn("_p",
+        call_function("word_profile", col("text"),
+          lit(Stopwords.mkString(",")), lit(false))).select(
       col("doc_id"),
       (lit(0.4d) * least(nTok.cast("double") / lit(100.0d), lit(1.0d))
         + lit(0.3d) * (lit(1.0d) - punctRatio)

@@ -165,6 +165,26 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(children.head, n)
       }))
     e.injectFunction((
+      new FunctionIdentifier("word_profile"),
+      new ExpressionInfo(classOf[WordProfile].getName, "word_profile"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "word_profile takes (text, spec, with_uniq) with spec a string " +
+            "literal and with_uniq a boolean literal")
+        val spec = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"word_profile spec must be a string literal, got $other")
+        }
+        val withUniq = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"word_profile with_uniq must be a boolean literal, got $other")
+        }
+        WordProfile(children.head, spec, withUniq)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("token_runs"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_runs"),
       (children: Seq[Expression]) => {
