@@ -165,6 +165,20 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordNgrams(children.head, n)
       }))
     e.injectFunction((
+      new FunctionIdentifier("word_chunks"),
+      new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "word_chunks takes (text, chunk, stride) with chunk/stride int literals")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_chunks $what must be an int literal, got $other")
+        }
+        WordChunks(children.head, intLit(children(1), "chunk"),
+          intLit(children(2), "stride"))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("word_profile"),
       new ExpressionInfo(classOf[WordProfile].getName, "word_profile"),
       (children: Seq[Expression]) => {

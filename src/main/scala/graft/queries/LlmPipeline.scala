@@ -851,6 +851,14 @@ object LlmPipeline {
           tokens = graft.ext.Bpe.tokenCount(col("text")))
         .orderBy(col("stream"), col("doc_id"))),
 
+    // ---- document chunking: 64-token sliding windows advancing 48
+    // tokens (16-token overlap), clamped at the doc end — the splitter
+    // shape behind context-window corpora and RAG indexes. Map-side
+    // only; the oracle replays the window arithmetic over the split ----
+    "q_chunk" -> ((s, dir) =>
+      graft.ext.Chunking.chunk(docs(s, dir), chunk = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // ---- collocation extraction: integer-scaled PMI lift (the log is
     // monotone and libm logs are NOT cross-engine stable, so rank by
     // the scaled ratio instead) ----
@@ -1523,6 +1531,18 @@ object LlmPipeline {
         |  cast(greatest(bin*256 - ofs, 0) as bigint) AS start_in_doc,
         |  cast(least((bin+1)*256, ofs + n_tok) - greatest(bin*256, ofs) as bigint) AS len
         |FROM w ORDER BY stream, bin, doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |n AS (SELECT doc_id, w, len(w) m FROM t),
+        |c AS (SELECT doc_id, w, m,
+        |    CASE WHEN m <= 64 THEN 1 ELSE (m - 64 + 47) // 48 + 1 END nch
+        |  FROM n),
+        |e AS (SELECT doc_id, w, m, unnest(range(0, nch)) k FROM c)
+        |SELECT doc_id, cast(k as int) AS chunk_id,
+        |  array_to_string(w[k*48 + 1 : least(k*48 + 64, m)], ' ') AS chunk_text,
+        |  cast(least(k*48 + 64, m) - k*48 as int) AS n_tok
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_format_roundtrip" ->
       """SELECT 'csv' AS fmt, count(*) AS n_docs,
