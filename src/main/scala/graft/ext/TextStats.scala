@@ -96,11 +96,12 @@ object TextStats {
     * stopword term. A fixed left-associated chain of IEEE double ops —
     * engine-identical given identical inputs. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    // stopword term from one word_profile scan (uniq disabled); length
-    // and punctuation terms from the token_runs byte scans
+    // ALL three terms from one word_profile scan (uniq disabled): the
+    // regex-token and punctuation counts ride the same byte pass as the
+    // stopword hits, so the document text is read exactly once
     val p = col("_p")
-    val nTok = tokenCount(col("text"))
-    val punctRatio = ratio(punctCount(col("text")), length(col("text")))
+    val nTok = p.getField("ws_runs")
+    val punctRatio = ratio(p.getField("punct"), length(col("text")))
     val stopRatio = ratio(element_at(p.getField("hits"), 1),
       p.getField("n_tok"))
     docs.withColumn("_p",

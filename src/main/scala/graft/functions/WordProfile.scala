@@ -20,7 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `with_uniq` is false (language ID doesn't pay for it);
   *  - `hits(g)` ≡ `countIn(split(text, ' '), group g)` — how many tokens
   *    equal any word of vocab group g. `spec` is `w1,w2|u1,u2,...`:
-  *    groups separated by `|`, words by `,`.
+  *    groups separated by `|`, words by `,`;
+  *  - `ws_runs` ≡ `token_runs(text, 'ws')` and `punct` ≡
+  *    `token_runs(text, 'punct')` — the regex-token and punctuation
+  *    counts of the quality-score terms, folded into the same pass
+  *    (per-byte classification, no extra memory).
   *
   * Replaces the staged `split` + `array_distinct` + chained
   * `array_remove` formulation, which allocated the token array plus one
@@ -52,7 +56,9 @@ case class WordProfile(child: Expression, spec: String, withUniq: Boolean)
     StructField("n_tok", IntegerType, nullable = false),
     StructField("n_uniq", IntegerType, nullable = false),
     StructField("hits", ArrayType(IntegerType, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    StructField("ws_runs", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -64,11 +70,29 @@ case class WordProfile(child: Expression, spec: String, withUniq: Boolean)
 
   def profile(s: UTF8String): InternalRow = {
     val n = s.numBytes()
-    // pass 1: spaces -> token count (split(' ') semantics: m = spaces+1)
+    // pass 1: spaces -> token count (split(' ') semantics: m = spaces+1),
+    // plus the token_runs ws/punct classification in the same loop
+    // (byte-for-byte the TokenCount semantics: continuation bytes are
+    // non-whitespace and skip the punct count)
     var spaces = 0
+    var wsRuns = 0
+    var punct = 0
+    var prevWs = true
     var i = 0
     while (i < n) {
-      if (s.getByte(i) == 0x20) spaces += 1
+      val ub = s.getByte(i) & 0xff
+      if (ub == 0x20) spaces += 1
+      if ((ub & 0xc0) == 0x80) {
+        // continuation byte: strict no-op (TokenCount ws semantics) —
+        // ws-run state unchanged, no punct count
+      } else {
+        val isWs = ub == 0x20 || (ub >= 0x09 && ub <= 0x0d)
+        val isLetter = (ub | 0x20) >= 'a' && (ub | 0x20) <= 'z'
+        val isDigit = ub >= '0' && ub <= '9'
+        if (!isWs && prevWs) wsRuns += 1
+        if (!isWs && !isLetter && !isDigit) punct += 1
+        prevWs = isWs
+      }
       i += 1
     }
     val m = spaces + 1
@@ -143,7 +167,7 @@ case class WordProfile(child: Expression, spec: String, withUniq: Boolean)
     }
 
     new GenericInternalRow(Array[Any](m, if (withUniq) nUniq else -1,
-      new GenericArrayData(hits)))
+      new GenericArrayData(hits), wsRuns, punct))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

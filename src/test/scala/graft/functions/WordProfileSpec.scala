@@ -39,14 +39,19 @@ class WordProfileSpec extends AnyFunSuite {
         p.getField("n_tok").as("n_tok"),
         p.getField("n_uniq").as("n_uniq"),
         element_at(p.getField("hits"), 1).as("hits"),
+        p.getField("ws_runs").as("ws_runs"),
+        p.getField("punct").as("punct"),
         size(col("_w")).as("ref_tok"),
         size(array_distinct(col("_w"))).as("ref_uniq"),
-        TextOps.countIn(col("_w"), Stop).as("ref_hits"))
+        TextOps.countIn(col("_w"), Stop).as("ref_hits"),
+        TextOps.tokenCountRegex(col("text")).as("ref_ws"),
+        TextOps.punctCountRegex(col("text")).as("ref_punct"))
   }
 
-  test("n_tok/n_uniq/hits equal the split formulation on hostile strings and the fixture corpus") {
+  test("n_tok/n_uniq/hits/ws_runs/punct equal their references on hostile strings and the fixture corpus") {
     val mismatches = profiled.filter(col("n_tok") =!= col("ref_tok") or
-      col("n_uniq") =!= col("ref_uniq") or col("hits") =!= col("ref_hits"))
+      col("n_uniq") =!= col("ref_uniq") or col("hits") =!= col("ref_hits") or
+      col("ws_runs") =!= col("ref_ws") or col("punct") =!= col("ref_punct"))
     assert(mismatches.count() == 0, mismatches.take(5).mkString("\n"))
   }
 
