@@ -133,9 +133,13 @@ object TextStats {
     * lifting beyond that. */
   def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame = {
     // derive the token total from the unigram counts instead of a second
-    // corpus scan
-    val uni = docs.select(explode(words(col("text"))).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    // corpus scan; per-doc counts come from the word_counts byte scan, so
+    // the corpus aggregation starts from one row per distinct term per
+    // doc instead of one row per token occurrence
+    val uni = docs.select(explode(
+        call_function("word_counts", col("text"))).as("tc"))
+      .select(col("tc.term").as("t"), col("tc.cnt").as("c"))
+      .groupBy(col("t")).agg(sum(col("c")).as("n"))
     val total = uni.agg(sum(col("n")).as("n_total"))
     // bigram occurrences come from the byte-scan word_ngrams expression
     // and aggregate on the JOINED string ("w1 w2") — equivalent grouping
@@ -165,28 +169,81 @@ object TextStats {
     * them), so this favors rare terms more aggressively. The trade is
     * made for the same reason [[collocations]] drops the PMI log: the
     * score stays pure bigint and bit-identical in any engine, where a
-    * libm log would not hash-gate. Two corpus aggregations (term
-    * frequencies, document frequencies) + one UNHINTED equi-join back on
-    * `term` + one per-doc ranking window; the corpus never self-joins.
+    * libm log would not hash-gate. Shuffle census: the tf table is
+    * computed MAP-SIDE (word_counts byte scan — no exchange), document
+    * frequency is one corpus aggregation on `term`, the join back is one
+    * UNHINTED equi-join on `term`, and the per-doc top-k is a bounded
+    * heap that partially aggregates before its exchange; the corpus
+    * never self-joins.
     * The df table carries NO broadcast hint — it is vocabulary-sized
     * (10^8-10^9 distinct terms at 100 TB), so the scale-safe plan is a
     * shuffle join on the well-distributed `term` key; Catalyst's
     * size-based auto-broadcast still upgrades it when df measures small.
     * Only the one-row doc count keeps an explicit hint. */
   def topTermsByRarity(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf materializes SHUFFLE-FREE: per-doc term counts are a per-row
+    // computation (one word_counts byte scan), where the previous
+    // `explode -> groupBy(doc_id, term)` funneled every token occurrence
+    // of the corpus through an exchange Spark could not elide (it cannot
+    // know doc rows never span partitions)
+    val tf = docs.select(col("doc_id"),
+        explode(call_function("word_counts", col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.cnt").cast("long").as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score_scaled").desc, col("term").asc)
+    // per-doc ranking via the bounded heap, not a row_number window: after
+    // the term-keyed join a doc's rows are spread across term partitions,
+    // so the partial aggregate combines to <= k rows per (partition, doc)
+    // before the exchange — a window would shuffle and sort every
+    // (doc, term) row on doc_id first. Same tie-break (score desc, term
+    // asc in UTF-8 byte order), and terms are unique within a doc, so the
+    // heap emits exactly the window's rows.
+    val tk = udaf(new TopKTermAgg(k),
+      org.apache.spark.sql.Encoders.product[TermScore])
     tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score_scaled", expr("(tf * n_docs * 1000000L) div df"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("rnk"), col("term"), col("score_scaled"))
+      .groupBy(col("doc_id"))
+      .agg(tk(col("term"), col("score_scaled")).as("top"))
+      .select(col("doc_id"), posexplode(col("top.items")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.term").as("term"), col("col.s").as("score_scaled"))
+  }
+
+  final case class TermScore(term: String, s: Long)
+  final case class TopBufT(items: Seq[TermScore])
+
+  /** Bounded top-k aggregator keyed by (score desc, term asc) — the
+    * string-termed sibling of [[Similarity.TopKAgg]]. Term order is
+    * UTF-8 BYTE order, matching Spark's and DuckDB's binary string
+    * comparison (Java String.compareTo orders by UTF-16 code unit,
+    * which diverges for supplementary-plane code points). */
+  final class TopKTermAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[TermScore, TopBufT, TopBufT] {
+    private def utf8Lt(x: String, y: String): Boolean = {
+      val a = x.getBytes("UTF-8")
+      val b = y.getBytes("UTF-8")
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    private def trim(x: Seq[TermScore]): Seq[TermScore] =
+      x.sortWith((a, b) => a.s > b.s || (a.s == b.s && utf8Lt(a.term, b.term)))
+        .take(k)
+    def zero: TopBufT = TopBufT(Nil)
+    def reduce(b: TopBufT, a: TermScore): TopBufT = TopBufT(trim(b.items :+ a))
+    def merge(x: TopBufT, y: TopBufT): TopBufT = TopBufT(trim(x.items ++ y.items))
+    def finish(r: TopBufT): TopBufT = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[TopBufT] =
+      org.apache.spark.sql.Encoders.product[TopBufT]
+    def outputEncoder: org.apache.spark.sql.Encoder[TopBufT] =
+      org.apache.spark.sql.Encoders.product[TopBufT]
   }
 
   /** Content fingerprints: md5 of the lowercased text plus a polynomial

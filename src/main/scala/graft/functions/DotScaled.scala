@@ -199,6 +199,13 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordProfile(children.head, spec, withUniq)
       }))
     e.injectFunction((
+      new FunctionIdentifier("word_counts"),
+      new ExpressionInfo(classOf[WordCounts].getName, "word_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "word_counts takes exactly 1 argument")
+        WordCounts(children.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("token_runs"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_runs"),
       (children: Seq[Expression]) => {

@@ -686,12 +686,13 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- corpus vocabulary: token frequency top-20 (explode + count,
-    // deterministic (n desc, token asc) tie-break) ----
+    // ---- corpus vocabulary: token frequency top-20 (per-doc counts from
+    // the word_counts byte scan, summed corpus-wide; deterministic
+    // (n desc, token asc) tie-break) ----
     "q_vocab" -> ((s, dir) =>
       docs(s, dir)
-        .select(explode(TextOps.words(col("text"))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .select(explode(call_function("word_counts", col("text"))).as("tc"))
+        .groupBy(col("tc.term").as("token")).agg(sum(col("tc.cnt")).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)),
 
