@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval: score a bounded batch of queries against the
+  * document corpus and return each query's top-k documents.
+  *
+  * The reference pipeline lands raw text into the lake
+  * (`dataIngestionUtils.py:70-115` writes the landing files that a
+  * downstream retrieval index consumes); the retrieval operator itself is
+  * part of the training-data/RAG extension surface, not the reference's
+  * own code. The scoring is the Robertson/Sparck-Jones BM25 shape
+  * (Robertson et al., TREC-3) with `k1 = 6/5`, `b = 3/4`, with two
+  * deliberate departures that make the score a pure BIGINT — the same
+  * trade [[TextStats.topTermsByRarity]] and [[TextStats.collocations]]
+  * make (a libm `log`/floating sum would not hash-gate bit-identically
+  * across engines, and FLOAT SUM is order-dependent where BIGINT SUM is
+  * not):
+  *
+  *  - idf is the RAW odds ratio `(N - df + 1/2) / (df + 1/2)`, scaled by
+  *    `idfScale` and floor-divided — not its log. Order-preserving per
+  *    term (the log is monotone); across terms it weights rare terms
+  *    more aggressively than log-idf, exactly like the rarity score.
+  *  - `avgdl` is floored to an integer once (`totalTokens div nDocs`);
+  *    every downstream division is integer floor division.
+  *
+  * Per query term t in document d:
+  * {{{
+  *   idf_t   = (idfScale * (2N - 2·df_t + 1)) div (2·df_t + 1)
+  *   contrib = qtf_t * (idf_t * 44 * tf * avgdl)
+  *                 div (20 * tf * avgdl + 6 * avgdl + 18 * dl)
+  * }}}
+  * where the 44/20/6/18 constants are `k1 = 6/5`, `b = 3/4` multiplied
+  * through: `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` over a common
+  * denominator `20·avgdl`. `qtf` is the query-side term count (repeated
+  * query terms weight linearly). All factors are exact BIGINTs, so the
+  * per-document SUM is associative — any aggregation order, any engine,
+  * same hash.
+  *
+  * Tokenization is the engine's standard single-space split
+  * ([[graft.functions.WordCounts]] ≡ DuckDB `string_split(text, ' ')`);
+  * `dl` counts split tokens (spaces+1), consistent with the tf table.
+  *
+  * Shuffle census at 100 TB (the plan-walk spec asserts the broadcast
+  * side):
+  *  - per-doc tf comes from the `word_counts` byte scan — NO exchange;
+  *    one corpus scan, column-pruned to (doc_id, text).
+  *  - the query term table is BROADCAST (a retrieval batch is bounded by
+  *    contract — thousands of terms, not corpus-sized), so candidate
+  *    filtering happens map-side BEFORE any shuffle: docs containing no
+  *    query term never leave their partition. For a corpus-scale query
+  *    set (retrieval self-join shapes) pass `broadcastQueries = false`
+  *    and both sides shuffle on the well-distributed `term` key — the
+  *    same dual [[IvfPq.probe]]/[[IvfPq.probeShuffle]] expose.
+  *  - df is computed on the FILTERED candidates (df of a query term =
+  *    its candidate row count), so the vocabulary-sized corpus df table
+  *    is never materialized; the df side of the scoring join is bounded
+  *    by the query vocabulary and broadcast under the same contract.
+  *  - corpus stats (N, total tokens) are ONE one-row aggregate over a
+  *    second scan pruned to `text` — two corpus scans total, both
+  *    pushdown-friendly; the stats scan carries no shuffle.
+  *  - per-(query, doc) scores partially aggregate map-side (BIGINT sum),
+  *    and the final per-query top-k is [[Similarity.TopKLongAgg]] — a
+  *    bounded heap that combines before its exchange, ≤ k rows per
+  *    (partition, query), not a `row_number` window funneling every
+  *    candidate of a hot query through one partition.
+  *
+  * Output: (query_id, rnk, doc_id, score_scaled), rnk 1..k per query by
+  * (score desc, doc_id asc); queries matching fewer than k docs emit
+  * fewer rows, queries matching none emit none.
+  */
+object Retrieval {
+
+  /** @param docs    (doc_id long, text string) corpus
+    * @param queries (query_id long, qtext string) bounded retrieval batch
+    * @param k       results per query
+    * @param idfScale integer idf scale; 1000 keeps the worst-case
+    *                 contribution product (idfScale·2N·44·tf·avgdl) inside
+    *                 Long for corpora to ~10^9 docs — raise only for small
+    *                 corpora needing finer idf resolution
+    * @param broadcastQueries hint the bounded query-term side (default);
+    *                 false leaves both scoring joins to shuffle on `term`
+    *                 for corpus-scale query sets */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idfScale: Long = 1000L,
+      broadcastQueries: Boolean = true): DataFrame = {
+    require(k >= 1, s"bm25TopK needs k >= 1, got $k")
+
+    val hint = (d: DataFrame) => if (broadcastQueries) broadcast(d) else d
+
+    // query-side term counts: qtf weights repeated query terms
+    val qterms = queries
+      .select(col("query_id"),
+        explode(call_function("word_counts", col("qtext"))).as("qc"))
+      .select(col("query_id"), col("qc.term").as("term"),
+        col("qc.cnt").cast("long").as("qtf"))
+
+    // per-doc (term, tf, dl) — map-side byte scan, no exchange
+    val tf = docs
+      .select(col("doc_id"),
+        (size(split(col("text"), " ", -1))).cast("long").as("dl"),
+        explode(call_function("word_counts", col("text"))).as("tc"))
+      .select(col("doc_id"), col("dl"), col("tc.term").as("term"),
+        col("tc.cnt").cast("long").as("tf"))
+
+    // candidate rows: only docs containing some query term survive the
+    // map-side broadcast semi-filter (distinct terms — qtf re-attaches
+    // in the scoring join, and duplicating candidate rows per repeated
+    // query term before df would inflate df)
+    val qvocab = qterms.select(col("term")).distinct()
+    val cand = tf.join(hint(qvocab), Seq("term"))
+
+    // df over the filtered candidates: one row per (doc, term) by
+    // word_counts construction, so count(*) = document frequency
+    val dfT = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // one-row corpus stats; floor avgdl once
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tok"))
+      .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl"))
+
+    val topk = udaf(new Similarity.TopKLongAgg(k),
+      Encoders.product[Similarity.ScoredL])
+
+    cand
+      .join(hint(dfT), Seq("term"))
+      .join(hint(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_scaled",
+        expr(s"($idfScale * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+      .withColumn("contrib",
+        expr("qtf * ((idf_scaled * 44 * tf * avgdl) div " +
+          "(20 * tf * avgdl + 6 * avgdl + 18 * dl))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_scaled"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("doc_id"), col("score_scaled")).as("top"))
+      .select(col("query_id"), posexplode(col("top.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.cid").as("doc_id"), col("col.s").as("score_scaled"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.ext.{Curation, Dedup, Multimodal, Sampling, Similarity, TextOps, TextStats}
+import graft.ext.{Curation, Dedup, Multimodal, Retrieval, Sampling, Similarity, TextOps, TextStats}
 
 /** LLM-training-data pipeline query surface (the BASELINE north star):
   * deduplication, similarity search, text analysis, multimodal columns —
@@ -860,6 +860,20 @@ object LlmPipeline {
       graft.ext.Chunking.chunk(docs(s, dir), chunk = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // ---- BM25 top-k retrieval: integer-scaled odds-ratio idf (same
+    // log-free trade as q_top_terms), bounded query batch broadcast,
+    // bounded-heap per-query top-k ----
+    "q_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark query engine"), (1L, "join filter window"),
+        (2L, "customer order stream"), (3L, "table scan merge sort"))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25TopK(docs(s, dir).select(col("doc_id"), col("text")),
+          qs, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- collocation extraction: integer-scaled PMI lift (the log is
     // monotone and libm logs are NOT cross-engine stable, so rank by
     // the scaled ratio instead) ----
@@ -1554,6 +1568,42 @@ object LlmPipeline {
         |SELECT 'orc', count(*), cast(sum(n_chars) as bigint),
         |  cast(sum(length(text)) as bigint)
         |FROM documents ORDER BY fmt""".stripMargin,
+
+    "q_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (0, 'spark query engine'), (1, 'join filter window'),
+        |    (2, 'customer order stream'), (3, 'table scan merge sort')),
+        |qt AS (SELECT cast(query_id as bigint) query_id, term,
+        |    cast(count(*) as bigint) qtf
+        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dln AS (SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) dl
+        |  FROM documents),
+        |a AS (SELECT cast(count(*) as bigint) n_docs,
+        |    cast(sum(len(string_split(text, ' '))) as bigint)
+        |      // cast(count(*) as bigint) AS avgdl
+        |  FROM documents),
+        |cand AS (SELECT tf.doc_id, tf.term, tf.tf, dln.dl
+        |  FROM tf JOIN dln USING (doc_id)
+        |  JOIN (SELECT DISTINCT term FROM qt) v USING (term)),
+        |dft AS (SELECT term, cast(count(*) as bigint) df FROM cand GROUP BY 1),
+        |sc AS (SELECT qt.query_id, c.doc_id,
+    |    cast(sum(qt.qtf * ((((1000 * (2*a.n_docs - 2*dft.df + 1))
+        |                     // (2*dft.df + 1)) * 44 * c.tf * a.avgdl)
+        |        // (20*c.tf*a.avgdl + 6*a.avgdl + 18*c.dl))) as bigint)
+        |      score_scaled
+        |  FROM cand c JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN a
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rnk, doc_id, score_scaled FROM (
+        |  SELECT query_id, doc_id, score_scaled,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_scaled DESC, doc_id) rnk
+        |  FROM sc)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q_collocations" ->
       """WITH w AS (SELECT string_split(text,' ') t FROM documents),

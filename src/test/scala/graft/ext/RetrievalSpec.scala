@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import graft.TestSpark
+
+class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark runs the query fast"),
+    (2L, "the query planner joins tables"),
+    (3L, "dogs chase the ball"),
+    (4L, "query query query engines"),
+    (5L, "a lone document about nothing"),
+  ).toDF("doc_id", "text")
+
+  private def q(rows: (Long, String)*) = rows.toDF("query_id", "qtext")
+
+  /** Hand-computed mirror of the documented integer formula. */
+  private def contrib(idfScale: Long, n: Long, df: Long, tf: Long,
+      dl: Long, avgdl: Long, qtf: Long): Long = {
+    val idf = (idfScale * (2 * n - 2 * df + 1)) / (2 * df + 1)
+    qtf * ((idf * 44 * tf * avgdl) / (20 * tf * avgdl + 6 * avgdl + 18 * dl))
+  }
+
+  test("single-term query ranks by tf saturation + idf, hand-checked") {
+    // corpus: N=5, total tokens 5+5+4+4+5=23, avgdl = 23 div 5 = 4
+    // 'query' df=3: docs 1 (tf=1, dl=5), 2 (tf=1, dl=5), 4 (tf=3, dl=4)
+    val r = Retrieval.bm25TopK(corpus, q(0L -> "query"), k = 3)
+      .orderBy("rnk").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L, 1L, 2L))
+    val idf = (1000L * (2 * 5 - 2 * 3 + 1)) / (2 * 3 + 1) // = 714
+    assert(r(0).getAs[Long]("score_scaled") ==
+      contrib(1000L, 5, 3, 3, 4, 4, 1))
+    assert(r(1).getAs[Long]("score_scaled") ==
+      contrib(1000L, 5, 3, 1, 5, 4, 1))
+    // docs 1 and 2 tie exactly (same tf, dl) -> doc_id asc breaks it
+    assert(r(1).getAs[Long]("score_scaled") == r(2).getAs[Long]("score_scaled"))
+    assert(idf == 714L)
+  }
+
+  test("multi-term query sums contributions; rarer term dominates") {
+    // 'spark' df=1 (rare), 'the' df=3 (common): doc 1 has both
+    val r = Retrieval.bm25TopK(corpus, q(0L -> "spark the"), k = 5)
+      .orderBy("rnk").collect()
+    assert(r.head.getAs[Long]("doc_id") == 1L)
+    // every matched doc appears exactly once per query
+    assert(r.map(_.getAs[Long]("doc_id")).distinct.length == r.length)
+  }
+
+  test("repeated query terms weight linearly (qtf)") {
+    val once = Retrieval.bm25TopK(corpus, q(0L -> "spark"), k = 1).collect()
+    val twice = Retrieval.bm25TopK(corpus, q(0L -> "spark spark"), k = 1).collect()
+    assert(twice.head.getAs[Long]("score_scaled") ==
+      2 * once.head.getAs[Long]("score_scaled"))
+  }
+
+  test("no-match query emits no rows; short match emits < k rows") {
+    val r = Retrieval.bm25TopK(corpus,
+      q(0L -> "zzz", 1L -> "dogs"), k = 10).collect()
+    assert(r.forall(_.getAs[Long]("query_id") == 1L))
+    assert(r.length == 1 && r.head.getAs[Long]("doc_id") == 3L)
+  }
+
+  test("idf decreases with df (rarity ordering across terms)") {
+    // same tf=1 and same doc length, so ranking is pure idf
+    val d = Seq(
+      (1L, "rare common filler pad"),
+      (2L, "common filler pad word"),
+      (3L, "common filler pad word"),
+    ).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(d, q(0L -> "rare", 1L -> "common"), k = 1)
+      .orderBy("query_id").collect()
+    assert(r(0).getAs[Long]("score_scaled") > r(1).getAs[Long]("score_scaled"))
+  }
+
+  test("query-side tables broadcast; corpus side never does") {
+    val plan = Retrieval.bm25TopK(corpus, q(0L -> "query engines"), k = 3)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    // qvocab, df, qterms, stats — all bounded-side broadcasts
+    assert(bhj.nonEmpty)
+    // with broadcastQueries=false only the one-row stats join may build
+    // a broadcast side; both scoring joins must shuffle on `term`
+    val noHint = Retrieval.bm25TopK(corpus, q(0L -> "query engines"), k = 3,
+      broadcastQueries = false)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = Retrieval.bm25TopK(corpus, q(0L -> "query engines"), k = 3,
+        broadcastQueries = false).queryExecution.executedPlan
+      // the one-row stats broadcast is a nested-loop cross join, not a
+      // hash join — so ZERO BroadcastHashJoins may remain: both scoring
+      // joins shuffle on `term`
+      val b2 = collectWithSubqueries(p2) { case j: BroadcastHashJoinExec => j }
+      assert(b2.isEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(noHint.count() == 3)
+  }
+
+  test("matches a naive exploded-join reference on the fixture corpus") {
+    import org.apache.spark.sql.functions._
+    val fixture = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val queries = q(0L -> "spark query", 1L -> "the window filter",
+      2L -> "customer order")
+    val fast = Retrieval.bm25TopK(fixture, queries, k = 5)
+      .orderBy("query_id", "rnk")
+      .collect().toSeq
+
+    // reference: explode + groupBy + window, double-checked arithmetic
+    val toks = fixture.select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tok"))
+      .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl"))
+    val qt = queries.select(col("query_id"),
+        explode(split(col("qtext"), " ", -1)).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
+    val dfT = tf.join(qt.select("term").distinct(), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dl, "doc_id").join(dfT, "term").join(qt, "term")
+      .crossJoin(stats)
+      .withColumn("idf", expr("(1000 * (2*n_docs - 2*df + 1)) div (2*df + 1)"))
+      .withColumn("c", expr(
+        "qtf * ((idf * 44 * tf * avgdl) div (20*tf*avgdl + 6*avgdl + 18*dl))"))
+      .groupBy("query_id", "doc_id").agg(sum("c").as("score_scaled"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score_scaled").desc, col("doc_id").asc)
+    val ref = scored
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "rnk", "doc_id", "score_scaled")
+      .orderBy("query_id", "rnk")
+      .collect().toSeq
+    assert(fast == ref)
+  }
+}
