@@ -35,6 +35,7 @@ object ScaleBench {
     "q_tpch_local_supplier", "q_tpch_small_qty", "q_salted_agg",
     "q_window_running", "q_dedup_exact", "q_dedup_minhash",
     "q_text_stats", "q_top_terms", "q_collocations", "q_pack",
+    "q_bm25", "q_lm_score",
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq")
 
   private def span(df: DataFrame, c: String): Long =

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring — the CCNet-style filter
+  * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+  * from Web Crawl Data", LREC 2020): train an n-gram model on a
+  * reference corpus, score every document by how surprising its n-grams
+  * are under the model, and filter/bucket on the score. The reference
+  * pipeline has no model stage — this is part of the training-data
+  * extension surface.
+  *
+  * Scoring departs from log-perplexity the same way every ranked text
+  * score in this engine does ([[TextStats.topTermsByRarity]],
+  * [[TextStats.collocations]], [[Retrieval.bm25TopK]]): a libm `log`
+  * and a floating sum would not hash-gate bit-identically across
+  * engines, so the score is the ARITHMETIC mean of the integer-scaled
+  * inverse conditional probabilities (log-perplexity is the geometric
+  * mean's log; the arithmetic mean ranks "surprising" documents the
+  * same way while staying pure BIGINT). With add-1 smoothing over a
+  * vocabulary of V distinct unigrams, an n-gram g with context prefix
+  * c(g) (its first n-1 tokens) contributes per OCCURRENCE:
+  *
+  * {{{
+  *   surprisal(g) = (scale * (ctx(c(g)) + V)) div (cnt(g) + 1)
+  *   nll_scaled   = sum(surprisal over occurrences) div occurrences
+  * }}}
+  *
+  * `cnt(g)` is the model's occurrence count of g, `ctx(c)` the count of
+  * occurrences with prefix c (= sum of cnt over the prefix's
+  * continuations, so unseen-but-valid contexts score 0 + V). Inverse
+  * probability 1/p = (ctx + V)/(cnt + 1) is >= 1 scaled; higher =
+  * more surprising = lower quality under the model.
+  *
+  * Shuffle census at 100 TB:
+  *  - training: per-doc n-gram counts come from the `ngram_counts` byte
+  *    scan (NO exchange — one row per distinct n-gram per doc, never one
+  *    per window position), then ONE corpus aggregation on the n-gram
+  *    key; the context table derives from the model by one further
+  *    aggregation on the prefix (vocabulary-sized input, not
+  *    corpus-sized). V is a one-row distinct count on the unigram key.
+  *  - scoring: the same map-side per-doc counts, then two UNHINTED
+  *    equi-joins — n-gram -> model, prefix -> context table. Both model
+  *    sides are vocabulary-sized (1e8-1e9 distinct n-grams at 100 TB),
+  *    so the scale-safe plan shuffles on the well-distributed string
+  *    keys; Catalyst's size-based auto-broadcast upgrades them when the
+  *    model measures small. Only the one-row V crosses with a hint.
+  *    Left joins keep OOV n-grams (cnt 0) and OOV contexts (ctx 0)
+  *    scoreable when the scored set is NOT the training corpus.
+  *  - per-doc totals partially aggregate map-side (BIGINT sums).
+  *
+  * Docs with fewer than n tokens have no n-grams and are absent from
+  * the score output (no evidence either way — filter policy decides
+  * upstream, same contract as [[graft.functions.WordNgrams]]).
+  *
+  * @param ngrams (term, cnt) corpus occurrence counts of each n-gram
+  * @param contexts (ctx, n_ctx) occurrence counts of each n-1-gram prefix
+  * @param vocab one-row (v) distinct-unigram count
+  */
+final case class LmModel(n: Int, ngrams: DataFrame, contexts: DataFrame,
+    vocab: DataFrame)
+
+object LmScore {
+
+  /** Train an n-gram model: corpus n-gram counts, context (prefix)
+    * counts, and the vocabulary size. One corpus scan, one shuffle. */
+  def train(docs: DataFrame, n: Int = 2): LmModel = {
+    require(n >= 2, s"LmScore needs n >= 2 (conditional model), got $n")
+    val perDoc = docs.select(
+        explode(call_function("ngram_counts", col("text"), lit(n))).as("gc"))
+      .select(col("gc.term").as("term"), col("gc.cnt").cast("long").as("c"))
+    val ngrams = perDoc.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
+    // prefix = first n-1 tokens = everything before the LAST space of
+    // the joined n-gram (tokens cannot contain the separator)
+    val contexts = ngrams
+      .groupBy(substring_index(col("term"), " ", n - 1).as("ctx"))
+      .agg(sum(col("cnt")).as("n_ctx"))
+    val vocab = docs.select(
+        explode(call_function("word_counts", col("text"))).as("tc"))
+      .select(col("tc.term").as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    LmModel(n, ngrams, contexts, vocab)
+  }
+
+  /** Score (doc_id, text) rows under a trained model:
+    * (doc_id, n_grams, nll_scaled) — arithmetic-mean scaled inverse
+    * conditional probability, higher = more surprising. */
+  def score(docs: DataFrame, model: LmModel, scale: Long = 1000L): DataFrame = {
+    val n = model.n
+    val perDoc = docs.select(col("doc_id"),
+        explode(call_function("ngram_counts", col("text"), lit(n))).as("gc"))
+      .select(col("doc_id"), col("gc.term").as("term"),
+        col("gc.cnt").cast("long").as("c"))
+    perDoc
+      .join(model.ngrams, Seq("term"), "left")
+      .withColumn("ctx", substring_index(col("term"), " ", n - 1))
+      .join(model.contexts, Seq("ctx"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .withColumn("surprisal", expr(
+        s"($scale * (coalesce(n_ctx, 0L) + v)) div (coalesce(cnt, 0L) + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(expr("c * surprisal")).as("tot"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("tot div n_grams").as("nll_scaled"))
+  }
+}

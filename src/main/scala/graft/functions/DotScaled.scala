@@ -206,6 +206,19 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordCounts(children.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("ngram_counts"),
+      new ExpressionInfo(classOf[NgramCounts].getName, "ngram_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "ngram_counts takes (text, n) with n an int literal")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"ngram_counts n must be an int literal, got $other")
+        }
+        NgramCounts(children.head, n)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("token_runs"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_runs"),
       (children: Seq[Expression]) => {

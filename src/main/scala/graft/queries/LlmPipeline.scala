@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.ext.{Curation, Dedup, Multimodal, Retrieval, Sampling, Similarity, TextOps, TextStats}
+import graft.ext.{Curation, Dedup, LmScore, Multimodal, Retrieval, Sampling, Similarity, TextOps, TextStats}
 
 /** LLM-training-data pipeline query surface (the BASELINE north star):
   * deduplication, similarity search, text analysis, multimodal columns —
@@ -874,6 +874,14 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- bigram-LM quality scoring (CCNet-style filter): train on the
+    // corpus, score every doc by integer-scaled mean inverse conditional
+    // probability (the log-free perplexity stand-in) ----
+    "q_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      LmScore.score(d, LmScore.train(d)).orderBy(col("doc_id"))
+    }),
+
     // ---- collocation extraction: integer-scaled PMI lift (the log is
     // monotone and libm logs are NOT cross-engine stable, so rank by
     // the scaled ratio instead) ----
@@ -1604,6 +1612,29 @@ object LlmPipeline {
         |                       ORDER BY score_scaled DESC, doc_id) rnk
         |  FROM sc)
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |pos AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b, t[i] AS w1
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) i FROM w)),
+        |dbc AS (SELECT doc_id, b, cast(count(*) as bigint) c
+        |  FROM pos GROUP BY 1, 2),
+        |big AS (SELECT b, cast(count(*) as bigint) cnt FROM pos GROUP BY 1),
+        |ctx AS (SELECT w1 AS cx, cast(count(*) as bigint) n_ctx
+        |  FROM pos GROUP BY 1),
+        |v AS (SELECT cast(count(DISTINCT tok) as bigint) v
+        |  FROM (SELECT unnest(t) tok FROM w)),
+        |sc AS (SELECT dbc.doc_id,
+        |    cast(sum(dbc.c) as bigint) n_grams,
+        |    cast(sum(dbc.c * ((1000 * (ctx.n_ctx + v.v)) // (big.cnt + 1)))
+        |      as bigint) tot
+        |  FROM dbc
+        |  JOIN big USING (b)
+        |  JOIN ctx ON split_part(dbc.b, ' ', 1) = ctx.cx
+        |  CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT doc_id, n_grams, tot // n_grams AS nll_scaled
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_collocations" ->
       """WITH w AS (SELECT string_split(text,' ') t FROM documents),
