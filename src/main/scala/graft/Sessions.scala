@@ -22,8 +22,10 @@ object Sessions {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); read nanos as long and
-      // truncate in graft.Tables.events (matches DuckDB's native read).
+      // Older events.parquet generations stored TIMESTAMP(NANOS); this conf
+      // reads those as long (normalized in graft.Tables.events) and is
+      // inert on current timestamp[us] fixtures. Kept defensively — the
+      // loader type-dispatches either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed tables (co-located joins) need a writable warehouse;
       // local sessions park it under the system tmp dir

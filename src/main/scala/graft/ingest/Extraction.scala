@@ -175,20 +175,33 @@ final class ParquetTableSource(spark: SparkSession, dir: String, table: String)
   /** On a native timestamp column the interval filter pushes straight to
     * the parquet scan (`PushedFilters: [GreaterThan(...), LessThanOrEqual
     * (...)]`) — row-group pruning is THE scale lever for incremental
-    * extraction. The events fixture stores nanos-as-long behind a derived
-    * `timestamp_micros` column, which defeats pushdown, so that table
-    * gets the equivalent RAW range predicate applied before the
-    * conversion: with m = nanos div 1000,
-    * m > L  ⟺  nanos >  L*1000 + 999  and  m <= U  ⟺  nanos <= U*1000 + 999.
+    * extraction. The events fixture's `ts` physical type drifts across
+    * fixture generations ([[graft.Tables.events]]), and a filter applied
+    * ABOVE a type-normalizing projection defeats pushdown, so the range
+    * predicate is rewritten against the RAW column per stored type:
+    *  - nanos-as-long: with m = nanos div 1000,
+    *    m > L ⟺ nanos > L*1000 + 999 and m <= U ⟺ nanos <= U*1000 + 999;
+    *  - timestamp_ntz: compare against NTZ literals (UTC session makes the
+    *    rebase value-identity), normalize to TimestampType after.
     */
   def readInterval(extCol: String, last: Timestamp, max: Timestamp): DataFrame =
     if (table == "events" && extCol == "ts") {
-      def micros(t: Timestamp): Long =
-        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-      spark.read.parquet(s"$dir/events.parquet")
-        .filter(col("ts") > lit(micros(last) * 1000L + 999L) &&
-                col("ts") <= lit(micros(max) * 1000L + 999L))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          def micros(t: Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+          raw.filter(col("ts") > lit(micros(last) * 1000L + 999L) &&
+                     col("ts") <= lit(micros(max) * 1000L + 999L))
+             .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          val ntz = org.apache.spark.sql.types.TimestampNTZType
+          raw.filter(col("ts") > lit(last).cast(ntz) &&
+                     col("ts") <= lit(max).cast(ntz))
+             .withColumn("ts", col("ts").cast("timestamp"))
+        case _ =>
+          raw.filter(col("ts") > lit(last) && col("ts") <= lit(max))
+      }
     } else
       df.filter(col(extCol) > lit(last) && col(extCol) <= lit(max))
 }
