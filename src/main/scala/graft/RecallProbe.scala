@@ -35,7 +35,14 @@ object RecallProbe {
         nLists = 16, nProbe = 4, iters = 3))
       val cb = graft.ext.Pq.train(e, m = 8, k = 16, iters = 2)
       val pq = recall(graft.ext.Pq.topKRerank(e, q, k, cb, shortlist = 50))
-      println(f"RECALL rep=$r dir=$dir ivf_trained=$ivf%.4f pq_trained=$pq%.4f")
+      // the COMPOSED trained index: Lloyd coarse + Lloyd residual
+      // codebooks (sizes q_cosine_ivfpq_trained's envelope floor)
+      val idx = graft.ext.IvfPq.buildIndex(e, nLists = 16, m = 8, k = 16,
+        itersCoarse = 3, itersPq = 2)
+      val ivfpq = recall(graft.ext.IvfPq.probe(e, idx, q, k,
+        nProbe = 4, shortlist = 50))
+      println(f"RECALL rep=$r dir=$dir ivf_trained=$ivf%.4f " +
+        f"pq_trained=$pq%.4f ivfpq_trained=$ivfpq%.4f")
     }
     spark.stop()
   }

@@ -76,19 +76,34 @@ object Retrieval {
     * @param queries (query_id long, qtext string) bounded retrieval batch
     * @param k       results per query
     * @param idfScale integer idf scale; 1000 keeps the worst-case
-    *                 contribution product (idfScale·2N·44·tf·avgdl) inside
-    *                 Long for corpora to ~10^9 docs — raise only for small
-    *                 corpora needing finer idf resolution
+    *                 contribution product (idfScale·2N·2·maxDf·44·tf·avgdl)
+    *                 inside Long for corpora to ~10^9 docs — raise only for
+    *                 small corpora needing finer idf resolution
     * @param broadcastQueries hint the bounded query-term side (default);
     *                 false leaves both scoring joins to shuffle on `term`
-    *                 for corpus-scale query sets */
+    *                 for corpus-scale query sets
+    * @param maxDfPermille drop query terms whose document frequency
+    *                 exceeds this many thousandths of the corpus (None =
+    *                 keep all; the cut is `1000·df > permille·N`, pure
+    *                 integer → engine-exact). THE quadratic-cost valve for
+    *                 corpus-scale query sets: a term in f·N docs matched
+    *                 by q queries contributes q·f·N scoring rows, so
+    *                 stopword-frequency terms (idf ≈ floor already)
+    *                 dominate cost while barely moving scores — the
+    *                 standard impact-ordered-index trade. The cap filters
+    *                 the df TABLE (true corpus df over the query
+    *                 vocabulary), not per-candidate rows, so surviving
+    *                 terms score identically to the uncapped run. */
   def bm25TopK(
       docs: DataFrame,
       queries: DataFrame,
       k: Int,
       idfScale: Long = 1000L,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      maxDfPermille: Option[Int] = None): DataFrame = {
     require(k >= 1, s"bm25TopK needs k >= 1, got $k")
+    require(maxDfPermille.forall(p => p > 0 && p <= 1000),
+      s"maxDfPermille in (0,1000]: $maxDfPermille")
 
     val hint = (d: DataFrame) => if (broadcastQueries) broadcast(d) else d
 
@@ -114,15 +129,24 @@ object Retrieval {
     val qvocab = qterms.select(col("term")).distinct()
     val cand = tf.join(hint(qvocab), Seq("term"))
 
-    // df over the filtered candidates: one row per (doc, term) by
-    // word_counts construction, so count(*) = document frequency
-    val dfT = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
-
     // one-row corpus stats; floor avgdl once
     val stats = docs
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tok"))
       .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl"))
+
+    // df over the filtered candidates: one row per (doc, term) by
+    // word_counts construction, so count(*) = document frequency; the
+    // permille cap cuts stopword-frequency terms HERE, before the
+    // scoring join multiplies them by the query side
+    val dfT0 = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfT = maxDfPermille match {
+      case Some(p) => dfT0
+        .crossJoin(broadcast(stats.select(col("n_docs").as("_n"))))
+        .filter(col("df") * lit(1000L) <= lit(p.toLong) * col("_n"))
+        .drop("_n")
+      case None => dfT0
+    }
 
     val topk = udaf(new Similarity.TopKLongAgg(k),
       Encoders.product[Similarity.ScoredL])

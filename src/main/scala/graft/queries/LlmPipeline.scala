@@ -177,7 +177,13 @@ object LlmPipeline {
         .orderBy(col("corpus_id"), col("new_id"))
     }),
 
-    // ---- per-doc text statistics ----
+    // ---- per-doc text statistics. OUTPUT-BOUND CONTRACT: the profile
+    // itself is one map-side byte scan (q_lang_id, which aggregates it,
+    // runs at the scan floor at 100x), so this row's scale residual is
+    // entirely the global ORDER BY + corpus-sized result materialization
+    // the gate requires for a stable hash. Production pipelines should
+    // aggregate the profile or write it UNSORTED (partition-local order):
+    // ScaleBench times that contract as q_text_stats_unsorted ----
     "q_text_stats" -> ((s, dir) =>
       TextStats.stats(docs(s, dir)).orderBy(col("doc_id"))),
 
@@ -598,6 +604,32 @@ object LlmPipeline {
             .as("recall_in_envelope"))
     }),
 
+    // ---- the COMPOSED trained IVF-PQ (Lloyd coarse + Lloyd residual
+    // codebooks + ADC probe + exact re-rank) under the same
+    // measured-recall envelope: graft.RecallProbe measures recall@10 =
+    // 0.69-0.79 across sf0.001/0.01/0.1 (nLists=16 itersCoarse=3, m=8
+    // k=16 itersPq=2, nProbe=4, shortlist=50) -> floor 0.5, 38
+    // flipped-neighbor quanta below the worst measurement ----
+    "q_cosine_ivfpq_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+      val k = 10
+      val idx = graft.ext.IvfPq.buildIndex(e, nLists = 16, m = 8, k = 16,
+        itersCoarse = 3, itersPq = 2)
+      val approx = graft.ext.IvfPq.probe(e, idx, q, k,
+        nProbe = 4, shortlist = 50)
+      val hits = approx.select(col("query_id"), col("neighbor_id"))
+        .join(Similarity.topKBrute(e, q, k)
+          .select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+      q.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_queries"), lit(k).cast("long").as("k"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * k).cast("double") >= lit(0.5d))
+            .as("recall_in_envelope"))
+    }),
+
     "q_cosine_pq_trained" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 20)
@@ -871,6 +903,22 @@ object LlmPipeline {
         .toDF("query_id", "qtext")
       Retrieval.bm25TopK(docs(s, dir).select(col("doc_id"), col("text")),
           qs, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- BM25 CORPUS-SCALE dual (the retrieval self-join shape, mirror
+    // of q_cosine_ivfpq_selfjoin): EVERY doc probes the corpus with its
+    // own first-8-token prefix as the query. broadcastQueries = false —
+    // nothing query-sized broadcasts; both scoring joins shuffle on the
+    // well-distributed `term` key. The 10% df cap is the quadratic-cost
+    // valve (scaladoc on bm25TopK): surviving terms score bit-identically
+    // to the uncapped run, so the oracle replays cap and scores exactly ----
+    "q_bm25_selfjoin" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qs = d.select(col("doc_id").as("query_id"),
+        array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
+      Retrieval.bm25TopK(d.select(col("doc_id"), col("text")), qs, k = 3,
+          broadcastQueries = false, maxDfPermille = Some(100))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -1173,6 +1221,10 @@ object LlmPipeline {
         | cast(10 as bigint) AS k, TRUE AS recall_in_envelope
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "q_cosine_pq_trained" ->
+      """SELECT cast(count(*) as bigint) AS n_queries,
+        | cast(10 as bigint) AS k, TRUE AS recall_in_envelope
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+    "q_cosine_ivfpq_trained" ->
       """SELECT cast(count(*) as bigint) AS n_queries,
         | cast(10 as bigint) AS k, TRUE AS recall_in_envelope
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
@@ -1612,6 +1664,45 @@ object LlmPipeline {
         |                       ORDER BY score_scaled DESC, doc_id) rnk
         |  FROM sc)
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // the corpus-scale dual: queries = every doc's first-8-token prefix,
+    // k = 3, df capped at 10% of the corpus (1000*df <= 100*n_docs,
+    // integer-exact) — same integer scoring, so the replay is exact
+    "q_bm25_selfjoin" ->
+      """WITH q AS (SELECT doc_id AS query_id,
+        |    string_split(text, ' ')[1:8] qts FROM documents),
+        |qt AS (SELECT query_id, term, cast(count(*) as bigint) qtf
+        |  FROM (SELECT query_id, unnest(qts) term FROM q)
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dln AS (SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) dl
+        |  FROM documents),
+        |a AS (SELECT cast(count(*) as bigint) n_docs,
+        |    cast(sum(len(string_split(text, ' '))) as bigint)
+        |      // cast(count(*) as bigint) AS avgdl
+        |  FROM documents),
+        |cand AS (SELECT tf.doc_id, tf.term, tf.tf, dln.dl
+        |  FROM tf JOIN dln USING (doc_id)
+        |  JOIN (SELECT DISTINCT term FROM qt) v USING (term)),
+        |dft AS (SELECT term, df FROM
+        |    (SELECT term, cast(count(*) as bigint) df FROM cand GROUP BY 1)
+        |  CROSS JOIN a WHERE 1000 * df <= 100 * a.n_docs),
+        |sc AS (SELECT qt.query_id, c.doc_id,
+        |    cast(sum(qt.qtf * ((((1000 * (2*a.n_docs - 2*dft.df + 1))
+        |                     // (2*dft.df + 1)) * 44 * c.tf * a.avgdl)
+        |        // (20*c.tf*a.avgdl + 6*a.avgdl + 18*c.dl))) as bigint)
+        |      score_scaled
+        |  FROM cand c JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN a
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rnk, doc_id, score_scaled FROM (
+        |  SELECT query_id, doc_id, score_scaled,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_scaled DESC, doc_id) rnk
+        |  FROM sc)
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "q_lm_score" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),

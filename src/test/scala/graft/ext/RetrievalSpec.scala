@@ -101,6 +101,24 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(noHint.count() == 3)
   }
 
+  test("df cap drops stopword-frequency terms; survivors score unchanged") {
+    // 'the' df=3 of N=5 (600 permille) is cut by a 400-permille cap;
+    // 'spark' df=1 (200 permille) survives. The capped two-term query
+    // must therefore equal the uncapped single-term 'spark' query
+    // row-for-row — the cap filters TERMS, never rescales survivors.
+    val capped = Retrieval.bm25TopK(corpus, q(0L -> "spark the"), k = 5,
+      maxDfPermille = Some(400)).orderBy("rnk").collect().toSeq
+    val sparkOnly = Retrieval.bm25TopK(corpus, q(0L -> "spark"), k = 5)
+      .orderBy("rnk").collect().toSeq
+    assert(capped == sparkOnly)
+    // cap at 1000 permille keeps everything — identical to uncapped
+    val full = Retrieval.bm25TopK(corpus, q(0L -> "spark the"), k = 5,
+      maxDfPermille = Some(1000)).orderBy("rnk").collect().toSeq
+    val uncapped = Retrieval.bm25TopK(corpus, q(0L -> "spark the"), k = 5)
+      .orderBy("rnk").collect().toSeq
+    assert(full == uncapped)
+  }
+
   test("matches a naive exploded-join reference on the fixture corpus") {
     import org.apache.spark.sql.functions._
     val fixture = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
