@@ -82,28 +82,32 @@ object Retrieval {
     * @param broadcastQueries hint the bounded query-term side (default);
     *                 false leaves both scoring joins to shuffle on `term`
     *                 for corpus-scale query sets
-    * @param maxDfPermille drop query terms whose document frequency
-    *                 exceeds this many thousandths of the corpus (None =
-    *                 keep all; the cut is `1000·df > permille·N`, pure
-    *                 integer → engine-exact). THE quadratic-cost valve for
-    *                 corpus-scale query sets: a term in f·N docs matched
-    *                 by q queries contributes q·f·N scoring rows, so
-    *                 stopword-frequency terms (idf ≈ floor already)
-    *                 dominate cost while barely moving scores — the
-    *                 standard impact-ordered-index trade. The cap filters
-    *                 the df TABLE (true corpus df over the query
-    *                 vocabulary), not per-candidate rows, so surviving
-    *                 terms score identically to the uncapped run. */
+    * @param maxDf   drop query terms whose document frequency exceeds
+    *                 this ABSOLUTE posting-list length (None = keep all).
+    *                 THE quadratic-cost valve for corpus-scale query sets:
+    *                 a term matched by q queries and df docs contributes
+    *                 q·df scoring rows, so an absolute cap bounds every
+    *                 term's join cost at qf·maxDf INDEPENDENT of corpus
+    *                 size — the impact-ordered-index prune. (A fractional
+    *                 cap would not survive scale-up: as N grows, a fixed
+    *                 fraction admits ever-longer posting lists, and in
+    *                 vocabulary-scaling corpora each shard's stopwords
+    *                 slip under the global fraction while keeping their
+    *                 full per-shard list length.) Cut terms are
+    *                 stopword-frequency — their idf sits at the floor
+    *                 already, so scores barely move. The cap filters the
+    *                 df TABLE (true corpus df over the query vocabulary),
+    *                 not per-candidate rows, so surviving terms score
+    *                 identically to the uncapped run. */
   def bm25TopK(
       docs: DataFrame,
       queries: DataFrame,
       k: Int,
       idfScale: Long = 1000L,
       broadcastQueries: Boolean = true,
-      maxDfPermille: Option[Int] = None): DataFrame = {
+      maxDf: Option[Long] = None): DataFrame = {
     require(k >= 1, s"bm25TopK needs k >= 1, got $k")
-    require(maxDfPermille.forall(p => p > 0 && p <= 1000),
-      s"maxDfPermille in (0,1000]: $maxDfPermille")
+    require(maxDf.forall(_ > 0), s"maxDf must be positive: $maxDf")
 
     val hint = (d: DataFrame) => if (broadcastQueries) broadcast(d) else d
 
@@ -137,15 +141,12 @@ object Retrieval {
 
     // df over the filtered candidates: one row per (doc, term) by
     // word_counts construction, so count(*) = document frequency; the
-    // permille cap cuts stopword-frequency terms HERE, before the
-    // scoring join multiplies them by the query side
+    // absolute cap cuts long posting lists HERE, before the scoring
+    // join multiplies them by the query side
     val dfT0 = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dfT = maxDfPermille match {
-      case Some(p) => dfT0
-        .crossJoin(broadcast(stats.select(col("n_docs").as("_n"))))
-        .filter(col("df") * lit(1000L) <= lit(p.toLong) * col("_n"))
-        .drop("_n")
-      case None => dfT0
+    val dfT = maxDf match {
+      case Some(cap) => dfT0.filter(col("df") <= lit(cap))
+      case None      => dfT0
     }
 
     val topk = udaf(new Similarity.TopKLongAgg(k),

@@ -910,15 +910,19 @@ object LlmPipeline {
     // of q_cosine_ivfpq_selfjoin): EVERY doc probes the corpus with its
     // own first-8-token prefix as the query. broadcastQueries = false —
     // nothing query-sized broadcasts; both scoring joins shuffle on the
-    // well-distributed `term` key. The 10% df cap is the quadratic-cost
-    // valve (scaladoc on bm25TopK): surviving terms score bit-identically
-    // to the uncapped run, so the oracle replays cap and scores exactly ----
+    // well-distributed `term` key. maxDf = 3000 is the quadratic-cost
+    // valve (scaladoc on bm25TopK): INERT at the sf0.01 gate (fixture
+    // max df 402, so the full scoring math is hash-gated), it cuts the
+    // ~3900-doc posting lists at sf0.1+ where every-query-times-every-
+    // posting would otherwise go quadratic. Surviving terms score
+    // bit-identically to the uncapped run; the oracle replays prefix,
+    // cap, and integer scoring exactly ----
     "q_bm25_selfjoin" -> ((s, dir) => {
       val d = docs(s, dir)
       val qs = d.select(col("doc_id").as("query_id"),
         array_join(slice(split(col("text"), " ", -1), 1, 8), " ").as("qtext"))
       Retrieval.bm25TopK(d.select(col("doc_id"), col("text")), qs, k = 3,
-          broadcastQueries = false, maxDfPermille = Some(100))
+          broadcastQueries = false, maxDf = Some(3000L))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -1666,8 +1670,8 @@ object LlmPipeline {
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // the corpus-scale dual: queries = every doc's first-8-token prefix,
-    // k = 3, df capped at 10% of the corpus (1000*df <= 100*n_docs,
-    // integer-exact) — same integer scoring, so the replay is exact
+    // k = 3, absolute posting-list cap df <= 3000 (inert at the sf0.01
+    // gate) — same integer scoring, so the replay is exact
     "q_bm25_selfjoin" ->
       """WITH q AS (SELECT doc_id AS query_id,
         |    string_split(text, ' ')[1:8] qts FROM documents),
@@ -1687,9 +1691,8 @@ object LlmPipeline {
         |cand AS (SELECT tf.doc_id, tf.term, tf.tf, dln.dl
         |  FROM tf JOIN dln USING (doc_id)
         |  JOIN (SELECT DISTINCT term FROM qt) v USING (term)),
-        |dft AS (SELECT term, df FROM
-        |    (SELECT term, cast(count(*) as bigint) df FROM cand GROUP BY 1)
-        |  CROSS JOIN a WHERE 1000 * df <= 100 * a.n_docs),
+        |dft AS (SELECT term, cast(count(*) as bigint) df FROM cand
+        |  GROUP BY 1 HAVING cast(count(*) as bigint) <= 3000),
         |sc AS (SELECT qt.query_id, c.doc_id,
         |    cast(sum(qt.qtf * ((((1000 * (2*a.n_docs - 2*dft.df + 1))
         |                     // (2*dft.df + 1)) * 44 * c.tf * a.avgdl)

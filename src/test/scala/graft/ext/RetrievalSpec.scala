@@ -101,19 +101,19 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(noHint.count() == 3)
   }
 
-  test("df cap drops stopword-frequency terms; survivors score unchanged") {
-    // 'the' df=3 of N=5 (600 permille) is cut by a 400-permille cap;
-    // 'spark' df=1 (200 permille) survives. The capped two-term query
-    // must therefore equal the uncapped single-term 'spark' query
-    // row-for-row — the cap filters TERMS, never rescales survivors.
+  test("posting-list cap drops long lists; survivors score unchanged") {
+    // 'the' (df=3) exceeds maxDf=2 and is cut; 'spark' (df=1) survives.
+    // The capped two-term query must therefore equal the uncapped
+    // single-term 'spark' query row-for-row — the cap filters TERMS,
+    // never rescales survivors.
     val capped = Retrieval.bm25TopK(corpus, q(0L -> "spark the"), k = 5,
-      maxDfPermille = Some(400)).orderBy("rnk").collect().toSeq
+      maxDf = Some(2L)).orderBy("rnk").collect().toSeq
     val sparkOnly = Retrieval.bm25TopK(corpus, q(0L -> "spark"), k = 5)
       .orderBy("rnk").collect().toSeq
     assert(capped == sparkOnly)
-    // cap at 1000 permille keeps everything — identical to uncapped
+    // a cap >= every df keeps everything — identical to uncapped
     val full = Retrieval.bm25TopK(corpus, q(0L -> "spark the"), k = 5,
-      maxDfPermille = Some(1000)).orderBy("rnk").collect().toSeq
+      maxDf = Some(5L)).orderBy("rnk").collect().toSeq
     val uncapped = Retrieval.bm25TopK(corpus, q(0L -> "spark the"), k = 5)
       .orderBy("rnk").collect().toSeq
     assert(full == uncapped)
