@@ -38,16 +38,18 @@ object ScaleBench {
     "q_bm25", "q_lm_score", "q_chunk", "q_bm25_selfjoin",
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq")
 
-  /** Extra curve rows that are NOT gate queries: q_text_stats minus its
-    * global ORDER BY. The gate row's 100× residual is the sort +
-    * materialization of a corpus-sized result (the per-doc profile itself
-    * is one byte scan — see q_lang_id hitting the scan floor); production
-    * pipelines aggregate the profile or write it unsorted, and this row
-    * measures that contract directly. */
+  /** Extra curve rows that are NOT gate queries: the corpus-sized-output
+    * gate rows minus their global ORDER BY. Those rows' 100× residual is
+    * the sort + materialization of a corpus-sized result (the per-doc
+    * work itself is map-side — see q_lang_id hitting the scan floor);
+    * production pipelines aggregate or write unsorted (partition-local
+    * order), and these rows measure that contract directly. */
   val Extra: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats_unsorted" -> ((s: SparkSession, dir: String) =>
-      graft.ext.TextStats.stats(
-        Tables.t(s, dir, "documents").select(col("doc_id"), col("text")))))
+      graft.ext.TextStats.stats(Tables.t(s, dir, "documents"))),
+    "q_chunk_unsorted" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Chunking.chunk(Tables.t(s, dir, "documents"),
+        chunk = 64, stride = 48)))
 
   private def span(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head().getLong(0) + 1L

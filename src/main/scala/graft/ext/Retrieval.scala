@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 full-text retrieval: score a bounded batch of queries against the
@@ -53,13 +54,18 @@ import org.apache.spark.sql.functions._
   *    set (retrieval self-join shapes) pass `broadcastQueries = false`
   *    and both sides shuffle on the well-distributed `term` key — the
   *    same dual [[IvfPq.probe]]/[[IvfPq.probeShuffle]] expose.
-  *  - df is computed on the FILTERED candidates (df of a query term =
-  *    its candidate row count), so the vocabulary-sized corpus df table
-  *    is never materialized; the df side of the scoring join is bounded
-  *    by the query vocabulary and broadcast under the same contract.
+  *  - df is computed on the FILTERED candidates as a count over a
+  *    term-partitioned WINDOW, in place on the candidate stream — an
+  *    aggregate-then-rejoin would run the corpus byte scan twice (once
+  *    under the agg, once as the probe side) and was measured doing
+  *    exactly that at 100× (q_bm25_selfjoin 120× super-linear before,
+  *    see SURVEY §15). The window's hash(term) partitioning is reused
+  *    by the shuffle-path scoring join, so candidates are exchanged
+  *    ONCE; the vocabulary-sized corpus df table never materializes.
   *  - corpus stats (N, total tokens) are ONE one-row aggregate over a
-  *    second scan pruned to `text` — two corpus scans total, both
-  *    pushdown-friendly; the stats scan carries no shuffle.
+  *    second scan pruned to `text` — two corpus scans total (candidates
+  *    + stats), both pushdown-friendly; the stats scan carries no
+  *    shuffle.
   *  - per-(query, doc) scores partially aggregate map-side (BIGINT sum),
   *    and the final per-query top-k is [[Similarity.TopKLongAgg]] — a
   *    bounded heap that combines before its exchange, ≤ k rows per
@@ -118,10 +124,17 @@ object Retrieval {
       .select(col("query_id"), col("qc.term").as("term"),
         col("qc.cnt").cast("long").as("qtf"))
 
-    // per-doc (term, tf, dl) — map-side byte scan, no exchange
+    // per-doc (term, tf, dl) — map-side byte scan, no exchange. dl is
+    // computed in its OWN projection BEFORE the explode: selected
+    // alongside the explode it lands in the post-Generate project and
+    // the full-text split re-runs once per exploded TERM row instead of
+    // once per doc — measured as the dominant cost of the corpus-scale
+    // self-join at 100× (~dl-terms × text-length splits, SURVEY §15)
     val tf = docs
       .select(col("doc_id"),
-        (size(split(col("text"), " ", -1))).cast("long").as("dl"),
+        size(split(col("text"), " ", -1)).cast("long").as("dl"),
+        col("text"))
+      .select(col("doc_id"), col("dl"),
         explode(call_function("word_counts", col("text"))).as("tc"))
       .select(col("doc_id"), col("dl"), col("tc.term").as("term"),
         col("tc.cnt").cast("long").as("tf"))
@@ -140,20 +153,26 @@ object Retrieval {
       .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl"))
 
     // df over the filtered candidates: one row per (doc, term) by
-    // word_counts construction, so count(*) = document frequency; the
-    // absolute cap cuts long posting lists HERE, before the scoring
-    // join multiplies them by the query side
-    val dfT0 = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dfT = maxDf match {
-      case Some(cap) => dfT0.filter(col("df") <= lit(cap))
-      case None      => dfT0
+    // word_counts construction, so count(*) over a term-window = document
+    // frequency. A window (not a groupBy + self-join) because the
+    // candidate stream is a full corpus byte scan — an aggregate-then-
+    // rejoin would execute that scan TWICE (once under the agg, once as
+    // the probe side); the window computes df in place on ONE scan, and
+    // its hash(term) partitioning is reused by the shuffle-path scoring
+    // join below (no second candidate exchange). The absolute cap cuts
+    // long posting lists HERE, before the scoring join multiplies them
+    // by the query side.
+    val withDf = cand.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val candDf = maxDf match {
+      case Some(cap) => withDf.filter(col("df") <= lit(cap))
+      case None      => withDf
     }
 
     val topk = udaf(new Similarity.TopKLongAgg(k),
       Encoders.product[Similarity.ScoredL])
 
-    cand
-      .join(hint(dfT), Seq("term"))
+    candDf
       .join(hint(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_scaled",
