@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming scale-curve evidence — the batch 100× curve
+  * (`SCALE_CURVE_r09.json`) covers the relational/LLM tiers; this main
+  * measures the TRUE-STREAMING tier's throughput at the same two scales
+  * (base sf0.1 events = 100k rows, 100× replica dir = 10M rows):
+  *
+  *  - `windowed`: watermark + tumbling event-time counts (the
+  *    shuffle-partial + state-store aggregation path)
+  *  - `dedup`: `dropDuplicatesWithinWatermark` (per-key state with
+  *    watermark eviction)
+  *  - `stateful`: `flatMapGroupsWithState` running per-user totals
+  *    (arbitrary-state path)
+  *
+  * Each workload drains the whole spool under `Trigger.AvailableNow`
+  * through a `noop` sink (throughput, not result materialization), with
+  * `maxFilesPerTrigger` sized to force MULTIPLE micro-batches — state
+  * must survive batch boundaries, so per-batch planning/store-commit
+  * overhead is included, exactly as a production incremental run pays
+  * it. Rows/sec at the two scales is the curve: flat-or-better per-row
+  * cost at 100× data means state (bounded by watermark/keys, not input
+  * length) and per-batch overhead amortize — the property that lets the
+  * same query run unbounded at cluster scale.
+  *
+  * Spool layout: events NDJSON in `nFiles` parts at micro timestamp
+  * precision (same contract as `queries/Streaming.scala`'s gate spools),
+  * written once per dir behind a completion marker.
+  *
+  * Usage: runMain graft.StreamScaleBench [baseDir] [scaledDir]
+  * (defaults /root/testdata/sf0.1 /tmp/graft_sf10 — generate the scaled
+  * dir with graft.ScaleBench first).
+  */
+object StreamScaleBench {
+
+  private val MicrosFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private val NFiles = 16
+  private val FilesPerTrigger = 4 // -> 4 micro-batches per drain
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType)))
+
+  private def spool(s: SparkSession, dir: String): String = {
+    val out = s"/tmp/graft-streambench-${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val marker = new java.io.File(s"$out/_SPOOLED")
+    if (!marker.exists()) {
+      Tables.t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .repartition(NFiles)
+        .write.mode("overwrite").option("timestampFormat", MicrosFmt)
+        .json(s"$out/in")
+      marker.createNewFile()
+    }
+    s"$out/in"
+  }
+
+  private def reader(s: SparkSession, path: String): DataFrame =
+    s.readStream.schema(eventSchema)
+      .option("timestampFormat", MicrosFmt)
+      .option("maxFilesPerTrigger", FilesPerTrigger)
+      .json(path)
+
+  /** Drain `df` through a noop sink under AvailableNow; returns wall secs. */
+  private def drain(df: DataFrame, mode: String): Double = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streambench-ckpt").toString
+    val t0 = System.nanoTime()
+    val q = df.writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scaled = if (args.length > 1) args(1) else "/tmp/graft_sf10"
+    val spark = Sessions.build(Sessions.cpusFromEnv, "graft-streambench")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def workloads(path: String): Seq[(String, () => Double)] = Seq(
+      "windowed" -> (() => drain(
+        graft.stream.StreamMerger.windowedEventCounts(
+          reader(spark, path), "ts", "event_type",
+          lateness = "10 minutes", windowSize = "1 hour"), "update")),
+      "dedup" -> (() => drain(
+        graft.stream.Stateful.dedupeByIdWithinWatermark(
+          reader(spark, path), "event_id", "ts", lateness = "10 minutes"),
+        "append")),
+      "stateful" -> (() => drain(
+        graft.stream.Stateful.runningUserTotals(
+          reader(spark, path)
+            .select(col("user_id").as("userId"), col("event_id").as("eventId"))
+            .as[graft.stream.Stateful.UserEvent]).toDF(), "update"))
+    )
+
+    def run(dir: String): (Long, Map[String, Double]) = {
+      val path = spool(spark, dir)
+      val n = spark.read.schema(eventSchema)
+        .option("timestampFormat", MicrosFmt).json(path).count()
+      val ws = workloads(path)
+      ws.foreach { case (_, f) => f() } // warm-up drain (fresh checkpoints)
+      val timed = ws.map { case (name, f) =>
+        name -> math.min(f(), f())
+      }.toMap
+      (n, timed)
+    }
+
+    val (nb, tb) = run(base)
+    val (ns, ts) = run(scaled)
+    val rows = tb.keys.toSeq.sorted.map { w =>
+      val (b, s) = (tb(w), ts(w))
+      val (rb, rs) = (nb / b, ns / s)
+      f""""$w":{"base_sec":$b%.3f,"scaled_sec":$s%.3f,"base_rows_per_sec":$rb%.0f,"scaled_rows_per_sec":$rs%.0f,"throughput_ratio":${rs / rb}%.2f}"""
+    }.mkString(",")
+    println(s"""{"metric":"stream_scale","base":"$base","scaled":"$scaled","base_rows":$nb,"scaled_rows":$ns,"micro_batches":${NFiles / FilesPerTrigger},"queries":{$rows}}""")
+    spark.stop()
+  }
+}
