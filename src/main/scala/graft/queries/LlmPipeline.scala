@@ -934,6 +934,25 @@ object LlmPipeline {
       LmScore.score(d, LmScore.train(d)).orderBy(col("doc_id"))
     }),
 
+    // ---- Count-Min sketch: one-pass bounded-memory frequency
+    // estimation (ext/Sketch.scala scaladoc for the scale contract —
+    // d×w longs per partition, merge = element sums, NO vocab shuffle).
+    // Counter sums are order-independent and the bucket hash is the
+    // cross-engine hash60, so the ESTIMATES themselves are hash-gated
+    // exactly: the oracle rebuilds the same matrix sparsely in SQL and
+    // takes the same min-over-rows ----
+    "q_cms" -> ((s, dir) => {
+      val tc = docs(s, dir).select(
+          explode(call_function("word_counts", col("text"))).as("tc"))
+        .select(col("tc.term").as("term"), col("tc.cnt").cast("long").as("cnt"))
+      val exact = tc.groupBy(col("term"))
+        .agg(sum(col("cnt")).as("exact_count"))
+      graft.ext.CountMin.estimates(exact,
+          graft.ext.CountMin.sketch(tc, d = 4, w = 256), d = 4, w = 256)
+        .select(col("term"), col("est_count"), col("exact_count"))
+        .orderBy(col("term"))
+    }),
+
     // ---- collocation extraction: integer-scaled PMI lift (the log is
     // monotone and libm logs are NOT cross-engine stable, so rank by
     // the scaled ratio instead) ----
@@ -1706,6 +1725,28 @@ object LlmPipeline {
         |                       ORDER BY score_scaled DESC, doc_id) rnk
         |  FROM sc)
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // the CMS replay: same fixed hash60 buckets, sparse matrix via
+    // groupBy, min over the d=4 rows — any divergence between the
+    // aggregator's JVM md5 and this SQL shape hash-fails every row
+    "q_cms" ->
+      """WITH tc AS (SELECT term, cast(count(*) as bigint) c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+        |        FROM documents)
+        |  GROUP BY 1),
+        |cells AS (SELECT r.i,
+        |    cast('0x' || substr(md5(tc.term || '#' || cast(r.i as varchar)),
+        |         1, 15) as bigint) % 256 AS b,
+        |    cast(sum(tc.c) as bigint) s
+        |  FROM tc CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+        |est AS (SELECT tc.term, cast(min(cells.s) as bigint) est_count
+        |  FROM tc CROSS JOIN range(4) r(i)
+        |  JOIN cells ON cells.i = r.i AND cells.b =
+        |    cast('0x' || substr(md5(tc.term || '#' || cast(r.i as varchar)),
+        |         1, 15) as bigint) % 256
+        |  GROUP BY 1)
+        |SELECT tc.term, est.est_count, tc.c AS exact_count
+        |FROM tc JOIN est ON tc.term = est.term ORDER BY tc.term""".stripMargin,
 
     "q_lm_score" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
