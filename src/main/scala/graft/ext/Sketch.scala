@@ -24,12 +24,17 @@ import org.apache.spark.sql.functions._
   * deterministic guarantees (est ≥ exact; exact when no bucket
   * collides) instead of the probabilistic one.
   *
-  * Bucket hash: the engine's cross-engine md5 convention
-  * ([[TextOps.hash60]] — first 15 md5 hex chars of `term#i` as a 60-bit
-  * value, mod w), computed identically in the Scala aggregator, the
-  * Spark estimate expression, and the DuckDB oracle replay. A
-  * production deployment that doesn't need cross-engine replay would
-  * swap in `xxhash64` and keep the identical structure.
+  * Bucket hash: ONE 60-bit md5 per term (the engine's cross-engine
+  * [[TextOps.hash60]] convention), split into two 30-bit halves and
+  * mixed per row Kirsch–Mitzenmacher-style — `bucket_i = (h_lo + i·h_hi)
+  * mod w` (the standard double-hashing construction for Bloom/CMS row
+  * families; KM 2006 shows it preserves the asymptotic bounds). One
+  * digest + d integer mixes per input row instead of d digests, and
+  * every intermediate stays < 2^32·d, so the identical arithmetic
+  * replays overflow-free in the Spark estimate expression and the
+  * DuckDB oracle (both engines error on BIGINT overflow). A production
+  * deployment that doesn't need cross-engine replay would swap the md5
+  * for `xxhash64` and keep the identical structure.
   */
 object CountMin {
 
@@ -41,21 +46,30 @@ object CountMin {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Row i's bucket for `term` — MUST stay value-identical to the SQL
-    * `hash60(concat(term, '#', i)) % w` used in [[estimates]] and the
-    * DuckDB oracles. The first 15 lowercase hex chars of the md5 are
+  /** The term's 60-bit hash — value-identical to the SQL
+    * `hash60(term)`: the first 15 lowercase hex chars of the md5 are
     * the first 15 NIBBLES of the digest, i.e. the big-endian long of
     * bytes 0–7 shifted right one nibble — extracted directly instead
-    * of formatting and re-parsing hex (this runs d× per input row).
+    * of formatting and re-parsing hex (this runs once per input row).
     * SketchSpec pins scala-bucket ≡ SQL-expression-bucket. */
-  def bucket(term: String, i: Int, w: Int): Int = {
+  def hash60(term: String): Long = {
     val md = digest.get()
     md.reset()
-    val h = md.digest((term + "#" + i).getBytes("UTF-8"))
+    val h = md.digest(term.getBytes("UTF-8"))
     var v = 0L
     var j = 0
     while (j < 8) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
-    ((v >>> 4) % w).toInt
+    v >>> 4
+  }
+
+  /** Row i's bucket: KM double hashing over the two 30-bit halves. */
+  def bucket(term: String, i: Int, w: Int): Int =
+    bucketOf(hash60(term), i, w)
+
+  def bucketOf(h: Long, i: Int, w: Int): Int = {
+    val lo = h & 0x3FFFFFFFL
+    val hi = h >>> 30
+    ((lo + i * hi) % w).toInt
   }
 
   /** d×w counter matrix as a flat row-major array; merge = element sum. */
@@ -63,8 +77,9 @@ object CountMin {
       extends Aggregator[TermCount, CmsBuf, Seq[Long]] {
     def zero: CmsBuf = CmsBuf(new Array[Long](d * w))
     def reduce(b: CmsBuf, a: TermCount): CmsBuf = {
+      val h = hash60(a.term) // ONE digest per row; d integer mixes
       var i = 0
-      while (i < d) { b.cells(i * w + bucket(a.term, i, w)) += a.cnt; i += 1 }
+      while (i < d) { b.cells(i * w + bucketOf(h, i, w)) += a.cnt; i += 1 }
       b
     }
     def merge(x: CmsBuf, y: CmsBuf): CmsBuf = {
@@ -87,17 +102,77 @@ object CountMin {
     termCounts.agg(agg(col("term"), col("cnt")).as("cells"))
   }
 
-  /** Point estimates for `terms` (column `term`) against a built sketch:
-    * `min` over the d rows of each term's bucket — computed as a Spark
-    * expression over the broadcast one-row sketch, no UDF. */
-  def estimates(terms: DataFrame, sk: DataFrame, d: Int, w: Int): DataFrame = {
-    val est = least((0 until d).map { i =>
-      element_at(col("cells"),
-        (pmod(TextOps.hash60(concat(col("term"), lit("#"), lit(i.toString))),
-          lit(w.toLong)) + lit(i.toLong * w) + 1).cast("int"))
+  /** The min-over-rows estimate as a Spark expression (no UDF) with the
+    * sketch baked in as an ARRAY LITERAL; expects the term's 60-bit
+    * hash pre-computed in column `_h` (one md5 per row — the KM mixes
+    * are pure integer SQL). A literal, NOT a one-row crossJoin: joining
+    * the sketch attaches the d·w-long array to EVERY probe row (8 KB ×
+    * corpus rows of copied row data — measured 82 s at the 100× dir
+    * before this), while a literal is one shared plan object. The
+    * driver-side read of d·w longs is the bounded-collect precedent
+    * (BPE merge tables, k-means seeds). */
+  private def estExpr(cells: Array[Long], d: Int, w: Int) =
+    least((0 until d).map { i =>
+      element_at(typedLit(cells.toSeq), expr(
+        s"cast((_h % 1073741824 + $i * (_h div 1073741824)) % $w" +
+          s" + ${i * w} + 1 as int)"))
     }: _*)
-    terms.crossJoin(broadcast(sk))
-      .withColumn("est_count", est)
-      .drop("cells")
+
+  private def cellsOf(sk: DataFrame): Array[Long] =
+    sk.head().getAs[scala.collection.Seq[Long]]("cells").toArray
+
+  /** Point estimates for `terms` (column `term`) against a built sketch:
+    * `min` over the d rows of each term's bucket. */
+  def estimates(terms: DataFrame, sk: DataFrame, d: Int, w: Int): DataFrame =
+    terms.withColumn("_h", TextOps.hash60(col("term")))
+      .withColumn("est_count", estExpr(cellsOf(sk), d, w))
+      .drop("_h")
+
+  /** EXACT heavy hitters (terms whose true total count > `threshold`)
+    * without a vocabulary-wide shuffle — the canonical two-pass sketch
+    * workflow:
+    *
+    *  1. pass 1 builds the sketch (one scan, d×w longs exchanged);
+    *  2. pass 2 re-scans and filters each `(term, cnt)` row MAP-SIDE by
+    *     `est > threshold` against the broadcast sketch — `est ≥ exact`
+    *     always, so a true heavy hitter can never be filtered out (ZERO
+    *     false negatives by construction);
+    *  3. only the surviving candidate rows shuffle into an exact
+    *     `groupBy(term)`, whose `sum > threshold` check removes the
+    *     sketch's false positives.
+    *
+    * Output is therefore EXACT (gate-able against a plain SQL threshold
+    * query) while the exchange volume drops from |vocabulary| to
+    * |candidates| — at 100 TB the difference between shuffling every
+    * distinct key and shuffling the heavy tail plus collision noise.
+    * Skew note: each surviving term's rows partially aggregate map-side
+    * before the exchange, so even a 10%-of-corpus stopword contributes
+    * one row per partition, not a hot shuffle key. */
+  def heavyHitters(termCounts: DataFrame, d: Int, w: Int,
+      threshold: Long): DataFrame = {
+    val cells = cellsOf(sketch(termCounts, d, w))
+    // The candidate filter runs once per CORPUS row, and its est is not
+    // oracle-replayed (only the exact verified output is) — so it uses
+    // a typed UDF sharing the aggregator's exact JVM hash path (one
+    // digest + d mixes) instead of the SQL hash60 expression: an alias
+    // referenced from a pushed-down predicate gets INLINED per
+    // reference, and d buckets × (mod + div) re-evaluated the
+    // md5+conv chain 8× per row (measured 70 s of 82 at the 100× dir).
+    // Writer and reader sharing one code path also makes their
+    // agreement structural rather than spec-pinned.
+    val est = udf((term: String) => {
+      val h = hash60(term)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < d) {
+        val c = cells(i * w + bucketOf(h, i, w)); if (c < m) m = c; i += 1
+      }
+      m
+    })
+    termCounts
+      .filter(est(col("term")) > lit(threshold))
+      .groupBy(col("term"))
+      .agg(sum(col("cnt")).as("n"))
+      .filter(col("n") > lit(threshold))
   }
 }

@@ -953,6 +953,24 @@ object LlmPipeline {
         .orderBy(col("term"))
     }),
 
+    // ---- EXACT heavy hitters via the CMS two-pass workflow (see
+    // Sketch.heavyHitters scaladoc): sketch prefilter map-side (est >=
+    // exact -> zero false negatives), exact verification of candidates
+    // only — the vocabulary-wide shuffle shrinks to the heavy tail.
+    // Threshold = 2% of the token stream (total div 50, integer-exact);
+    // the one-row total is a bounded driver read (k-means-seed
+    // precedent). Output is exact, so the oracle is the plain SQL
+    // threshold query ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      val tc = docs(s, dir).select(
+          explode(call_function("word_counts", col("text"))).as("tc"))
+        .select(col("tc.term").as("term"), col("tc.cnt").cast("long").as("cnt"))
+      val total = tc.agg(sum(col("cnt"))).head().getLong(0)
+      graft.ext.CountMin.heavyHitters(tc, d = 4, w = 256,
+          threshold = total / 50L)
+        .orderBy(col("term"))
+    }),
+
     // ---- collocation extraction: integer-scaled PMI lift (the log is
     // monotone and libm logs are NOT cross-engine stable, so rank by
     // the scaled ratio instead) ----
@@ -1726,24 +1744,36 @@ object LlmPipeline {
         |  FROM sc)
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
-    // the CMS replay: same fixed hash60 buckets, sparse matrix via
-    // groupBy, min over the d=4 rows — any divergence between the
-    // aggregator's JVM md5 and this SQL shape hash-fails every row
+    // heavy hitters are EXACT by the no-false-negative argument, so the
+    // oracle is the direct threshold query — no sketch replay needed
+    "q_heavy_hitters" ->
+      """WITH tc AS (SELECT term, cast(count(*) as bigint) c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+        |        FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT cast(sum(c) as bigint) t FROM tc)
+        |SELECT term, c AS n FROM tc CROSS JOIN tot
+        |WHERE c > t // 50 ORDER BY term""".stripMargin,
+
+    // the CMS replay: ONE hash60 per term, KM double-hashed buckets
+    // (h_lo + i*h_hi) % w — pure integer SQL, overflow-free in both
+    // engines; sparse matrix via groupBy, min over the d=4 rows. Any
+    // divergence between the aggregator's JVM md5/mix and this SQL
+    // shape hash-fails every row
     "q_cms" ->
       """WITH tc AS (SELECT term, cast(count(*) as bigint) c
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
         |        FROM documents)
         |  GROUP BY 1),
-        |cells AS (SELECT r.i,
-        |    cast('0x' || substr(md5(tc.term || '#' || cast(r.i as varchar)),
-        |         1, 15) as bigint) % 256 AS b,
-        |    cast(sum(tc.c) as bigint) s
-        |  FROM tc CROSS JOIN range(4) r(i) GROUP BY 1, 2),
-        |est AS (SELECT tc.term, cast(min(cells.s) as bigint) est_count
-        |  FROM tc CROSS JOIN range(4) r(i)
-        |  JOIN cells ON cells.i = r.i AND cells.b =
-        |    cast('0x' || substr(md5(tc.term || '#' || cast(r.i as varchar)),
-        |         1, 15) as bigint) % 256
+        |th AS (SELECT term, c,
+        |    cast('0x' || substr(md5(term), 1, 15) as bigint) h FROM tc),
+        |tb AS (SELECT term, c, r.i,
+        |    cast((h % 1073741824 + r.i * (h // 1073741824)) % 256 as bigint) b
+        |  FROM th CROSS JOIN range(4) r(i)),
+        |cells AS (SELECT i, b, cast(sum(c) as bigint) s
+        |  FROM tb GROUP BY 1, 2),
+        |est AS (SELECT tb.term, cast(min(cells.s) as bigint) est_count
+        |  FROM tb JOIN cells ON cells.i = tb.i AND cells.b = tb.b
         |  GROUP BY 1)
         |SELECT tc.term, est.est_count, tc.c AS exact_count
         |FROM tc JOIN est ON tc.term = est.term ORDER BY tc.term""".stripMargin,

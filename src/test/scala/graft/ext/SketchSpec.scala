@@ -18,17 +18,21 @@ class SketchSpec extends AnyFunSuite {
       .toMap
   }
 
-  test("estimates are exact when width makes collisions impossible") {
-    // 3 terms, w=64: P(collision) isn't zero in general, but for THESE
-    // fixed md5 buckets we assert distinctness first, so exactness is
-    // implied (est = exact when no bucket is shared in any row)
-    val tc = counts("alpha" -> 3L, "beta" -> 5L, "gamma" -> 2L)
+  test("estimates are exact when no bucket collides") {
+    // deterministically pick 3 terms whose fixed buckets are pairwise
+    // distinct in EVERY row — est = exact is then implied
     val d = 4; val w = 64
-    val distinctPerRow = (0 until d).forall { i =>
-      Seq("alpha", "beta", "gamma").map(CountMin.bucket(_, i, w)).distinct.size == 3
+    val pool = (0 until 50).map(i => s"term$i")
+    val chosen = pool.foldLeft(Vector.empty[String]) { (acc, t) =>
+      val ok = acc.size < 3 && (0 until d).forall { i =>
+        !acc.exists(a => CountMin.bucket(a, i, w) == CountMin.bucket(t, i, w))
+      }
+      if (ok) acc :+ t else acc
     }
-    assume(distinctPerRow) // document the precondition the fixture satisfies
-    assert(estMap(tc, d, w) == Map("alpha" -> 3L, "beta" -> 5L, "gamma" -> 2L))
+    assert(chosen.size == 3, "pool exhausted without 3 collision-free terms")
+    val exact = chosen.zipWithIndex.map { case (t, i) => t -> (i + 2L) }.toMap
+    val tc = counts(exact.toSeq: _*)
+    assert(estMap(tc, d, w) == exact)
   }
 
   test("estimates never undercount, and collisions only overcount") {
@@ -52,20 +56,34 @@ class SketchSpec extends AnyFunSuite {
     assert(one == many)
   }
 
-  test("scala bucket equals the SQL hash60 expression bucket") {
-    // the aggregator writes with the JVM md5, estimates read with the
-    // Spark SQL md5 — any divergence breaks every estimate silently
+  test("scala bucket equals the SQL hash60 + KM-mix expression bucket") {
+    // the aggregator writes with the JVM md5 + integer mix, estimates
+    // read with the Spark SQL md5 + the same mix — any divergence
+    // breaks every estimate silently
     val terms = Seq("alpha", "the", "naïve", "x#y", "").toDF("term")
     val w = 256
     (0 until 4).foreach { i =>
-      val sql = terms.select(col("term"),
-        pmod(TextOps.hash60(concat(col("term"), lit("#"), lit(i.toString))),
-          lit(w.toLong)).cast("int").as("b"))
+      val sql = terms
+        .withColumn("_h", TextOps.hash60(col("term")))
+        .select(col("term"), expr(
+          s"cast((_h % 1073741824 + $i * (_h div 1073741824)) % $w as int)")
+          .as("b"))
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       sql.foreach { case (t, b) =>
         assert(CountMin.bucket(t, i, w) == b, s"term '$t' row $i")
       }
     }
+  }
+
+  test("heavy hitters are exact: sketch prefilter loses no true hitter") {
+    // w=2 maximizes collisions (worst case for false positives); the
+    // exact verification pass must still produce exactly the true
+    // > threshold set
+    val tc = counts("hot" -> 100L, "warm" -> 40L, "cool" -> 5L,
+      "cold" -> 2L, "frozen" -> 1L)
+    val hh = CountMin.heavyHitters(tc, d = 3, w = 2, threshold = 30L)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("n")).toMap
+    assert(hh == Map("hot" -> 100L, "warm" -> 40L))
   }
 
   test("fixture corpus: every estimate bounded by exact + row-1 residual") {
