@@ -36,6 +36,7 @@ object ScaleBench {
     "q_window_running", "q_dedup_exact", "q_dedup_minhash",
     "q_text_stats", "q_top_terms", "q_collocations", "q_pack",
     "q_bm25", "q_lm_score", "q_chunk", "q_bm25_selfjoin",
+    "q_cms", "q_heavy_hitters",
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq")
 
   /** Extra curve rows that are NOT gate queries: the corpus-sized-output

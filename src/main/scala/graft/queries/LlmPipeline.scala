@@ -953,6 +953,27 @@ object LlmPipeline {
         .orderBy(col("term"))
     }),
 
+    // ---- CMS mergeability as a VALUE gate: two half-corpus sketches
+    // (even/odd doc_id) summed element-wise must estimate identically
+    // to the one-pass whole-corpus sketch — the property that lets
+    // sketches build per-shard/per-day and union by addition. The
+    // oracle replays the WHOLE-corpus sketch, so any merge defect
+    // (misaligned cells, lost counts) hash-fails the row ----
+    "q_cms_merge" -> ((s, dir) => {
+      def tc(pred: org.apache.spark.sql.Column) = docs(s, dir).filter(pred).select(
+          explode(call_function("word_counts", col("text"))).as("tc"))
+        .select(col("tc.term").as("term"), col("tc.cnt").cast("long").as("cnt"))
+      val skA = graft.ext.CountMin.sketch(tc(col("doc_id") % 2 === 0), 4, 256)
+      val skB = graft.ext.CountMin.sketch(tc(col("doc_id") % 2 === 1), 4, 256)
+      val merged = skA.crossJoin(skB.withColumnRenamed("cells", "cellsB"))
+        .select(zip_with(col("cells"), col("cellsB"), _ + _).as("cells"))
+      val vocab = tc(lit(true)).groupBy(col("term"))
+        .agg(sum(col("cnt")).as("exact_count"))
+      graft.ext.CountMin.estimates(vocab, merged, 4, 256)
+        .select(col("term"), col("est_count"), col("exact_count"))
+        .orderBy(col("term"))
+    }),
+
     // ---- EXACT heavy hitters via the CMS two-pass workflow (see
     // Sketch.heavyHitters scaladoc): sketch prefilter map-side (est >=
     // exact -> zero false negatives), exact verification of candidates
@@ -1761,6 +1782,27 @@ object LlmPipeline {
     // divergence between the aggregator's JVM md5/mix and this SQL
     // shape hash-fails every row
     "q_cms" ->
+      """WITH tc AS (SELECT term, cast(count(*) as bigint) c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+        |        FROM documents)
+        |  GROUP BY 1),
+        |th AS (SELECT term, c,
+        |    cast('0x' || substr(md5(term), 1, 15) as bigint) h FROM tc),
+        |tb AS (SELECT term, c, r.i,
+        |    cast((h % 1073741824 + r.i * (h // 1073741824)) % 256 as bigint) b
+        |  FROM th CROSS JOIN range(4) r(i)),
+        |cells AS (SELECT i, b, cast(sum(c) as bigint) s
+        |  FROM tb GROUP BY 1, 2),
+        |est AS (SELECT tb.term, cast(min(cells.s) as bigint) est_count
+        |  FROM tb JOIN cells ON cells.i = tb.i AND cells.b = tb.b
+        |  GROUP BY 1)
+        |SELECT tc.term, est.est_count, tc.c AS exact_count
+        |FROM tc JOIN est ON tc.term = est.term ORDER BY tc.term""".stripMargin,
+
+    // merged half-sketches must equal the one-pass whole-corpus sketch,
+    // so the oracle is the IDENTICAL whole-corpus replay — the merge on
+    // the Spark side is what is under test
+    "q_cms_merge" ->
       """WITH tc AS (SELECT term, cast(count(*) as bigint) c
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
         |        FROM documents)
