@@ -45,8 +45,16 @@ object StreamScaleBench {
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType)))
 
+  /** Spool path keyed on the SOURCE's identity (total size + latest
+    * mtime of the events parquet), so regenerating the scaled dir (e.g.
+    * a different replica count) invalidates the spool instead of
+    * silently re-measuring stale data under a fresh label. */
   private def spool(s: SparkSession, dir: String): String = {
-    val out = s"/tmp/graft-streambench-${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val src = new java.io.File(s"$dir/events.parquet")
+    val parts = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+    val key = s"${parts.map(_.length()).sum}-${parts.map(_.lastModified()).max}"
+    val out = s"/tmp/graft-streambench-" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}-$key"
     val marker = new java.io.File(s"$out/_SPOOLED")
     if (!marker.exists()) {
       Tables.t(s, dir, "events")

@@ -22,7 +22,8 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", normalizeTs(raw.schema("ts").dataType, "events.ts"))
+    raw.withColumn("ts",
+      normalizeTs(raw.schema("ts").dataType, "ts", "events.ts"))
   }
 
   /** Normalize a drifting fixture timestamp column to TimestampType.
@@ -30,14 +31,15 @@ object Tables {
     * dispatch doesn't recognize, so the next fixture refresh fails loudly
     * instead of erring 27 queries downstream.
     */
-  def normalizeTs(dt: DataType, what: String): Column = dt match {
-    case LongType         => timestamp_micros(expr("ts div 1000"))
-    case TimestampType    => col("ts")
-    case TimestampNTZType => col("ts").cast(TimestampType)
-    case other => throw new IllegalStateException(
-      s"fixture drift: $what arrived as $other — expected long (nanos), " +
-      "timestamp, or timestamp_ntz; teach Tables.normalizeTs the new type")
-  }
+  def normalizeTs(dt: DataType, colName: String, what: String): Column =
+    dt match {
+      case LongType         => timestamp_micros(expr(s"$colName div 1000"))
+      case TimestampType    => col(colName)
+      case TimestampNTZType => col(colName).cast(TimestampType)
+      case other => throw new IllegalStateException(
+        s"fixture drift: $what arrived as $other — expected long (nanos), " +
+        "timestamp, or timestamp_ntz; teach Tables.normalizeTs the new type")
+    }
 
   /** Exact money arithmetic: cast to decimal BEFORE aggregating so the sum
     * is order-independent (double summation is not associative — a

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** BM25 full-text retrieval: score a bounded batch of queries against the
@@ -54,18 +53,18 @@ import org.apache.spark.sql.functions._
   *    set (retrieval self-join shapes) pass `broadcastQueries = false`
   *    and both sides shuffle on the well-distributed `term` key — the
   *    same dual [[IvfPq.probe]]/[[IvfPq.probeShuffle]] expose.
-  *  - df is computed on the FILTERED candidates as a count over a
-  *    term-partitioned WINDOW, in place on the candidate stream — an
-  *    aggregate-then-rejoin would run the corpus byte scan twice (once
-  *    under the agg, once as the probe side) and was measured doing
-  *    exactly that at 100× (q_bm25_selfjoin 120× super-linear before,
-  *    see SURVEY §15). The window's hash(term) partitioning is reused
-  *    by the shuffle-path scoring join, so candidates are exchanged
-  *    ONCE; the vocabulary-sized corpus df table never materializes.
-  *  - corpus stats (N, total tokens) are ONE one-row aggregate over a
-  *    second scan pruned to `text` — two corpus scans total (candidates
-  *    + stats), both pushdown-friendly; the stats scan carries no
-  *    shuffle.
+  *  - df is computed on the FILTERED candidates by a map-side-combined
+  *    aggregate and rejoined (broadcast under the bounded-query
+  *    contract, shuffle on `term` in the dual) — NOT by a
+  *    term-partitioned window, which would buffer each term's entire
+  *    posting list in one task (a stopword straggler the maxDf cap
+  *    cannot prevent, since df is counted before the cap can drop the
+  *    list). The agg's partial combine sends one row per (partition,
+  *    term) to the exchange. Cost: the candidate byte scan executes
+  *    twice — measured SMALL next to the per-exploded-row dl recompute
+  *    this file's history fixed (SURVEY §15.3).
+  *  - corpus stats (N, total tokens) are ONE one-row aggregate over
+  *    another scan pruned to `text`; the stats scan carries no shuffle.
   *  - per-(query, doc) scores partially aggregate map-side (BIGINT sum),
   *    and the final per-query top-k is [[Similarity.TopKLongAgg]] — a
   *    bounded heap that combines before its exchange, ≤ k rows per
@@ -153,26 +152,32 @@ object Retrieval {
       .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl"))
 
     // df over the filtered candidates: one row per (doc, term) by
-    // word_counts construction, so count(*) over a term-window = document
-    // frequency. A window (not a groupBy + self-join) because the
-    // candidate stream is a full corpus byte scan — an aggregate-then-
-    // rejoin would execute that scan TWICE (once under the agg, once as
-    // the probe side); the window computes df in place on ONE scan, and
-    // its hash(term) partitioning is reused by the shuffle-path scoring
-    // join below (no second candidate exchange). The absolute cap cuts
-    // long posting lists HERE, before the scoring join multiplies them
-    // by the query side.
-    val withDf = cand.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
-    val candDf = maxDf match {
-      case Some(cap) => withDf.filter(col("df") <= lit(cap))
-      case None      => withDf
+    // word_counts construction, so count(*) = document frequency.
+    // A groupBy + rejoin, deliberately NOT a term-partitioned window:
+    // the aggregate partially combines MAP-SIDE, so a stopword's
+    // posting list contributes one row per partition to the exchange,
+    // while a window would shuffle the raw candidate stream and buffer
+    // each term's ENTIRE list in one task before emitting a row — at
+    // real corpus scale a 10%-of-corpus stopword becomes a straggler /
+    // spill hot task that the maxDf cap cannot prevent (df must be
+    // counted before the filter can drop the list). The price is that
+    // the candidate byte scan executes twice (once under the agg, once
+    // as the probe side) — measured as the SMALL term of the
+    // corpus-scale cost (54.5 → 50 s at the 100× dir; the dominant
+    // term was the per-exploded-row dl recompute fixed above). The
+    // absolute cap cuts long posting lists from the df TABLE, before
+    // the scoring join multiplies them by the query side.
+    val dfT0 = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfT = maxDf match {
+      case Some(cap) => dfT0.filter(col("df") <= lit(cap))
+      case None      => dfT0
     }
 
     val topk = udaf(new Similarity.TopKLongAgg(k),
       Encoders.product[Similarity.ScoredL])
 
-    candDf
+    cand
+      .join(hint(dfT), Seq("term"))
       .join(hint(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf_scaled",

@@ -111,21 +111,39 @@ object CountMin {
     * before this), while a literal is one shared plan object. The
     * driver-side read of d·w longs is the bounded-collect precedent
     * (BPE merge tables, k-means seeds). */
-  private def estExpr(cells: Array[Long], d: Int, w: Int) =
+  private def estExpr(cells: Array[Long], d: Int, w: Int) = {
+    val arr = typedLit(cells.toSeq) // ONE shared literal, not one per row
     least((0 until d).map { i =>
-      element_at(typedLit(cells.toSeq), expr(
+      element_at(arr, expr(
         s"cast((_h % 1073741824 + $i * (_h div 1073741824)) % $w" +
           s" + ${i * w} + 1 as int)"))
     }: _*)
+  }
 
-  private def cellsOf(sk: DataFrame): Array[Long] =
-    sk.head().getAs[scala.collection.Seq[Long]]("cells").toArray
+  /** Bounded driver read of a sketch row, with the geometry check that
+    * turns a d/w mismatch into a NAMED error instead of silently wrong
+    * estimates (an out-of-range element_at returns null, which least()
+    * would silently skip). */
+  private def cellsOf(sk: DataFrame, d: Int, w: Int): Array[Long] = {
+    val cells = sk.head().getAs[scala.collection.Seq[Long]]("cells").toArray
+    require(cells.length == d * w,
+      s"sketch geometry mismatch: ${cells.length} cells, caller expects d=$d x w=$w")
+    cells
+  }
+
+  /** The total stream count, for free from any single sketch row (each
+    * input row lands in exactly one bucket per row). */
+  def totalOf(cells: Array[Long], w: Int): Long = {
+    var s = 0L; var i = 0
+    while (i < w) { s += cells(i); i += 1 }
+    s
+  }
 
   /** Point estimates for `terms` (column `term`) against a built sketch:
     * `min` over the d rows of each term's bucket. */
   def estimates(terms: DataFrame, sk: DataFrame, d: Int, w: Int): DataFrame =
     terms.withColumn("_h", TextOps.hash60(col("term")))
-      .withColumn("est_count", estExpr(cellsOf(sk), d, w))
+      .withColumn("est_count", estExpr(cellsOf(sk, d, w), d, w))
       .drop("_h")
 
   /** EXACT heavy hitters (terms whose true total count > `threshold`)
@@ -148,9 +166,22 @@ object CountMin {
     * Skew note: each surviving term's rows partially aggregate map-side
     * before the exchange, so even a 10%-of-corpus stopword contributes
     * one row per partition, not a hot shuffle key. */
+  /** [[heavyHitters]] with the threshold as a fraction of the stream
+    * (`total div denom`) — the total comes FREE from the sketch's first
+    * row, so no separate corpus-scan aggregate is needed to size it. */
+  def heavyHittersByFraction(termCounts: DataFrame, d: Int, w: Int,
+      denom: Long): DataFrame = {
+    val cells = cellsOf(sketch(termCounts, d, w), d, w)
+    heavyHittersOn(termCounts, cells, d, w, totalOf(cells, w) / denom)
+  }
+
   def heavyHitters(termCounts: DataFrame, d: Int, w: Int,
-      threshold: Long): DataFrame = {
-    val cells = cellsOf(sketch(termCounts, d, w))
+      threshold: Long): DataFrame =
+    heavyHittersOn(termCounts, cellsOf(sketch(termCounts, d, w), d, w),
+      d, w, threshold)
+
+  private def heavyHittersOn(termCounts: DataFrame, cells: Array[Long],
+      d: Int, w: Int, threshold: Long): DataFrame = {
     // The candidate filter runs once per CORPUS row, and its est is not
     // oracle-replayed (only the exact verified output is) — so it uses
     // a typed UDF sharing the aggregator's exact JVM hash path (one

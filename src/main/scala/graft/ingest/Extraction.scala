@@ -187,6 +187,9 @@ final class ParquetTableSource(spark: SparkSession, dir: String, table: String)
   def readInterval(extCol: String, last: Timestamp, max: Timestamp): DataFrame =
     if (table == "events" && extCol == "ts") {
       val raw = spark.read.parquet(s"$dir/events.parquet")
+      // same dispatch SET as Tables.normalizeTs — an unlisted type must
+      // fail with the named drift error there, not silently filter
+      // through implicit casts here
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           def micros(t: Timestamp): Long =
@@ -199,8 +202,12 @@ final class ParquetTableSource(spark: SparkSession, dir: String, table: String)
           raw.filter(col("ts") > lit(last).cast(ntz) &&
                      col("ts") <= lit(max).cast(ntz))
              .withColumn("ts", col("ts").cast("timestamp"))
-        case _ =>
+        case org.apache.spark.sql.types.TimestampType =>
           raw.filter(col("ts") > lit(last) && col("ts") <= lit(max))
+        case other =>
+          // delegate the throw so the error text lives in ONE place
+          raw.withColumn("ts",
+            graft.Tables.normalizeTs(other, "ts", "events.ts (readInterval)"))
       }
     } else
       df.filter(col(extCol) > lit(last) && col(extCol) <= lit(max))

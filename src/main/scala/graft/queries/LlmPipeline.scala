@@ -979,16 +979,16 @@ object LlmPipeline {
     // exact -> zero false negatives), exact verification of candidates
     // only — the vocabulary-wide shuffle shrinks to the heavy tail.
     // Threshold = 2% of the token stream (total div 50, integer-exact);
-    // the one-row total is a bounded driver read (k-means-seed
-    // precedent). Output is exact, so the oracle is the plain SQL
+    // the total comes FREE from the sketch's first row (each input row
+    // lands in exactly one bucket per row), so no third corpus scan
+    // sizes it. Output is exact, so the oracle is the plain SQL
     // threshold query ----
     "q_heavy_hitters" -> ((s, dir) => {
       val tc = docs(s, dir).select(
           explode(call_function("word_counts", col("text"))).as("tc"))
         .select(col("tc.term").as("term"), col("tc.cnt").cast("long").as("cnt"))
-      val total = tc.agg(sum(col("cnt"))).head().getLong(0)
-      graft.ext.CountMin.heavyHitters(tc, d = 4, w = 256,
-          threshold = total / 50L)
+      graft.ext.CountMin.heavyHittersByFraction(tc, d = 4, w = 256,
+          denom = 50L)
         .orderBy(col("term"))
     }),
 

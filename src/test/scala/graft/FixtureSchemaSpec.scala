@@ -87,10 +87,10 @@ class FixtureSchemaSpec extends AnyFunSuite {
       TimestampType)
     // and the dispatch itself covers the canary's full drift set
     Seq(LongType, TimestampType, TimestampNTZType).foreach { dt =>
-      Tables.normalizeTs(dt, "events.ts") // must not throw
+      Tables.normalizeTs(dt, "ts", "events.ts") // must not throw
     }
     val e = intercept[IllegalStateException] {
-      Tables.normalizeTs(StringType, "events.ts")
+      Tables.normalizeTs(StringType, "ts", "events.ts")
     }
     assert(e.getMessage.contains("events.ts"))
   }
