@@ -46,16 +46,37 @@ object CountMin {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Plan-time estimate evaluator carried by the native
+    * [[graft.functions.CmsEst]] expression — the SAME digest + KM-mix
+    * code path as the sketch-building aggregator, evaluated on the
+    * UTF8String's UTF-8 bytes directly (no String allocation). */
+  final class Evaluator(cells: Array[Long], d: Int, w: Int)
+      extends Serializable {
+    require(cells.length == d * w,
+      s"sketch geometry mismatch: ${cells.length} cells != d=$d x w=$w")
+    def est(term: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val h = hash60Bytes(term.getBytes)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < d) {
+        val c = cells(i * w + bucketOf(h, i, w)); if (c < m) m = c; i += 1
+      }
+      m
+    }
+  }
+
   /** The term's 60-bit hash — value-identical to the SQL
     * `hash60(term)`: the first 15 lowercase hex chars of the md5 are
     * the first 15 NIBBLES of the digest, i.e. the big-endian long of
     * bytes 0–7 shifted right one nibble — extracted directly instead
     * of formatting and re-parsing hex (this runs once per input row).
     * SketchSpec pins scala-bucket ≡ SQL-expression-bucket. */
-  def hash60(term: String): Long = {
+  def hash60(term: String): Long = hash60Bytes(term.getBytes("UTF-8"))
+
+  def hash60Bytes(utf8: Array[Byte]): Long = {
     val md = digest.get()
     md.reset()
-    val h = md.digest(term.getBytes("UTF-8"))
+    val h = md.digest(utf8)
     var v = 0L
     var j = 0
     while (j < 8) { v = (v << 8) | (h(j) & 0xffL); j += 1 }
@@ -184,24 +205,22 @@ object CountMin {
       d: Int, w: Int, threshold: Long): DataFrame = {
     // The candidate filter runs once per CORPUS row, and its est is not
     // oracle-replayed (only the exact verified output is) — so it uses
-    // a typed UDF sharing the aggregator's exact JVM hash path (one
-    // digest + d mixes) instead of the SQL hash60 expression: an alias
+    // the native [[graft.functions.CmsEst]] expression sharing the
+    // aggregator's exact JVM hash path (one digest + d mixes on the raw
+    // UTF8String bytes) instead of the SQL hash60 expression: an alias
     // referenced from a pushed-down predicate gets INLINED per
-    // reference, and d buckets × (mod + div) re-evaluated the
-    // md5+conv chain 8× per row (measured 70 s of 82 at the 100× dir).
-    // Writer and reader sharing one code path also makes their
-    // agreement structural rather than spec-pinned.
-    val est = udf((term: String) => {
-      val h = hash60(term)
-      var m = Long.MaxValue
-      var i = 0
-      while (i < d) {
-        val c = cells(i * w + bucketOf(h, i, w)); if (c < m) m = c; i += 1
-      }
-      m
-    })
+    // reference, and d buckets × (mod + div) re-evaluated the md5+conv
+    // chain 8× per row (measured 70 s of 82 at the 100× dir). Writer
+    // and reader sharing one code path also makes their agreement
+    // structural rather than spec-pinned; the native expression (vs the
+    // earlier typed UDF) keeps the filter inside whole-stage codegen
+    // with no row-conversion or String allocation.
+    val est = org.apache.spark.sql.GraftShims.column(
+      graft.functions.CmsEst(
+        org.apache.spark.sql.GraftShims.expression(col("term")),
+        new Evaluator(cells, d, w)))
     termCounts
-      .filter(est(col("term")) > lit(threshold))
+      .filter(est > lit(threshold))
       .groupBy(col("term"))
       .agg(sum(col("cnt")).as("n"))
       .filter(col("n") > lit(threshold))

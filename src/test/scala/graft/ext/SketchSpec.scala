@@ -86,6 +86,37 @@ class SketchSpec extends AnyFunSuite {
     assert(hh == Map("hot" -> 100L, "warm" -> 40L))
   }
 
+  test("native cms_est equals the SQL estimate path and stays codegen") {
+    val tc = counts("alpha" -> 3L, "beta" -> 5L, "gamma" -> 2L, "the" -> 9L)
+    val d = 4; val w = 32
+    val sk = CountMin.sketch(tc, d, w)
+    val sqlEst = CountMin.estimates(tc.select(col("term")), sk, d, w)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("est_count"))
+      .toMap
+    val cells = sk.head().getAs[scala.collection.Seq[Long]]("cells").toArray
+    val nat = org.apache.spark.sql.GraftShims.column(
+      graft.functions.CmsEst(
+        org.apache.spark.sql.GraftShims.expression(col("term")),
+        new CountMin.Evaluator(cells, d, w)))
+    val df = tc.select(col("term"), nat.as("est_count"))
+    val natEst = df.collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("est_count")).toMap
+    assert(natEst == sqlEst)
+    // the filter shape must stay inside whole-stage codegen: no
+    // ScalaUDF/BatchEval nodes in the plan (a parquet-backed frame —
+    // a local relation would be constant-folded away entirely)
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val natDocs = org.apache.spark.sql.GraftShims.column(
+      graft.functions.CmsEst(
+        org.apache.spark.sql.GraftShims.expression(col("source")),
+        new CountMin.Evaluator(cells, d, w)))
+    val plan = docs.filter(natDocs > lit(4L))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a whole-stage-codegen'd operator in
+    // executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && plan.contains("*(1) Filter"))
+  }
+
   test("fixture corpus: every estimate bounded by exact + row-1 residual") {
     val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
     val tc = docs.select(
