@@ -107,7 +107,18 @@ object StreamScaleBench {
         graft.stream.Stateful.runningUserTotals(
           reader(spark, path)
             .select(col("user_id").as("userId"), col("event_id").as("eventId"))
-            .as[graft.stream.Stateful.UserEvent]).toDF(), "update"))
+            .as[graft.stream.Stateful.UserEvent]).toDF(), "update")),
+      // stream-stream join: same-user click->purchase correlation within
+      // 30 min, both sides watermarked (bounded state, the q_stream_join
+      // gate shape at throughput scale)
+      "join" -> (() => drain(
+        graft.stream.StreamJoin.timeBounded(
+          reader(spark, path).filter(col("event_type") === "click")
+            .select(col("user_id").as("l_user"), col("ts").as("l_ts")),
+          reader(spark, path).filter(col("event_type") === "purchase")
+            .select(col("user_id").as("r_user"), col("ts").as("r_ts")),
+          "l_user", "r_user", "l_ts", "r_ts",
+          lateness = "10 minutes", maxDelay = "30 minutes"), "append"))
     )
 
     def run(dir: String): (Long, Map[String, Double]) = {
