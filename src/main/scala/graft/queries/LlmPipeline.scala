@@ -953,6 +953,26 @@ object LlmPipeline {
         .orderBy(col("term"))
     }),
 
+    // ---- z-order key computation under the hash gate: domain-scaled
+    // Morton interleave of (o_custkey, o_orderkey) — the layout key
+    // behind multi-column file pruning (ext/Zorder.scala; ZorderSpec
+    // proves both-dimension footer pruning on the written layout). The
+    // Spark side scales by driver-probed min/max; the oracle derives
+    // the same domains in SQL from the same table, so the exact key
+    // values hash-gate cross-engine ----
+    "q_zorder" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val row = o.agg(
+        min(col("o_custkey")).cast("long"), max(col("o_custkey")).cast("long"),
+        min(col("o_orderkey")).cast("long"), max(col("o_orderkey")).cast("long")
+      ).head()
+      graft.ext.Zorder.withKey(o,
+          Seq(("o_custkey", row.getLong(0), row.getLong(1)),
+              ("o_orderkey", row.getLong(2), row.getLong(3))), bits = 16)
+        .select(col("o_orderkey"), col("_zkey").as("zkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- CMS mergeability as a VALUE gate: two half-corpus sketches
     // (even/odd doc_id) summed element-wise must estimate identically
     // to the one-pass whole-corpus sketch — the property that lets
@@ -1798,6 +1818,24 @@ object LlmPipeline {
         |  GROUP BY 1)
         |SELECT tc.term, est.est_count, tc.c AS exact_count
         |FROM tc JOIN est ON tc.term = est.term ORDER BY tc.term""".stripMargin,
+
+    // the z-key replay: same min/max domains (derived in SQL from the
+    // same table), same integer scaling, and the interleave expression
+    // GENERATED from the same (column, bit) enumeration as the Spark
+    // side — the two engines cannot drift by hand-editing one of them
+    "q_zorder" -> {
+      val interleave = graft.ext.Zorder.zkeySql(Seq("s1", "s2"), 16)
+      s"""WITH d AS (SELECT cast(min(o_custkey) as bigint) lo1,
+         |    cast(max(o_custkey) as bigint) hi1,
+         |    cast(min(o_orderkey) as bigint) lo2,
+         |    cast(max(o_orderkey) as bigint) hi2 FROM orders),
+         |s AS (SELECT o_orderkey,
+         |    ((cast(o_custkey as bigint) - lo1) * 65535) // (hi1 - lo1) AS s1,
+         |    ((cast(o_orderkey as bigint) - lo2) * 65535) // (hi2 - lo2) AS s2
+         |  FROM orders CROSS JOIN d)
+         |SELECT o_orderkey, cast(($interleave) as bigint) AS zkey
+         |FROM s ORDER BY o_orderkey""".stripMargin
+    },
 
     // merged half-sketches must equal the one-pass whole-corpus sketch,
     // so the oracle is the IDENTICAL whole-corpus replay — the merge on
