@@ -110,4 +110,86 @@ object Zorder {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     path
   }
+
+  /** Probe each cluster column's min/max with one bounded aggregate. */
+  def domainsOf(df: DataFrame, clusterCols: Seq[String]): Seq[(String, Long, Long)] = {
+    val aggs = clusterCols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    clusterCols.zipWithIndex.map { case (c, i) =>
+      (c, row.getLong(2 * i), row.getLong(2 * i + 1))
+    }
+  }
+
+  /** DETERMINISTIC bucketed z-layout: bucket id = `_zkey div width` with
+    * fixed width = keyspace / nBuckets, one parquet file per non-empty
+    * bucket (repartition on the bucket column puts each bucket's rows in
+    * exactly one task; partitionBy splits that task's output per bucket
+    * dir). Unlike [[clusteredWrite]]'s `repartitionByRange` — whose file
+    * bounds come from a SAMPLE and so differ run to run — the bucket
+    * function here is pure integer arithmetic over driver-probed domains,
+    * REPLAYABLE verbatim in SQL: that is what lets `q_zorder_prune`
+    * value-gate files-read counts against a DuckDB replay of the same
+    * layout. Fixed-width buckets trade balanced file sizes (range
+    * partitioning's strength) for replayability; production layouts keep
+    * the range shuffle, this writer exists to make the PRUNING contract
+    * an oracle-checkable value. Returns the probed domains. */
+  def bucketedWrite(df: DataFrame, path: String, clusterCols: Seq[String],
+      bits: Int, nBuckets: Int): Seq[(String, Long, Long)] = {
+    require(nBuckets > 0 && Integer.bitCount(nBuckets) == 1,
+      s"nBuckets=$nBuckets must be a power of two so width divides the keyspace")
+    val domains = domainsOf(df, clusterCols)
+    val width = (1L << (bits * clusterCols.size)) / nBuckets
+    withKey(df, domains, bits)
+      .withColumn("_zb", expr(s"_zkey div $width"))
+      .repartition(col("_zb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("_zb").parquet(path)
+    domains
+  }
+
+  /** File-level data skipping from parquet footer min/max stats: keep
+    * the files whose stats range on EVERY probed column intersects that
+    * column's probe range; a pruned-out file provably contains no
+    * matching row (footer min/max are exact bounds), so reading only the
+    * survivors is lossless — `q_zorder_prune` gates exactly that (a
+    * false skip undercounts and hash-fails the row). The footer pass is
+    * bounded metadata I/O (one footer per file, no data pages); at
+    * cluster scale the same (column → min/max) table lives in a lakehouse
+    * manifest and this listing becomes a manifest scan — the planning
+    * decision is identical. Returns (totalDataFiles, selectedPaths). */
+  def statsPrune(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: Seq[(String, Long, Long)]): (Int, Seq[String]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) files += st.getPath
+    }
+    val selected = files.filter { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = r.getFooter.getBlocks.asScala
+        probes.forall { case (cname, lo, hi) =>
+          val stats = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == cname)
+            .getOrElse(throw new IllegalArgumentException(
+              s"statsPrune: column $cname not found in $f"))
+            .getStatistics)
+          val fMin = stats.map(_.genericGetMin
+            .asInstanceOf[java.lang.Long].longValue).min
+          val fMax = stats.map(_.genericGetMax
+            .asInstanceOf[java.lang.Long].longValue).max
+          fMin <= hi && fMax >= lo
+        }
+      } finally r.close()
+    }
+    (files.size, selected.map(_.toString).toSeq)
+  }
 }

@@ -53,6 +53,11 @@ object LlmPipeline {
   /** Once-per-(jvm, sf dir) ACID table for the VACUUM gate. */
   private val vacuumSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Once-per-(jvm, sf dir) deterministic bucketed z-layout of `orders`
+    * (path + probed cluster-column domains) for the pruning gate. */
+  private val zorderSpooled =
+    scala.collection.concurrent.TrieMap[String, (String, Seq[(String, Long, Long)])]()
+
   /** Once-per-(jvm, sf dir) persisted IVF-PQ index — the production
     * split: the corpus pass builds + saves once, every probe loads the
     * parquet index (so the gate row exercises save/load, and the bench
@@ -973,6 +978,49 @@ object LlmPipeline {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- z-order PRUNING as a VALUE gate: write the DETERMINISTIC
+    // bucketed z-layout (Zorder.bucketedWrite — fixed-width key buckets,
+    // one file per bucket, replayable in SQL, unlike the sampled
+    // range-partition bounds of clusteredWrite), then for three probes
+    // (a narrow o_custkey range, a narrow o_orderkey range, and their
+    // conjunction) run the engine's footer-stats skipping planner
+    // (Zorder.statsPrune) and COUNT MATCHES READING ONLY THE SURVIVING
+    // FILES. The oracle rebuilds the same bucket assignment in SQL and
+    // computes which buckets' min/max intersect each probe: files_read
+    // gates the planner's stats semantics, and match_cnt — counted from
+    // the pruned read vs the oracle's full-table count — proves NO FALSE
+    // SKIPS (a wrongly pruned file undercounts and hash-fails). The row
+    // values themselves pin the payoff: each probe reads a fraction of
+    // the 16 buckets on EITHER dimension ----
+    "q_zorder_prune" -> ((s, dir) => {
+      val (path, domains) = zorderSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-zprune").toString + "/orders_z"
+        val doms = graft.ext.Zorder.bucketedWrite(
+          t(s, dir, "orders"), d, Seq("o_custkey", "o_orderkey"),
+          bits = 16, nBuckets = 16)
+        (d, doms)
+      })
+      val Seq((_, lo1, hi1), (_, lo2, hi2)) = domains
+      val (p1lo, p1hi) = { val sp = hi1 - lo1; val a = lo1 + sp / 4; (a, a + sp / 20) }
+      val (p2lo, p2hi) = { val sp = hi2 - lo2; val a = lo2 + sp / 2; (a, a + sp / 20) }
+      def probeRow(name: String, pr: Seq[(String, Long, Long)]): DataFrame = {
+        val (total, sel) = graft.ext.Zorder.statsPrune(s, path, pr)
+        val cnt = if (sel.isEmpty) 0L else
+          s.read.parquet(sel: _*)
+            .filter(pr.map { case (c, lo, hi) => col(c).between(lo, hi) }
+              .reduce(_ && _))
+            .count()
+        import s.implicits._
+        Seq((name, total.toLong, sel.size.toLong, cnt))
+          .toDF("probe", "files_total", "files_read", "match_cnt")
+      }
+      probeRow("p_both", Seq(("o_custkey", p1lo, p1hi), ("o_orderkey", p2lo, p2hi)))
+        .unionAll(probeRow("p_cust", Seq(("o_custkey", p1lo, p1hi))))
+        .unionAll(probeRow("p_order", Seq(("o_orderkey", p2lo, p2hi))))
+        .orderBy(col("probe"))
+    }),
+
     // ---- CMS mergeability as a VALUE gate: two half-corpus sketches
     // (even/odd doc_id) summed element-wise must estimate identically
     // to the one-pass whole-corpus sketch — the property that lets
@@ -1835,6 +1883,57 @@ object LlmPipeline {
          |  FROM orders CROSS JOIN d)
          |SELECT o_orderkey, cast(($interleave) as bigint) AS zkey
          |FROM s ORDER BY o_orderkey""".stripMargin
+    },
+
+    // the pruning replay: rebuild the SAME fixed-width bucket assignment
+    // (zkey // width, width = 2^32/16) in SQL, compute each bucket's
+    // actual per-column min/max (== the parquet footer stats of the
+    // one-file-per-bucket layout), and count intersecting buckets per
+    // probe + the exact full-table match counts the pruned read must
+    // reproduce. Probes are domain-relative so the row is
+    // scale-factor-stable by construction, not by luck
+    "q_zorder_prune" -> {
+      val interleave = graft.ext.Zorder.zkeySql(Seq("s1", "s2"), 16)
+      s"""WITH d AS (SELECT cast(min(o_custkey) as bigint) lo1,
+         |    cast(max(o_custkey) as bigint) hi1,
+         |    cast(min(o_orderkey) as bigint) lo2,
+         |    cast(max(o_orderkey) as bigint) hi2 FROM orders),
+         |p AS (SELECT lo1 + (hi1-lo1)//4 AS p1lo,
+         |    lo1 + (hi1-lo1)//4 + (hi1-lo1)//20 AS p1hi,
+         |    lo2 + (hi2-lo2)//2 AS p2lo,
+         |    lo2 + (hi2-lo2)//2 + (hi2-lo2)//20 AS p2hi FROM d),
+         |s AS (SELECT o_orderkey, o_custkey,
+         |    ((cast(o_custkey as bigint) - lo1) * 65535) // (hi1 - lo1) AS s1,
+         |    ((cast(o_orderkey as bigint) - lo2) * 65535) // (hi2 - lo2) AS s2
+         |  FROM orders CROSS JOIN d),
+         |z AS (SELECT o_orderkey, o_custkey,
+         |    cast(($interleave) as bigint) // 268435456 AS zb FROM s),
+         |f AS (SELECT zb, min(o_custkey) clo, max(o_custkey) chi,
+         |    min(o_orderkey) olo, max(o_orderkey) ohi FROM z GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT 'p_both' AS probe,
+         |    (SELECT cast(count(*) as bigint) FROM f) AS files_total,
+         |    (SELECT cast(count(*) as bigint) FROM f, p
+         |     WHERE clo <= p1hi AND chi >= p1lo
+         |       AND olo <= p2hi AND ohi >= p2lo) AS files_read,
+         |    (SELECT cast(count(*) as bigint) FROM z, p
+         |     WHERE o_custkey BETWEEN p1lo AND p1hi
+         |       AND o_orderkey BETWEEN p2lo AND p2hi) AS match_cnt
+         |  UNION ALL
+         |  SELECT 'p_cust',
+         |    (SELECT cast(count(*) as bigint) FROM f),
+         |    (SELECT cast(count(*) as bigint) FROM f, p
+         |     WHERE clo <= p1hi AND chi >= p1lo),
+         |    (SELECT cast(count(*) as bigint) FROM z, p
+         |     WHERE o_custkey BETWEEN p1lo AND p1hi)
+         |  UNION ALL
+         |  SELECT 'p_order',
+         |    (SELECT cast(count(*) as bigint) FROM f),
+         |    (SELECT cast(count(*) as bigint) FROM f, p
+         |     WHERE olo <= p2hi AND ohi >= p2lo),
+         |    (SELECT cast(count(*) as bigint) FROM z, p
+         |     WHERE o_orderkey BETWEEN p2lo AND p2hi)
+         |) ORDER BY probe""".stripMargin
     },
 
     // merged half-sketches must equal the one-pass whole-corpus sketch,

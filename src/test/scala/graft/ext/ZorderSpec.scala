@@ -45,6 +45,57 @@ class ZorderSpec extends AnyFunSuite {
     assert(viaCol == viaSql)
   }
 
+  test("bucketedWrite: one file per non-empty bucket, deterministic assignment") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zbucket").toString + "/orders"
+    val orders = graft.Tables.t(spark, TestSpark.Sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val domains = Zorder.bucketedWrite(orders, dir,
+      Seq("o_custkey", "o_orderkey"), bits = 16, nBuckets = 16)
+    val width = (1L << 32) / 16
+    // the bucket dirs on disk are exactly the distinct computed bucket ids
+    val expected = Zorder.withKey(orders, domains, 16)
+      .select((col("_zkey") / lit(width)).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("_zb="))
+      .map(_.stripPrefix("_zb=").toLong).toSet
+    assert(dirs == expected)
+    // one data file per bucket dir — the invariant that makes per-bucket
+    // min/max in SQL equal per-FILE footer stats
+    new java.io.File(dir).listFiles.filter(_.isDirectory).foreach { d =>
+      assert(d.listFiles.count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName}: expected exactly one parquet file")
+    }
+  }
+
+  test("statsPrune never false-skips: pruned-read counts equal full counts") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zpruneprop").toString + "/orders"
+    val orders = graft.Tables.t(spark, TestSpark.Sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val Seq((_, lo1, hi1), (_, lo2, hi2)) = Zorder.bucketedWrite(orders, dir,
+      Seq("o_custkey", "o_orderkey"), bits = 16, nBuckets = 16)
+    val sp1 = hi1 - lo1; val sp2 = hi2 - lo2
+    // a grid of probes across both dimensions, incl. out-of-domain edges
+    val probes = for {
+      q <- Seq(0L, 1L, 2L, 3L, 4L)
+      w <- Seq(sp1 / 50 max 1L, sp1 / 7 max 1L)
+    } yield Seq(("o_custkey", lo1 + q * sp1 / 4 - w / 2, lo1 + q * sp1 / 4 + w / 2),
+                ("o_orderkey", lo2 + q * sp2 / 4, lo2 + q * sp2 / 4 + w))
+    var prunedSomething = false
+    probes.foreach { pr =>
+      val (total, sel) = Zorder.statsPrune(spark, dir, pr)
+      if (sel.size < total) prunedSomething = true
+      val filt = pr.map { case (c, lo, hi) => col(c).between(lo, hi) }.reduce(_ && _)
+      val full = orders.filter(filt).count()
+      val pruned = if (sel.isEmpty) 0L
+        else spark.read.parquet(sel: _*).filter(filt).count()
+      assert(pruned == full, s"probe $pr: pruned read lost rows ($pruned vs $full)")
+    }
+    assert(prunedSomething, "no probe pruned any file — layout gives no skipping")
+  }
+
   test("z-ordered files prune on BOTH dimensions from footer stats") {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
