@@ -16,6 +16,10 @@ import org.apache.spark.sql.types._
   *    watermark eviction)
   *  - `stateful`: `flatMapGroupsWithState` running per-user totals
   *    (arbitrary-state path)
+  *  - `join`: watermarked stream-stream join (both-sides-buffered state)
+  *  - `exactly_once_compact`: ACID ingest through the batch-id
+  *    watermarked sink with mid-stream compaction (real writes; the
+  *    q_stream_compact gate shape at throughput scale)
   *
   * Each workload drains the whole spool under `Trigger.AvailableNow`
   * through a `noop` sink (throughput, not result materialization), with
@@ -118,7 +122,37 @@ object StreamScaleBench {
           reader(spark, path).filter(col("event_type") === "purchase")
             .select(col("user_id").as("r_user"), col("ts").as("r_ts")),
           "l_user", "r_user", "l_ts", "r_ts",
-          lateness = "10 minutes", maxDelay = "30 minutes"), "append"))
+          lateness = "10 minutes", maxDelay = "30 minutes"), "append")),
+      // exactly-once ACID ingest × mid-stream compaction (the
+      // q_stream_compact gate shape at throughput scale): every
+      // micro-batch lands through AtomicLanding.streamSink (batch-id
+      // watermark + atomic manifest swing — REAL writes, unlike the noop
+      // drains above), and when the live snapshot accumulates >= 3 data
+      // dirs the small-file fold rewrites them into 4 files
+      // (numFiles = 4, NOT 1: a coalesce(1) fold is a single-task
+      // bottleneck precisely at the scale where compaction matters).
+      // Fresh table + checkpoint per run, so the sink watermark never
+      // carries across timings
+      "exactly_once_compact" -> (() => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-streambench-acid").toString
+        val landed = s"$root/landed"
+        val sink = graft.land.AtomicLanding.streamSink(landed)
+        val t0 = System.nanoTime()
+        val q = reader(spark, path).writeStream
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            sink(df, batchId)
+            if (graft.land.AtomicLanding.liveDirCount(landed) >= 3) {
+              graft.land.AtomicLanding.compact(spark, landed, numFiles = 4)
+              ()
+            }
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      })
     )
 
     def run(dir: String): (Long, Map[String, Double]) = {
