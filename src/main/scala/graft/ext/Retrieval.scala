@@ -110,7 +110,93 @@ object Retrieval {
       k: Int,
       idfScale: Long = 1000L,
       broadcastQueries: Boolean = true,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None): DataFrame =
+    scoreTopK(tfOf(docs), dfPre = None, statsOf(docs), queries, k,
+      idfScale, broadcastQueries, maxDf)
+
+  /** Per-doc (doc_id, dl, term, tf) — map-side byte scan, no exchange.
+    * dl is computed in its OWN projection BEFORE the explode: selected
+    * alongside the explode it lands in the post-Generate project and
+    * the full-text split re-runs once per exploded TERM row instead of
+    * once per doc — measured as the dominant cost of the corpus-scale
+    * self-join at 100× (~dl-terms × text-length splits, SURVEY §15). */
+  private def tfOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long").as("dl"),
+      col("text"))
+    .select(col("doc_id"), col("dl"),
+      explode(call_function("word_counts", col("text"))).as("tc"))
+    .select(col("doc_id"), col("dl"), col("tc.term").as("term"),
+      col("tc.cnt").cast("long").as("tf"))
+
+  /** One-row corpus stats; avgdl floored ONCE. */
+  private def statsOf(docs: DataFrame): DataFrame = docs
+    .agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tok"))
+    .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl"))
+
+  /** Persisted inverted index — the multi-query-SESSION dual of the
+    * inline path. The inline [[bm25TopK]] byte-scans the corpus text
+    * twice PER BATCH (candidate scan under the df aggregate and again
+    * as the probe side — §15.3's accepted trade for a straggler-free
+    * df); right for a one-shot batch, wrong for a retrieval session
+    * issuing many. Build materializes, in ONE corpus byte scan:
+    *
+    *  - `postings/` (doc_id, dl, term, tf) — columnar, so a query batch
+    *    reads 4 slim columns instead of re-splitting text;
+    *  - `df/` (term, df) — corpus document frequency, aggregated from
+    *    the just-written postings (no second text scan);
+    *  - `stats/` — the one-row (n_docs, avgdl).
+    *
+    * Every subsequent batch scores with NO text scan and NO df
+    * aggregation. df(term) over the whole corpus EQUALS df over the
+    * candidate set (every doc containing the term is a candidate for
+    * it), so indexed scores are bit-identical to the inline path —
+    * `q_bm25_indexed` hash-gates that equality against the same oracle
+    * as `q_bm25`, and RetrievalSpec pins frame-level equality incl.
+    * under a maxDf cap. */
+  def buildIndex(docs: DataFrame, path: String): String = {
+    val spark = docs.sparkSession
+    tfOf(docs).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/df")
+    statsOf(docs).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/stats")
+    path
+  }
+
+  /** Score a query batch from a [[buildIndex]] index. Same output
+    * contract and same bits as [[bm25TopK]] on the indexed corpus. */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int,
+      idfScale: Long = 1000L,
+      broadcastQueries: Boolean = true,
+      maxDf: Option[Long] = None): DataFrame =
+    scoreTopK(spark.read.parquet(s"$indexPath/postings"),
+      dfPre = Some(spark.read.parquet(s"$indexPath/df")),
+      spark.read.parquet(s"$indexPath/stats"), queries, k,
+      idfScale, broadcastQueries, maxDf)
+
+  /** The shared scoring core. `dfPre = None` counts df over the
+    * candidates per batch (inline path); `Some(table)` joins the
+    * prebuilt corpus df — restricted to the query vocabulary FIRST, so
+    * the broadcast hint covers a query-bounded slice, never the whole
+    * vocabulary. */
+  private def scoreTopK(
+      tf: DataFrame,
+      dfPre: Option[DataFrame],
+      stats: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idfScale: Long,
+      broadcastQueries: Boolean,
+      maxDf: Option[Long]): DataFrame = {
     require(k >= 1, s"bm25TopK needs k >= 1, got $k")
     require(maxDf.forall(_ > 0), s"maxDf must be positive: $maxDf")
 
@@ -123,33 +209,12 @@ object Retrieval {
       .select(col("query_id"), col("qc.term").as("term"),
         col("qc.cnt").cast("long").as("qtf"))
 
-    // per-doc (term, tf, dl) — map-side byte scan, no exchange. dl is
-    // computed in its OWN projection BEFORE the explode: selected
-    // alongside the explode it lands in the post-Generate project and
-    // the full-text split re-runs once per exploded TERM row instead of
-    // once per doc — measured as the dominant cost of the corpus-scale
-    // self-join at 100× (~dl-terms × text-length splits, SURVEY §15)
-    val tf = docs
-      .select(col("doc_id"),
-        size(split(col("text"), " ", -1)).cast("long").as("dl"),
-        col("text"))
-      .select(col("doc_id"), col("dl"),
-        explode(call_function("word_counts", col("text"))).as("tc"))
-      .select(col("doc_id"), col("dl"), col("tc.term").as("term"),
-        col("tc.cnt").cast("long").as("tf"))
-
     // candidate rows: only docs containing some query term survive the
     // map-side broadcast semi-filter (distinct terms — qtf re-attaches
     // in the scoring join, and duplicating candidate rows per repeated
     // query term before df would inflate df)
     val qvocab = qterms.select(col("term")).distinct()
     val cand = tf.join(hint(qvocab), Seq("term"))
-
-    // one-row corpus stats; floor avgdl once
-    val stats = docs
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tok"))
-      .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl"))
 
     // df over the filtered candidates: one row per (doc, term) by
     // word_counts construction, so count(*) = document frequency.
@@ -165,9 +230,13 @@ object Retrieval {
     // as the probe side) — measured as the SMALL term of the
     // corpus-scale cost (54.5 → 50 s at the 100× dir; the dominant
     // term was the per-exploded-row dl recompute fixed above). The
-    // absolute cap cuts long posting lists from the df TABLE, before
-    // the scoring join multiplies them by the query side.
-    val dfT0 = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // indexed path pays neither scan: its df table was built once.
+    // The absolute cap cuts long posting lists from the df TABLE,
+    // before the scoring join multiplies them by the query side.
+    val dfT0 = dfPre match {
+      case Some(table) => table.join(hint(qvocab), Seq("term"))
+      case None => cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
     val dfT = maxDf match {
       case Some(cap) => dfT0.filter(col("df") <= lit(cap))
       case None      => dfT0

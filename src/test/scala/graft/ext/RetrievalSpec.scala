@@ -119,6 +119,46 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(full == uncapped)
   }
 
+  test("indexed path is bit-identical to inline, incl. capped and shuffle duals") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25idx-spec").toString + "/idx"
+    Retrieval.buildIndex(corpus, dir)
+    val queries = q(0L -> "spark the query", 1L -> "dogs chase",
+      2L -> "query query engines", 3L -> "nomatch")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect().toSeq
+    // default broadcast path
+    assert(canon(Retrieval.bm25TopKIndexed(spark, dir, queries, k = 3)) ==
+      canon(Retrieval.bm25TopK(corpus, queries, k = 3)))
+    // posting-list cap filters the prebuilt df table identically
+    assert(canon(Retrieval.bm25TopKIndexed(spark, dir, queries, k = 3,
+        maxDf = Some(2L))) ==
+      canon(Retrieval.bm25TopK(corpus, queries, k = 3, maxDf = Some(2L))))
+    // corpus-scale shuffle dual over the index
+    assert(canon(Retrieval.bm25TopKIndexed(spark, dir, queries, k = 3,
+        broadcastQueries = false)) ==
+      canon(Retrieval.bm25TopK(corpus, queries, k = 3,
+        broadcastQueries = false)))
+  }
+
+  test("indexed scoring plans no Generate: the text explode ran at build") {
+    import org.apache.spark.sql.execution.SparkPlan
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25idx-plan").toString + "/idx"
+    Retrieval.buildIndex(corpus, dir)
+    val plan = Retrieval.bm25TopKIndexed(spark, dir, q(0L -> "spark query"),
+      k = 3).queryExecution.executedPlan
+    def countGen(p: SparkPlan): Int =
+      collectWithSubqueries(p) {
+        case g: org.apache.spark.sql.execution.GenerateExec
+          // the query-side explode (bounded batch) is expected; corpus-
+          // side Generates would mean the postings read re-exploded text
+          if g.output.exists(_.name == "tc") => g
+      }.size
+    assert(countGen(plan) == 0,
+      "corpus-side word_counts Generate in the indexed scoring plan")
+  }
+
   test("matches a naive exploded-join reference on the fixture corpus") {
     import org.apache.spark.sql.functions._
     val fixture = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
