@@ -187,7 +187,14 @@ object AtomicLanding {
     * the published pointer are readable: a crash between manifest write
     * and pointer swing leaves an orphaned FUTURE manifest on disk, and
     * that snapshot was never committed. */
-  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    spark.read.parquet(dirsOfVersion(table, version).map(d => s"$table/$d"): _*)
+
+  /** The data dirs a committed version references (relative to `table`)
+    * — the manifest-level delta primitive [[ChangeFeed]] diffs to serve
+    * incremental reads. Same reachability rule as [[readVersion]]: only
+    * versions at or below the published pointer exist. */
+  def dirsOfVersion(table: String, version: Long): Seq[String] = {
     val cur = currentVersion(table)
     require(cur.exists(_ >= version),
       s"version $version was never published (current: ${cur.getOrElse(-1L)}) — " +
@@ -195,9 +202,8 @@ object AtomicLanding {
     val manifest = hp(table, "manifests", manifestName(version))
     val fs = fsOf(manifest)
     require(fs.exists(manifest), s"version $version not found (vacuumed?)")
-    val dirs = readUtf8(fs, manifest).split("\n").toSeq
+    readUtf8(fs, manifest).split("\n").toSeq
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-    spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
   }
 
   /** Upsert (MERGE-by-key): rows of `updates` replace current rows with

@@ -53,10 +53,20 @@ object LlmPipeline {
   /** Once-per-(jvm, sf dir) ACID table for the VACUUM gate. */
   private val vacuumSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Once-per-(jvm, sf dir) ACID table for the SCHEMA-EVOLUTION gate. */
+  private val evolveSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Once-per-(jvm, sf dir) ACID table for the CHANGE-DATA-FEED gate. */
+  private val cdfSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Once-per-(jvm, sf dir) deterministic bucketed z-layout of `orders`
     * (path + probed cluster-column domains) for the pruning gate. */
   private val zorderSpooled =
     scala.collection.concurrent.TrieMap[String, (String, Seq[(String, Long, Long)])]()
+
+  /** Once-per-(jvm, sf dir) persisted BM25 inverted index (postings +
+    * corpus df + stats) — the build-once/probe-many retrieval split. */
+  private val bm25IdxSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) persisted IVF-PQ index — the production
     * split: the corpus pass builds + saves once, every probe loads the
@@ -270,6 +280,69 @@ object LlmPipeline {
           countDistinct(col("doc_id")).as("n_ids"))
         .withColumn("n_live_dirs",
           lit(graft.land.AtomicLanding.liveDirCount(tbl).toLong))
+    }),
+
+    // ---- CHANGE DATA FEED under the gate (land/ChangeFeed.scala): an
+    // incremental consumer reads the DELTA between two committed
+    // versions, not the table. Span v0->v1 is an append — served from
+    // the ADDED DIRS ONLY (manifest-level fast path, no old-snapshot
+    // scan, cost ∝ delta); span v1->v2 is a merge rewrite — served by
+    // the keyed full-outer snapshot diff (update_pre/update_post pairs
+    // + inserts; identical images emit nothing). Both paths' full
+    // change rows are hash-gated: the oracle re-derives every image
+    // from the raw table ----
+    "q_acid_cdf" -> ((s, dir) => {
+      val tbl = cdfSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-acidcdf").toString + "/t"
+        val ds = docs(s, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+        graft.land.AtomicLanding.commit(ds.filter(col("doc_id") >= 20), d)
+        graft.land.AtomicLanding.commit(
+          ds.filter(col("doc_id") >= 10 && col("doc_id") < 20), d,
+          append = true)
+        val upd = ds.filter(col("doc_id") >= 10 && col("doc_id") < 15)
+          .select(col("doc_id"), lit(-1L).as("n"))
+          .unionByName(ds.filter(col("doc_id") < 5)
+            .select((col("doc_id") + 30000).as("doc_id"), lit(-2L).as("n")))
+        graft.land.AtomicLanding.merge(upd, d, "doc_id")
+        d
+      })
+      graft.land.ChangeFeed.changes(s, tbl, 0L, 1L, "doc_id")
+        .withColumn("span", lit("v0_v1"))
+        .unionByName(graft.land.ChangeFeed.changes(s, tbl, 1L, 2L, "doc_id")
+          .withColumn("span", lit("v1_v2")))
+        .select(col("span"), col("change_type"), col("doc_id"), col("n"))
+        .orderBy(col("span"), col("change_type"), col("doc_id"))
+    }),
+
+    // ---- ACID SCHEMA EVOLUTION under the gate: v0 commits (doc_id,
+    // source); an evolveSchema append lands rows carrying a NEW n_chars
+    // column. The merged read must surface the column with nulls in
+    // pre-evolution rows (n_missing), exact values in the new rows
+    // (sum_new), and NO row loss (n_rows); the v0 snapshot read through
+    // time travel must still be 2 columns wide (n_v0_cols) — an
+    // evolution that rewrote history instead of layering would change
+    // it. Enforcement (the same append WITHOUT the flag throws) is
+    // spec-pinned in AtomicLandingSpec ----
+    "q_acid_evolve" -> ((s, dir) => {
+      val tbl = evolveSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("graft-acidevolve").toString + "/t"
+        val ds = docs(s, dir)
+        graft.land.AtomicLanding.commit(
+          ds.filter(col("doc_id") >= 10).select(col("doc_id"), col("source")), d)
+        graft.land.AtomicLanding.commit(
+          ds.filter(col("doc_id") < 10).select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("n_chars")),
+          d, append = true, evolveSchema = true)
+        d
+      })
+      graft.land.AtomicLanding.read(s, tbl, mergeSchema = true)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_new"))
+        .withColumn("n_v0_cols",
+          lit(graft.land.AtomicLanding.readVersion(s, tbl, 0L)
+            .columns.length.toLong))
     }),
 
     // ---- the maintenance trilogy's last act, VACUUM, under the gate:
@@ -911,6 +984,30 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- BM25 from the PERSISTED inverted index (Retrieval.buildIndex
+    // — the multi-query-session dual): the corpus byte scan runs ONCE at
+    // build; this row loads postings/df/stats from parquet and scores
+    // the same batch as q_bm25 with no text scan and no df aggregation.
+    // Same oracle as q_bm25: corpus df ≡ candidate df (every doc
+    // containing a term is a candidate for it), so the index path must
+    // reproduce the inline path's bits exactly — any drift in the
+    // persisted postings, the prebuilt df, or the save/load round trip
+    // hash-fails here ----
+    "q_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val idx = bm25IdxSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-bm25idx").toString + "/idx"
+        Retrieval.buildIndex(docs(s, dir).select(col("doc_id"), col("text")), d)
+      })
+      val qs = Seq(
+        (0L, "spark query engine"), (1L, "join filter window"),
+        (2L, "customer order stream"), (3L, "table scan merge sort"))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25TopKIndexed(s, idx, qs, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- BM25 CORPUS-SCALE dual (the retrieval self-join shape, mirror
     // of q_cosine_ivfpq_selfjoin): EVERY doc probes the corpus with its
     // own first-8-token prefix as the query. broadcastQueries = false —
@@ -1113,6 +1210,10 @@ object LlmPipeline {
     * (the driver then records a rows-only check for a result that does
     * not exist either) rather than crashing the whole oracle dump. */
   def oracles: Map[String, String] = staticOracles ++
+    // indexed BM25 must reproduce the inline path's bits exactly
+    // (corpus df ≡ candidate df over the query vocabulary), so its
+    // oracle IS q_bm25's — aliased, not copied, so they cannot drift
+    Map("q_bm25_indexed" -> staticOracles("q_bm25")) ++
     // single-dir contract: the trained oracle replays the LAST dir's
     // learned merges — pairing one dir's dump with another dir's merges
     // is only possible if a caller interleaves dirs before dumping,
@@ -1208,6 +1309,36 @@ object LlmPipeline {
         |SELECT cast(1 as bigint), cast(count(*) + sum(CASE WHEN doc_id % 2 = 0
         |  THEN 1 ELSE 0 END) as bigint) FROM documents
         |ORDER BY version""".stripMargin,
+
+    // the change feed re-derived from the raw table: the append span is
+    // all inserts (docs 10..19); the merge span is update image pairs
+    // for 10..14 plus the 5 shifted-key inserts
+    "q_acid_cdf" ->
+      """SELECT * FROM (
+        |  SELECT 'v0_v1' AS span, 'insert' AS change_type, doc_id,
+        |    cast(length(text) as bigint) AS n
+        |  FROM documents WHERE doc_id >= 10 AND doc_id < 20
+        |  UNION ALL
+        |  SELECT 'v1_v2', 'update_pre', doc_id, cast(length(text) as bigint)
+        |  FROM documents WHERE doc_id >= 10 AND doc_id < 15
+        |  UNION ALL
+        |  SELECT 'v1_v2', 'update_post', doc_id, cast(-1 as bigint)
+        |  FROM documents WHERE doc_id >= 10 AND doc_id < 15
+        |  UNION ALL
+        |  SELECT 'v1_v2', 'insert', doc_id + 30000, cast(-2 as bigint)
+        |  FROM documents WHERE doc_id < 5
+        |) ORDER BY span, change_type, doc_id""".stripMargin,
+
+    // evolveSchema append: old rows surface the new column as NULL, new
+    // rows carry exact values, v0 history stays 2 columns wide
+    "q_acid_evolve" ->
+      """SELECT cast(count(*) as bigint) AS n_rows,
+        |  cast(sum(CASE WHEN doc_id >= 10 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_missing,
+        |  cast(sum(CASE WHEN doc_id < 10 THEN length(text) ELSE 0 END)
+        |    as bigint) AS sum_new,
+        |  cast(2 as bigint) AS n_v0_cols
+        |FROM documents""".stripMargin,
 
     // append + compact + full vacuum: rows intact, zero superseded left
     "q_acid_vacuum" ->
