@@ -56,8 +56,26 @@ object LlmPipeline {
   /** Once-per-(jvm, sf dir) ACID table for the SCHEMA-EVOLUTION gate. */
   private val evolveSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
-  /** Once-per-(jvm, sf dir) ACID table for the CHANGE-DATA-FEED gate. */
+  /** Once-per-(jvm, sf dir) ACID table for the CHANGE-DATA-FEED and
+    * incremental-aggregate gates: v0 = docs >= 20, v1 appends 10..19,
+    * v2 merges (update 10..14 to n = -1, insert 5 shifted keys at -2). */
   private val cdfSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def cdfBuild(s: SparkSession, dir: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-acidcdf").toString + "/t"
+    val ds = docs(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    graft.land.AtomicLanding.commit(ds.filter(col("doc_id") >= 20), d)
+    graft.land.AtomicLanding.commit(
+      ds.filter(col("doc_id") >= 10 && col("doc_id") < 20), d,
+      append = true)
+    val upd = ds.filter(col("doc_id") >= 10 && col("doc_id") < 15)
+      .select(col("doc_id"), lit(-1L).as("n"))
+      .unionByName(ds.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 30000).as("doc_id"), lit(-2L).as("n")))
+    graft.land.AtomicLanding.merge(upd, d, "doc_id")
+    d
+  }
 
   /** Once-per-(jvm, sf dir) deterministic bucketed z-layout of `orders`
     * (path + probed cluster-column domains) for the pruning gate. */
@@ -292,27 +310,52 @@ object LlmPipeline {
     // change rows are hash-gated: the oracle re-derives every image
     // from the raw table ----
     "q_acid_cdf" -> ((s, dir) => {
-      val tbl = cdfSpooled.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("graft-acidcdf").toString + "/t"
-        val ds = docs(s, dir)
-          .select(col("doc_id"), length(col("text")).cast("long").as("n"))
-        graft.land.AtomicLanding.commit(ds.filter(col("doc_id") >= 20), d)
-        graft.land.AtomicLanding.commit(
-          ds.filter(col("doc_id") >= 10 && col("doc_id") < 20), d,
-          append = true)
-        val upd = ds.filter(col("doc_id") >= 10 && col("doc_id") < 15)
-          .select(col("doc_id"), lit(-1L).as("n"))
-          .unionByName(ds.filter(col("doc_id") < 5)
-            .select((col("doc_id") + 30000).as("doc_id"), lit(-2L).as("n")))
-        graft.land.AtomicLanding.merge(upd, d, "doc_id")
-        d
-      })
+      val tbl = cdfSpooled.getOrElseUpdate(dir, cdfBuild(s, dir))
       graft.land.ChangeFeed.changes(s, tbl, 0L, 1L, "doc_id")
         .withColumn("span", lit("v0_v1"))
         .unionByName(graft.land.ChangeFeed.changes(s, tbl, 1L, 2L, "doc_id")
           .withColumn("span", lit("v1_v2")))
         .select(col("span"), col("change_type"), col("doc_id"), col("n"))
         .orderBy(col("span"), col("change_type"), col("doc_id"))
+    }),
+
+    // ---- INCREMENTAL AGGREGATE MAINTENANCE under the gate
+    // (land/IncrementalAgg.scala): the materialized (cnt, nn, sum)
+    // aggregate of the CDF table is built ONCE from the v0 snapshot and
+    // then only ever advanced by change-feed deltas (append span, then
+    // merge span) — the Spark side never re-aggregates the final table;
+    // the oracle computes the v2 truth from the raw fixture, so any
+    // drift in the signed-delta algebra, the NULL convention, or the
+    // vanished-group rule hash-fails ----
+    "q_acid_incragg" -> ((s, dir) => {
+      val tbl = cdfSpooled.getOrElseUpdate(dir, cdfBuild(s, dir))
+      val keys = Seq("grp"); val ms = Seq("n")
+      def keyed(df: DataFrame) = df.withColumn("grp", col("doc_id") % 7)
+      val v0 = graft.land.IncrementalAgg.full(
+        keyed(graft.land.AtomicLanding.readVersion(s, tbl, 0L)), keys, ms)
+      val v1 = graft.land.IncrementalAgg.apply(v0,
+        keyed(graft.land.ChangeFeed.changes(s, tbl, 0L, 1L, "doc_id")), keys, ms)
+      graft.land.IncrementalAgg.apply(v1,
+          keyed(graft.land.ChangeFeed.changes(s, tbl, 1L, 2L, "doc_id")), keys, ms)
+        .orderBy(col("grp"))
+    }),
+
+    // ---- min/max maintenance (the NON-invertible complement): the v1
+    // aggregate advances to v2 by re-aggregating ONLY the groups the
+    // merge touched (broadcast semi-join on the delta's key set);
+    // untouched groups keep their v1 rows verbatim. Oracle = the v2
+    // truth, so a stale untouched row or a missed touched group fails ----
+    "q_acid_incragg_minmax" -> ((s, dir) => {
+      val tbl = cdfSpooled.getOrElseUpdate(dir, cdfBuild(s, dir))
+      val keys = Seq("grp"); val ms = Seq("n")
+      def keyed(df: DataFrame) = df.withColumn("grp", col("doc_id") % 7)
+      graft.land.IncrementalAgg.refreshMinMax(
+          graft.land.IncrementalAgg.fullMinMax(
+            keyed(graft.land.AtomicLanding.readVersion(s, tbl, 1L)), keys, ms),
+          keyed(graft.land.AtomicLanding.readVersion(s, tbl, 2L)),
+          keyed(graft.land.ChangeFeed.changes(s, tbl, 1L, 2L, "doc_id")),
+          keys, ms)
+        .orderBy(col("grp"))
     }),
 
     // ---- ACID SCHEMA EVOLUTION under the gate: v0 commits (doc_id,
@@ -1118,6 +1161,32 @@ object LlmPipeline {
         .orderBy(col("probe"))
     }),
 
+    // ---- DDSketch-style log2 quantile histogram (ext/LogHistogram
+    // .scala): ≤ 63-bucket bounded-memory mergeable quantile state —
+    // the sketch complement to q_approx_quantile, whose built-in
+    // summary is merge-order-dependent and so can never be value-gated.
+    // bucket(x) = length(bin(x)) - 1 is pure integer in BOTH engines,
+    // so the histogram itself is hash-gated exactly ----
+    "q_loghist" -> ((s, dir) => {
+      graft.ext.LogHistogram.sketch(
+          docs(s, dir).select(
+            size(split(col("text"), " ", -1)).cast("long").as("x")), "x")
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- quantile extraction from the log2 histogram: permille
+    // thresholds in pure integer arithmetic (ceil(n·p/1000) = (n·p+999)
+    // div 1000 — no doubles, no DECIMAL parsing trap), answers are
+    // bucket lower bounds with the γ=2 relative-error contract ----
+    "q_loghist_quantiles" -> ((s, dir) => {
+      graft.ext.LogHistogram.quantiles(
+          graft.ext.LogHistogram.sketch(
+            docs(s, dir).select(
+              size(split(col("text"), " ", -1)).cast("long").as("x")), "x"),
+          Seq(500, 900, 990))
+        .orderBy(col("permille"))
+    }),
+
     // ---- CMS mergeability as a VALUE gate: two half-corpus sketches
     // (even/odd doc_id) summed element-wise must estimate identically
     // to the one-pass whole-corpus sketch — the property that lets
@@ -1309,6 +1378,34 @@ object LlmPipeline {
         |SELECT cast(1 as bigint), cast(count(*) + sum(CASE WHEN doc_id % 2 = 0
         |  THEN 1 ELSE 0 END) as bigint) FROM documents
         |ORDER BY version""".stripMargin,
+
+    // the maintained aggregate must equal the v2 truth re-derived from
+    // the raw table: final state = docs >= 15 at length(text), 10..14
+    // at -1, plus 5 shifted -2 rows; nn_n == cnt (n never null here)
+    "q_acid_incragg" ->
+      """WITH st AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 10 AND doc_id < 15 THEN -1
+        |         ELSE length(text) END AS n
+        |  FROM documents WHERE doc_id >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 30000, -2 FROM documents WHERE doc_id < 5)
+        |SELECT doc_id % 7 AS grp, cast(count(*) as bigint) AS cnt,
+        |  cast(count(*) as bigint) AS nn_n, cast(sum(n) as bigint) AS sum_n
+        |FROM st GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // min/max over the same final state
+    "q_acid_incragg_minmax" ->
+      """WITH st AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 10 AND doc_id < 15 THEN -1
+        |         ELSE length(text) END AS n
+        |  FROM documents WHERE doc_id >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 30000, -2 FROM documents WHERE doc_id < 5)
+        |SELECT doc_id % 7 AS grp, cast(count(*) as bigint) AS cnt,
+        |  cast(min(n) as bigint) AS min_n, cast(max(n) as bigint) AS max_n
+        |FROM st GROUP BY 1 ORDER BY grp""".stripMargin,
 
     // the change feed re-derived from the raw table: the append span is
     // all inserts (docs 10..19); the merge span is update image pairs
@@ -2066,6 +2163,30 @@ object LlmPipeline {
          |     WHERE o_orderkey BETWEEN p2lo AND p2hi)
          |) ORDER BY probe""".stripMargin
     },
+
+    // the log2 histogram replay: same binary-string-length bucket
+    "q_loghist" ->
+      """SELECT cast(length(bin(x)) - 1 as bigint) AS bucket,
+        |  cast(count(*) as bigint) AS cnt
+        |FROM (SELECT cast(len(string_split(text, ' ')) as bigint) x
+        |      FROM documents)
+        |WHERE x >= 1 GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // permille thresholds replayed with the identical integer ceil
+    "q_loghist_quantiles" ->
+      """WITH v AS (SELECT cast(len(string_split(text, ' ')) as bigint) x
+        |           FROM documents),
+        |h AS (SELECT cast(length(bin(x)) - 1 as bigint) bucket,
+        |        cast(count(*) as bigint) cnt
+        |      FROM v WHERE x >= 1 GROUP BY 1),
+        |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) cum,
+        |        sum(cnt) OVER () total FROM h),
+        |q(permille) AS (VALUES (500), (900), (990))
+        |SELECT cast(permille as bigint) AS permille,
+        |  cast(min(bucket) as bigint) AS bucket,
+        |  cast((1::BIGINT << min(bucket)) as bigint) AS est
+        |FROM q JOIN c ON cum >= (total * permille + 999) // 1000
+        |GROUP BY permille ORDER BY permille""".stripMargin,
 
     // merged half-sketches must equal the one-pass whole-corpus sketch,
     // so the oracle is the IDENTICAL whole-corpus replay — the merge on
