@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.LlmPipeline.queries ++
     graft.queries.Streaming.queries ++
-    graft.queries.Temporal.queries
+    graft.queries.Temporal.queries ++
+    graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
     graft.queries.LlmPipeline.oracles ++
     graft.queries.Streaming.oracles ++
-    graft.queries.Temporal.oracles
+    graft.queries.Temporal.oracles ++
+    graft.queries.Analytics.oracles
 }

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.ext.{Behavior, FuzzyJoin, PageRank}
+
+/** Entity-resolution + behavioral + iterative-graph analytics tier:
+  * fuzzy (edit-distance) similarity join, ordered conversion funnel,
+  * cohort retention, and fixed-point PageRank — each value-gated against
+  * a DuckDB oracle that replays the exact algorithm (the PageRank oracle
+  * unrolls the integer-arithmetic iteration as CTEs, so even the
+  * iterative path is hash-compared, not rows-only). */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- edit-distance similarity self-join over customer names:
+    // deletion-neighborhood signatures -> equi-join on sig hash ->
+    // levenshtein verification; never the O(n²) cross join the oracle
+    // brute-forces at fixture scale ----
+    "q_fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.selfJoinEd1(t(s, dir, "customer"), "c_name")
+        .select(col("key_a").as("name_a"), col("key_b").as("name_b"))
+        .orderBy(col("name_a"), col("name_b"))),
+
+    // ---- strictly-ordered conversion funnel: first view -> first
+    // later click -> first later purchase; min-timestamp stages
+    // co-partitioned on user_id, no whole-log window sort ----
+    "q_funnel" -> ((s, dir) =>
+      Behavior.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))),
+
+    // ---- day-grain cohort retention triangle ----
+    "q_retention" -> ((s, dir) =>
+      Behavior.retention(t(s, dir, "events"))
+        .orderBy(col("cohort_day"), col("day_offset"))),
+
+    // ---- 5-iteration fixed-point PageRank over the supplier->customer
+    // shipment graph (customer node ids offset by 1e6); integer-scaled
+    // arithmetic makes the iterative result bit-exact cross-engine ----
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (lit(1000000L) + col("o_custkey")).as("dst"))
+      PageRank.ranks(s, edges, iters = 5).orderBy(col("node"))
+    })
+  )
+
+  private val Scale = "1000000000000"
+
+  /** One CTE pair per PageRank round: contributions (rank div outdeg
+    * summed by destination) then the damped update — the byte-for-byte
+    * SQL image of [[graft.ext.PageRank.ranks]]'s loop body. Sums cast
+    * back to bigint (DuckDB widens sum(bigint) to hugeint, which would
+    * reach pandas as a float and trip the dtype gate). */
+  private def pageRankRound(i: Int): String =
+    s"""s$i AS (SELECT e.dst AS node,
+       |    cast(sum(r${i - 1}.rank // deg.outdeg) AS bigint) AS inc
+       |  FROM e JOIN deg ON e.src = deg.src
+       |  JOIN r${i - 1} ON r${i - 1}.node = e.src GROUP BY 1),
+       |r$i AS (SELECT nodes.node,
+       |    (SELECT (15 * ($Scale // n)) // 100 FROM nn)
+       |      + (85 * coalesce(s$i.inc, 0)) // 100 AS rank
+       |  FROM nodes LEFT JOIN s$i ON s$i.node = nodes.node)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q_fuzzy_join" ->
+      """SELECT a.c_name AS name_a, b.c_name AS name_b
+        |FROM (SELECT DISTINCT c_name FROM customer) a
+        |JOIN (SELECT DISTINCT c_name FROM customer) b ON a.c_name < b.c_name
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT '2_click' AS stage, count(*) AS users FROM c
+        |UNION ALL SELECT '3_purchase' AS stage, count(*) AS users FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, cast(min(ts) AS date) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  date_diff('day', f.cohort_day, cast(e.ts AS date)) AS day_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_pagerank" ->
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+         |    1000000 + o_custkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, (SELECT $Scale // n FROM nn) AS rank FROM nodes),
+         |${(1 to 5).map(pageRankRound).mkString(",\n")}
+         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+  )
+}

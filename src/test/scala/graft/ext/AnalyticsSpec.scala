@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------- FuzzyJoin ----------
+
+  test("deletion-signature join equals the brute-force levenshtein cross join") {
+    val names = (spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
+        .select(col("c_name").as("k")).limit(200).as[String].collect().toSeq ++
+      Seq("ab", "ba", "a", "", "abc", "abd", "abcd", "xabc", "café", "cafe"))
+      .toDF("k")
+    val got = FuzzyJoin.selfJoinEd1(names, "k")
+      .select(col("key_a"), col("key_b"))
+    val want = names.distinct().as("a")
+      .crossJoin(names.distinct().as("b"))
+      .where(col("a.k") < col("b.k"))
+      .where(levenshtein(col("a.k"), col("b.k")) <= 1)
+      .select(col("a.k").as("key_a"), col("b.k").as("key_b"))
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    assert(want.count() > 0) // the fixture must actually exercise matches
+  }
+
+  test("fuzzy join plans no cartesian product or nested-loop join") {
+    val names = Seq("aa", "ab", "ba").toDF("k")
+    val plan = FuzzyJoin.selfJoinEd1(names, "k")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ---------- Behavior: funnel ----------
+
+  test("funnel enforces strict stage order, not mere presence") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(ts0.getTime + min * 60000L)
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", at(0)), (1L, "click", at(1)), (1L, "purchase", at(2)),
+      // u2: click BEFORE first view, purchase after a later click -> u2
+      // reaches click only via the post-view click at t=5
+      (2L, "click", at(0)), (2L, "view", at(1)), (2L, "click", at(5)),
+      (2L, "purchase", at(3)), // before the qualifying click -> not stage 3
+      // u3: view only
+      (3L, "view", at(0)),
+      // u4: purchase then view then click (no purchase after click)
+      (4L, "purchase", at(0)), (4L, "view", at(1)), (4L, "click", at(2)),
+      // u5: no view at all
+      (5L, "click", at(0)), (5L, "purchase", at(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy(col("stage")).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("1_view", 4L), ("2_click", 3L), ("3_purchase", 1L)))
+  }
+
+  test("funnel stage joins stay keyed on user_id (no cross-user state)") {
+    // equal timestamps across stages: strict > means same-instant events
+    // do NOT advance the funnel
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((1L, "view", ts), (1L, "click", ts))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnel(ev, Seq("view", "click"))
+      .orderBy(col("stage")).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("1_view", 1L), ("2_click", 0L)))
+  }
+
+  // ---------- Behavior: retention ----------
+
+  test("retention buckets by first-seen calendar day and whole-day offsets") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 23:59:00")), (1L, ts("2024-01-02 00:01:00")),
+      (1L, ts("2024-01-05 12:00:00")),
+      (2L, ts("2024-01-02 08:00:00")), (2L, ts("2024-01-02 09:00:00")),
+      (3L, ts("2024-01-01 00:00:00")), (3L, ts("2024-01-02 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Behavior.retention(ev)
+      .orderBy(col("cohort_day"), col("day_offset"))
+      .select(col("cohort_day").cast("string"), col("day_offset"), col("users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L), // u1 + u3 on their cohort day
+      ("2024-01-01", 1, 2L), // both active next day (u1 at 00:01!)
+      ("2024-01-01", 4, 1L), // u1 on day 4
+      ("2024-01-02", 0, 1L))) // u2, same-day repeat collapses to 1 user
+  }
+
+  // ---------- PageRank ----------
+
+  /** Driver-side integer reference: the exact fixed-point recurrence on a
+    * dense map, summation order irrelevant by construction. */
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int,
+                       scale: Long): Map[Long, Long] = {
+    val dedup = edges.distinct
+    val nodes = (dedup.map(_._1) ++ dedup.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val init = scale / n
+    val base = (15L * init) / 100L
+    val outdeg = dedup.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val inc = dedup.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = nodes.map(nd => nd -> (base + 85L * inc.getOrElse(nd, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerank matches the driver-side integer reference on a small graph") {
+    // chain + cycle + dangling node + duplicate edge + a hub
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (1L, 4L),
+      (5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))
+    val got = PageRank.ranks(spark, edges.toDF("src", "dst"), iters = 5,
+        scale = 1000000L)
+      .orderBy(col("node")).as[(Long, Long)].collect().toMap
+    assert(got == refRanks(edges, 5, 1000000L))
+  }
+
+  test("pagerank rank mass is conserved up to integer truncation") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+    val scale = 1000000000000L
+    val ranks = PageRank.ranks(spark, edges.toDF("src", "dst"), 5, scale)
+      .agg(sum(col("rank"))).as[Long].head()
+    // no dangling nodes here: total mass stays within truncation slack
+    assert(ranks <= scale && ranks > scale - 1000L * 3)
+  }
+}
