@@ -49,7 +49,11 @@ object Streaming {
     fullSpooled.getOrElseUpdate(dir, {
       val d = java.nio.file.Files.createTempDirectory("graft-qsjoin").toString
       t(s, dir, "events")
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        // `value` rides along for q_stream_topk; JSON readers with the
+        // 4-field schema simply ignore it (doubles round-trip exactly
+        // through the shortest-repr JSON writer/parser)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
         .coalesce(1)
         .write.mode("overwrite").option("timestampFormat", MicrosFmt)
         .json(s"$d/in")
@@ -333,6 +337,35 @@ object Streaming {
       s.table("q_stream_static_mem")
         .select(col("c_mktsegment"), col("event_type"), col("count").as("n"))
         .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
+    // ---- streaming top-k: complete-mode aggregation + sort + limit,
+    // the only output mode where Structured Streaming allows ordering.
+    // State is one row per user (key cardinality, not input length);
+    // every micro-batch re-ranks, so the drained table IS the final
+    // leaderboard and equals the batch top-k. Tie at the cut broken by
+    // user_id so both engines pick the same 10 rows. Money sums go
+    // through the decimal(18,2) path like every batch oracle. ----
+    "q_stream_topk" -> ((s, dir) => {
+      val valueSchema = StructType(fullEventSchema.fields :+
+        StructField("value", DoubleType))
+      val src = s.readStream.schema(valueSchema)
+        .option("timestampFormat", MicrosFmt)
+        .json(s"${fullEventSpool(s, dir)}/in")
+      val top = src.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), graft.Tables.money(col("value")).as("sum_value"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(10)
+      withFewPartitions(s) {
+        val q = top.writeStream
+          .format("memory").queryName("q_stream_topk_mem")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table("q_stream_topk_mem")
+        .orderBy(col("n").desc, col("user_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -390,5 +423,11 @@ object Streaming {
         |                   ROWS UNBOUNDED PRECEDING) sid
         |  FROM g)
         |SELECT user_id, epoch_us(min(ts)) AS start_us, count(*) AS n_events
-        |FROM i GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+
+    "q_stream_topk" ->
+      """SELECT user_id, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin)
 }
