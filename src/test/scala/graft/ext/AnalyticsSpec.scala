@@ -91,6 +91,24 @@ class AnalyticsSpec extends AnyFunSuite {
       ("2024-01-02", 0, 1L))) // u2, same-day repeat collapses to 1 user
   }
 
+  // ---------- Outliers ----------
+
+  test("MAD outliers: hand-computed medians, zero-MAD and null handling") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", Some(100.0)),
+      ("b", Some(10.0)), ("b", Some(10.0)), ("b", Some(10.0)),
+      ("b", None), // excluded, must not shift ranks
+      ("c", None)  // all-NULL group vanishes
+    ).toDF("g", "v")
+    val got = graft.operators.Outliers.madOutliers(df, "v", Seq("g"), k = 3.0)
+      .orderBy(col("g"))
+      .as[(String, Double, Double, Long, Long)].collect().toSeq
+    // a: median 3, dev [2,1,0,1,97] -> mad 1, fence 3 -> only 97 flagged
+    // b: median 10, mad 0 -> zero-width fence flags nothing (d > 0 false)
+    assert(got == Seq(("a", 3.0, 1.0, 5L, 1L), ("b", 10.0, 0.0, 3L, 0L)))
+  }
+
   // ---------- PageRank ----------
 
   /** Driver-side integer reference: the exact fixed-point recurrence on a
