@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * duplicate class, which quadratically inflates near-dup pairs instead
   * of scaling the real workload).
   *
-  * Usage: runMain graft.ScaleBench [baseDir] [outDir] [replicas]
+  * Usage: runMain graft.ScaleBench [baseDir] [outDir] [replicas] [only]
   * (defaults /root/testdata/sf0.1 /tmp/graft_sf1 10; generation is
-  * skipped when outDir already holds a lineitem).
+  * skipped when outDir already holds a completed replica set; `only` is
+  * an optional comma-separated query-name filter for targeted probes —
+  * a filtered run is a probe, not curve evidence).
   */
 object ScaleBench {
 
@@ -144,7 +146,10 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, base, out, n)
 
-    val qs = Headline.map(name => name -> SparkEntry.queries(name)) ++ Extra
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    val qs = (Headline.map(name => name -> SparkEntry.queries(name)) ++ Extra)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     def time(dir: String): Map[String, (Double, String)] = {
       qs.foreach { case (_, fn) => Bench.materialize(fn(spark, dir)) } // warm-up
       def pass(): Map[String, (Double, String)] = qs.map { case (name, fn) =>
@@ -165,7 +170,7 @@ object ScaleBench {
     }
     val baseT = time(base)
     val scaledT = time(out)
-    val rows = (Headline ++ Extra.map(_._1)).map { q =>
+    val rows = qs.map(_._1).map { q =>
       val (b, jb) = baseT(q); val (s, js) = scaledT(q)
       f""""$q":{"base_sec":$b%.3f,"scaled_sec":$s%.3f,"ratio":${s / b}%.2f,"joins_base":"$jb","joins_scaled":"$js"}"""
     }.mkString(",")

@@ -21,16 +21,20 @@ object Behavior {
 
   /** Strictly-ordered funnel: users whose first `stages(0)` precedes
     * their first later-`stages(1)` precedes ... Output one row per stage
-    * (`stage` label prefixed with its 1-based index for stable ordering,
-    * `users` count). */
+    * (`stage` label prefixed with its ZERO-PADDED 1-based index so the
+    * label sort IS the stage order even past 9 stages, `users` count).
+    * Caps at 99 stages — the padding width is part of the output
+    * contract, so a wider funnel must widen it consciously. */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.size <= 99, "stage label padding is 2 digits")
+    def label(i: Int, st: String) = f"${i + 1}%02d_$st"
     val ev = events.select(col("user_id"), col("event_type"), col("ts"))
     // stage 1: first occurrence per user
     var reached = ev.where(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
     var out = reached.agg(count(lit(1)).as("users"))
-      .select(lit(s"1_${stages.head}").as("stage"), col("users"))
+      .select(lit(label(0, stages.head)).as("stage"), col("users"))
     for ((st, i) <- stages.tail.zipWithIndex) {
       // first `st` strictly after the previous stage's first time;
       // join + groupBy both key on user_id — co-partitioned
@@ -40,7 +44,7 @@ object Behavior {
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
       out = out.unionAll(
         reached.agg(count(lit(1)).as("users"))
-          .select(lit(s"${i + 2}_$st").as("stage"), col("users")))
+          .select(lit(label(i + 1, st)).as("stage"), col("users")))
     }
     out
   }

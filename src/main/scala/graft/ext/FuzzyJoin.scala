@@ -56,7 +56,12 @@ object FuzzyJoin {
       .distinct()
     val a = sigs.select(col("k").as("key_a"), col("sig_h"))
     val b = sigs.select(col("k").as("key_b"), col("sig_h"))
-    a.join(b, Seq("sig_h"))
+    // both sides are the SAME corpus-sized signature table — broadcast
+    // is never the right strategy here, but the aggregate above makes
+    // the planner's size estimate unreliable and an attempted broadcast
+    // of ~30M signature rows OOM'd an 8g driver at 100×; declare the
+    // sort-merge intent (spills, never materializes a side in heap)
+    a.join(b.hint("merge"), Seq("sig_h"))
       .where(col("key_a") < col("key_b"))
       // a pair can share several signatures (e.g. equal-prefix deletes):
       // dedupe BEFORE the verification scan so each pair is verified once

@@ -28,11 +28,12 @@ import org.apache.spark.sql.functions._
   * persisted adjacency, joins the rank table (|nodes| rows — broadcast
   * at realistic node/edge ratios, shuffle-on-src otherwise), and
   * aggregates contributions map-side-combined by `dst`. Only the rank
-  * table is `localCheckpoint`ed per round (small, eager), which also
-  * truncates lineage so iteration count, not plan depth, is the loop's
-  * budget (same pattern as [[ConnectedComponents]]'s rounds); the
-  * adjacency is unpersisted before returning — the final ranks are
-  * already materialized, so the handle leaks nothing across calls.
+  * table is materialized per round (small; persisted, counted, and the
+  * superseded round released immediately), which also truncates
+  * effective lineage so iteration count, not plan depth, is the loop's
+  * budget (same pattern as [[ConnectedComponents]]'s rounds); on return
+  * the adjacency and every round table are unpersisted — the caller
+  * holds one eager checkpoint of the final ranks and nothing else.
   */
 object PageRank {
 
@@ -59,6 +60,11 @@ object PageRank {
       val base = (15L * init) / 100L
 
       var r = nodes.select(col("node"), lit(init).as("rank"))
+      // per-round rank tables are persisted through the CacheManager
+      // (not localCheckpoint) so each superseded round can be RELEASED
+      // as soon as its successor materializes — checkpoint RDDs have no
+      // public unpersist and would pile up in executor storage until GC
+      var prev: Option[DataFrame] = None
       for (_ <- 1 to iters) {
         val contrib = esrc.join(r, esrc("src") === r("node"))
           .select(col("dst"), expr("rank div outdeg").as("c"))
@@ -67,9 +73,16 @@ object PageRank {
           .select(col("node"),
             (lit(base) +
               expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
-          .localCheckpoint() // eager: r survives esrc.unpersist below
+          .persist()
+        r.count() // materialize this round before dropping the previous
+        prev.foreach(_.unpersist())
+        prev = Some(r)
       }
-      r
+      // the handle returned to the caller must survive the unpersists:
+      // one eager checkpoint of the FINAL |nodes|-sized table only
+      val out = r.localCheckpoint()
+      prev.foreach(_.unpersist())
+      out
     } finally esrc.unpersist()
   }
 }

@@ -26,16 +26,26 @@ object Outliers {
   def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
                   k: Double = 3.0): DataFrame = {
     val vals = df.filter(col(valueCol).isNotNull)
+    // med and mad are |groups|-sized and each has TWO consumers below;
+    // eager-checkpointing them runs each window sort exactly once —
+    // un-materialized, the med sort (the query's dominant stage) would
+    // execute twice because window operators above an exchange are not
+    // covered by exchange reuse
     val med = Quantiles.exactDiscrete(vals, valueCol, groupCols, Seq(0.5))
       .select(groupCols.map(col) :+ col("q").as("med"): _*)
+      .localCheckpoint()
     val dev = vals.join(med, groupCols)
       .withColumn("d", abs(col(valueCol) - col("med")))
     val mad = Quantiles.exactDiscrete(dev, "d", groupCols, Seq(0.5))
       .select(groupCols.map(col) :+ col("q").as("mad"): _*)
-    dev.join(mad, groupCols)
+      .localCheckpoint()
+    // final pass recomputes the deviation from the raw scan (one narrow
+    // map) instead of reusing `dev`, so the dev window sort also runs
+    // exactly once (inside the mad quantile above)
+    vals.join(med, groupCols).join(mad, groupCols)
       .groupBy(groupCols.map(col) :+ col("med") :+ col("mad"): _*)
       .agg(count(lit(1)).as("n"),
-        sum(when(col("d") > lit(k) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
+        sum(when(abs(col(valueCol) - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
   }
 }

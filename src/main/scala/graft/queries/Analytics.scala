@@ -38,9 +38,6 @@ object Analytics {
       Behavior.retention(t(s, dir, "events"))
         .orderBy(col("cohort_day"), col("day_offset"))),
 
-    // ---- 5-iteration fixed-point PageRank over the supplier->customer
-    // shipment graph (customer node ids offset by 1e6); integer-scaled
-    // arithmetic makes the iterative result bit-exact cross-engine ----
     // ---- robust outlier screen: per-event-type MAD fences; median and
     // MAD are exact discrete quantiles, so the row is hash-gated ----
     "q_outliers" -> ((s, dir) =>
@@ -48,12 +45,19 @@ object Analytics {
           t(s, dir, "events"), "value", Seq("event_type"), k = 3.0)
         .orderBy(col("event_type"))),
 
+    // ---- 5-iteration fixed-point PageRank over the supplier->customer
+    // shipment graph. Customer nodes live in NEGATIVE id space
+    // (-1 - o_custkey): disjoint from the non-negative supplier keys at
+    // EVERY data scale, where an additive offset would silently fuse the
+    // two node populations once shifted supplier keys outgrew it.
+    // Integer-scaled arithmetic makes the iterative result bit-exact
+    // cross-engine ----
     "q_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
       val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .select(col("l_suppkey").as("src"),
-          (lit(1000000L) + col("o_custkey")).as("dst"))
+          (lit(-1L) - col("o_custkey")).as("dst"))
       PageRank.ranks(s, edges, iters = 5).orderBy(col("node"))
     })
   )
@@ -94,9 +98,9 @@ object Analytics {
         |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
         |  JOIN c ON e.user_id = c.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
-        |SELECT '1_view' AS stage, count(*) AS users FROM v
-        |UNION ALL SELECT '2_click' AS stage, count(*) AS users FROM c
-        |UNION ALL SELECT '3_purchase' AS stage, count(*) AS users FROM p
+        |SELECT '01_view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT '02_click' AS stage, count(*) AS users FROM c
+        |UNION ALL SELECT '03_purchase' AS stage, count(*) AS users FROM p
         |ORDER BY stage""".stripMargin,
 
     "q_retention" ->
@@ -135,7 +139,7 @@ object Analytics {
 
     "q_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
-         |    1000000 + o_custkey AS dst
+         |    -1 - o_custkey AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |nn AS (SELECT count(*) AS n FROM nodes),

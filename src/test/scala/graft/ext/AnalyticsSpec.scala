@@ -56,7 +56,7 @@ class AnalyticsSpec extends AnyFunSuite {
     ).toDF("user_id", "event_type", "ts")
     val got = Behavior.funnel(ev, Seq("view", "click", "purchase"))
       .orderBy(col("stage")).as[(String, Long)].collect().toSeq
-    assert(got == Seq(("1_view", 4L), ("2_click", 3L), ("3_purchase", 1L)))
+    assert(got == Seq(("01_view", 4L), ("02_click", 3L), ("03_purchase", 1L)))
   }
 
   test("funnel stage joins stay keyed on user_id (no cross-user state)") {
@@ -67,7 +67,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .toDF("user_id", "event_type", "ts")
     val got = Behavior.funnel(ev, Seq("view", "click"))
       .orderBy(col("stage")).as[(String, Long)].collect().toSeq
-    assert(got == Seq(("1_view", 1L), ("2_click", 0L)))
+    assert(got == Seq(("01_view", 1L), ("02_click", 0L)))
   }
 
   // ---------- Behavior: retention ----------

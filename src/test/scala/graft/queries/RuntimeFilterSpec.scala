@@ -56,9 +56,17 @@ class RuntimeFilterSpec extends AnyFunSuite {
     }
   }
 
-  test("below the creation-side threshold the plan stays clean (no always-on overhead)") {
+  test("an over-threshold creation side blocks injection (the gate actually gates)") {
     withConf(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10GB") {
+      // identical shuffle-join setup to the positive test, EXCEPT the
+      // creation-side cap is 1 byte — the filtered orders side exceeds
+      // it, so building the bloom filter is refused even though the
+      // application side qualifies. This fails if the gating logic ever
+      // stops being consulted.
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
       val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
       val ord = spark.read.parquet(s"${TestSpark.Sf0001}/orders.parquet")
         .where(col("o_orderpriority") === "1-URGENT")
