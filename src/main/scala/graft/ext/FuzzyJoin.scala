@@ -70,4 +70,29 @@ object FuzzyJoin {
       .where(abs(length(col("key_a")) - length(col("key_b"))) <= 1)
       .where(levenshtein(col("key_a"), col("key_b")) <= 1)
   }
+
+  /** Incremental variant — the production entity-resolution shape: match
+    * a NEW batch of keys against an existing corpus without re-joining
+    * the corpus to itself. Candidates come from corpus-signature ⋈
+    * batch-signature, so per-batch cost scales with the batch (the
+    * corpus side contributes one signature pass, which a long-running
+    * deployment amortizes by persisting its signature table — the same
+    * contract as [[Dedup]]'s `minhashNearDupPairsAgainst`). Exact ed = 0
+    * matches are INCLUDED (a real dedup gate wants them); output
+    * (`key_new`, `key_corpus`), unordered. */
+  def againstCorpusEd1(batch: DataFrame, corpus: DataFrame,
+      key: String): DataFrame = {
+    def sigs(df: DataFrame, out: String) =
+      df.select(col(key).as(out)).where(col(out).isNotNull)
+        .distinct()
+        .select(col(out), explode(deletionSigs(col(out))).as("sig"))
+        .select(col(out), xxhash64(col("sig")).as("sig_h"))
+        .distinct()
+    sigs(batch, "key_new")
+      // same corpus-sized-sides contract as above: declare sort-merge
+      .join(sigs(corpus, "key_corpus").hint("merge"), Seq("sig_h"))
+      .select(col("key_new"), col("key_corpus")).distinct()
+      .where(abs(length(col("key_new")) - length(col("key_corpus"))) <= 1)
+      .where(levenshtein(col("key_new"), col("key_corpus")) <= 1)
+  }
 }

@@ -225,4 +225,31 @@ object CountMin {
       .agg(sum(col("cnt")).as("n"))
       .filter(col("n") > lit(threshold))
   }
+
+  /** CMS join-size estimate: `min` over the d rows of the row-wise
+    * inner product Σ_b A[i][b]·B[i][b] — the classic sketch estimator
+    * for `|A ⋈ B|` on a key (AGMS/CM inner-product bound: never an
+    * undercount, since each row's product sums every true pair plus
+    * collision cross-terms ≥ 0). This is the optimizer-style workload:
+    * answer "will this join explode?" from two one-pass d×w summaries
+    * WITHOUT shuffling either key domain — at 100 TB the alternative is
+    * an exact pre-join frequency join that costs as much as the join
+    * being sized. Both sketches must share (d, w) and the engine's
+    * fixed hash family, which they do by construction. Driver cost:
+    * 2·d·w longs (the bounded-collect precedent above).
+    *
+    * Overflow contract: Σ_b A[i][b]·B[i][b] ≤ totalA·totalB, so callers
+    * stay exact while totalA·totalB < 2^63 — streams up to ~3e9 rows
+    * each; beyond that, size rows/buckets so per-bucket products bound,
+    * or estimate on a sampled stream. */
+  def joinSizeEstimate(tcA: DataFrame, tcB: DataFrame,
+      d: Int, w: Int): Long = {
+    val a = cellsOf(sketch(tcA, d, w), d, w)
+    val b = cellsOf(sketch(tcB, d, w), d, w)
+    (0 until d).map { i =>
+      var s = 0L; var j = 0
+      while (j < w) { s += a(i * w + j) * b(i * w + j); j += 1 }
+      s
+    }.min
+  }
 }

@@ -26,6 +26,44 @@ object Analytics {
         .select(col("key_a").as("name_a"), col("key_b").as("name_b"))
         .orderBy(col("name_a"), col("name_b"))),
 
+    // ---- incremental fuzzy join: a simulated new batch (custkey % 10
+    // = 0) matched against the remaining corpus — candidates from
+    // corpus-sig x batch-sig, cost scales with the batch, exact ed=0
+    // matches included ----
+    "q_fuzzy_incremental" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      FuzzyJoin.againstCorpusEd1(
+          c.where(col("c_custkey") % 10 === 0),
+          c.where(col("c_custkey") % 10 =!= 0), "c_name")
+        .select(col("key_new").as("name_new"),
+          col("key_corpus").as("name_corpus"))
+        .orderBy(col("name_new"), col("name_corpus"))
+    }),
+
+    // ---- CMS join-size estimation: "will this join explode?" answered
+    // from two one-pass d×w sketches (row-wise inner product, min over
+    // rows — never an undercount); the row carries the exact sizes so
+    // the upper-bound contract is value-gated, and the estimate itself
+    // is deterministic (fixed hash family) so it hash-gates too ----
+    "q_cms_join_size" -> ((s, dir) => {
+      import s.implicits._
+      val (d, w) = (4, 256)
+      val ev = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("term"), lit(1L).as("cnt"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("term"), lit(1L).as("cnt"))
+      val estCross = graft.ext.CountMin.joinSizeEstimate(ev, cust, d, w)
+      val estSelf = graft.ext.CountMin.joinSizeEstimate(ev, ev, d, w)
+      val evCounts = ev.groupBy(col("term")).agg(sum(col("cnt")).as("c"))
+      val custCounts = cust.groupBy(col("term")).agg(sum(col("cnt")).as("c"))
+      val exactCross = evCounts.as("a")
+        .join(custCounts.as("b"), Seq("term"))
+        .agg(sum(col("a.c") * col("b.c"))).head().getLong(0)
+      val exactSelf = evCounts.agg(sum(col("c") * col("c"))).head().getLong(0)
+      Seq((estCross, exactCross, estSelf, exactSelf))
+        .toDF("est_cross", "exact_cross", "est_self", "exact_self")
+    }),
+
     // ---- strictly-ordered conversion funnel: first view -> first
     // later click -> first later purchase; min-timestamp stages
     // co-partitioned on user_id, no whole-log window sort ----
@@ -88,6 +126,47 @@ object Analytics {
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_fuzzy_incremental" ->
+      """SELECT a.c_name AS name_new, b.c_name AS name_corpus
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey % 10 = 0 AND b.c_custkey % 10 <> 0
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_new, name_corpus""".stripMargin,
+
+    // sparse replay of BOTH d=4 x w=256 sketches with the engine's
+    // hash60 + Kirsch-Mitzenmacher bucket mix (the q_cms oracle shape),
+    // then row-wise inner products joined on (row, bucket) — absent
+    // buckets contribute zero, so the sparse inner join is exact
+    "q_cms_join_size" ->
+      """WITH ev AS (SELECT cast(user_id AS varchar) term,
+        |    cast(count(*) AS bigint) c FROM events GROUP BY 1),
+        |cu AS (SELECT cast(c_custkey AS varchar) term,
+        |    cast(count(*) AS bigint) c FROM customer GROUP BY 1),
+        |evb AS (SELECT r.i,
+        |    cast((h % 1073741824 + r.i * (h // 1073741824)) % 256 AS bigint) b,
+        |    cast(sum(c) AS bigint) s
+        |  FROM (SELECT term, c,
+        |          cast('0x' || substr(md5(term), 1, 15) AS bigint) h FROM ev)
+        |  CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+        |cub AS (SELECT r.i,
+        |    cast((h % 1073741824 + r.i * (h // 1073741824)) % 256 AS bigint) b,
+        |    cast(sum(c) AS bigint) s
+        |  FROM (SELECT term, c,
+        |          cast('0x' || substr(md5(term), 1, 15) AS bigint) h FROM cu)
+        |  CROSS JOIN range(4) r(i) GROUP BY 1, 2),
+        |ce AS (SELECT cast(min(p) AS bigint) v FROM (
+        |  SELECT evb.i, cast(sum(evb.s * cub.s) AS bigint) p FROM evb
+        |  JOIN cub ON evb.i = cub.i AND evb.b = cub.b GROUP BY 1)),
+        |se AS (SELECT cast(min(p) AS bigint) v FROM (
+        |  SELECT i, cast(sum(s * s) AS bigint) p FROM evb GROUP BY 1)),
+        |cx AS (SELECT cast(sum(ev.c * cu.c) AS bigint) v
+        |  FROM ev JOIN cu USING (term)),
+        |sx AS (SELECT cast(sum(c * c) AS bigint) v FROM ev)
+        |SELECT ce.v AS est_cross, cx.v AS exact_cross,
+        |       se.v AS est_self, sx.v AS exact_self
+        |FROM ce, cx, se, sx""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -35,6 +35,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental fuzzy join equals the brute-force batch x corpus scan") {
+    val all = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
+      .select(col("c_name").as("k"), col("c_custkey"))
+      .limit(300)
+    val batch = all.where(col("c_custkey") % 10 === 0)
+    val corpus = all.where(col("c_custkey") % 10 =!= 0)
+      // an exact duplicate of a batch name must surface as ed = 0
+      .unionByName(batch.limit(1))
+    val got = FuzzyJoin.againstCorpusEd1(batch, corpus, "k")
+      .select(col("key_new"), col("key_corpus"))
+    val want = batch.select(col("k").as("key_new")).distinct()
+      .crossJoin(corpus.select(col("k").as("key_corpus")).distinct())
+      .where(levenshtein(col("key_new"), col("key_corpus")) <= 1)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    // the ed=0 pair is present
+    assert(got.where(col("key_new") === col("key_corpus")).count() == 1)
+  }
+
+  // ---------- CMS join-size estimate ----------
+
+  test("CMS join-size estimate never undercounts and is exact for one key") {
+    val a = Seq.fill(7)(("k1", 1L)) ++ Seq.fill(3)(("k2", 1L))
+    val b = Seq.fill(5)(("k1", 1L)) ++ Seq.fill(2)(("k3", 1L))
+    val (d, w) = (4, 256)
+    val est = CountMin.joinSizeEstimate(
+      a.toDF("term", "cnt"), b.toDF("term", "cnt"), d, w)
+    assert(est >= 35L) // exact |A join B| = 7*5; inner product >= truth
+    // single-key streams: no cross terms exist, the bound is tight
+    val single = CountMin.joinSizeEstimate(
+      Seq(("solo", 4L)).toDF("term", "cnt"),
+      Seq(("solo", 6L)).toDF("term", "cnt"), d, w)
+    assert(single == 24L)
+  }
+
   // ---------- Behavior: funnel ----------
 
   test("funnel enforces strict stage order, not mere presence") {
