@@ -64,6 +64,28 @@ object Analytics {
         .toDF("est_cross", "exact_cross", "est_self", "exact_self")
     }),
 
+    // ---- end-to-end entity resolution: fuzzy ed<=1 pairs -> connected
+    // components (union-find under the 100k-edge bound, star-contraction
+    // above it) -> one row per entity with size + canonical (min) name;
+    // singletons kept via the left join. The oracle replays the closure
+    // with a recursive CTE, so the COMPOSITION is value-gated ----
+    "q_entity_resolution" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val pairs = FuzzyJoin.selfJoinEd1(c, "c_name")
+        .join(c.select(col("c_name").as("key_a"), col("c_custkey").as("doc_a")),
+          "key_a")
+        .join(c.select(col("c_name").as("key_b"), col("c_custkey").as("doc_b")),
+          "key_b")
+        .select(col("doc_a"), col("doc_b"))
+      val comp = graft.ext.ConnectedComponents.components(pairs)
+      c.join(comp, c("c_custkey") === comp("doc_id"), "left")
+        .select(col("c_name"),
+          coalesce(col("component"), col("c_custkey")).as("component"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), min(col("c_name")).as("canonical"))
+        .orderBy(col("component"))
+    }),
+
     // ---- strictly-ordered conversion funnel: first view -> first
     // later click -> first later purchase; min-timestamp stages
     // co-partitioned on user_id, no whole-log window sort ----
@@ -126,6 +148,25 @@ object Analytics {
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.c_custkey ka, b.c_custkey kb
+        |  FROM customer a JOIN customer b ON a.c_name < b.c_name
+        |  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+        |ed AS (SELECT ka a, kb b FROM p UNION SELECT kb, ka FROM p),
+        |rch AS (SELECT a, b FROM ed
+        |        UNION
+        |        SELECT r.a, e.b FROM rch r JOIN ed e ON r.b = e.a AND r.a <> e.b),
+        |comp AS (SELECT v.a AS k, least(v.a, min(r.b)) AS component
+        |         FROM (SELECT DISTINCT a FROM ed) v JOIN rch r ON r.a = v.a
+        |         GROUP BY v.a),
+        |allc AS (SELECT c.c_name,
+        |           coalesce(comp.component, c.c_custkey) component
+        |         FROM customer c LEFT JOIN comp ON comp.k = c.c_custkey)
+        |SELECT component, count(*) AS n_members, min(c_name) AS canonical
+        |FROM allc GROUP BY 1 ORDER BY component""".stripMargin,
 
     "q_fuzzy_incremental" ->
       """SELECT a.c_name AS name_new, b.c_name AS name_corpus
