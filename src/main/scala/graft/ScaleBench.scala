@@ -40,7 +40,8 @@ object ScaleBench {
     "q_bm25", "q_bm25_indexed", "q_lm_score", "q_chunk", "q_bm25_selfjoin",
     "q_cms", "q_heavy_hitters",
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq",
-    "q_pagerank", "q_retention", "q_funnel")
+    "q_pagerank", "q_retention", "q_funnel",
+    "q_outliers", "q_cms_join_size")
 
   /** Extra curve rows that are NOT gate queries: the corpus-sized-output
     * gate rows minus their global ORDER BY. Those rows' 100× residual is
@@ -64,7 +65,22 @@ object ScaleBench {
       graft.ext.FuzzyJoin.selfJoinEd1(
         Tables.t(s, dir, "customer")
           .select(format_string("Customer#%09d", col("c_custkey")).as("name")),
-        "name")))
+        "name")),
+    "q_entity_names" -> ((s: SparkSession, dir: String) => {
+      val c = Tables.t(s, dir, "customer")
+        .select(col("c_custkey"),
+          format_string("Customer#%09d", col("c_custkey")).as("c_name"))
+      val pairs = graft.ext.FuzzyJoin.selfJoinEd1(c, "c_name")
+        .join(c.select(col("c_name").as("key_a"), col("c_custkey").as("doc_a")),
+          "key_a")
+        .join(c.select(col("c_name").as("key_b"), col("c_custkey").as("doc_b")),
+          "key_b")
+        .select(col("doc_a"), col("doc_b"))
+      val comp = graft.ext.ConnectedComponents.components(pairs)
+      c.join(comp, c("c_custkey") === comp("doc_id"), "left")
+        .select(coalesce(col("component"), col("c_custkey")).as("component"))
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    }))
 
   private def span(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head().getLong(0) + 1L
@@ -149,7 +165,16 @@ object ScaleBench {
     val only: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val qs = (Headline.map(name => name -> SparkEntry.queries(name)) ++ Extra)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        // q_entity_names runs ONLY when explicitly named: its pair graph
+        // grows past the 100k-edge union-find bound into the distributed
+        // star-contraction CC path (the point of the probe), and the
+        // dense zero-padded name corpus makes the 100× giant component an
+        // hours-long worst case by construction — probe it at moderate
+        // replica counts with the `only` filter, not in the full curve
+        only.map(_.contains(name))
+          .getOrElse(name != "q_entity_names")
+      }
     def time(dir: String): Map[String, (Double, String)] = {
       qs.foreach { case (_, fn) => Bench.materialize(fn(spark, dir)) } // warm-up
       def pass(): Map[String, (Double, String)] = qs.map { case (name, fn) =>
