@@ -66,21 +66,18 @@ object ScaleBench {
         Tables.t(s, dir, "customer")
           .select(format_string("Customer#%09d", col("c_custkey")).as("name")),
         "name")),
-    "q_entity_names" -> ((s: SparkSession, dir: String) => {
-      val c = Tables.t(s, dir, "customer")
-        .select(col("c_custkey"),
-          format_string("Customer#%09d", col("c_custkey")).as("c_name"))
-      val pairs = graft.ext.FuzzyJoin.selfJoinEd1(c, "c_name")
-        .join(c.select(col("c_name").as("key_a"), col("c_custkey").as("doc_a")),
-          "key_a")
-        .join(c.select(col("c_name").as("key_b"), col("c_custkey").as("doc_b")),
-          "key_b")
-        .select(col("doc_a"), col("doc_b"))
-      val comp = graft.ext.ConnectedComponents.components(pairs)
-      c.join(comp, c("c_custkey") === comp("doc_id"), "left")
-        .select(coalesce(col("component"), col("c_custkey")).as("component"))
-        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
-    }))
+    "q_entity_names" -> ((s: SparkSession, dir: String) =>
+      // the SHARED gate pipeline (FuzzyJoin.entityComponents — the probe
+      // cannot drift from the gated computation), with localSolveMax = 0
+      // forcing the distributed star-contraction path at BOTH scales:
+      // measuring the driver union-find against it would compare
+      // different algorithms, not different data sizes
+      graft.ext.FuzzyJoin.entityComponents(
+          Tables.t(s, dir, "customer")
+            .select(col("c_custkey"),
+              format_string("Customer#%09d", col("c_custkey")).as("c_name")),
+          keyCol = "c_name", idCol = "c_custkey", localSolveMax = 0L)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))))
 
   private def span(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).head().getLong(0) + 1L
@@ -166,9 +163,9 @@ object ScaleBench {
       if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val qs = (Headline.map(name => name -> SparkEntry.queries(name)) ++ Extra)
       .filter { case (name, _) =>
-        // q_entity_names runs ONLY when explicitly named: its pair graph
-        // grows past the 100k-edge union-find bound into the distributed
-        // star-contraction CC path (the point of the probe), and the
+        // q_entity_names runs ONLY when explicitly named: it forces the
+        // distributed star-contraction CC path (the point of the probe,
+        // via localSolveMax = 0), and the
         // dense zero-padded name corpus makes the 100× giant component an
         // hours-long worst case by construction — probe it at moderate
         // replica counts with the `only` filter, not in the full curve

@@ -77,7 +77,10 @@ object ConnectedComponents {
     *
     * Graphs at or below `localSolveMax` edges (checked at runtime after
     * dedup) are solved with a driver union-find — bounded memory
-    * (16 B/edge ⇒ ~1.6 MB at the default), exact, and free of the
+    * (16 B/edge ⇒ ~16 MB at the default; raised from 100k after the
+    * entity-resolution row's 195k-edge graph paid several distributed
+    * rounds for a problem the driver solves in milliseconds), exact,
+    * and free of the
     * per-round fixed cost that dominates iterative jobs on small
     * graphs; anything larger runs the distributed star-contraction
     * loop. Near-dup pair graphs are usually tiny relative to the corpus
@@ -86,7 +89,7 @@ object ConnectedComponents {
     * corpus-wide graphs. Pass `localSolveMax = 0` to force the
     * distributed path. */
   def components(pairs: DataFrame, maxRounds: Int = 50,
-      localSolveMax: Long = 100000L): DataFrame = {
+      localSolveMax: Long = 1000000L): DataFrame = {
     // each round is checkpointed: without truncating the lineage the
     // logical plan doubles per iteration (plan-explosion OOM long before
     // any data-size limit) — the standard iterative-DataFrame discipline,

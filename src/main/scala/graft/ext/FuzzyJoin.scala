@@ -39,21 +39,33 @@ object FuzzyJoin {
     transform(sequence(lit(0), length(c)),
       i => concat(c.substr(lit(1), i), c.substr(i + lit(2), length(c))))
 
+  /** (outName, sig_h): the deduped signature table of `key`'s distinct
+    * non-null values. The per-key dedupe is load-bearing: a key emits
+    * the SAME signature from every delete position of a repeated-char
+    * run (zero-padded ids: deleting any of 5 leading zeros is one
+    * string), and without it hot buckets join every copy against every
+    * copy — candidate inflation quadratic in the run length (measured
+    * 1.5M zero-padded names: ~4× fewer candidate rows deduped). */
+  private def sigTable(df: DataFrame, key: String, outName: String): DataFrame =
+    df.select(col(key).as(outName)).where(col(outName).isNotNull)
+      .distinct()
+      .select(col(outName), explode(deletionSigs(col(outName))).as("sig"))
+      .select(col(outName), xxhash64(col("sig")).as("sig_h"))
+      .distinct()
+
+  /** Candidate pairs from a signature equi-join, deduped (a pair can
+    * share several signatures) and verified: the cheap length gate,
+    * then exact levenshtein. */
+  private def verified(candidates: DataFrame, l: String, r: String): DataFrame =
+    candidates.select(col(l), col(r)).distinct()
+      .where(abs(length(col(l)) - length(col(r))) <= 1)
+      .where(levenshtein(col(l), col(r)) <= 1)
+
   /** Distinct unordered pairs (key_a < key_b) of distinct values of
     * `key` with levenshtein distance ≤ 1. Output columns
     * (`key_a`, `key_b`), unordered — callers sort. */
   def selfJoinEd1(df: DataFrame, key: String): DataFrame = {
-    val sigs = df.select(col(key).as("k")).where(col("k").isNotNull)
-      .distinct()
-      .select(col("k"), explode(deletionSigs(col("k"))).as("sig"))
-      .select(col("k"), xxhash64(col("sig")).as("sig_h"))
-      // a key can emit the SAME signature from several delete positions
-      // (any run of repeated characters — e.g. zero-padded ids, where
-      // deleting any of 5 leading zeros is one string): dedupe per key,
-      // or hot buckets join every copy against every copy and the
-      // candidate set inflates quadratically in the run length
-      // (measured 1.5M zero-padded names: ~4× fewer candidate rows)
-      .distinct()
+    val sigs = sigTable(df, key, "k")
     val a = sigs.select(col("k").as("key_a"), col("sig_h"))
     val b = sigs.select(col("k").as("key_b"), col("sig_h"))
     // both sides are the SAME corpus-sized signature table — broadcast
@@ -61,14 +73,9 @@ object FuzzyJoin {
     // the planner's size estimate unreliable and an attempted broadcast
     // of ~30M signature rows OOM'd an 8g driver at 100×; declare the
     // sort-merge intent (spills, never materializes a side in heap)
-    a.join(b.hint("merge"), Seq("sig_h"))
-      .where(col("key_a") < col("key_b"))
-      // a pair can share several signatures (e.g. equal-prefix deletes):
-      // dedupe BEFORE the verification scan so each pair is verified once
-      .select(col("key_a"), col("key_b")).distinct()
-      // cheap length gate, then the exact verification
-      .where(abs(length(col("key_a")) - length(col("key_b"))) <= 1)
-      .where(levenshtein(col("key_a"), col("key_b")) <= 1)
+    verified(
+      a.join(b.hint("merge"), Seq("sig_h")).where(col("key_a") < col("key_b")),
+      "key_a", "key_b")
   }
 
   /** Incremental variant — the production entity-resolution shape: match
@@ -79,20 +86,45 @@ object FuzzyJoin {
     * deployment amortizes by persisting its signature table — the same
     * contract as [[Dedup]]'s `minhashNearDupPairsAgainst`). Exact ed = 0
     * matches are INCLUDED (a real dedup gate wants them); output
-    * (`key_new`, `key_corpus`), unordered. */
-  def againstCorpusEd1(batch: DataFrame, corpus: DataFrame,
-      key: String): DataFrame = {
-    def sigs(df: DataFrame, out: String) =
-      df.select(col(key).as(out)).where(col(out).isNotNull)
-        .distinct()
-        .select(col(out), explode(deletionSigs(col(out))).as("sig"))
-        .select(col(out), xxhash64(col("sig")).as("sig_h"))
-        .distinct()
-    sigs(batch, "key_new")
-      // same corpus-sized-sides contract as above: declare sort-merge
-      .join(sigs(corpus, "key_corpus").hint("merge"), Seq("sig_h"))
-      .select(col("key_new"), col("key_corpus")).distinct()
-      .where(abs(length(col("key_new")) - length(col("key_corpus"))) <= 1)
-      .where(levenshtein(col("key_new"), col("key_corpus")) <= 1)
+    * (`key_new`, `key_corpus`), unordered.
+    *
+    * `broadcastBatch = true` (default) is the point of the incremental
+    * shape: the bounded batch-signature table broadcasts and the corpus
+    * streams past it map-side, no corpus shuffle at all. Pass `false`
+    * when the "batch" is itself corpus-sized (a backfill) — then the
+    * join declares sort-merge, the same never-broadcast-a-corpus rule as
+    * [[selfJoinEd1]] (and the same dual as BM25's `broadcastQueries`). */
+  def againstCorpusEd1(batch: DataFrame, corpus: DataFrame, key: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val bs = sigTable(batch, key, "key_new")
+    val cs = sigTable(corpus, key, "key_corpus")
+    val candidates =
+      if (broadcastBatch) broadcast(bs).join(cs, Seq("sig_h"))
+      else bs.join(cs.hint("merge"), Seq("sig_h"))
+    verified(candidates, "key_new", "key_corpus")
+  }
+
+  /** End-to-end entity resolution: ed ≤ 1 pair graph over `keyCol`,
+    * connected components (driver union-find under
+    * [[ConnectedComponents.components]]' edge bound, distributed
+    * star-contraction above it — `localSolveMax` passes through), and a
+    * singleton-preserving labeling. Output one row per input entity:
+    * (`idCol`, `keyCol`, `component`) where component = the minimum id
+    * reachable through the pair graph (its own id for singletons).
+    * Shared by the gate row AND the scale probe so the measured
+    * computation cannot drift from the gated one. */
+  def entityComponents(df: DataFrame, keyCol: String, idCol: String,
+      localSolveMax: Long = 1000000L): DataFrame = {
+    val base = df.select(col(idCol), col(keyCol))
+    val pairs = selfJoinEd1(base, keyCol)
+      .join(base.select(col(keyCol).as("key_a"), col(idCol).as("doc_a")),
+        "key_a")
+      .join(base.select(col(keyCol).as("key_b"), col(idCol).as("doc_b")),
+        "key_b")
+      .select(col("doc_a"), col("doc_b"))
+    val comp = ConnectedComponents.components(pairs, localSolveMax = localSolveMax)
+    base.join(comp, base(idCol) === comp("doc_id"), "left")
+      .select(col(idCol), col(keyCol),
+        coalesce(col("component"), col(idCol)).as("component"))
   }
 }

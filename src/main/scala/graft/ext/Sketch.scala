@@ -244,8 +244,26 @@ object CountMin {
     * or estimate on a sampled stream. */
   def joinSizeEstimate(tcA: DataFrame, tcB: DataFrame,
       d: Int, w: Int): Long = {
-    val a = cellsOf(sketch(tcA, d, w), d, w)
-    val b = cellsOf(sketch(tcB, d, w), d, w)
+    val a = sketchCells(tcA, d, w)
+    // self-join sizing (Σ f(k)²) needs only ONE sketch — don't scan the
+    // stream twice for the identical matrix
+    val b = if (tcB eq tcA) a else sketchCells(tcB, d, w)
+    joinSizeEstimateCells(a, b, d, w)
+  }
+
+  /** One corpus pass → the d×w cell matrix, geometry-checked. Public so
+    * callers estimating several join sizes against the same stream build
+    * its sketch once (the [[joinSizeEstimate]] overload is the
+    * single-use convenience). */
+  def sketchCells(tc: DataFrame, d: Int, w: Int): Array[Long] =
+    cellsOf(sketch(tc, d, w), d, w)
+
+  /** [[joinSizeEstimate]] on prebuilt cell matrices (both must share
+    * (d, w) and the engine's fixed hash family). */
+  def joinSizeEstimateCells(a: Array[Long], b: Array[Long],
+      d: Int, w: Int): Long = {
+    require(a.length == d * w && b.length == d * w,
+      s"sketch geometry mismatch: ${a.length}/${b.length} cells != d=$d x w=$w")
     (0 until d).map { i =>
       var s = 0L; var j = 0
       while (j < w) { s += a(i * w + j) * b(i * w + j); j += 1 }

@@ -52,39 +52,36 @@ object Analytics {
         .select(col("user_id").cast("string").as("term"), lit(1L).as("cnt"))
       val cust = t(s, dir, "customer")
         .select(col("c_custkey").cast("string").as("term"), lit(1L).as("cnt"))
-      val estCross = graft.ext.CountMin.joinSizeEstimate(ev, cust, d, w)
-      val estSelf = graft.ext.CountMin.joinSizeEstimate(ev, ev, d, w)
+      // one sketch per stream, reused across both estimates
+      val evCells = graft.ext.CountMin.sketchCells(ev, d, w)
+      val custCells = graft.ext.CountMin.sketchCells(cust, d, w)
+      val estCross = graft.ext.CountMin.joinSizeEstimateCells(evCells, custCells, d, w)
+      val estSelf = graft.ext.CountMin.joinSizeEstimateCells(evCells, evCells, d, w)
       val evCounts = ev.groupBy(col("term")).agg(sum(col("cnt")).as("c"))
       val custCounts = cust.groupBy(col("term")).agg(sum(col("cnt")).as("c"))
+      // coalesce: an empty key intersection must read as size 0, not NPE
       val exactCross = evCounts.as("a")
         .join(custCounts.as("b"), Seq("term"))
-        .agg(sum(col("a.c") * col("b.c"))).head().getLong(0)
-      val exactSelf = evCounts.agg(sum(col("c") * col("c"))).head().getLong(0)
+        .agg(coalesce(sum(col("a.c") * col("b.c")), lit(0L)))
+        .head().getLong(0)
+      val exactSelf = evCounts
+        .agg(coalesce(sum(col("c") * col("c")), lit(0L))).head().getLong(0)
       Seq((estCross, exactCross, estSelf, exactSelf))
         .toDF("est_cross", "exact_cross", "est_self", "exact_self")
     }),
 
     // ---- end-to-end entity resolution: fuzzy ed<=1 pairs -> connected
-    // components (union-find under the 100k-edge bound, star-contraction
-    // above it) -> one row per entity with size + canonical (min) name;
-    // singletons kept via the left join. The oracle replays the closure
-    // with a recursive CTE, so the COMPOSITION is value-gated ----
-    "q_entity_resolution" -> ((s, dir) => {
-      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-      val pairs = FuzzyJoin.selfJoinEd1(c, "c_name")
-        .join(c.select(col("c_name").as("key_a"), col("c_custkey").as("doc_a")),
-          "key_a")
-        .join(c.select(col("c_name").as("key_b"), col("c_custkey").as("doc_b")),
-          "key_b")
-        .select(col("doc_a"), col("doc_b"))
-      val comp = graft.ext.ConnectedComponents.components(pairs)
-      c.join(comp, c("c_custkey") === comp("doc_id"), "left")
-        .select(col("c_name"),
-          coalesce(col("component"), col("c_custkey")).as("component"))
+    // components (driver union-find under the 1M-edge bound,
+    // star-contraction above it) -> one row per entity with size +
+    // canonical (min) name; singletons kept via the left join. The
+    // oracle replays the closure with a recursive CTE, so the
+    // COMPOSITION is value-gated ----
+    "q_entity_resolution" -> ((s, dir) =>
+      FuzzyJoin.entityComponents(
+          t(s, dir, "customer"), keyCol = "c_name", idCol = "c_custkey")
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"), min(col("c_name")).as("canonical"))
-        .orderBy(col("component"))
-    }),
+        .orderBy(col("component"))),
 
     // ---- strictly-ordered conversion funnel: first view -> first
     // later click -> first later purchase; min-timestamp stages
@@ -178,8 +175,11 @@ object Analytics {
 
     // sparse replay of BOTH d=4 x w=256 sketches with the engine's
     // hash60 + Kirsch-Mitzenmacher bucket mix (the q_cms oracle shape),
-    // then row-wise inner products joined on (row, bucket) — absent
-    // buckets contribute zero, so the sparse inner join is exact
+    // then row-wise inner products joined on (row, bucket). The min runs
+    // over a range(d) SPINE with the product left-joined and coalesced
+    // to 0 — a row whose buckets never co-occupy (disjoint key sets)
+    // must contribute its true 0 product to the min, exactly as the
+    // Spark estimator's dense arrays do
     "q_cms_join_size" ->
       """WITH ev AS (SELECT cast(user_id AS varchar) term,
         |    cast(count(*) AS bigint) c FROM events GROUP BY 1),
@@ -197,14 +197,18 @@ object Analytics {
         |  FROM (SELECT term, c,
         |          cast('0x' || substr(md5(term), 1, 15) AS bigint) h FROM cu)
         |  CROSS JOIN range(4) r(i) GROUP BY 1, 2),
-        |ce AS (SELECT cast(min(p) AS bigint) v FROM (
-        |  SELECT evb.i, cast(sum(evb.s * cub.s) AS bigint) p FROM evb
-        |  JOIN cub ON evb.i = cub.i AND evb.b = cub.b GROUP BY 1)),
-        |se AS (SELECT cast(min(p) AS bigint) v FROM (
-        |  SELECT i, cast(sum(s * s) AS bigint) p FROM evb GROUP BY 1)),
-        |cx AS (SELECT cast(sum(ev.c * cu.c) AS bigint) v
+        |ce AS (SELECT cast(min(coalesce(p.s, 0)) AS bigint) v
+        |  FROM range(4) rr(i) LEFT JOIN (
+        |    SELECT evb.i, cast(sum(evb.s * cub.s) AS bigint) s FROM evb
+        |    JOIN cub ON evb.i = cub.i AND evb.b = cub.b GROUP BY 1) p
+        |  ON p.i = rr.i),
+        |se AS (SELECT cast(min(coalesce(p.s, 0)) AS bigint) v
+        |  FROM range(4) rr(i) LEFT JOIN (
+        |    SELECT i, cast(sum(s * s) AS bigint) s FROM evb GROUP BY 1) p
+        |  ON p.i = rr.i),
+        |cx AS (SELECT cast(coalesce(sum(ev.c * cu.c), 0) AS bigint) v
         |  FROM ev JOIN cu USING (term)),
-        |sx AS (SELECT cast(sum(c * c) AS bigint) v FROM ev)
+        |sx AS (SELECT cast(coalesce(sum(c * c), 0) AS bigint) v FROM ev)
         |SELECT ce.v AS est_cross, cx.v AS exact_cross,
         |       se.v AS est_self, sx.v AS exact_self
         |FROM ce, cx, se, sx""".stripMargin,

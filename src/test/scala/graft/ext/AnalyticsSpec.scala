@@ -70,6 +70,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(single == 24L)
   }
 
+  test("join-size estimate: disjoint key sets contribute their zero rows to the min") {
+    val (d, w) = (4, 256)
+    val est = CountMin.joinSizeEstimate(
+      Seq(("only_in_a", 3L)).toDF("term", "cnt"),
+      Seq(("only_in_b", 5L)).toDF("term", "cnt"), d, w)
+    // reference from the public bucket mapping: a row where the two keys
+    // land in different buckets has inner product 0 and must reach min()
+    val ref = (0 until d).map { i =>
+      if (CountMin.bucket("only_in_a", i, w) == CountMin.bucket("only_in_b", i, w))
+        15L else 0L
+    }.min
+    assert(est == ref)
+  }
+
   // ---------- Behavior: funnel ----------
 
   test("funnel enforces strict stage order, not mere presence") {
