@@ -200,13 +200,54 @@ object SkewBench {
     require(plainHot == targetedHot,
       s"targeted agg diverged on the hot key: $plainHot vs $targetedHot")
 
+    // ---- the BEHAVIORAL tier under ENTITY skew: 30% of all events
+    // remapped onto one hot user (the whale account / bot shape).
+    // retention and funnel are agg+join chains keyed on user_id — the
+    // hot user collapses into ONE row after map-side partial
+    // aggregation, so their hot timings should track the uniform ones.
+    // The per-user ordered WINDOW (the q_sessionize shape) is the
+    // honest counter-example: a window partition cannot split, so one
+    // task sorts the whale's entire history — wall time bounds by the
+    // largest entity, and the production mitigation is capping
+    // per-entity history (or sessionizing incrementally in streaming
+    // state), not a shuffle trick. Both numbers go in the record.
+    val evUniform = Tables.t(spark, scaled, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val evHot = evUniform.withColumn("user_id",
+      when(pmod(col("user_id"), lit(10)) < 3, lit(0L))
+        .otherwise(col("user_id")))
+    def sessionWindow(ev: DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("gap_us",
+          expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id")).agg(max(col("sess_id")).as("n_sessions"))
+    }
+    val behav = Seq[(String, DataFrame => DataFrame)](
+      "retention" -> (ev => graft.ext.Behavior.retention(ev)),
+      "funnel" -> (ev =>
+        graft.ext.Behavior.funnel(ev, Seq("view", "click", "purchase"))),
+      "session_window" -> (ev => sessionWindow(ev))
+    ).map { case (name, f) =>
+      Bench.materialize(f(evUniform)); Bench.materialize(f(evHot)) // warm
+      val u = time(Bench.materialize(f(evUniform)))
+      val h = time(Bench.materialize(f(evHot)))
+      f""""$name":{"uniform_sec":$u%.3f,"hot_sec":$h%.3f}"""
+    }.mkString(",")
+
     println(s"""{"metric":"skew_curve","scaled_dir":"$scaled","rows":$nRows,""" +
       f""""hot_share":$hotShare%.3f,"hot_keys":${hot.size},""" +
       f""""join_sec":$joinSec%.3f,"join_sec_nosplit":$joinSecNoSplit%.3f,""" +
       f""""aqe_skew_splits":$nSkewSplits,"join_groups":$joinRows,""" +
       f""""agg_plain_sec":$plainSec%.3f,"agg_salted_sec":$saltedSec%.3f,""" +
       f""""agg_targeted_sec":$targetedSec%.3f,""" +
-      s""""hot_key_rows":$plainHot}""")
+      s""""hot_key_rows":$plainHot,""" +
+      s""""behavior":{$behav}}""")
     spark.stop()
   }
 }
