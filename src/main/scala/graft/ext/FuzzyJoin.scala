@@ -104,6 +104,35 @@ object FuzzyJoin {
     verified(candidates, "key_new", "key_corpus")
   }
 
+  /** Persist the corpus signature table for a long-running incremental
+    * ER session — the [[graft.ext.Retrieval.buildIndex]] contract
+    * applied here: [[againstCorpusEd1]] re-derives corpus signatures on
+    * EVERY batch (a full corpus scan + explode), which is right for a
+    * one-shot match and wrong for a session issuing many. Build runs
+    * the signature pipeline once and materializes (key_corpus, sig_h)
+    * columnar; every subsequent batch joins the slim parquet directly —
+    * no corpus text scan at all. Results are bit-identical to the
+    * inline path (same signature pipeline, shared code). */
+  def buildSigIndex(corpus: DataFrame, key: String, path: String): String = {
+    sigTable(corpus, key, "key_corpus")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sigs")
+    path
+  }
+
+  /** [[againstCorpusEd1]] against a [[buildSigIndex]] index: same
+    * output contract, same bits, no corpus scan. */
+  def againstIndexEd1(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, key: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val cs = spark.read.parquet(s"$indexPath/sigs")
+    val bs = sigTable(batch, key, "key_new")
+    val candidates =
+      if (broadcastBatch) broadcast(bs).join(cs, Seq("sig_h"))
+      else bs.join(cs.hint("merge"), Seq("sig_h"))
+    verified(candidates, "key_new", "key_corpus")
+  }
+
   /** End-to-end entity resolution: ed ≤ 1 pair graph over `keyCol`,
     * connected components (driver union-find under
     * [[ConnectedComponents.components]]' edge bound, distributed

@@ -54,6 +54,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.where(col("key_new") === col("key_corpus")).count() == 1)
   }
 
+  test("persisted signature index reproduces the inline incremental match exactly") {
+    val all = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
+      .select(col("c_name").as("k"), col("c_custkey"))
+      .limit(400)
+    val batch = all.where(col("c_custkey") % 10 === 0)
+    val corpus = all.where(col("c_custkey") % 10 =!= 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-fuzzyidx-spec").toString + "/idx"
+    FuzzyJoin.buildSigIndex(corpus, "k", idx)
+    val indexed = FuzzyJoin.againstIndexEd1(spark, idx, batch, "k")
+    val inline = FuzzyJoin.againstCorpusEd1(batch, corpus, "k")
+    assert(indexed.exceptAll(inline).count() == 0)
+    assert(inline.exceptAll(indexed).count() == 0)
+    assert(inline.count() > 0)
+  }
+
   // ---------- CMS join-size estimate ----------
 
   test("CMS join-size estimate never undercounts and is exact for one key") {
