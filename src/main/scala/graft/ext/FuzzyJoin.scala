@@ -133,7 +133,9 @@ object FuzzyJoin {
     verified(candidates, "key_new", "key_corpus")
   }
 
-  /** End-to-end entity resolution: ed ≤ 1 pair graph over `keyCol`,
+  /** End-to-end entity resolution: ed ≤ 1 pair graph over `keyCol` —
+    * INCLUDING ed = 0 (entities sharing an identical key merge, via
+    * per-key star edges) —
     * connected components (driver union-find under
     * [[ConnectedComponents.components]]' edge bound, distributed
     * star-contraction above it — `localSolveMax` passes through), and a
@@ -151,7 +153,19 @@ object FuzzyJoin {
       .join(base.select(col(keyCol).as("key_b"), col(idCol).as("doc_b")),
         "key_b")
       .select(col("doc_a"), col("doc_b"))
-    val comp = ConnectedComponents.components(pairs, localSolveMax = localSolveMax)
+    // ed = 0 edges: selfJoinEd1 pairs DISTINCT key VALUES, so entities
+    // sharing an IDENTICAL key (the most common real ER case) would
+    // stay in separate singleton components without these. One STAR
+    // edge per duplicate (id → the key group's min id) — linear in the
+    // group, never the group's pair square, and a groupBy(min) keeps
+    // map-side partial aggregation at any duplicate-class size
+    val samePairs = base.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("doc_a"))
+      .join(base.select(col(keyCol), col(idCol).as("doc_b")), keyCol)
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val comp = ConnectedComponents.components(
+      pairs.unionAll(samePairs), localSolveMax = localSolveMax)
     base.join(comp, base(idCol) === comp("doc_id"), "left")
       .select(col(idCol), col(keyCol),
         coalesce(col("component"), col(idCol)).as("component"))

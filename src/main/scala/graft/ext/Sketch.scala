@@ -259,14 +259,23 @@ object CountMin {
     cellsOf(sketch(tc, d, w), d, w)
 
   /** [[joinSizeEstimate]] on prebuilt cell matrices (both must share
-    * (d, w) and the engine's fixed hash family). */
+    * (d, w) and the engine's fixed hash family). Per-row inner products
+    * run in overflow-CHECKED arithmetic and saturate at Long.MaxValue:
+    * past the documented ~3e9-row bound a silent wraparound would hand
+    * the caller a garbage (possibly negative) "estimate", while
+    * saturation keeps the never-undercount contract — a saturated row
+    * is a true upper bound, and min() over rows still is too. */
   def joinSizeEstimateCells(a: Array[Long], b: Array[Long],
       d: Int, w: Int): Long = {
     require(a.length == d * w && b.length == d * w,
       s"sketch geometry mismatch: ${a.length}/${b.length} cells != d=$d x w=$w")
     (0 until d).map { i =>
       var s = 0L; var j = 0
-      while (j < w) { s += a(i * w + j) * b(i * w + j); j += 1 }
+      while (j < w && s != Long.MaxValue) {
+        try s = Math.addExact(s, Math.multiplyExact(a(i * w + j), b(i * w + j)))
+        catch { case _: ArithmeticException => s = Long.MaxValue }
+        j += 1
+      }
       s
     }.min
   }

@@ -30,7 +30,14 @@ object Outliers {
     // eager-checkpointing them runs each window sort exactly once —
     // un-materialized, the med sort (the query's dominant stage) would
     // execute twice because window operators above an exchange are not
-    // covered by exchange reuse
+    // covered by exchange reuse. The checkpoint blocks stay registered
+    // until the returned frame's RDD is garbage-collected (Spark's
+    // ContextCleaner reclaims them); they cannot be unpersisted here
+    // because localCheckpoint TRUNCATES lineage — dropping the blocks
+    // before the caller materializes would make the result
+    // unrecomputable. |groups|-sized blocks make that residency cheap;
+    // long-lived sessions calling this in a tight loop should
+    // materialize-and-release each result so the cleaner keeps up
     val med = Quantiles.exactDiscrete(vals, valueCol, groupCols, Seq(0.5))
       .select(groupCols.map(col) :+ col("q").as("med"): _*)
       .localCheckpoint()

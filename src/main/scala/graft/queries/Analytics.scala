@@ -16,8 +16,23 @@ object Analytics {
   type Q = (SparkSession, String) => DataFrame
 
   /** Persisted fuzzy signature index, built once per (jvm, sf dir) —
-    * the q_bm25_indexed caching precedent. */
+    * the q_bm25_indexed caching precedent. Index dirs live under /tmp
+    * and are deleted on JVM exit (shutdown hook below): without that a
+    * harness run leaves one orphan tree per (jvm, sf dir) behind. */
   private val fuzzyIdx = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def tempIndexDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(d)) {
+        val it = Files.walk(d).sorted(Comparator.reverseOrder[Path]()).iterator()
+        while (it.hasNext) { try Files.delete(it.next()) catch { case _: Exception => } }
+      }
+    }))
+    d.toString
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -51,8 +66,7 @@ object Analytics {
     "q_fuzzy_indexed" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val idx = fuzzyIdx.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-fuzzyidx").toString + "/idx"
+        val d = tempIndexDir("graft-fuzzyidx") + "/idx"
         FuzzyJoin.buildSigIndex(
           c.where(col("c_custkey") % 10 =!= 0), "c_name", d)
       })
@@ -105,6 +119,31 @@ object Analytics {
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_members"), min(col("c_name")).as("canonical"))
         .orderBy(col("component"))),
+
+    // ---- the STRUCTURED entity-resolution gate: the dense zero-padded
+    // name space above collapses to one giant component (every name is
+    // one digit from a neighbor), so that row value-gates the
+    // composition through a single output row. This variant derives a
+    // key that produces real component STRUCTURE — a sparsified name
+    // subset (custkey % 3 = 0 keeps unique names whose digit graph
+    // fragments into many components plus singletons) and five
+    // exact-duplicate classes ('DUP-' + mktsegment, most of the
+    // rows) merged purely by the ed=0 same-key star edges, plus a
+    // 'SOLO-'-prefixed slice whose keys are (near-)unique so the
+    // singleton left-join coalesce fires — so multi-component labeling,
+    // duplicate-key merging, and singleton coalescing are all
+    // hash-compared ----
+    "q_entity_dedup" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 11 === 5,
+            concat(lit("SOLO-"), col("c_name")))
+          .when(col("c_custkey") % 3 === 0, col("c_name"))
+          .otherwise(concat(lit("DUP-"), col("c_mktsegment"))).as("ekey"))
+      FuzzyJoin.entityComponents(c, keyCol = "ekey", idCol = "c_custkey")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), min(col("ekey")).as("canonical"))
+        .orderBy(col("component"))
+    }),
 
     // ---- strictly-ordered conversion funnel: first view -> first
     // later click -> first later purchase; min-timestamp stages
@@ -177,10 +216,16 @@ object Analytics {
         |  AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
 
+    // p = fuzzy ed<=1 pairs PLUS ed=0 same-key pairs (the engine's
+    // per-key star edges; all-pairs here because the oracle may
+    // brute-force) — no-op on the unique-name fixture, load-bearing in
+    // the q_entity_dedup variant below
     "q_entity_resolution" ->
       """WITH RECURSIVE p AS (
         |  SELECT a.c_custkey ka, b.c_custkey kb
-        |  FROM customer a JOIN customer b ON a.c_name < b.c_name
+        |  FROM customer a JOIN customer b
+        |    ON (a.c_name < b.c_name
+        |        OR (a.c_name = b.c_name AND a.c_custkey < b.c_custkey))
         |  WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |    AND levenshtein(a.c_name, b.c_name) <= 1),
         |ed AS (SELECT ka a, kb b FROM p UNION SELECT kb, ka FROM p),
@@ -194,6 +239,35 @@ object Analytics {
         |           coalesce(comp.component, c.c_custkey) component
         |         FROM customer c LEFT JOIN comp ON comp.k = c.c_custkey)
         |SELECT component, count(*) AS n_members, min(c_name) AS canonical
+        |FROM allc GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // the derived-key replay of the entity-resolution closure: same
+    // recursive shape, over the sparsified-name + duplicate-class key
+    "q_entity_dedup" ->
+      """WITH RECURSIVE k AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 5 THEN 'SOLO-' || c_name
+        |         WHEN c_custkey % 3 = 0 THEN c_name
+        |         ELSE 'DUP-' || c_mktsegment END AS ekey
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.c_custkey ka, b.c_custkey kb
+        |  FROM k a JOIN k b
+        |    ON (a.ekey < b.ekey
+        |        OR (a.ekey = b.ekey AND a.c_custkey < b.c_custkey))
+        |  WHERE abs(length(a.ekey) - length(b.ekey)) <= 1
+        |    AND levenshtein(a.ekey, b.ekey) <= 1),
+        |ed AS (SELECT ka a, kb b FROM p UNION SELECT kb, ka FROM p),
+        |rch AS (SELECT a, b FROM ed
+        |        UNION
+        |        SELECT r.a, e.b FROM rch r JOIN ed e ON r.b = e.a AND r.a <> e.b),
+        |comp AS (SELECT v.a AS k, least(v.a, min(r.b)) AS component
+        |         FROM (SELECT DISTINCT a FROM ed) v JOIN rch r ON r.a = v.a
+        |         GROUP BY v.a),
+        |allc AS (SELECT kk.ekey,
+        |           coalesce(comp.component, kk.c_custkey) component
+        |         FROM k kk LEFT JOIN comp ON comp.k = kk.c_custkey)
+        |SELECT component, count(*) AS n_members, min(ekey) AS canonical
         |FROM allc GROUP BY 1 ORDER BY component""".stripMargin,
 
     "q_fuzzy_incremental" -> FuzzyIncrementalOracle,
