@@ -232,7 +232,13 @@ object SkewBench {
       "retention" -> (ev => graft.ext.Behavior.retention(ev)),
       "funnel" -> (ev =>
         graft.ext.Behavior.funnel(ev, Seq("view", "click", "purchase"))),
-      "session_window" -> (ev => sessionWindow(ev))
+      "session_window" -> (ev => sessionWindow(ev)),
+      // the whale mitigation: per-(user, day-slab) local windows +
+      // summary-level boundary merge — same result, but the hot user's
+      // history splits across slabs instead of sorting in one task, so
+      // hot_sec should track uniform_sec where session_window's cannot
+      "session_chunked" -> (ev =>
+        graft.operators.Sessionize.chunked(ev, "user_id", "ts"))
     ).map { case (name, f) =>
       Bench.materialize(f(evUniform)); Bench.materialize(f(evHot)) // warm
       val u = time(Bench.materialize(f(evUniform)))

@@ -309,6 +309,17 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // ---- the same sessionization through the whale-safe chunked
+    // operator (per-(user, day-slab) local windows + a summary-level
+    // boundary merge — no per-user whole-history sort, so the largest
+    // entity no longer bounds wall time). Bit-identical to q_sessionize
+    // by construction; its oracle is ALIASED to q_sessionize's so the
+    // two formulations cannot drift apart ----
+    "q_sessionize_chunked" -> ((s, dir) =>
+      graft.operators.Sessionize.chunked(
+          t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("user_id"))),
+
     // ---- exact discrete quantiles per group: value at rank ceil(p*n),
     // one window-sort shuffle; approx_percentile is the sketch path ----
     "q_quantiles" -> ((s, dir) =>
@@ -587,6 +598,20 @@ object Relational {
     }),
   )
 
+  private val SessionizeOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) gap_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
+      |  FROM g)
+      |SELECT user_id, cast(max(sess_id) as bigint) AS n_sessions, count(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -683,19 +708,10 @@ object Relational {
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, ts,
-        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) gap_us
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id,
-        |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess_id
-        |  FROM g)
-        |SELECT user_id, cast(max(sess_id) as bigint) AS n_sessions, count(*) AS n_events
-        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_sessionize" -> SessionizeOracle,
+    // aliased, not copied: the chunked operator must reproduce the
+    // single-window result exactly
+    "q_sessionize_chunked" -> SessionizeOracle,
 
     "q_redact" ->
       """SELECT event_id,
