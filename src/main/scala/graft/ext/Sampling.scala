@@ -29,6 +29,40 @@ object Sampling {
       .drop("_rnk")
   }
 
+  /** Weighted sample of `n` rows without replacement — the missing
+    * sampling shape between [[stratifiedTopN]] (uniform within stratum)
+    * and [[applyMixPct]] (rate-based): pick documents with probability
+    * increasing in a per-row weight (quality score, length, dollar
+    * value), deterministically.
+    *
+    * Scheme: PRIORITY SAMPLING (Duffield, Lund, Thorup, JACM 2007) with
+    * a hash in place of the random draw — each row gets priority
+    * `hash60(key) div weight` and the n SMALLEST priorities win, ties
+    * broken by key. hash60 plays u·2^60 for a uniform u, so the rank
+    * order matches priority sampling's w/u ranking exactly; inclusion
+    * frequency tracks weight (a weight-w row beats a weight-1 row on
+    * the same hash budget w× as often) while staying INTEGER-EXACT:
+    * one hash, one integer division, no ln/pow whose last-ulp behavior
+    * differs across engines — the draw replays bit-for-bit in any
+    * engine with md5 and floor division, which the exponential-clock
+    * A-ES reservoir (−ln(u)/w doubles) cannot guarantee. Weights clamp
+    * to ≥ 1 (a zero/negative weight means "never prefer", not "divide
+    * by zero").
+    *
+    * Scale shape: the rank is a global top-n — Spark executes
+    * `orderBy().limit(n)` as TakeOrderedAndProject (per-partition heap
+    * of n, then a driver merge of |partitions|·n rows), so the corpus
+    * is never globally sorted and the shuffle carries only candidate
+    * heaps. One scan, no join, no window. */
+  def weightedTopN(df: DataFrame, keyCol: String, weight: Column,
+      n: Int): DataFrame =
+    df.withColumn("_w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("_h", hash60(col(keyCol).cast("string")))
+      .withColumn("_pri", expr("_h div _w"))
+      .orderBy(col("_pri").asc, col(keyCol).asc)
+      .limit(n)
+      .drop("_w", "_h", "_pri")
+
   /** Apply a per-stratum sampling rate: keep a row iff
     * `hash60(key) % 100 < pct(stratum)`. `pct` is any integer-percent
     * column expression (a broadcast-joined weights table, a config map,

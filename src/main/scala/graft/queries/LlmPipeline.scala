@@ -925,6 +925,15 @@ object LlmPipeline {
         .select(col("source"), col("doc_id"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // ---- weighted deterministic sample: 200 docs drawn with
+    // probability tracking n_chars (longer docs preferred), via
+    // integer-exact hash priority sampling — one scan, a distributed
+    // top-n, no global sort ----
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedTopN(docs(s, dir), "doc_id", col("n_chars"), n = 200)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // ---- int8 scalar quantization of the embedding corpus; the gate
     // projects order-sensitive integer scalars of each code vector
     // (weighted sum + min/max) since the driver's sorter can't hash
@@ -2262,6 +2271,18 @@ object LlmPipeline {
         |  FROM documents)
         |SELECT source, doc_id FROM r WHERE rn <= 5
         |ORDER BY source, doc_id""".stripMargin,
+
+    // priority = hash60 // weight (DuckDB // is floor division = Spark
+    // div on these non-negative operands); n smallest (priority, key)
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+        |    greatest(n_chars, 1) AS wt,
+        |    cast(('0x'||substr(md5(cast(doc_id as varchar)),1,15)) as bigint) AS h
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars, h // wt AS pri
+        |  FROM w ORDER BY pri ASC, doc_id ASC LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
 
     // per-dimension min/max "training" + the fixed IEEE chain
     // floor((x-mn)*254/(mx-mn)) - 127, weighted-summed per vector with

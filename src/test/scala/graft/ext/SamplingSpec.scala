@@ -37,4 +37,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(k30.size / n - 0.30) < 0.1) // rate lands near target
     assert(kept(0).isEmpty && kept(100).size == n.toLong)
   }
+
+  test("weightedTopN: deterministic, n rows, matches a local replay") {
+    val got = Sampling.weightedTopN(docs, "doc_id", col("n_chars"), 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.size == 50)
+    // local replay of the exact scheme: hash60 = first 15 md5 hex chars
+    val local = docs.select("doc_id", "n_chars").as[(Long, Long)].collect()
+      .map { case (id, nc) =>
+        (hash60Local(id.toString) / math.max(nc, 1L), id) }
+      .sorted.take(50).map(_._2).toSet
+    assert(got == local)
+    // determinism across invocations
+    val again = Sampling.weightedTopN(docs, "doc_id", col("n_chars"), 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == again)
+  }
+
+  test("weightedTopN: inclusion frequency tracks weight") {
+    // property over the SCHEME (pure local replay — 200 salted draws of
+    // 100 from 1000 keys would be 200 Spark jobs for the same numbers):
+    // keys carry weights 1..10; across salts, each weight class's
+    // inclusion count must rise monotonically-ish and the heaviest
+    // class must dominate the lightest by roughly its weight ratio
+    val byWeight = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+    for (salt <- 0 until 200) {
+      val drawn = (1 to 1000)
+        .map { k => val w = 1L + k % 10
+          (hash60Local(s"$salt-$k") / w, k, w) }
+        .sorted.take(100)
+      drawn.foreach { case (_, _, w) => byWeight(w) += 1 }
+    }
+    val counts = (1L to 10L).map(byWeight)
+    assert(counts.last > counts.head * 5,
+      s"weight-10 keys should dominate weight-1 ~10x: $counts")
+    // monotone in aggregate: each class at least ~its predecessor
+    counts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b > a * 0.8, s"inclusion not tracking weight: $counts")
+    }
+  }
+
+  /** First 15 hex chars of md5, as a long — TextOps.hash60's contract. */
+  private def hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
 }
