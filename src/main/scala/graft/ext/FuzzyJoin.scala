@@ -39,6 +39,32 @@ object FuzzyJoin {
     transform(sequence(lit(0), length(c)),
       i => concat(c.substr(lit(1), i), c.substr(i + lit(2), length(c))))
 
+  /** {s} ∪ D1(s) ∪ D2(s): every variant with ≤ 2 characters deleted.
+    * D2 enumerates 1-based position pairs i < j —
+    * s[1..i-1] + s[i+1..j-1] + s[j+1..L] — so |sigs| = 1 + L + C(L,2)
+    * (~172 for an 18-char entity key: affordable for name-length
+    * attributes, quadratic in L — NOT for document text; near-dup text
+    * is [[Dedup]]'s tier). Guarded for L < 2 (no pair to delete).
+    *
+    * This is the ed ≤ 2 DISCRIMINATING signature scheme: unlike
+    * PassJoin's partition signatures — whose first segment is the
+    * literal shared prefix on corpora like "Customer#...", collapsing
+    * every key into one bucket (all-pairs in disguise) — a deletion
+    * signature carries the ENTIRE residual string, shared prefix
+    * included, so a bucket only groups keys whose full content agrees
+    * after ≤ 2 deletions. Bucket sizes on the zero-padded fixture
+    * corpus stay bounded (asserted in FuzzyJoinSpec). */
+  private[ext] def deletionSigs2(c: Column): Column = {
+    val L = length(c)
+    val d2 = flatten(transform(sequence(lit(1), L - 1), i =>
+      transform(sequence(i + 1, L), j =>
+        concat(c.substr(lit(1), i - 1),
+          c.substr(i + 1, j - i - 1),
+          c.substr(j + 1, L - j)))))
+    concat(deletionSigs(c),
+      when(L >= 2, d2).otherwise(array()))
+  }
+
   /** (outName, sig_h): the deduped signature table of `key`'s distinct
     * non-null values. The per-key dedupe is load-bearing: a key emits
     * the SAME signature from every delete position of a repeated-char
@@ -46,26 +72,41 @@ object FuzzyJoin {
     * string), and without it hot buckets join every copy against every
     * copy — candidate inflation quadratic in the run length (measured
     * 1.5M zero-padded names: ~4× fewer candidate rows deduped). */
-  private def sigTable(df: DataFrame, key: String, outName: String): DataFrame =
+  private def sigTable(df: DataFrame, key: String, outName: String,
+      k: Int = 1): DataFrame = {
+    val sigs =
+      if (k >= 2) deletionSigs2(col(outName)) else deletionSigs(col(outName))
     df.select(col(key).as(outName)).where(col(outName).isNotNull)
       .distinct()
-      .select(col(outName), explode(deletionSigs(col(outName))).as("sig"))
+      .select(col(outName), explode(sigs).as("sig"))
       .select(col(outName), xxhash64(col("sig")).as("sig_h"))
       .distinct()
+  }
 
   /** Candidate pairs from a signature equi-join, deduped (a pair can
     * share several signatures) and verified: the cheap length gate,
     * then exact levenshtein. */
-  private def verified(candidates: DataFrame, l: String, r: String): DataFrame =
+  private def verified(candidates: DataFrame, l: String, r: String,
+      k: Int = 1): DataFrame =
     candidates.select(col(l), col(r)).distinct()
-      .where(abs(length(col(l)) - length(col(r))) <= 1)
-      .where(levenshtein(col(l), col(r)) <= 1)
+      .where(abs(length(col(l)) - length(col(r))) <= k)
+      .where(levenshtein(col(l), col(r)) <= k)
 
   /** Distinct unordered pairs (key_a < key_b) of distinct values of
     * `key` with levenshtein distance ≤ 1. Output columns
     * (`key_a`, `key_b`), unordered — callers sort. */
-  def selfJoinEd1(df: DataFrame, key: String): DataFrame = {
-    val sigs = sigTable(df, key, "k")
+  def selfJoinEd1(df: DataFrame, key: String): DataFrame =
+    selfJoinEdK(df, key, 1)
+
+  /** [[selfJoinEd1]] generalized to edit distance ≤ `k` ∈ {1, 2}: same
+    * candidates-then-verify shape over the k-deletion neighborhood
+    * ([[deletionSigs2]] for the completeness + discrimination argument).
+    * k = 2 is the real entity-resolution distance (two typos, a
+    * dropped word boundary + a substitution); its signature table is
+    * ~C(L,2)/L ≈ L/2× the ed1 table, still linear in the corpus. */
+  def selfJoinEdK(df: DataFrame, key: String, k: Int): DataFrame = {
+    require(k == 1 || k == 2, s"selfJoinEdK supports k in {1,2}, got $k")
+    val sigs = sigTable(df, key, "k", k)
     val a = sigs.select(col("k").as("key_a"), col("sig_h"))
     val b = sigs.select(col("k").as("key_b"), col("sig_h"))
     // both sides are the SAME corpus-sized signature table — broadcast
@@ -75,7 +116,7 @@ object FuzzyJoin {
     // sort-merge intent (spills, never materializes a side in heap)
     verified(
       a.join(b.hint("merge"), Seq("sig_h")).where(col("key_a") < col("key_b")),
-      "key_a", "key_b")
+      "key_a", "key_b", k)
   }
 
   /** Incremental variant — the production entity-resolution shape: match
@@ -118,6 +159,32 @@ object FuzzyJoin {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/sigs")
     path
+  }
+
+  /** Index MAINTENANCE for a long-running incremental ER session:
+    * append a new batch's signatures to a [[buildSigIndex]] index so
+    * the session's corpus can GROW without a rebuild (the
+    * [[Ivf.addToIndex]] precedent — one signature job that scales with
+    * the batch, never a corpus re-scan). Replay-safe under
+    * at-least-once ingest: keys already indexed are anti-joined away,
+    * so re-appending the same batch is a no-op — without that, a
+    * duplicated signature row would double-emit its candidate pairs
+    * into every later probe's verification (correct output after
+    * distinct(), but paying the duplicate join volume forever). The
+    * grown index is row-identical to a fresh [[buildSigIndex]] over
+    * the union corpus (asserted in FuzzyJoinSpec). Parquet append is
+    * not atomic; sessions needing concurrent probe/append should land
+    * index generations through [[graft.land.AtomicLanding]]. */
+  def addToSigIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, key: String): Unit = {
+    val existing = spark.read.parquet(s"$indexPath/sigs")
+      .select(col("key_corpus")).distinct()
+    val fresh = batch.select(col(key).as("key_corpus"))
+      .where(col("key_corpus").isNotNull).distinct()
+      .join(existing, Seq("key_corpus"), "left_anti")
+    sigTable(fresh, "key_corpus", "key_corpus")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexPath/sigs")
   }
 
   /** [[againstCorpusEd1]] against a [[buildSigIndex]] index: same

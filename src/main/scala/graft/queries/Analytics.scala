@@ -45,6 +45,17 @@ object Analytics {
         .select(col("key_a").as("name_a"), col("key_b").as("name_b"))
         .orderBy(col("name_a"), col("name_b"))),
 
+    // ---- edit distance <= 2 (two typos — the real ER distance):
+    // same candidates-then-verify, over the <=2-deletion neighborhood.
+    // Deletion signatures carry the full residual string, so the
+    // shared "Customer#" prefix does NOT collapse buckets the way
+    // PassJoin partition segments would (FuzzyJoinSpec asserts the
+    // bucket bound); the oracle brute-forces the quadratic check ----
+    "q_fuzzy_join_ed2" -> ((s, dir) =>
+      FuzzyJoin.selfJoinEdK(t(s, dir, "customer"), "c_name", k = 2)
+        .select(col("key_a").as("name_a"), col("key_b").as("name_b"))
+        .orderBy(col("name_a"), col("name_b"))),
+
     // ---- incremental fuzzy join: a simulated new batch (custkey % 10
     // = 0) matched against the remaining corpus — candidates from
     // corpus-sig x batch-sig, cost scales with the batch, exact ed=0
@@ -214,6 +225,14 @@ object Analytics {
         |JOIN (SELECT DISTINCT c_name FROM customer) b ON a.c_name < b.c_name
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
         |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_fuzzy_join_ed2" ->
+      """SELECT a.c_name AS name_a, b.c_name AS name_b
+        |FROM (SELECT DISTINCT c_name FROM customer) a
+        |JOIN (SELECT DISTINCT c_name FROM customer) b ON a.c_name < b.c_name
+        |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
 
     // p = fuzzy ed<=1 pairs PLUS ed=0 same-key pairs (the engine's

@@ -80,6 +80,90 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(diffs.isEmpty, "\nFIXTURE DRIFT:\n  " + diffs.mkString("\n  "))
   }
 
+  // expected parquet FOOTER types — the ORACLE side of the canary. The
+  // Spark-read pin above watches what the engine's loaders dispatch on;
+  // DuckDB (the driver's oracle) types its view straight off the footer's
+  // physical + logical annotation, so an oracle-side type change (the
+  // other half of an r8-style drift: same Spark type, different physical
+  // encoding — e.g. TIMESTAMP(NANOS) vs plain int64 both read as
+  // acceptable Spark types but produce different DuckDB columns) must
+  // fail HERE with a named column. Sets mirror the drift histories.
+  private val expectedFooter: Map[String, Map[String, Set[String]]] = {
+    val i = Set("int32:-", "int64:-")
+    val s = Set("binary:STRING")
+    val d = Set("double:-")
+    val ts = Set("int64:TIMESTAMP(MICROS,false)", "int64:TIMESTAMP(MICROS,true)",
+      "int64:TIMESTAMP(NANOS,false)", "int64:TIMESTAMP(NANOS,true)",
+      "int64:-", "int32:DATE")
+    Map(
+      "region"   -> Map("r_regionkey" -> i, "r_name" -> s),
+      "nation"   -> Map("n_nationkey" -> i, "n_name" -> s, "n_regionkey" -> i),
+      "customer" -> Map("c_custkey" -> i, "c_name" -> s, "c_nationkey" -> i,
+                        "c_acctbal" -> d, "c_mktsegment" -> s),
+      "supplier" -> Map("s_suppkey" -> i, "s_name" -> s, "s_nationkey" -> i,
+                        "s_acctbal" -> d),
+      "part"     -> Map("p_partkey" -> i, "p_name" -> s, "p_brand" -> s,
+                        "p_type" -> s, "p_size" -> i, "p_retailprice" -> d),
+      "orders"   -> Map("o_orderkey" -> i, "o_custkey" -> i,
+                        "o_orderstatus" -> s, "o_totalprice" -> d,
+                        "o_orderdate" -> ts, "o_orderpriority" -> s),
+      "lineitem" -> Map("l_orderkey" -> i, "l_partkey" -> i, "l_suppkey" -> i,
+                        "l_linenumber" -> i, "l_quantity" -> d,
+                        "l_extendedprice" -> d, "l_discount" -> d,
+                        "l_tax" -> d, "l_returnflag" -> s,
+                        "l_linestatus" -> s, "l_shipdate" -> ts),
+      "events"   -> Map("event_id" -> i, "ts" -> ts, "user_id" -> i,
+                        "event_type" -> s, "value" -> d, "props" -> s),
+      "documents"  -> Map("doc_id" -> i, "text" -> s, "lang" -> s,
+                          "source" -> s, "n_chars" -> i),
+      "embeddings" -> Map("vec_id" -> i,
+                          "embedding" -> Set("LIST<float:->", "LIST<double:->"),
+                          "label" -> i)
+    )
+  }
+
+  /** primitiveTypeName:logicalAnnotation per top-level field (groups
+    * render as ANNOTATION<leaf>, descending first children). */
+  private def footerTypes(path: String): Map[String, String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    def render(t: org.apache.parquet.schema.Type): String =
+      if (t.isPrimitive) {
+        val p = t.asPrimitiveType()
+        val lt = Option(p.getLogicalTypeAnnotation).map(_.toString).getOrElse("-")
+        s"${p.getPrimitiveTypeName.toString.toLowerCase}:$lt"
+      } else {
+        val g = t.asGroupType()
+        val ann = Option(g.getLogicalTypeAnnotation).map(_.toString).getOrElse("group")
+        var cur: org.apache.parquet.schema.Type = g
+        while (!cur.isPrimitive) cur = cur.asGroupType().getFields.get(0)
+        s"$ann<${render(cur)}>"
+      }
+    val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new Path(path), new Configuration()))
+    try rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(f => f.getName -> render(f)).toMap
+    finally rd.close()
+  }
+
+  test("fixture parquet FOOTERS match the oracle's dispatch set (drift canary)") {
+    val diffs = expectedFooter.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+      val byName = footerTypes(s"${TestSpark.Sf0001}/$table.parquet")
+      cols.toSeq.sortBy(_._1).flatMap { case (c, ok) =>
+        byName.get(c) match {
+          case None => Some(s"$table.$c: MISSING from footer (refresh dropped it)")
+          case Some(t) if !ok(t) =>
+            Some(s"$table.$c: footer drifted to $t (oracle handles: ${ok.mkString("/")})")
+          case _ => None
+        }
+      }
+    }
+    assert(diffs.isEmpty, "\nORACLE-SIDE FIXTURE DRIFT:\n  " + diffs.mkString("\n  "))
+  }
+
   test("events loader normalizes every historical ts encoding to timestamp") {
     import org.apache.spark.sql.types._
     // current fixture, whatever it is today

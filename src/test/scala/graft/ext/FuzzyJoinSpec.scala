@@ -1,0 +1,124 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ed ≤ 2 deletion-neighborhood scheme: signature COMPLETENESS
+  * (every true ed ≤ 2 pair shares a signature — the property the join's
+  * correctness rests on), equivalence with brute force on a hostile
+  * random corpus, and the bucket-size bound on the shared-prefix
+  * zero-padded fixture corpus (the case where PassJoin partition
+  * signatures would collapse into one corpus-sized bucket). */
+class FuzzyJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Plain Levenshtein, local reference. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  /** Local ≤2-deletion neighborhood. */
+  private def d2(s: String): Set[String] = {
+    val d1 = (0 until s.length).map(i => s.take(i) + s.drop(i + 1)).toSet + s
+    d1 ++ (for (i <- 0 until s.length; j <- i + 1 until s.length)
+      yield s.take(i) + s.substring(i + 1, j) + s.drop(j + 1))
+  }
+
+  /** Hostile corpus: short strings over a 3-letter alphabet, so ed ≤ 2
+    * pairs are dense and every edit shape (sub/ins/del/mixed) occurs. */
+  private def corpus(n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).map { _ =>
+      val len = 3 + rnd.nextInt(6)
+      (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }.distinct
+  }
+
+  test("deletion-neighborhood completeness: ed<=2 pairs always share a sig") {
+    val cs = corpus(120)
+    for (a <- cs; b <- cs if a < b && lev(a, b) <= 2)
+      assert(d2(a).intersect(d2(b)).nonEmpty,
+        s"ed=${lev(a, b)} pair ($a, $b) shares no <=2-deletion signature")
+  }
+
+  test("selfJoinEdK(2) == brute force on a dense random corpus") {
+    val cs = corpus(150)
+    val want = (for (a <- cs; b <- cs if a < b && lev(a, b) <= 2)
+      yield (a, b)).toSet
+    val got = FuzzyJoin.selfJoinEdK(cs.toDF("k"), "k", 2)
+      .as[(String, String)].collect().toSet
+    assert(got === want)
+  }
+
+  test("column deletionSigs2 matches the local neighborhood") {
+    val cs = Seq("", "a", "ab", "abc", "Customer#000000042", "aaaa")
+    val rows = cs.toDF("s")
+      .select(col("s"), FuzzyJoin.deletionSigs2(col("s")).as("sigs"))
+      .as[(String, Seq[String])].collect()
+    rows.foreach { case (s, sigs) =>
+      assert(sigs.toSet === d2(s), s"sig set mismatch for '$s'")
+    }
+  }
+
+  test("addToSigIndex: grown index == rebuilt index, and replays no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+    val corpusA = (1 to 400).map(i => f"Customer#$i%09d").toDF("name")
+    val batchB = (380 to 600).map(i => f"Customer#$i%09d").toDF("name")
+    val probes = Seq(150, 390, 555, 999).map(i => f"Customer#$i%09d").toDF("name")
+
+    FuzzyJoin.buildSigIndex(corpusA, "name", s"$dir/grown")
+    FuzzyJoin.addToSigIndex(spark, s"$dir/grown", batchB, "name")
+    FuzzyJoin.buildSigIndex(corpusA.unionByName(batchB), "name", s"$dir/fresh")
+
+    // index CONTENT identical (overlap keys 380..400 deduped)
+    def rows(p: String) = spark.read.parquet(s"$p/sigs")
+      .as[(String, Long)].collect().toSet
+    assert(rows(s"$dir/grown") === rows(s"$dir/fresh"))
+
+    // probe through each — same matches
+    def probe(p: String) = FuzzyJoin.againstIndexEd1(spark, p, probes, "name")
+      .as[(String, String)].collect().toSet
+    val viaGrown = probe(s"$dir/grown")
+    assert(viaGrown === probe(s"$dir/fresh"))
+    assert(viaGrown.nonEmpty) // the probe must actually exercise matches
+
+    // replaying the SAME batch appends nothing
+    FuzzyJoin.addToSigIndex(spark, s"$dir/grown", batchB, "name")
+    assert(rows(s"$dir/grown") === rows(s"$dir/fresh"))
+  }
+
+  test("bucket sizes stay bounded on the shared-prefix fixture corpus") {
+    // Zero-padded names — every key opens "Customer#"; a partition
+    // (prefix-segment) signature scheme buckets ALL of them together.
+    // Deletion signatures carry the residual digits, so the hottest
+    // bucket (a low-entropy mostly-zeros residue like "0000005",
+    // reachable from every name with <= 2 significant digits in the
+    // right places) holds hundreds of keys out of tens of thousands —
+    // and grows SUB-linearly with the corpus (measured 810 → 1206 →
+    // 1683 at 10k → 100k → 1M): bucket size is set by digit
+    // combinatorics around the residue, not corpus size.
+    def stats(n: Int): (Long, Double) = {
+      val names = spark.range(1, n + 1)
+        .select(format_string("Customer#%09d", col("id")).as("k"))
+      val r = names
+        .select(explode(FuzzyJoin.deletionSigs2(col("k"))).as("sig"))
+        .groupBy("sig").agg(count(lit(1)).as("n"))
+        .agg(max("n"), avg("n")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (max10k, avg10k) = stats(10000)
+    assert(max10k <= 1000, s"hot bucket of $max10k keys at 10k — collapsing")
+    assert(avg10k < 4.0, s"mean bucket $avg10k — signatures not discriminating")
+    val (max100k, _) = stats(100000)
+    // 10x the corpus must far less than 10x the hot bucket
+    assert(max100k < max10k * 2,
+      s"hot bucket grew $max10k -> $max100k on 10x corpus — not sub-linear")
+  }
+}
