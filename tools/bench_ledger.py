@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Per-round bench ledger: turn the BENCH_r*.json driver artifacts (and any
+full local board dumps) into one committed BENCH_LEDGER.json so drift
+questions ("is this round slower than it should be?") are answered by
+lookup against per-query minima, not by argument from two adjacent rounds.
+
+Driver artifacts only keep a 2000-char tail of the bench stdout, so early
+rounds' boards are PARTIAL (alphabetically-early queries cut off); the
+ledger records whatever survives plus the sentinels. Full boards come from
+local runs saved as BENCH_LOCAL_r<N>.json (the raw one-line Bench JSON):
+run  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench"
+and save the {"metric":...} line.
+
+Usage: python3 tools/bench_ledger.py          # rebuild BENCH_LEDGER.json
+Dev tooling only — the engine itself is pure Scala/Spark.
+"""
+import glob
+import json
+import re
+import os
+
+QUERY_RE = re.compile(r'"(q_[a-z0-9_]+)":([0-9]+(?:\.[0-9]+)?)')
+SENT_RE = re.compile(r'"sentinel_(first|last)_sec":([0-9]+(?:\.[0-9]+)?)')
+
+
+def parse_tail(tail):
+    """All "q_name":sec pairs + sentinels surviving in a truncated tail."""
+    qs = {m.group(1): float(m.group(2)) for m in QUERY_RE.finditer(tail)}
+    sent = {f"sentinel_{m.group(1)}_sec": float(m.group(2))
+            for m in SENT_RE.finditer(tail)}
+    return qs, sent
+
+
+def main():
+    os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+    rounds = {}
+    for path in sorted(glob.glob("BENCH_r*.json")):
+        rn = int(re.search(r"BENCH_r(\d+)\.json", path).group(1))
+        d = json.load(open(path))
+        qs, sent = parse_tail(d.get("tail", ""))
+        rounds[rn] = {
+            "source": "driver_tail",
+            "rc": d.get("rc"),
+            "sf": d.get("sf"),
+            "complete": False,  # tail truncation loses the board's head
+            "n_queries": len(qs),
+            **sent,
+            "queries": qs,
+        }
+    # full local boards override the truncated driver view for their round
+    for path in sorted(glob.glob("BENCH_LOCAL_r*.json")):
+        rn = int(re.search(r"BENCH_LOCAL_r(\d+)\.json", path).group(1))
+        d = json.load(open(path))
+        qs = d.get("queries", {})
+        rounds[rn] = {
+            "source": "local_full",
+            "rc": 0,
+            "sf": 0.1 if "sf0.1" in str(d.get("sf", "")) else d.get("sf"),
+            "complete": True,
+            "n_queries": len(qs),
+            "sentinel_first_sec": d.get("sentinel_first_sec"),
+            "sentinel_last_sec": d.get("sentinel_last_sec"),
+            "queries": qs,
+        }
+    # per-query minimum over valid sf0.1 rounds — the drift reference.
+    # Raw minima are host-speed-entangled; normalizing by each round's
+    # sentinel mean would overcorrect small boards, so keep BOTH the raw
+    # min and the round's sentinels and let the reader judge.
+    minima = {}
+    for rn, rec in rounds.items():
+        if rec["rc"] != 0:
+            continue
+        for q, sec in rec["queries"].items():
+            cur = minima.get(q)
+            if cur is None or sec < cur["sec"]:
+                minima[q] = {"sec": sec, "round": rn,
+                             "sentinel_first_sec": rec.get("sentinel_first_sec"),
+                             "sentinel_last_sec": rec.get("sentinel_last_sec")}
+    out = {"rounds": {str(k): rounds[k] for k in sorted(rounds)},
+           "per_query_min": dict(sorted(minima.items()))}
+    with open("BENCH_LEDGER.json", "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+    print(f"ledger: {len(rounds)} rounds, {len(minima)} queries with minima")
+    # headline drift view: latest valid round vs ledger min
+    valid = [rn for rn, r in rounds.items() if r["rc"] == 0]
+    if valid:
+        last = max(valid)
+        worst = []
+        for q, sec in rounds[last]["queries"].items():
+            m = minima[q]["sec"]
+            if m > 0.05 and sec > 1.5 * m:
+                worst.append((sec / m, q, sec, m, minima[q]["round"]))
+        for ratio, q, sec, m, rn in sorted(worst, reverse=True)[:15]:
+            print(f"  r{last} {q}: {sec:.2f}s = {ratio:.2f}x ledger min "
+                  f"{m:.2f}s (r{rn})")
+        if not worst:
+            print(f"  r{last}: no query >1.5x its ledger minimum")
+
+
+if __name__ == "__main__":
+    main()
