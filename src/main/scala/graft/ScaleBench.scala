@@ -41,7 +41,8 @@ object ScaleBench {
     "q_cms", "q_heavy_hitters",
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq",
     "q_pagerank", "q_retention", "q_funnel",
-    "q_outliers", "q_cms_join_size")
+    "q_outliers", "q_cms_join_size",
+    "q_sessionize", "q_sessionize_chunked", "q_weighted_sample")
 
   /** Extra curve rows that are NOT gate queries: the corpus-sized-output
     * gate rows minus their global ORDER BY. Those rows' 100× residual is
@@ -66,6 +67,15 @@ object ScaleBench {
         Tables.t(s, dir, "customer")
           .select(format_string("Customer#%09d", col("c_custkey")).as("name")),
         "name")),
+    // the ed<=2 deletion-neighborhood join on the same derived corpus:
+    // the signature table is ~L/2x the ed1 table's and the hot-bucket
+    // candidate volume grows sub-linearly (FuzzyJoinSpec measures the
+    // buckets; this row measures the wall-clock consequence)
+    "q_fuzzy_names_ed2" -> ((s: SparkSession, dir: String) =>
+      graft.ext.FuzzyJoin.selfJoinEdK(
+        Tables.t(s, dir, "customer")
+          .select(format_string("Customer#%09d", col("c_custkey")).as("name")),
+        "name", k = 2)),
     "q_entity_names" -> ((s: SparkSession, dir: String) =>
       // the SHARED gate pipeline (FuzzyJoin.entityComponents — the probe
       // cannot drift from the gated computation), with localSolveMax = 0
@@ -145,6 +155,88 @@ object ScaleBench {
     marker.createNewFile()
   }
 
+  /** ACID tier curve — the batch manifest/pointer protocol's costs
+    * MEASURED, not argued: a scaled `orders` body committed once, a
+    * fixed-SIZE micro-batch append tail (the streaming shape: tail cost
+    * must not grow with the body), a fraction-of-keys merge (snapshot
+    * rewrite — linear in the body by design, per-partition pruning is
+    * the named 100-TB refinement), tail-bounded compactSmall (folds the
+    * 8 small dirs, never rewrites the body — THE sub-linear claim),
+    * time travel back to the pre-compaction snapshot, and vacuum
+    * (file-count-bounded). Emits one JSON object per scale. */
+  private def acidSection(spark: SparkSession, dir: String,
+      scratch: String): String = {
+    import graft.land.AtomicLanding
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    val table = s"$scratch/acid_orders"
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      (((System.nanoTime() - t0) / 1e9), r)
+    }
+    val body = Tables.t(spark, dir, "orders")
+    val keySpan = span(body, "o_orderkey")
+    val (tInit, _) = time(AtomicLanding.commit(body, table))
+    val (tMerge, _) = time {
+      // ~0.1% of keys rewritten — update cost is the snapshot rewrite
+      AtomicLanding.merge(
+        body.where(pmod(col("o_orderkey"), lit(997)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1),
+        table, "o_orderkey")
+    }
+    val (tAppend, _) = time {
+      // 8 micro-batches of ~2000 FRESH rows each (keys shifted past the
+      // body): the size of the streaming tail does not scale with the
+      // table, and neither may its append cost. mod-71 residues hold
+      // ~n/71 rows at every scale, so limit(2000) caps a non-empty
+      // slice (a rarer residue would under-fill the batch at base)
+      (1 to 8).foreach { i =>
+        AtomicLanding.commit(
+          body.where(pmod(col("o_orderkey"), lit(71)) === i).limit(2000)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * keySpan)),
+          table, append = true)
+      }
+    }
+    val dirsBefore = AtomicLanding.liveDirCount(table)
+    val vPreCompact = AtomicLanding.currentVersion(table).get
+    val (tCompact, _) = time(
+      // threshold sits above any 2000-row tail dir (~60 KB) and below
+      // the body dir at every scale (2.6 MB at sf0.1 base, 100x more
+      // scaled), so exactly the tail folds
+      AtomicLanding.compactSmall(spark, table, smallBytes = 512L * 1024))
+    val dirsAfter = AtomicLanding.liveDirCount(table)
+    val (tTravel, travelRows) = time(
+      AtomicLanding.readVersion(spark, table, vPreCompact).count())
+    val (tVacuum, removed) = time(AtomicLanding.vacuum(table))
+    val (tRead, rows) = time(AtomicLanding.read(spark, table).count())
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    f"""{"init_commit_sec":$tInit%.3f,"merge_sec":$tMerge%.3f,""" +
+      f""""append8_sec":$tAppend%.3f,"compact_small_sec":$tCompact%.3f,""" +
+      f""""timetravel_sec":$tTravel%.3f,"vacuum_sec":$tVacuum%.3f,""" +
+      f""""read_sec":$tRead%.3f,"dirs_before_compact":$dirsBefore,""" +
+      f""""dirs_after_compact":$dirsAfter,"removed_paths":${removed.size},""" +
+      f""""rows":$rows,"timetravel_rows":$travelRows}"""
+  }
+
+  /** Distributed CC on an ENTITY-SHAPED graph — bounded components
+    * (chains of 100 keys over the scaled customer keyspace) whose COUNT
+    * scales with the corpus, unlike the zero-padded-name fixture where
+    * 100× manufactures one corpus-sized component. localSolveMax = 0
+    * forces star contraction at both scales; the round count must stay
+    * ~flat (component size is fixed) while wall grows sub-linearly. */
+  private def ccSection(spark: SparkSession, dir: String): (Double, Int, Long) = {
+    val edges = Tables.t(spark, dir, "customer")
+      .select(col("c_custkey").as("doc_a"))
+      .where(pmod(col("doc_a"), lit(100L)) =!= 0L)
+      .withColumn("doc_b", col("doc_a") + 1L)
+    val t0 = System.nanoTime()
+    val (comp, rounds) = graft.ext.ConnectedComponents
+      .componentsWithRounds(edges, localSolveMax = 0L)
+    val nComp = comp.agg(countDistinct(col("component"))).head().getLong(0)
+    (((System.nanoTime() - t0) / 1e9), rounds, nComp)
+  }
+
   private def joinCensus(df: DataFrame): String = {
     val p = df.queryExecution.executedPlan.toString
     def c(s: String) = s.r.findAllIn(p).size
@@ -163,14 +255,17 @@ object ScaleBench {
       if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val qs = (Headline.map(name => name -> SparkEntry.queries(name)) ++ Extra)
       .filter { case (name, _) =>
-        // q_entity_names runs ONLY when explicitly named: it forces the
-        // distributed star-contraction CC path (the point of the probe,
-        // via localSolveMax = 0), and the
-        // dense zero-padded name corpus makes the 100× giant component an
-        // hours-long worst case by construction — probe it at moderate
-        // replica counts with the `only` filter, not in the full curve
+        // two rows run ONLY when explicitly named: q_entity_names
+        // forces the distributed star-contraction CC path
+        // (localSolveMax = 0) and the dense zero-padded name corpus
+        // makes the 100× giant component an hours-long worst case by
+        // construction (the cc section covers distributed CC at 100×
+        // on the bounded-component graph instead); q_fuzzy_names_ed2's
+        // hot-bucket candidate volume on the same corpus grows into
+        // the billions at 100× — probe both at moderate replica counts
+        // with the `only` filter, not in the full curve
         only.map(_.contains(name))
-          .getOrElse(name != "q_entity_names")
+          .getOrElse(name != "q_entity_names" && name != "q_fuzzy_names_ed2")
       }
     def time(dir: String): Map[String, (Double, String)] = {
       qs.foreach { case (_, fn) => Bench.materialize(fn(spark, dir)) } // warm-up
@@ -198,7 +293,28 @@ object ScaleBench {
     }.mkString(",")
     val rb = baseT.values.map(_._1).sum
     val rs = scaledT.values.map(_._1).sum
-    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}}""")
+    // ACID + CC sections run on the full curve (or when named via
+    // `only` as "acid" / "cc"); a filtered query probe skips them
+    val runAcid = only.forall(_.contains("acid"))
+    val runCc = only.forall(_.contains("cc"))
+    val acidJson =
+      if (!runAcid) ""
+      else {
+        val ab = acidSection(spark, base, "/tmp/graft_acid_base")
+        val as = acidSection(spark, out, "/tmp/graft_acid_scaled")
+        s""","acid":{"base":$ab,"scaled":$as}"""
+      }
+    val ccJson =
+      if (!runCc) ""
+      else {
+        val (cb, roundsB, compB) = ccSection(spark, base)
+        val (cs, roundsS, compS) = ccSection(spark, out)
+        f""","cc":{"base_sec":$cb%.3f,"scaled_sec":$cs%.3f,""" +
+          f""""ratio":${cs / cb}%.2f,"rounds_base":$roundsB,""" +
+          f""""rounds_scaled":$roundsS,"components_base":$compB,""" +
+          f""""components_scaled":$compS}"""
+      }
+    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson}""")
     spark.stop()
   }
 }

@@ -89,7 +89,16 @@ object ConnectedComponents {
     * corpus-wide graphs. Pass `localSolveMax = 0` to force the
     * distributed path. */
   def components(pairs: DataFrame, maxRounds: Int = 50,
-      localSolveMax: Long = 1000000L): DataFrame = {
+      localSolveMax: Long = 1000000L): DataFrame =
+    componentsWithRounds(pairs, maxRounds, localSolveMax)._1
+
+  /** [[components]] plus the number of distributed star-contraction
+    * rounds executed (0 when the driver union-find fast path solved it)
+    * — scale-curve telemetry: on bounded-component "entity-shaped"
+    * graphs the round count must stay ~flat as the corpus grows, which
+    * is the whole convergence argument. */
+  def componentsWithRounds(pairs: DataFrame, maxRounds: Int = 50,
+      localSolveMax: Long = 1000000L): (DataFrame, Int) = {
     // each round is checkpointed: without truncating the lineage the
     // logical plan doubles per iteration (plan-explosion OOM long before
     // any data-size limit) — the standard iterative-DataFrame discipline,
@@ -106,7 +115,7 @@ object ConnectedComponents {
       import spark.implicits._
       val mapping = unionFind(
         edges.as[(Long, Long)].collect())
-      return mapping.toSeq.toDF("doc_id", "component")
+      return (mapping.toSeq.toDF("doc_id", "component"), 0)
     }
 
     var last = (-1L, -1L)
@@ -132,8 +141,8 @@ object ConnectedComponents {
         "raise maxRounds (star contraction needs O(log n) rounds)")
 
     // at the fixed point every edge is (member, root) with root = min id
-    edges.select(col("u").as("doc_id"), col("v").as("component"))
+    (edges.select(col("u").as("doc_id"), col("v").as("component"))
       .unionAll(edges.select(col("v").as("doc_id"), col("v").as("component")))
-      .distinct()
+      .distinct(), round)
   }
 }
