@@ -262,4 +262,36 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.cid").as("doc_id"), col("col.s").as("score_scaled"))
   }
+
+  /** Reciprocal-rank fusion — the standard way to combine a lexical
+    * (BM25) and a semantic (embedding-cosine) ranking into one hybrid
+    * retrieval result without comparing their incommensurable scores:
+    * each ranker contributes 1/(kRrf + rank) per (query, candidate) and
+    * candidates re-rank by the contribution sum (Cormack, Clarke &
+    * Büttcher, SIGIR'09; kRrf = 60 is the paper's constant).
+    * Contributions are floor(scale / (kRrf + rank)) BIGINTs — at
+    * scale = 1e12 the fusion is integer-exact and replays in any engine
+    * with floor division, the same determinism recipe as the BM25
+    * scoring itself.
+    *
+    * Inputs carry (query_id, id, rnk); rankers' extra columns are
+    * ignored. Scale shape: the fused candidate set is at most
+    * |queries| × Σ per-ranker k rows — bounded by construction, so the
+    * union + sum + rank window all run on a table the size of the
+    * RESULTS, not the corpus; the heavy lifting stays inside the
+    * rankers, which keep their own 100-TB paths. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    import org.apache.spark.sql.expressions.Window
+    val contribs = rankings.map(_.select(col("query_id"), col("id"),
+      expr(s"${scale}L div (${kRrf}L + rnk)").as("contrib")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+    contribs.reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("contrib")).as("rrf_score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -63,6 +63,25 @@ object Sampling {
       .limit(n)
       .drop("_w", "_h", "_pri")
 
+  /** [[weightedTopN]] within each stratum: exactly `n` rows per stratum
+    * (fewer if smaller), drawn with probability tracking `weight` —
+    * balanced-by-source AND quality-weighted eval sets in one pass.
+    * Same integer-exact priority scheme; the rank is a per-stratum
+    * window (one hash-partition shuffle on the stratum column, rank
+    * local to each partition), not a global sort. */
+  def weightedTopNPerStratum(df: DataFrame, strataCol: String,
+      keyCol: String, weight: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("_pri").asc, col(keyCol).asc)
+    df.withColumn("_w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("_h", hash60(col(keyCol).cast("string")))
+      .withColumn("_pri", expr("_h div _w"))
+      .withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= n)
+      .drop("_w", "_h", "_pri", "_rnk")
+  }
+
   /** Apply a per-stratum sampling rate: keep a row iff
     * `hash60(key) % 100 < pct(stratum)`. `pct` is any integer-percent
     * column expression (a broadcast-joined weights table, a config map,

@@ -88,6 +88,29 @@ object Analytics {
         .orderBy(col("name_new"), col("name_corpus"))
     }),
 
+    // ---- the same match again, through an index built on HALF the
+    // corpus and GROWN with the other half via addToSigIndex — the
+    // index-maintenance path under a value gate: the grown index must
+    // reproduce the inline (and the statically-indexed) bits exactly,
+    // so its oracle too IS q_fuzzy_incremental's ----
+    "q_fuzzy_grown" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val corpus = c.where(col("c_custkey") % 10 =!= 0)
+      val idx = fuzzyIdx.getOrElseUpdate(dir + "#grown", {
+        val d = tempIndexDir("graft-fuzzygrown") + "/idx"
+        FuzzyJoin.buildSigIndex(
+          corpus.where(col("c_custkey") % 2 === 1), "c_name", d)
+        FuzzyJoin.addToSigIndex(s, d,
+          corpus.where(col("c_custkey") % 2 === 0), "c_name")
+        d
+      })
+      FuzzyJoin.againstIndexEd1(s, idx,
+          c.where(col("c_custkey") % 10 === 0), "c_name")
+        .select(col("key_new").as("name_new"),
+          col("key_corpus").as("name_corpus"))
+        .orderBy(col("name_new"), col("name_corpus"))
+    }),
+
     // ---- CMS join-size estimation: "will this join explode?" answered
     // from two one-pass d×w sketches (row-wise inner product, min over
     // rows — never an undercount); the row carries the exact sizes so
@@ -294,6 +317,8 @@ object Analytics {
     // aliased, not copied, so they cannot drift (the q_bm25_indexed
     // precedent)
     "q_fuzzy_indexed" -> FuzzyIncrementalOracle,
+    // ... and so must the built-then-GROWN index
+    "q_fuzzy_grown" -> FuzzyIncrementalOracle,
 
     // sparse replay of BOTH d=4 x w=256 sketches with the engine's
     // hash60 + Kirsch-Mitzenmacher bucket mix (the q_cms oracle shape),

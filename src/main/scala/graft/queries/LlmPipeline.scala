@@ -934,6 +934,37 @@ object LlmPipeline {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // ---- the stratified dual: 20 per source, weighted by n_chars —
+    // balanced AND quality-weighted in one window pass ----
+    "q_weighted_stratified" -> ((s, dir) =>
+      Sampling.weightedTopNPerStratum(
+          docs(s, dir), "source", "doc_id", col("n_chars"), n = 20)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // ---- hybrid retrieval: BM25 top-20 and embedding-cosine top-20
+    // fused by reciprocal rank (integer-exact floor(1e12/(60+rank))
+    // contributions), top-10 per query — the fixture aligns doc_id and
+    // vec_id, so vector query i IS the embedding of text query i's
+    // corpus twin. The fused stage runs on |queries| x 40 rows however
+    // big the corpus; each ranker keeps its own scale path ----
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark query engine"), (1L, "join filter window"),
+        (2L, "customer order stream"), (3L, "table scan merge sort"))
+        .toDF("query_id", "qtext")
+      val textRank = Retrieval.bm25TopK(
+          docs(s, dir).select(col("doc_id"), col("text")), qs, k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rnk"))
+      val e = emb(s, dir)
+      val vecRank = Similarity.topKBrute(e, e.filter(col("vec_id") < 4), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rnk"))
+      Retrieval.rrfFuse(Seq(textRank, vecRank), k = 10)
+        .select(col("query_id"), col("rnk"), col("id"), col("rrf_score"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- int8 scalar quantization of the embedding corpus; the gate
     // projects order-sensitive integer scalars of each code vector
     // (weighted sum + min/max) since the driver's sorter can't hash
@@ -2283,6 +2314,89 @@ object LlmPipeline {
         |  SELECT doc_id, n_chars, h // wt AS pri
         |  FROM w ORDER BY pri ASC, doc_id ASC LIMIT 200)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_stratified" ->
+      """WITH w AS (SELECT source, doc_id, n_chars,
+        |    greatest(n_chars, 1) AS wt,
+        |    cast(('0x'||substr(md5(cast(doc_id as varchar)),1,15)) as bigint) AS h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY h // wt ASC, doc_id ASC) rn
+        |  FROM w)
+        |SELECT source, doc_id, n_chars FROM r WHERE rn <= 20
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // BM25 top-20 (the q_bm25 CTE chain) + cosine top-20 (the
+    // q_cosine_topk chain, queries vec_id < 4), fused with
+    // floor(1e12/(60+rank)) BIGINT contributions — rank fusion is
+    // integer-exact end to end
+    "q_hybrid_rrf" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (0, 'spark query engine'), (1, 'join filter window'),
+        |    (2, 'customer order stream'), (3, 'table scan merge sort')),
+        |qt AS (SELECT cast(query_id as bigint) query_id, term,
+        |    cast(count(*) as bigint) qtf
+        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dln AS (SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) dl
+        |  FROM documents),
+        |a AS (SELECT cast(count(*) as bigint) n_docs,
+        |    cast(sum(len(string_split(text, ' '))) as bigint)
+        |      // cast(count(*) as bigint) AS avgdl
+        |  FROM documents),
+        |cand AS (SELECT tf.doc_id, tf.term, tf.tf, dln.dl
+        |  FROM tf JOIN dln USING (doc_id)
+        |  JOIN (SELECT DISTINCT term FROM qt) v USING (term)),
+        |dft AS (SELECT term, cast(count(*) as bigint) df FROM cand GROUP BY 1),
+        |sc AS (SELECT qt.query_id, c.doc_id,
+        |    cast(sum(qt.qtf * ((((1000 * (2*a.n_docs - 2*dft.df + 1))
+        |                     // (2*dft.df + 1)) * 44 * c.tf * a.avgdl)
+        |        // (20*c.tf*a.avgdl + 6*a.avgdl + 18*c.dl))) as bigint)
+        |      score_scaled
+        |  FROM cand c JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN a
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT query_id, doc_id AS id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_scaled DESC, doc_id) rnk
+        |  FROM sc),
+        |nrm AS (
+        |  SELECT vec_id, list_sum(list_transform(embedding,
+        |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q2.vec_id qid, e.vec_id cid,
+        |         list_sum(list_transform(list_zip(q2.embedding, e.embedding),
+        |           p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+        |  FROM embeddings q2 JOIN embeddings e ON e.vec_id <> q2.vec_id
+        |  WHERE q2.vec_id < 4),
+        |cs AS (
+        |  SELECT qid, cid,
+        |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+        |  FROM dots JOIN nrm nq ON nq.vec_id = dots.qid
+        |  JOIN nrm nc ON nc.vec_id = dots.cid),
+        |vr AS (SELECT qid AS query_id, cid AS id,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, cid ASC) rnk
+        |  FROM cs),
+        |contrib AS (
+        |  SELECT cast(query_id as bigint) query_id, cast(id as bigint) id,
+        |    1000000000000 // (60 + rnk) c FROM tr WHERE rnk <= 20
+        |  UNION ALL
+        |  SELECT cast(query_id as bigint), cast(id as bigint),
+        |    1000000000000 // (60 + rnk) FROM vr WHERE rnk <= 20),
+        |f AS (SELECT query_id, id, cast(sum(c) as bigint) rrf_score
+        |  FROM contrib GROUP BY 1, 2)
+        |SELECT query_id, rnk, id, rrf_score FROM (
+        |  SELECT query_id, id, rrf_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf_score DESC, id) rnk
+        |  FROM f)
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     // per-dimension min/max "training" + the fixed IEEE chain
     // floor((x-mn)*254/(mx-mn)) - 127, weighted-summed per vector with

@@ -77,6 +77,21 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedTopNPerStratum: n per stratum, weighted order within") {
+    val got = Sampling.weightedTopNPerStratum(
+        docs, "source", "doc_id", col("n_chars"), 7)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(got.groupBy(_._1).values.forall(_.length == 7))
+    // per-stratum draw = the stratum's own weightedTopN
+    val strata = docs.select("source").distinct().as[String].collect()
+    strata.foreach { src =>
+      val solo = Sampling.weightedTopN(
+          docs.filter(col("source") === src), "doc_id", col("n_chars"), 7)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got.filter(_._1 == src).map(_._2).toSet === solo, s"stratum $src")
+    }
+  }
+
   /** First 15 hex chars of md5, as a long — TextOps.hash60's contract. */
   private def hash60Local(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
