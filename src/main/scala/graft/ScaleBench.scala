@@ -177,9 +177,31 @@ object ScaleBench {
     }
     val body = Tables.t(spark, dir, "orders")
     val keySpan = span(body, "o_orderkey")
-    val (tInit, _) = time(AtomicLanding.commit(body, table))
+    // range-clustered body: FOUR disjoint key-quarter dirs — the layout
+    // streaming appends / clustered compactions produce, and the one
+    // where file-level merge pruning has something to skip
+    val q = keySpan / 4 + 1
+    val (tInit, _) = time {
+      AtomicLanding.commit(body.where(col("o_orderkey") < q), table)
+      (1 to 3).foreach { i =>
+        AtomicLanding.commit(
+          body.where(col("o_orderkey") >= i * q &&
+            col("o_orderkey") < (i + 1) * q), table, append = true)
+      }
+    }
+    val (tMergePruned, _) = time {
+      // same update density, confined to the FIRST quarter's key range:
+      // the pruned merge must rewrite one dir of four — cost tracks the
+      // touched data, not the table
+      AtomicLanding.mergePruned(
+        body.where(col("o_orderkey") < q &&
+            pmod(col("o_orderkey"), lit(997)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.2),
+        table, "o_orderkey")
+    }
+    val dirsAfterPruned = AtomicLanding.liveDirCount(table)
     val (tMerge, _) = time {
-      // ~0.1% of keys rewritten — update cost is the snapshot rewrite
+      // ~0.1% of keys across the WHOLE range — the snapshot rewrite
       AtomicLanding.merge(
         body.where(pmod(col("o_orderkey"), lit(997)) === 0)
           .withColumn("o_totalprice", col("o_totalprice") * 1.1),
@@ -211,7 +233,8 @@ object ScaleBench {
     val (tVacuum, removed) = time(AtomicLanding.vacuum(table))
     val (tRead, rows) = time(AtomicLanding.read(spark, table).count())
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    f"""{"init_commit_sec":$tInit%.3f,"merge_sec":$tMerge%.3f,""" +
+    f"""{"init_commit_sec":$tInit%.3f,"merge_pruned_sec":$tMergePruned%.3f,""" +
+      f""""dirs_after_pruned":$dirsAfterPruned,"merge_sec":$tMerge%.3f,""" +
       f""""append8_sec":$tAppend%.3f,"compact_small_sec":$tCompact%.3f,""" +
       f""""timetravel_sec":$tTravel%.3f,"vacuum_sec":$tVacuum%.3f,""" +
       f""""read_sec":$tRead%.3f,"dirs_before_compact":$dirsBefore,""" +

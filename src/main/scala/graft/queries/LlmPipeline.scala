@@ -46,6 +46,7 @@ object LlmPipeline {
 
   /** Once-per-(jvm, sf dir) ACID table for the MERGE (upsert) gate. */
   private val mergeSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val mergePrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) ACID table for the COMPACTION gate. */
   private val compactSpooled = scala.collection.concurrent.TrieMap[String, String]()
@@ -274,6 +275,41 @@ object LlmPipeline {
       })
       graft.land.AtomicLanding.read(s, tbl)
         .select(col("doc_id"), col("n"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- file-level (pruned) MERGE under the gate: the table is built
+    // as four range-clustered dirs; the same update set as q_acid_merge
+    // (ids < 100 rewritten, fresh +20000 keys inserted) must rewrite
+    // ONLY the first range dir — the three untouched dirs carry through
+    // the manifest — while producing bit-identical rows to the plain
+    // snapshot-rewrite merge. n_live_dirs is column-gated at 4
+    // (3 carried + 1 rewrite): a silent fallback to full rewrite (1 dir)
+    // or a missed fold hash-fails ----
+    "q_acid_merge_pruned" -> ((s, dir) => {
+      val tbl = mergePrunedSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-acidmergep").toString + "/t"
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("source"), length(col("text")).as("n"))
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") < 125), d)
+        Seq((125, 250), (250, 375), (375, Int.MaxValue)).foreach { case (lo, hi) =>
+          graft.land.AtomicLanding.commit(
+            base.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            d, append = true)
+        }
+        val upd = base.filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("source"), lit(-1).as("n"))
+          .unionByName(base.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 20000).as("doc_id"), col("source"),
+              lit(-2).as("n")))
+        graft.land.AtomicLanding.mergePruned(upd, d, "doc_id")
+        d
+      })
+      graft.land.AtomicLanding.read(s, tbl)
+        .select(col("doc_id"), col("n"))
+        .withColumn("n_live_dirs",
+          lit(graft.land.AtomicLanding.liveDirCount(tbl).toLong))
         .orderBy(col("doc_id"))
     }),
 
@@ -1497,6 +1533,18 @@ object LlmPipeline {
         |FROM documents
         |UNION ALL
         |SELECT doc_id + 20000, -2 FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin,
+
+    // same post-merge state as q_acid_merge — the pruned rewrite must be
+    // row-identical — plus the carried-dir count (3 carried + 1 rewrite)
+    "q_acid_merge_pruned" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id < 100 THEN -1 ELSE length(text) END AS n,
+        |  cast(4 as bigint) AS n_live_dirs
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 20000, -2, cast(4 as bigint) FROM documents
+        |WHERE doc_id < 50
         |ORDER BY doc_id""".stripMargin,
 
     "q_top_terms" ->

@@ -429,4 +429,64 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.commit(nation.limit(4), table, append = true) == 2L)
     assert(AtomicLanding.read(spark, table).count() == 9)
   }
+
+  test("mergePruned rewrites only range-touched dirs and matches merge()") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n"))
+    // range-clustered layout: 4 disjoint key-range dirs
+    def build(table: String): Unit = {
+      AtomicLanding.commit(docs.filter(col("doc_id") < 125), table)
+      Seq((125, 250), (250, 375), (375, 10000)).foreach { case (lo, hi) =>
+        AtomicLanding.commit(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          table, append = true)
+      }
+    }
+    val pruned = freshTable(); build(pruned)
+    val full = freshTable(); build(full)
+    val builtDirs = AtomicLanding.dirsOfVersion(pruned,
+      AtomicLanding.currentVersion(pruned).get).toSet
+    assert(builtDirs.size == 4)
+
+    // a no-match update set (one fresh key outside every range) keeps
+    // EVERY dir and only appends the insert
+    val inserts = docs.filter(col("doc_id") === 1)
+      .select(lit(88888L).as("doc_id"), col("source"), lit(-3L).as("n"))
+    AtomicLanding.mergePruned(inserts, pruned, "doc_id")
+    AtomicLanding.merge(inserts, full, "doc_id")
+    val preDirs = AtomicLanding.dirsOfVersion(pruned,
+      AtomicLanding.currentVersion(pruned).get).toSet
+    assert((builtDirs -- preDirs).isEmpty, "a no-match merge must rewrite nothing")
+    assert(preDirs.size == 5) // 4 carried + the insert-only dir
+
+    // updates confined to the first dir's range + one insert far outside
+    // every range (99999 also misses the [88888] insert dir)
+    val updates = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("source"), lit(-1L).as("n"))
+      .unionByName(docs.filter(col("doc_id") === 0)
+        .select(lit(99999L).as("doc_id"), col("source"), lit(-2L).as("n")))
+    AtomicLanding.mergePruned(updates, pruned, "doc_id")
+    AtomicLanding.merge(updates, full, "doc_id")
+
+    // row-identical to the unpruned merge
+    def canon(t: String) = AtomicLanding.read(spark, t)
+      .select("doc_id", "source", "n")
+      .as[(Long, String, Long)](org.apache.spark.sql.Encoders
+        .tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect().sorted.toSeq
+    assert(canon(pruned) === canon(full))
+
+    // and only the touched range dir was rewritten: the other three
+    // range dirs plus the insert dir were CARRIED
+    val postDirs = AtomicLanding.dirsOfVersion(pruned,
+      AtomicLanding.currentVersion(pruned).get).toSet
+    assert((preDirs intersect postDirs).size == 4,
+      s"expected 4 carried dirs, got ${preDirs intersect postDirs}")
+    assert(postDirs.size == 5) // 4 carried + 1 rewrite of the touched dir
+    assert(AtomicLanding.read(spark, pruned)
+      .filter(col("doc_id") === 88888L).count() == 1)
+  }
 }
