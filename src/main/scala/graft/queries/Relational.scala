@@ -320,6 +320,15 @@ object Relational {
           t(s, dir, "events"), "user_id", "ts")
         .orderBy(col("user_id"))),
 
+    // ---- session-LEVEL output from the chunked operator: one row per
+    // session (id, bounds, size), numbering identical to the
+    // single-window formulation; the per-user ordered pass runs over
+    // local-session summaries, never the whale's event history ----
+    "q_sessions" -> ((s, dir) =>
+      graft.operators.Sessionize.chunkedSessions(
+          t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("user_id"), col("session_id"))),
+
     // ---- exact discrete quantiles per group: value at rank ceil(p*n),
     // one window-sort shuffle; approx_percentile is the sketch path ----
     "q_quantiles" -> ((s, dir) =>
@@ -712,6 +721,25 @@ object Relational {
     // aliased, not copied: the chunked operator must reproduce the
     // single-window result exactly
     "q_sessionize_chunked" -> SessionizeOracle,
+
+    // the session-level rows the single-window formulation would emit
+    "q_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |         THEN 1 ELSE 0 END ns
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+        |  FROM g)
+        |SELECT user_id, cast(sid as bigint) AS session_id,
+        |  min(us) AS start_us, max(us) AS end_us, count(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     "q_redact" ->
       """SELECT event_id,

@@ -77,6 +77,32 @@ class SessionizeSpec extends AnyFunSuite {
       assertSame(ev, slab)
   }
 
+  /** Reference for session-level rows: single ordered window. */
+  private def windowedSessions(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("gap_us").isNull || col("gap_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sid").as("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  test("chunkedSessions == windowed session rows across slab sizes") {
+    val ev = synthetic()
+    for (slab <- Seq(60000000L, GapUs, 9999999967L, 86400000000L,
+        Long.MaxValue / 4)) {
+      val want = windowedSessions(ev)
+        .orderBy("user_id", "session_id").collect().toSeq
+      val got = Sessionize.chunkedSessions(ev, "user_id", "ts", GapUs, slab)
+        .orderBy("user_id", "session_id").collect().toSeq
+      assert(got === want, s"slabUs=$slab session rows diverged")
+    }
+  }
+
   test("empty input and single-event users") {
     val ev = Seq((1L, "2024-01-01 00:00:00"))
       .toDF("user_id", "s").select(col("user_id"), to_timestamp(col("s")).as("ts"))
