@@ -323,8 +323,11 @@ object ScaleBench {
     val acidJson =
       if (!runAcid) ""
       else {
-        val ab = acidSection(spark, base, "/tmp/graft_acid_base")
-        val as = acidSection(spark, out, "/tmp/graft_acid_scaled")
+        // per-run scratch: two bench runs on one host must not clobber
+        // each other's live ACID tables mid-measurement
+        val runTag = java.util.UUID.randomUUID().toString.take(8)
+        val ab = acidSection(spark, base, s"/tmp/graft_acid_base_$runTag")
+        val as = acidSection(spark, out, s"/tmp/graft_acid_scaled_$runTag")
         s""","acid":{"base":$ab,"scaled":$as}"""
       }
     val ccJson =

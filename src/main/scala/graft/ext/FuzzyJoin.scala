@@ -166,23 +166,30 @@ object FuzzyJoin {
     * the session's corpus can GROW without a rebuild (the
     * [[Ivf.addToIndex]] precedent — one signature job that scales with
     * the batch, never a corpus re-scan). Replay-safe under
-    * at-least-once ingest: keys already indexed are anti-joined away,
-    * so re-appending the same batch is a no-op — without that, a
-    * duplicated signature row would double-emit its candidate pairs
-    * into every later probe's verification (correct output after
-    * distinct(), but paying the duplicate join volume forever). The
-    * grown index is row-identical to a fresh [[buildSigIndex]] over
-    * the union corpus (asserted in FuzzyJoinSpec). Parquet append is
-    * not atomic; sessions needing concurrent probe/append should land
-    * index generations through [[graft.land.AtomicLanding]]. */
+    * at-least-once ingest AND under a crashed partial append: the
+    * anti-join dedupes at SIGNATURE granularity — left_anti on
+    * (key_corpus, sig_h) — so a retry after a torn write (parquet
+    * append is not atomic; a crash can land SOME of a key's signature
+    * rows) completes the partial key's remaining signatures instead of
+    * skipping the whole key (a key-level anti-join would anti-join the
+    * half-written key away and silently lose its never-written
+    * candidate pairs forever). Re-appending a fully-committed batch is
+    * still a no-op — without that, a duplicated signature row would
+    * double-emit its candidate pairs into every later probe's
+    * verification (correct output after distinct(), but paying the
+    * duplicate join volume forever). The grown index is row-identical
+    * to a fresh [[buildSigIndex]] over the union corpus (asserted in
+    * FuzzyJoinSpec, including from a simulated torn append). Sessions
+    * needing concurrent probe/append should still land index
+    * generations through [[graft.land.AtomicLanding]] — signature-level
+    * dedupe heals a CRASHED append on retry, not a concurrent reader
+    * racing half-written files. */
   def addToSigIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame, key: String): Unit = {
     val existing = spark.read.parquet(s"$indexPath/sigs")
-      .select(col("key_corpus")).distinct()
-    val fresh = batch.select(col(key).as("key_corpus"))
-      .where(col("key_corpus").isNotNull).distinct()
-      .join(existing, Seq("key_corpus"), "left_anti")
-    sigTable(fresh, "key_corpus", "key_corpus")
+      .select(col("key_corpus"), col("sig_h"))
+    sigTable(batch, key, "key_corpus")
+      .join(existing, Seq("key_corpus", "sig_h"), "left_anti")
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$indexPath/sigs")
   }

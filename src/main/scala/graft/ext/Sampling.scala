@@ -49,6 +49,18 @@ object Sampling {
     * to ≥ 1 (a zero/negative weight means "never prefer", not "divide
     * by zero").
     *
+    * CONTRACTS the integer scheme imposes: (1) weights are INTEGER
+    * units — a fractional weight is ROUNDED half-up before the draw
+    * (never truncated: a quality score in (0, 1] would truncate to 0
+    * and clamp to 1, degenerating every such row to a uniform draw), so
+    * callers with fractional scores must scale them to a meaningful
+    * integer resolution first (`score * 1000` for three digits) — the
+    * division `hash div weight` quantizes at the weight's integer
+    * granularity, and sub-unit differences are invisible by design;
+    * (2) `keyCol` must be unique — duplicate keys hash to identical
+    * (priority, key) sort tuples and which duplicate survives the
+    * limit is engine-dependent.
+    *
     * Scale shape: the rank is a global top-n — Spark executes
     * `orderBy().limit(n)` as TakeOrderedAndProject (per-partition heap
     * of n, then a driver merge of |partitions|·n rows), so the corpus
@@ -56,12 +68,77 @@ object Sampling {
     * heaps. One scan, no join, no window. */
   def weightedTopN(df: DataFrame, keyCol: String, weight: Column,
       n: Int): DataFrame =
-    df.withColumn("_w", greatest(weight.cast("long"), lit(1L)))
-      .withColumn("_h", hash60(col(keyCol).cast("string")))
-      .withColumn("_pri", expr("_h div _w"))
+    prioritized(df, keyCol, weight, salt = "")
       .orderBy(col("_pri").asc, col(keyCol).asc)
       .limit(n)
       .drop("_w", "_h", "_pri")
+
+  /** The shared priority columns: integer weight (rounded, clamped ≥ 1),
+    * 60-bit key hash (optionally salted — distinct salts give
+    * INDEPENDENT deterministic draws, the replication axis the
+    * estimation property test averages over), and the priority
+    * `hash div weight`. */
+  private def prioritized(df: DataFrame, keyCol: String, weight: Column,
+      salt: String): DataFrame = {
+    val keyed =
+      if (salt.isEmpty) col(keyCol).cast("string")
+      else concat(col(keyCol).cast("string"), lit(salt))
+    df.withColumn("_w", greatest(round(weight).cast("long"), lit(1L)))
+      .withColumn("_h", hash60(keyed))
+      .withColumn("_pri", expr("_h div _w"))
+  }
+
+  /** 2^60 — the hash range; priorities replay `weight / u` with
+    * `u = hash / 2^60`, so the inclusion threshold in weight units is
+    * `2^60 div p_(n+1)`. */
+  private val HashRange: Long = 1L << 60
+
+  /** [[weightedTopN]] PLUS the Horvitz–Thompson estimation weight that
+    * makes the sample usable for unbiased subset-sum estimation — the
+    * actual theorem of priority sampling (Duffield, Lund, Thorup, JACM
+    * 2007): with threshold priority τ = the (n+1)-th smallest priority,
+    * each sampled row's estimator weight is `max(w_i, τ_w)` where
+    * `τ_w = 2^60 div p_(n+1)` converts the integer priority back to
+    * weight units, and `E[Σ_sample est_weight] = Σ_population w` —
+    * so `Σ est_weight` estimates the population's total weight, and
+    * `Σ y_i · est_weight / w_i` estimates any value column's total,
+    * from n rows. When the table has ≤ n rows every row is included
+    * with probability 1 and `est_weight = w` exactly.
+    *
+    * Output: the input columns plus `est_weight` (long). Integer-exact
+    * end to end: τ_w is one floor division of 2^60 by the (n+1)-th
+    * priority, so the estimate replays bit-for-bit in any engine with
+    * md5 and floor division (the floor quantization costs < 1 weight
+    * unit per row against the real-valued estimator — deterministic,
+    * and negligible at any realistic weight scale). `salt` appended to
+    * the key before hashing selects an independent draw; the property
+    * test averages estimates over many salts to verify unbiasedness,
+    * production leaves it "".
+    *
+    * Scale shape: ONE corpus scan — `orderBy().limit(n+1)` executes as
+    * TakeOrderedAndProject (per-partition heaps of n+1, driver-merged),
+    * then the threshold extraction and est computation run on that
+    * ≤ n+1-row result (the single-partition window is over n+1 rows,
+    * never the corpus). No join, no global sort. */
+  def weightedTopNWithEstimate(df: DataFrame, keyCol: String,
+      weight: Column, n: Int, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = prioritized(df, keyCol, weight, salt)
+      .orderBy(col("_pri").asc, col(keyCol).asc)
+      .limit(n + 1)
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("_pri").asc, col(keyCol).asc)
+    top
+      .withColumn("_rnk", row_number().over(wOrd))
+      .withColumn("_cnt", count(lit(1)).over(wAll))
+      .withColumn("_ptau", max(col("_pri")).over(wAll))
+      .where(col("_rnk") <= n)
+      .withColumn("est_weight",
+        when(col("_cnt") <= n, col("_w")).otherwise(
+          greatest(col("_w"),
+            expr(s"${HashRange}L div greatest(_ptau, 1L)"))))
+      .drop("_w", "_h", "_pri", "_rnk", "_cnt", "_ptau")
+  }
 
   /** [[weightedTopN]] within each stratum: exactly `n` rows per stratum
     * (fewer if smaller), drawn with probability tracking `weight` —
@@ -74,9 +151,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("_pri").asc, col(keyCol).asc)
-    df.withColumn("_w", greatest(weight.cast("long"), lit(1L)))
-      .withColumn("_h", hash60(col(keyCol).cast("string")))
-      .withColumn("_pri", expr("_h div _w"))
+    prioritized(df, keyCol, weight, salt = "")
       .withColumn("_rnk", row_number().over(w))
       .filter(col("_rnk") <= n)
       .drop("_w", "_h", "_pri", "_rnk")

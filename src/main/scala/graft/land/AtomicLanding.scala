@@ -262,7 +262,10 @@ object AtomicLanding {
         try r.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == key).foreach { c =>
             val s = c.getStatistics
-            if (s != null && !s.isEmpty) {
+            // hasNonNullValue: an all-null row group has isEmpty == false
+            // (numNulls is set) with min/max UNINITIALIZED — reading them
+            // would widen the range to include the type default (0)
+            if (s != null && !s.isEmpty && s.hasNonNullValue) {
               lo = math.min(lo, s.genericGetMin.asInstanceOf[java.lang.Long].longValue)
               hi = math.max(hi, s.genericGetMax.asInstanceOf[java.lang.Long].longValue)
             }

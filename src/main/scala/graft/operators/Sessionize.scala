@@ -38,10 +38,6 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Per-entity (userCol, n_sessions, n_events), a session ending at
-    * every gap strictly greater than `gapUs` microseconds — the exact
-    * `q_sessionize` contract, computed without any per-entity
-    * whole-history sort. `slabUs` is the split grain (default 1 day). */
   /** One row PER SESSION — (user, session_id, start_us, end_us,
     * n_events), numbering and bounds identical to the single-window
     * formulation — via the same slab split: pass 1 aggregates events

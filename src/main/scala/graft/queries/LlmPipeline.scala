@@ -978,6 +978,29 @@ object LlmPipeline {
         .select(col("source"), col("doc_id"), col("n_chars"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // ---- the ESTIMATION contract of priority sampling
+    // (Duffield-Lund-Thorup): the same 200-doc weighted draw plus
+    // Horvitz-Thompson est_weight = max(w, 2^60 div p_(n+1)); the
+    // est_weight SUM estimates the corpus's total weight from 200 rows
+    // and must land in a pinned 15% envelope of the exact sum (measured
+    // 9.4% at sf0.01, 7.5% at sf0.1). Every quantity is integer-exact,
+    // so the oracle replays est_sum bit-for-bit — the envelope flag is
+    // the unbiasedness claim, the est_sum hash is the determinism
+    // claim ----
+    "q_weighted_estimate" -> ((s, dir) => {
+      val sampled = Sampling.weightedTopNWithEstimate(
+        docs(s, dir), "doc_id", col("n_chars"), n = 200)
+      val est = sampled.agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("est_weight")).as("est_sum"))
+      val exact = docs(s, dir).agg(
+        sum(greatest(col("n_chars").cast("long"), lit(1L))).as("exact_sum"))
+      est.crossJoin(exact)
+        .select(col("n_sampled"), col("est_sum"), col("exact_sum"),
+          (abs(col("est_sum") - col("exact_sum")) * lit(100L) <=
+            lit(15L) * col("exact_sum")).as("within_15pct"))
+    }),
+
     // ---- hybrid retrieval: BM25 top-20 and embedding-cosine top-20
     // fused by reciprocal rank (integer-exact floor(1e12/(60+rank))
     // contributions), top-10 per query — the fixture aligns doc_id and
@@ -2374,6 +2397,30 @@ object LlmPipeline {
         |  FROM w)
         |SELECT source, doc_id, n_chars FROM r WHERE rn <= 20
         |ORDER BY source, doc_id""".stripMargin,
+
+    // the HT estimation replay: the (n+1)=201-row top, threshold
+    // priority p_(201), est_weight = max(wt, 2^60 // p_(201)) — every
+    // step integer floor division, so est_sum hash-matches exactly; the
+    // envelope flag is integer arithmetic too (no float compare)
+    "q_weighted_estimate" ->
+      """WITH w AS (SELECT doc_id, greatest(n_chars, 1) AS wt,
+        |    cast(('0x'||substr(md5(cast(doc_id as varchar)),1,15)) as bigint) AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, wt, h // wt AS pri FROM w),
+        |t AS (SELECT wt, pri,
+        |    row_number() OVER (ORDER BY pri ASC, doc_id ASC) AS rn,
+        |    count(*) OVER () AS cnt, max(pri) OVER () AS ptau
+        |  FROM (SELECT * FROM p ORDER BY pri ASC, doc_id ASC LIMIT 201)),
+        |s AS (SELECT CASE WHEN cnt <= 200 THEN wt
+        |    ELSE greatest(wt, 1152921504606846976 // greatest(ptau, 1)) END AS est_weight
+        |  FROM t WHERE rn <= 200),
+        |e AS (SELECT count(*) AS n_sampled,
+        |    cast(sum(est_weight) as bigint) AS est_sum FROM s),
+        |x AS (SELECT cast(sum(greatest(n_chars, 1)) as bigint) AS exact_sum
+        |  FROM documents)
+        |SELECT n_sampled, est_sum, exact_sum,
+        |  abs(est_sum - exact_sum) * 100 <= 15 * exact_sum AS within_15pct
+        |FROM e, x""".stripMargin,
 
     // BM25 top-20 (the q_bm25 CTE chain) + cosine top-20 (the
     // q_cosine_topk chain, queries vec_id < 4), fused with

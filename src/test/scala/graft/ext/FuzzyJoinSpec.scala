@@ -94,6 +94,37 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(rows(s"$dir/grown") === rows(s"$dir/fresh"))
   }
 
+  test("addToSigIndex: a retry completes a TORN partial append") {
+    // at-least-once ingest CAN crash mid-append, landing only some of a
+    // key's signature rows (parquet append is not atomic). The retry
+    // must complete the partial keys' REMAINING signatures — a
+    // key-level anti-join would skip the whole half-written key and
+    // silently drop its unwritten candidate pairs forever.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigtorn").toString
+    val corpusA = (1 to 300).map(i => f"Customer#$i%09d").toDF("name")
+    val batchB = (290 to 450).map(i => f"Customer#$i%09d").toDF("name")
+    FuzzyJoin.buildSigIndex(corpusA, "name", s"$dir/grown")
+
+    // simulate the torn append: write only HALF of batchB's new
+    // signature rows (even sig_h) straight into the index, as a crashed
+    // addToSigIndex would have
+    val fullBatchSigs = {
+      FuzzyJoin.buildSigIndex(batchB, "name", s"$dir/tmpb")
+      spark.read.parquet(s"$dir/tmpb/sigs")
+    }
+    fullBatchSigs.where(pmod(col("sig_h"), lit(2)) === 0)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/grown/sigs")
+
+    // the retry heals: grown == fresh over the union corpus
+    FuzzyJoin.addToSigIndex(spark, s"$dir/grown", batchB, "name")
+    FuzzyJoin.buildSigIndex(corpusA.unionByName(batchB), "name", s"$dir/fresh")
+    def rows(p: String) = spark.read.parquet(s"$p/sigs")
+      .as[(String, Long)].collect().toSet
+    assert(rows(s"$dir/grown") === rows(s"$dir/fresh"),
+      "retry after a torn append must complete the partial keys")
+  }
+
   test("bucket sizes stay bounded on the shared-prefix fixture corpus") {
     // Zero-padded names — every key opens "Customer#"; a partition
     // (prefix-segment) signature scheme buckets ALL of them together.

@@ -77,6 +77,90 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedTopNWithEstimate: sample = weightedTopN + replayed est_weight") {
+    val got = Sampling.weightedTopNWithEstimate(
+        docs, "doc_id", col("n_chars"), 50)
+      .select("doc_id", "est_weight").as[(Long, Long)].collect().toMap
+    // the drawn rows are exactly weightedTopN's
+    val plain = Sampling.weightedTopN(docs, "doc_id", col("n_chars"), 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.keySet == plain)
+    // local replay of the threshold rule: p_(n+1) over (pri, key) order,
+    // est = max(w, 2^60 div p_(51))
+    val all = docs.select("doc_id", "n_chars").as[(Long, Long)].collect()
+      .map { case (id, nc) =>
+        val w = math.max(nc, 1L)
+        ((hash60Local(id.toString) / w, id), w)
+      }.sortBy(_._1)
+    val ptau = all(50)._1._1
+    val expected = all.take(50)
+      .map { case ((_, id), w) => id -> math.max(w, (1L << 60) / math.max(ptau, 1L)) }
+      .toMap
+    assert(got == expected)
+  }
+
+  test("weightedTopNWithEstimate: est_weight = weight when n >= table size") {
+    val nDocs = docs.count().toInt
+    val got = Sampling.weightedTopNWithEstimate(
+        docs, "doc_id", col("n_chars"), nDocs + 10)
+      .select("doc_id", "n_chars", "est_weight")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == nDocs)
+    got.foreach { case (id, nc, est) =>
+      assert(est == math.max(nc, 1L), s"doc $id: full inclusion must carry w")
+    }
+  }
+
+  test("weightedTopNWithEstimate: unbiased in expectation over salted draws") {
+    // the Duffield-Lund-Thorup theorem, verified empirically on the
+    // SCHEME (pure local replay — one Spark job per salt would run the
+    // same numbers 300x slower): 1000 keys with weights 1..10, n = 100;
+    // each salt is an independent deterministic draw, and the MEAN of
+    // the per-draw est sums must converge on the exact population sum
+    val keys = (1 to 1000).map(k => (k, 1L + k % 10))
+    val exact = keys.map(_._2).sum
+    val nSalts = 300
+    val estimates = (0 until nSalts).map { salt =>
+      val all = keys
+        .map { case (k, w) => ((hash60Local(s"$k-s$salt") / w, k), w) }
+        .sortBy(_._1)
+      val ptau = all(100)._1._1
+      all.take(100).map { case (_, w) =>
+        math.max(w, (1L << 60) / math.max(ptau, 1L)) }.sum
+    }
+    // one Spark-side cross-check pins the engine to the replayed scheme
+    // (the salt is appended to the STRING key exactly as prioritized does)
+    val df = keys.toDF("k", "w")
+    val sparkEst = Sampling.weightedTopNWithEstimate(
+        df, "k", col("w"), 100, salt = "-s7")
+      .agg(sum(col("est_weight"))).as[Long].head()
+    assert(sparkEst == estimates(7),
+      "Spark draw must replay the local scheme bit-for-bit")
+    val mean = estimates.map(_.toDouble).sum / nSalts
+    val relErr = math.abs(mean - exact) / exact.toDouble
+    assert(relErr < 0.02,
+      f"mean of $nSalts est sums $mean%.1f vs exact $exact (rel err $relErr%.4f)")
+  }
+
+  test("weightedTopN: fractional weights round half-up, never truncate to 0") {
+    // quality scores in (0, 1] must NOT all collapse to the uniform draw:
+    // round(0.4) = 0 -> clamp 1, round(2.6) = 3 — the draw must replay
+    // with ROUNDED weights, which differs from truncation for 2.6 (2)
+    val df = (1 to 500).map(k => (k, if (k % 2 == 0) 0.4 else 2.6))
+      .toDF("k", "w")
+    val got = Sampling.weightedTopN(df, "k", col("w"), 60)
+      .select("k").as[Int].collect().toSet
+    val local = (1 to 500)
+      .map { k =>
+        val w = math.max(math.round(if (k % 2 == 0) 0.4 else 2.6), 1L)
+        (hash60Local(k.toString) / w, k)
+      }.sorted.take(60).map(_._2).toSet
+    assert(got == local)
+    // and the heavier class dominates (truncation would make both weight 1)
+    val heavy = got.count(_ % 2 == 1)
+    assert(heavy > got.size / 2, s"weight-3 keys should dominate: $heavy/60")
+  }
+
   test("weightedTopNPerStratum: n per stratum, weighted order within") {
     val got = Sampling.weightedTopNPerStratum(
         docs, "source", "doc_id", col("n_chars"), 7)
