@@ -168,6 +168,71 @@ object Retrieval {
     path
   }
 
+  /** Index MAINTENANCE for a long-running retrieval session: append a
+    * new batch of documents to a [[buildIndex]] index so the corpus can
+    * GROW without re-scanning its text (the [[FuzzyJoin.addToSigIndex]]
+    * / [[Ivf.addToIndex]] precedent). One text scan over the BATCH
+    * produces its postings; the anti-join against the index dedupes at
+    * (doc_id, term) granularity, so a retry after a torn write (parquet
+    * append is not atomic) completes a half-appended doc's remaining
+    * term rows instead of skipping the whole doc, and re-appending a
+    * committed batch is a no-op. Doc ids are immutable-by-contract:
+    * re-submitting a doc_id with DIFFERENT text is undefined (the same
+    * rule every persisted index in the engine carries).
+    *
+    * `df/` and `stats/` are then REBUILT from the updated postings —
+    * derived state, never incremented: df(term) and (n_docs, avgdl) are
+    * pure functions of the postings table, so maintenance is idempotent
+    * and a crash between the postings append and the rebuild heals on
+    * the next call (an additive df delta would go silently stale in
+    * that crash window, because the retry's anti-join correctly appends
+    * nothing and the lost delta is unrecoverable from the batch alone).
+    * Cost: a slim 2-column aggregation over the postings parquet — no
+    * text scan; vocabulary rows combine map-side. Amortize
+    * high-frequency appends by batching; concurrent probe/append
+    * sessions should land index generations through
+    * [[graft.land.AtomicLanding]] (the swap below is
+    * delete-then-rename, not atomic for racing readers).
+    *
+    * The grown index scores bit-identically to a fresh [[buildIndex]]
+    * over the union corpus — value-gated by `q_bm25_grown` (which
+    * shares `q_bm25`'s oracle) and frame-asserted in RetrievalSpec. */
+  def addToIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, docs: DataFrame): String = {
+    val existing = spark.read.parquet(s"$indexPath/postings")
+      .select(col("doc_id"), col("term"))
+    tfOf(docs)
+      .join(existing, Seq("doc_id", "term"), "left_anti")
+      // the anti-join hoists its keys to the front; restore tfOf's
+      // column order so appended files share the index's layout
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexPath/postings")
+    val postings = spark.read.parquet(s"$indexPath/postings")
+    swapIn(spark, s"$indexPath/df",
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    swapIn(spark, s"$indexPath/stats",
+      postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tok"))
+        .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl")))
+    indexPath
+  }
+
+  /** Materialize `df` beside `target` then swing it into place —
+    * Spark cannot overwrite a parquet dir it is still reading, and the
+    * derived tables above are computed FROM the index being updated. */
+  private def swapIn(spark: org.apache.spark.sql.SparkSession,
+      target: String, df: DataFrame): Unit = {
+    val next = s"$target.next"
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(next)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val t = new org.apache.hadoop.fs.Path(target)
+    val fs = t.getFileSystem(conf)
+    fs.delete(t, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(next), t),
+      s"rename $next -> $target failed")
+  }
+
   /** Score a query batch from a [[buildIndex]] index. Same output
     * contract and same bits as [[bm25TopK]] on the indexed corpus. */
   def bm25TopKIndexed(

@@ -6,7 +6,7 @@ import java.util.UUID
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{ChecksumFileSystem, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max, when}
+import org.apache.spark.sql.functions.{col, lit, max, when}
 
 /** ACID landing commits.
   *
@@ -239,25 +239,55 @@ object AtomicLanding {
     commit(merged, table, expectedVersion = base)
   }
 
-  /** Parquet-footer [min, max] of a LONG key column over every data
-    * file in `dir` — the same bounded metadata I/O as
-    * [[graft.ext.Zorder.statsPrune]]; at cluster scale this table lives
-    * in the manifest itself and the listing becomes a manifest read.
-    * None when the dir holds no non-null stats for the column. */
+  /** A dir's key range as recorded in (or derived for) the manifest:
+    * `typ` ∈ {"long", "string"}, bounds serialized as strings. String
+    * bounds order by UNSIGNED UTF-8 byte comparison — parquet's binary
+    * stats order AND Spark's UTF8String comparison, so a string BETWEEN
+    * evaluated by Spark agrees with the footer-derived bounds (a Java
+    * String.compareTo would not: UTF-16 code-unit order diverges from
+    * code-point order beyond the BMP). */
+  private type KeyRange = (String, String, String)
+
+  /** Per-parquet-file footer reads performed by merge PLANNING (the
+    * manifest-fallback path). Test seam: a spec asserts this stays flat
+    * when every live dir carries a manifest range line — the claim that
+    * planning is manifest-only on an upgraded table. Commit-time stats
+    * for a freshly-written dir do NOT count (bounded by the new dir,
+    * amortized once per commit — not the O(live files) planning loop
+    * this counter guards). */
+  private[land] val planningFooterFiles =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Parquet-footer [min, max] of an INT32/INT64/BINARY(string) key
+    * column over every data file in `dir` — the same bounded metadata
+    * I/O as [[graft.ext.Zorder.statsPrune]]. FALLBACK path only on
+    * upgraded tables: committed dirs carry their range in the manifest
+    * ("# range" lines) and planning never lists files. None when the
+    * dir holds no non-null stats for the column, or the column's
+    * physical type has no supported comparator (conservative rewrite).
+    */
   private def footerKeyRange(spark: SparkSession, dir: String,
-      key: String): Option[(Long, Long)] = {
+      key: String, planning: Boolean): Option[KeyRange] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveComparator
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new HPath(dir)
     val fs = root.getFileSystem(conf)
     val it = fs.listFiles(root, true)
-    var lo = Long.MaxValue
-    var hi = Long.MinValue
+    var loL = Long.MaxValue
+    var hiL = Long.MinValue
+    var loB: Binary = null
+    var hiB: Binary = null
+    val cmpB = PrimitiveComparator.UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR
+    var typ: String = null
     while (it.hasNext) {
       val st = it.next()
       if (st.getPath.getName.endsWith(".parquet")) {
+        if (planning) planningFooterFiles.incrementAndGet()
         val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
         try r.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.find(_.getPath.toDotString == key).foreach { c =>
@@ -266,15 +296,67 @@ object AtomicLanding {
             // (numNulls is set) with min/max UNINITIALIZED — reading them
             // would widen the range to include the type default (0)
             if (s != null && !s.isEmpty && s.hasNonNullValue) {
-              lo = math.min(lo, s.genericGetMin.asInstanceOf[java.lang.Long].longValue)
-              hi = math.max(hi, s.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              c.getPrimitiveType.getPrimitiveTypeName match {
+                case INT64 =>
+                  typ = "long"
+                  loL = math.min(loL, s.genericGetMin.asInstanceOf[java.lang.Long].longValue)
+                  hiL = math.max(hiL, s.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+                case INT32 =>
+                  typ = "long"
+                  loL = math.min(loL, s.genericGetMin.asInstanceOf[java.lang.Integer].longValue)
+                  hiL = math.max(hiL, s.genericGetMax.asInstanceOf[java.lang.Integer].longValue)
+                case BINARY =>
+                  typ = "string"
+                  val mn = s.genericGetMin.asInstanceOf[Binary]
+                  val mx = s.genericGetMax.asInstanceOf[Binary]
+                  if (loB == null || cmpB.compare(mn, loB) < 0) loB = mn
+                  if (hiB == null || cmpB.compare(mx, hiB) > 0) hiB = mx
+                case _ => () // unsupported physical type: no range
+              }
             }
           }
         } finally r.close()
       }
     }
-    if (lo > hi) None else Some((lo, hi))
+    typ match {
+      case "long" if loL <= hiL => Some(("long", loL.toString, hiL.toString))
+      case "string" if loB != null =>
+        Some(("string", loB.toStringUsingUTF8, hiB.toStringUsingUTF8))
+      case _ => None
+    }
   }
+
+  /** The BETWEEN predicate a recorded range implies for `key` — typed
+    * so long keys compare numerically and string keys by Spark's
+    * UTF8String (unsigned byte) order, matching the footer comparator
+    * the bounds came from. */
+  private def rangeCond(key: String, r: KeyRange): org.apache.spark.sql.Column =
+    r match {
+      case ("long", lo, hi) => col(key).between(lit(lo.toLong), lit(hi.toLong))
+      case ("string", lo, hi) => col(key).between(lit(lo), lit(hi))
+      case (other, _, _) =>
+        throw new IllegalArgumentException(s"unknown range type '$other'")
+    }
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def rangeLine(d: String, k: String, r: KeyRange): String =
+    s"# range ${enc(d)} ${enc(k)} ${r._1} ${enc(r._2)} ${enc(r._3)}"
+
+  /** (dir, key) -> range, from the live manifest's "# range" lines —
+    * the manifest-only planning surface [[mergePruned]] reads. Bounds
+    * are URL-encoded in the manifest so arbitrary string keys (spaces,
+    * newlines) survive the line format. */
+  private[land] def liveRanges(table: String): Map[(String, String), KeyRange] =
+    manifestLines(table).collect {
+      case l if l.startsWith("# range ") =>
+        l.stripPrefix("# range ").trim.split(" ") match {
+          case Array(d, k, t, lo, hi) => ((dec(d), dec(k)), (t, dec(lo), dec(hi)))
+          case other => throw new IllegalStateException(
+            s"malformed range line (${other.length} fields): $l")
+        }
+    }.toMap
 
   /** File-level MERGE — the 100-TB refinement [[merge]]'s scaladoc
     * names: rewrite ONLY the live data dirs whose footer key range
@@ -291,8 +373,21 @@ object AtomicLanding {
     * collected key set: exact with respect to ranges, conservative when
     * a dir's range covers an update key the dir doesn't actually hold
     * (rewriting it anyway is wasteful, never wrong). A dir with no
-    * footer stats for the key is conservatively treated as touched.
-    * The key column must be parquet INT64 (the engine's id columns). */
+    * recorded or derivable range for the key is conservatively treated
+    * as touched. Long (INT32/INT64) AND string (BINARY) keys are
+    * supported; other key types fall back to conservative rewrite.
+    *
+    * Planning is MANIFEST-ONLY on an upgraded table: per-dir key
+    * ranges live in the manifest as "# range" lines, written at commit
+    * time (one bounded footer pass over the dir just written) and
+    * carried forward thereafter, so the merge planner reads ONE small
+    * manifest instead of running an O(live files) driver-side footer
+    * listing per merge — at 10^5 files that listing is minutes of
+    * serial driver I/O before planning even starts. Pre-upgrade dirs
+    * (committed before range lines existed) fall back to the footer
+    * scan ONCE: this merge records their ranges in the manifest it
+    * publishes, so the next merge is manifest-only (asserted via
+    * [[planningFooterFiles]] in AtomicLandingSpec). */
   def mergePruned(updates: DataFrame, table: String, key: String,
       allowMissingColumns: Boolean = false): Long = {
     val spark = updates.sparkSession
@@ -310,10 +405,15 @@ object AtomicLanding {
           "matched rows would be rewritten with NULLs there; pass " +
           "allowMissingColumns = true to do that deliberately")
     }
-    val ranges = dirs.map(d => d -> footerKeyRange(spark, s"$table/$d", key))
+    // manifest-first planning; footer listing only for pre-upgrade dirs
+    val recorded = liveRanges(table)
+    val ranges = dirs.map { d =>
+      d -> recorded.get((d, key))
+        .orElse(footerKeyRange(spark, s"$table/$d", key, planning = true))
+    }
     val flagged = ranges.zipWithIndex.collect {
-      case ((_, Some((lo, hi))), i) =>
-        i -> max(when(col(key).between(lo, hi), 1).otherwise(0)).as(s"_t$i")
+      case ((_, Some(r)), i) =>
+        i -> max(when(rangeCond(key, r), 1).otherwise(0)).as(s"_t$i")
     }
     val hit: Map[Int, Boolean] =
       if (flagged.isEmpty) Map.empty
@@ -337,8 +437,13 @@ object AtomicLanding {
         .unionByName(updates, allowMissingColumns = true)
       case None => updates
     }
+    // kept dirs' ranges (just read — from the manifest or the one-time
+    // footer fallback) ride into the new manifest via knownRanges, so a
+    // pre-upgrade table is fully range-lined after its first merge
+    val known = kept.collect { case ((d, Some(r)), _) => (d, key) -> r }.toMap
     commit(merged, table, batchId = lastBatchId(table),
-      keepDirs = kept.map(_._1._1), expectedVersion = base)
+      keepDirs = kept.map(_._1._1), expectedVersion = base,
+      statsKeys = Seq(key), knownRanges = known)
   }
 
   /** Write `df` and publish atomically; returns the committed version.
@@ -362,14 +467,28 @@ object AtomicLanding {
     * snapshot, and a slot poisoned by a dead writer fails the commit
     * after `maxConflictWaitMs` with a message naming [[vacuum]] as the
     * cure. The slow part (staging the data) happens BEFORE allocation,
-    * so the contended window is just manifest-write + pointer swing. */
+    * so the contended window is just manifest-write + pointer swing.
+    *
+    * PER-DIR KEY RANGES ("# range" manifest lines — [[mergePruned]]'s
+    * manifest-only planning surface): `statsKeys` names key columns
+    * whose [min, max] should be recorded for the NEWLY-written dir (one
+    * footer pass over just that dir). Independently, any key that the
+    * live manifest ALREADY tracks is maintained automatically — an
+    * append to an upgraded table keeps every dir's range line current
+    * with no caller opt-in, so streaming appends never decay the
+    * upgrade. Carried dirs keep their recorded lines; `knownRanges`
+    * ((dir, key) -> (typ, lo, hi)) lets a caller that just derived a
+    * kept dir's range (mergePruned's footer fallback) persist it
+    * without a second footer pass. */
   def commit(df: DataFrame, table: String, append: Boolean = false,
       beforePublish: () => Unit = () => (),
       batchId: Option[Long] = None,
       maxConflictWaitMs: Long = 30000L,
       keepDirs: Seq[String] = Nil,
       evolveSchema: Boolean = false,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      statsKeys: Seq[String] = Nil,
+      knownRanges: Map[(String, String), (String, String, String)] = Map.empty): Long = {
     val fs = fsOf(hp(table))
 
     // schema enforcement (Delta's rule): an append may never silently
@@ -419,16 +538,33 @@ object AtomicLanding {
     require(fs.rename(staging, dataDir), s"rename $staging -> $dataDir failed")
 
     fs.mkdirs(hp(table, "manifests"))
+    // the new dir's key ranges: one footer pass per key over the dir
+    // just staged (bounded by THIS commit's output, not the table) —
+    // cached across reservation attempts, the dir is immutable
+    val newDirRangeCache =
+      scala.collection.mutable.Map.empty[String, Option[KeyRange]]
+    def newDirRange(k: String): Option[KeyRange] =
+      newDirRangeCache.getOrElseUpdate(k,
+        footerKeyRange(df.sparkSession, dataDir.toString, k, planning = false))
     var next = currentVersion(table).getOrElse(-1L) + 1L
     var waitedMs = 0L
     var reserved = false
     while (!reserved) {
       // rebuilt per attempt: a lost race means the snapshot we append to
-      // (and the batch watermark and schema we carry) just changed under us
+      // (and the batch watermark, schema, and range lines we carry) just
+      // changed under us
       val dirs = (if (append) liveDirs(table) else keepDirs) :+ s"data/$dirName"
+      val recorded = liveRanges(table)
+      val rangeKeys = (statsKeys ++ recorded.keysIterator.map(_._2)).distinct
+      val rangeLs = for {
+        d <- dirs
+        k <- rangeKeys
+        r <- recorded.get((d, k)).orElse(knownRanges.get((d, k)))
+          .orElse(if (d == s"data/$dirName") newDirRange(k) else None)
+      } yield rangeLine(d, k, r)
       val lines = batchId.orElse(lastBatchId(table))
         .map(b => s"# batch $b").toSeq ++
-        Seq(s"# schema ${enforcedSchema().json}") ++ dirs
+        Seq(s"# schema ${enforcedSchema().json}") ++ rangeLs ++ dirs
       reserved = reserveManifest(fs,
         hp(table, "manifests", manifestName(next)), lines.mkString("\n"))
       if (!reserved) {

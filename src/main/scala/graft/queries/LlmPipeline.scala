@@ -1150,6 +1150,30 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- the same scores again, through an index built on HALF the
+    // corpus and GROWN with the other half via addToIndex — BM25 index
+    // maintenance under the value gate: postings append one batch text
+    // scan, df/stats rebuild from postings (idempotent, crash-healing),
+    // and the grown index must reproduce q_bm25's bits exactly, so its
+    // oracle IS q_bm25's ----
+    "q_bm25_grown" -> ((s, dir) => {
+      import s.implicits._
+      val idx = bm25IdxSpooled.getOrElseUpdate(dir + "#grown", {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-bm25grown").toString + "/idx"
+        val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+        Retrieval.buildIndex(corpus.where(col("doc_id") % 2 === 1), d)
+        Retrieval.addToIndex(s, d, corpus.where(col("doc_id") % 2 === 0))
+        d
+      })
+      val qs = Seq(
+        (0L, "spark query engine"), (1L, "join filter window"),
+        (2L, "customer order stream"), (3L, "table scan merge sort"))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25TopKIndexed(s, idx, qs, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- BM25 CORPUS-SCALE dual (the retrieval self-join shape, mirror
     // of q_cosine_ivfpq_selfjoin): EVERY doc probes the corpus with its
     // own first-8-token prefix as the query. broadcastQueries = false —
@@ -1381,7 +1405,10 @@ object LlmPipeline {
     // indexed BM25 must reproduce the inline path's bits exactly
     // (corpus df ≡ candidate df over the query vocabulary), so its
     // oracle IS q_bm25's — aliased, not copied, so they cannot drift
-    Map("q_bm25_indexed" -> staticOracles("q_bm25")) ++
+    Map("q_bm25_indexed" -> staticOracles("q_bm25"),
+      // the grown index's claim IS "same bits as the full-corpus
+      // index", so it shares the same oracle too
+      "q_bm25_grown" -> staticOracles("q_bm25")) ++
     // single-dir contract: the trained oracle replays the LAST dir's
     // learned merges — pairing one dir's dump with another dir's merges
     // is only possible if a caller interleaves dirs before dumping,

@@ -141,6 +141,46 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         broadcastQueries = false)))
   }
 
+  test("addToIndex: grown == rebuilt; replay no-op; torn append heals") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25grow").toString
+    val half1 = corpus.where($"doc_id" <= 2)
+    val half2 = corpus.where($"doc_id" > 2)
+    Retrieval.buildIndex(half1, s"$base/grown")
+    Retrieval.addToIndex(spark, s"$base/grown", half2)
+    Retrieval.buildIndex(corpus, s"$base/fresh")
+
+    def part(p: String, sub: String) = spark.read.parquet(s"$p/$sub")
+      .collect().map(_.toSeq).toSet
+    for (sub <- Seq("postings", "df", "stats"))
+      assert(part(s"$base/grown", sub) === part(s"$base/fresh", sub),
+        s"$sub must match a fresh build over the union corpus")
+
+    // scores through the grown index == inline over the union corpus
+    val queries = q(0L -> "spark the query", 1L -> "dogs chase")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect().toSeq
+    assert(canon(Retrieval.bm25TopKIndexed(spark, s"$base/grown", queries, k = 3)) ==
+      canon(Retrieval.bm25TopK(corpus, queries, k = 3)))
+
+    // replaying the same batch appends nothing
+    Retrieval.addToIndex(spark, s"$base/grown", half2)
+    assert(part(s"$base/grown", "postings") === part(s"$base/fresh", "postings"))
+
+    // torn append: half of a new batch's postings land raw (the crash
+    // shape), then the retry must complete the doc's remaining terms
+    // AND refresh df/stats
+    val batch3 = Seq((6L, "query planner dogs")).toDF("doc_id", "text")
+    Seq((6L, 3L, "query", 1L)).toDF("doc_id", "dl", "term", "tf")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$base/grown/postings")
+    Retrieval.addToIndex(spark, s"$base/grown", batch3)
+    Retrieval.buildIndex(corpus.unionByName(batch3), s"$base/fresh6")
+    for (sub <- Seq("postings", "df", "stats"))
+      assert(part(s"$base/grown", sub) === part(s"$base/fresh6", sub),
+        s"$sub must heal after a torn append")
+  }
+
   test("indexed scoring plans no Generate: the text explode ran at build") {
     import org.apache.spark.sql.execution.SparkPlan
     val dir = java.nio.file.Files

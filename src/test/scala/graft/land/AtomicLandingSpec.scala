@@ -489,4 +489,102 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, pruned)
       .filter(col("doc_id") === 88888L).count() == 1)
   }
+
+  test("mergePruned plans MANIFEST-ONLY once a table carries range lines") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n"))
+    val table = freshTable()
+    // legacy build: plain commits record no range lines (no statsKeys,
+    // nothing tracked yet) — the pre-upgrade state
+    AtomicLanding.commit(docs.filter(col("doc_id") < 200), table)
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 200), table, append = true)
+    assert(AtomicLanding.liveRanges(table).isEmpty,
+      "plain commits must not record ranges (legacy manifests)")
+
+    def upd(tag: Long) = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id"), col("source"), lit(tag).as("n"))
+
+    // first merge on a legacy table: planner falls back to footers
+    // (counter moves) and the published manifest is fully range-lined
+    val before1 = AtomicLanding.planningFooterFiles.get()
+    AtomicLanding.mergePruned(upd(-1L), table, "doc_id")
+    assert(AtomicLanding.planningFooterFiles.get() > before1,
+      "legacy dirs must be planned from footers exactly once")
+    val ranged = AtomicLanding.liveRanges(table)
+    val live = AtomicLanding.dirsOfVersion(table,
+      AtomicLanding.currentVersion(table).get)
+    assert(live.forall(d => ranged.contains((d, "doc_id"))),
+      s"first merge must upgrade every live dir: $ranged vs $live")
+
+    // second merge: ZERO planning footer reads — the upgrade claim
+    val before2 = AtomicLanding.planningFooterFiles.get()
+    AtomicLanding.mergePruned(upd(-2L), table, "doc_id")
+    assert(AtomicLanding.planningFooterFiles.get() == before2,
+      "merge planning on an upgraded table must read no footers")
+
+    // an APPEND maintains the upgrade with no caller opt-in...
+    AtomicLanding.commit(docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 50000).as("doc_id"), col("source"),
+        lit(-9L).as("n")), table, append = true)
+    val live3 = AtomicLanding.dirsOfVersion(table,
+      AtomicLanding.currentVersion(table).get)
+    assert(live3.forall(d =>
+      AtomicLanding.liveRanges(table).contains((d, "doc_id"))),
+      "appends to an upgraded table must range-line the new dir")
+    // ...so the NEXT merge is still manifest-only
+    val before3 = AtomicLanding.planningFooterFiles.get()
+    AtomicLanding.mergePruned(upd(-3L), table, "doc_id")
+    assert(AtomicLanding.planningFooterFiles.get() == before3)
+    // and rows stayed correct throughout
+    assert(AtomicLanding.read(spark, table)
+      .filter(col("doc_id") < 30).select("n").distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSeq == Seq(-3L))
+  }
+
+  test("mergePruned prunes on STRING keys (unsigned byte order)") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(format_string("id-%05d", col("doc_id")).as("sid"),
+        col("source"), length(col("text")).cast("long").as("n"))
+    def build(table: String): Unit = {
+      AtomicLanding.commit(docs.filter(col("sid") < "id-00125"), table)
+      Seq(("id-00125", "id-00250"), ("id-00250", "id-00375"),
+          ("id-00375", "id-99999")).foreach { case (lo, hi) =>
+        AtomicLanding.commit(
+          docs.filter(col("sid") >= lo && col("sid") < hi),
+          table, append = true)
+      }
+    }
+    val pruned = freshTable(); build(pruned)
+    val full = freshTable(); build(full)
+    val preDirs = AtomicLanding.dirsOfVersion(pruned,
+      AtomicLanding.currentVersion(pruned).get).toSet
+    assert(preDirs.size == 4)
+
+    // updates confined to the FIRST dir's string range + one insert
+    // beyond every range
+    val updates = docs.filter(col("sid") < "id-00050")
+      .select(col("sid"), col("source"), lit(-1L).as("n"))
+      .unionByName(docs.limit(1)
+        .select(lit("zz-insert").as("sid"), col("source"), lit(-2L).as("n")))
+    AtomicLanding.mergePruned(updates, pruned, "sid")
+    AtomicLanding.merge(updates, full, "sid")
+
+    def canon(t: String) = AtomicLanding.read(spark, t)
+      .select("sid", "source", "n")
+      .as[(String, String, Long)](org.apache.spark.sql.Encoders
+        .tuple(org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect().sorted.toSeq
+    assert(canon(pruned) === canon(full))
+
+    // three of the four string-range dirs carried through
+    val postDirs = AtomicLanding.dirsOfVersion(pruned,
+      AtomicLanding.currentVersion(pruned).get).toSet
+    assert((preDirs intersect postDirs).size == 3,
+      s"expected 3 carried dirs, got ${(preDirs intersect postDirs).size}")
+    // and the manifest now carries STRING-typed range lines
+    assert(AtomicLanding.liveRanges(pruned).values.forall(_._1 == "string"))
+  }
 }
