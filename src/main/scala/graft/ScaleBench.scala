@@ -76,6 +76,29 @@ object ScaleBench {
         Tables.t(s, dir, "customer")
           .select(format_string("Customer#%09d", col("c_custkey")).as("name")),
         "name", k = 2)),
+    // hybrid retrieval AT CORPUS SCALE — the q_hybrid_rrf gate row with
+    // the brute-force vector side swapped for IVF-PQ (built inline, the
+    // q_cosine_ivfpq_selfjoin precedent) and the BM25 side carrying the
+    // maxDf posting-list valve: both rankers keep their own 100-TB
+    // paths, and the FUSED stage runs on |queries| x 40 rows however
+    // big the corpus grows — the claim this row measures
+    "q_hybrid_rrf_scaled" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val e = Tables.t(s, dir, "embeddings")
+      val qsT = Seq(
+        (0L, "spark query engine"), (1L, "join filter window"),
+        (2L, "customer order stream"), (3L, "table scan merge sort"))
+        .toDF("query_id", "qtext")
+      val textRank = graft.ext.Retrieval
+        .bm25TopK(d, qsT, k = 20, maxDf = Some(3000L))
+        .select(col("query_id"), col("doc_id").as("id"), col("rnk"))
+      val vecRank = graft.ext.IvfPq
+        .probe(e, graft.ext.IvfPq.buildIndex(e),
+          e.filter(col("vec_id") < 4), k = 20, nProbe = 4, shortlist = 50)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rnk"))
+      graft.ext.Retrieval.rrfFuse(Seq(textRank, vecRank), k = 10)
+    }),
     "q_entity_names" -> ((s: SparkSession, dir: String) =>
       // the SHARED gate pipeline (FuzzyJoin.entityComponents — the probe
       // cannot drift from the gated computation), with localSolveMax = 0

@@ -228,6 +228,24 @@ object SkewBench {
         .withColumn("sess_id", sum(col("new_sess")).over(run))
         .groupBy(col("user_id")).agg(max(col("sess_id")).as("n_sessions"))
     }
+    // the PRODUCTION output shape — one row PER SESSION (start/end/
+    // n_events), not per-entity counts — as a single ordered window:
+    // the same whale bound as sessionWindow, measured against its
+    // chunked twin below
+    def sessionRowsWindow(ev: DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+    }
     val behav = Seq[(String, DataFrame => DataFrame)](
       "retention" -> (ev => graft.ext.Behavior.retention(ev)),
       "funnel" -> (ev =>
@@ -238,7 +256,12 @@ object SkewBench {
       // history splits across slabs instead of sorting in one task, so
       // hot_sec should track uniform_sec where session_window's cannot
       "session_chunked" -> (ev =>
-        graft.operators.Sessionize.chunked(ev, "user_id", "ts"))
+        graft.operators.Sessionize.chunked(ev, "user_id", "ts")),
+      // the session-OUTPUT pair: same whale A/B for the one-row-per-
+      // session production shape (chunkedSessions' local-session merge)
+      "session_rows_window" -> (ev => sessionRowsWindow(ev)),
+      "session_rows_chunked" -> (ev =>
+        graft.operators.Sessionize.chunkedSessions(ev, "user_id", "ts"))
     ).map { case (name, f) =>
       Bench.materialize(f(evUniform)); Bench.materialize(f(evHot)) // warm
       val u = time(Bench.materialize(f(evUniform)))

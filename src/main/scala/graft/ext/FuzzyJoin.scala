@@ -103,10 +103,40 @@ object FuzzyJoin {
     * ([[deletionSigs2]] for the completeness + discrimination argument).
     * k = 2 is the real entity-resolution distance (two typos, a
     * dropped word boundary + a substitution); its signature table is
-    * ~C(L,2)/L ≈ L/2× the ed1 table, still linear in the corpus. */
-  def selfJoinEdK(df: DataFrame, key: String, k: Int): DataFrame = {
+    * ~C(L,2)/L ≈ L/2× the ed1 table, still linear in the corpus.
+    *
+    * `maxBucket` is THE candidate-budget valve (the
+    * [[Retrieval.bm25TopK]] `maxDf` precedent): drop signature buckets
+    * holding more than this many keys BEFORE the self-join, bounding
+    * every bucket's candidate contribution at C(maxBucket, 2)
+    * regardless of corpus density — an ABSOLUTE cap for the same
+    * reason maxDf is (a fraction admits ever-hotter buckets as the
+    * corpus grows). This is a RECALL trade, explicit and documented: a
+    * true pair whose ONLY shared signatures are hot buckets is lost.
+    * On dense corpora that is rare — an ed ≤ 2 pair of L-char keys
+    * shares up to ~C(L,2) distinct signatures, and hot buckets are
+    * low-entropy residues — FuzzyJoinProbeSpec measures recall under
+    * the valve on the adversarial zero-padded corpus. None (default)
+    * is exact. Use when the corpus's edit-space density is unknown and
+    * a worst-case quadratic bucket must not take the job down — the
+    * measured growth on dense corpora is OUTPUT-bound (every candidate
+    * verified is a real pair to emit), so the valve also caps the
+    * result volume a downstream join must absorb. */
+  def selfJoinEdK(df: DataFrame, key: String, k: Int,
+      maxBucket: Option[Long] = None): DataFrame = {
     require(k == 1 || k == 2, s"selfJoinEdK supports k in {1,2}, got $k")
-    val sigs = sigTable(df, key, "k", k)
+    require(maxBucket.forall(_ >= 2), s"maxBucket must be >= 2: $maxBucket")
+    val sigs0 = sigTable(df, key, "k", k)
+    val sigs = maxBucket match {
+      case Some(cap) =>
+        // census + anti-join: one map-side-combined aggregate over the
+        // signature table, never a key-pair enumeration
+        val hot = sigs0.groupBy(col("sig_h"))
+          .agg(count(lit(1)).as("_bc"))
+          .filter(col("_bc") > cap).select(col("sig_h"))
+        sigs0.join(hot, Seq("sig_h"), "left_anti")
+      case None => sigs0
+    }
     val a = sigs.select(col("k").as("key_a"), col("sig_h"))
     val b = sigs.select(col("k").as("key_b"), col("sig_h"))
     // both sides are the SAME corpus-sized signature table — broadcast
@@ -117,6 +147,21 @@ object FuzzyJoin {
     verified(
       a.join(b.hint("merge"), Seq("sig_h")).where(col("key_a") < col("key_b")),
       "key_a", "key_b", k)
+  }
+
+  /** Signature-bucket census — the capacity-planning aggregate behind
+    * the ed ≤ k growth argument: over the deduped k-deletion signature
+    * table, (n_sig_rows, n_buckets, max_bucket, cand_pairs = Σ C(b, 2))
+    * — cand_pairs is EXACTLY the candidate volume the self-join would
+    * shuffle, computed by one map-side-combined aggregate with no join
+    * at all. graft.FuzzyProbe emits this census per scale leg so the
+    * exponent claims in the probe artifact are counted, not argued. */
+  def sigCensus(df: DataFrame, key: String, k: Int): (Long, Long, Long, Long) = {
+    val b = sigTable(df, key, "k", k).groupBy(col("sig_h"))
+      .agg(count(lit(1)).as("bc"))
+    val r = b.agg(sum(col("bc")), count(lit(1)), max(col("bc")),
+      sum(expr("bc * (bc - 1) div 2"))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
   /** Incremental variant — the production entity-resolution shape: match

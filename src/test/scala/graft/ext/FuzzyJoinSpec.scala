@@ -94,6 +94,24 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(rows(s"$dir/grown") === rows(s"$dir/fresh"))
   }
 
+  test("maxBucket valve: subset of exact; cap >= max bucket is exact") {
+    val cs = corpus(150)
+    val df = cs.toDF("k")
+    val exact = FuzzyJoin.selfJoinEdK(df, "k", 2)
+      .as[(String, String)].collect().toSet
+    // a tight cap loses only pairs whose every shared sig is hot —
+    // always a SUBSET, never a wrong pair
+    val valved = FuzzyJoin.selfJoinEdK(df, "k", 2, Some(3L))
+      .as[(String, String)].collect().toSet
+    assert(valved.subsetOf(exact))
+    assert(valved.nonEmpty, "the dense 3-letter corpus must keep cool-bucket pairs")
+    // a cap at (or above) the hottest bucket drops nothing
+    val (_, _, maxB, _) = FuzzyJoin.sigCensus(df, "k", 2)
+    val capped = FuzzyJoin.selfJoinEdK(df, "k", 2, Some(maxB))
+      .as[(String, String)].collect().toSet
+    assert(capped === exact)
+  }
+
   test("addToSigIndex: a retry completes a TORN partial append") {
     // at-least-once ingest CAN crash mid-append, landing only some of a
     // key's signature rows (parquet append is not atomic). The retry
