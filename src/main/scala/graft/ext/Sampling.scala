@@ -157,6 +157,51 @@ object Sampling {
       .drop("_w", "_h", "_pri", "_rnk")
   }
 
+  /** [[weightedTopNPerStratum]] PLUS the per-stratum Horvitz–Thompson
+    * estimation weight — the stratified dual of
+    * [[weightedTopNWithEstimate]]: each stratum gets its OWN threshold
+    * priority τ_s = the (n+1)-th smallest priority within the stratum,
+    * and each sampled row's `est_weight = max(w_i, 2^60 div τ_s)`
+    * (or exactly `w_i` when the stratum has ≤ n rows and is included
+    * whole). Per stratum, `E[Σ_sample est_weight] = Σ_stratum w`, so a
+    * balanced-by-source draw can still drive unbiased per-stratum sums
+    * — and their total is an unbiased estimate of the population sum
+    * whose relative error shrinks as strata average out (the gate pins
+    * the total inside a 15% envelope; a SINGLE stratum's estimate at
+    * small n has much higher variance by design — callers wanting tight
+    * per-stratum bounds need a larger per-stratum n).
+    *
+    * Integer-exact end to end exactly as the global version: one md5
+    * hash, floor divisions only, so every est_weight replays
+    * bit-for-bit in any engine with md5 and floor division. `salt`
+    * selects an independent deterministic draw (the unbiasedness
+    * property test averages over salts); production leaves it "".
+    *
+    * Scale shape: ONE hash-partition shuffle on the stratum column; the
+    * rank, the (n+1)-row clip, the per-stratum count and τ_s extraction
+    * are all windows over the SAME partitioning, so Catalyst reuses the
+    * exchange — the second window pass runs over ≤ (n+1)·|strata| rows,
+    * never the corpus, and nothing global sorts. */
+  def weightedTopNPerStratumWithEstimate(df: DataFrame, strataCol: String,
+      keyCol: String, weight: Column, n: Int,
+      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col(strataCol))
+      .orderBy(col("_pri").asc, col(keyCol).asc)
+    val wStr = Window.partitionBy(col(strataCol))
+    prioritized(df, keyCol, weight, salt)
+      .withColumn("_rnk", row_number().over(wOrd))
+      .filter(col("_rnk") <= n + 1)
+      .withColumn("_cnt", count(lit(1)).over(wStr))
+      .withColumn("_ptau", max(col("_pri")).over(wStr))
+      .where(col("_rnk") <= n)
+      .withColumn("est_weight",
+        when(col("_cnt") <= n, col("_w")).otherwise(
+          greatest(col("_w"),
+            expr(s"${HashRange}L div greatest(_ptau, 1L)"))))
+      .drop("_w", "_h", "_pri", "_rnk", "_cnt", "_ptau")
+  }
+
   /** Apply a per-stratum sampling rate: keep a row iff
     * `hash60(key) % 100 < pct(stratum)`. `pct` is any integer-percent
     * column expression (a broadcast-joined weights table, a config map,

