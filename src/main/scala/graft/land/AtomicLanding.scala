@@ -387,9 +387,22 @@ object AtomicLanding {
     * (committed before range lines existed) fall back to the footer
     * scan ONCE: this merge records their ranges in the manifest it
     * publishes, so the next merge is manifest-only (asserted via
-    * [[planningFooterFiles]] in AtomicLandingSpec). */
+    * [[planningFooterFiles]] in AtomicLandingSpec).
+    *
+    * CONCURRENT APPENDS no longer kill the rewrite when they provably
+    * can't interact with it: a dir appended while the merge was staging
+    * whose recorded key range holds no update key is carried forward
+    * (commit's rebaseAppends seam) — both commits survive and the
+    * result is identical to running them serially. Appends that DO
+    * overlap the update keys (or carry no range line, or any concurrent
+    * rewrite) still fail the publish for the caller to retry. */
   def mergePruned(updates: DataFrame, table: String, key: String,
-      allowMissingColumns: Boolean = false): Long = {
+      allowMissingColumns: Boolean = false,
+      beforeCommit: () => Unit = () => ()): Long = {
+    // beforeCommit is a test seam (commit.beforePublish's sibling): it
+    // runs after planning reads the snapshot and before the commit —
+    // exactly the window a concurrent append can land in, which is what
+    // the rebase specs need to stage deterministically
     val spark = updates.sparkSession
     val base = currentVersion(table)
     val dirs = liveDirs(table)
@@ -441,9 +454,39 @@ object AtomicLanding {
     // footer fallback) ride into the new manifest via knownRanges, so a
     // pre-upgrade table is fully range-lined after its first merge
     val known = kept.collect { case ((d, Some(r)), _) => (d, key) -> r }.toMap
-    commit(merged, table, batchId = lastBatchId(table),
-      keepDirs = kept.map(_._1._1), expectedVersion = base,
-      statsKeys = Seq(key), knownRanges = known)
+    // Concurrent-append rebase (commit's rebaseAppends seam): a commit
+    // that landed while we were rewriting fails the publish ONLY if it
+    // could interact with this merge. A concurrently-appended dir whose
+    // recorded key range holds NO update key provably contains no row
+    // this merge would have rewritten — carrying it forward verbatim is
+    // row-identical to serializing the append after the merge, so the
+    // rewrite survives instead of being retried from scratch. The test
+    // is one agg over `updates` with a per-extra-dir BETWEEN flag (the
+    // same shape as touched-dir planning), reading ranges from the
+    // CURRENT manifest — the "# range" lines the append itself
+    // maintained. A rangeless extra dir, or one whose range covers an
+    // update key, refuses the rebase (conservative: fail as before).
+    val rebase: Seq[String] => Boolean = { extras =>
+      val rec = liveRanges(table)
+      val extRanges = extras.map(d => rec.get((d, key)))
+      extRanges.forall(_.isDefined) && {
+        val flags = extRanges.flatten.zipWithIndex.map { case (r, i) =>
+          max(when(rangeCond(key, r), 1).otherwise(0)).as(s"_x$i")
+        }
+        flags.isEmpty || {
+          val row = updates.agg(flags.head, flags.tail: _*).head()
+          flags.indices.forall(c => row.isNullAt(c) || row.getInt(c) == 0)
+        }
+      }
+    }
+    // no pinned batchId: the watermark is carried fresh from the live
+    // manifest at reservation time, so a rebase over a concurrent
+    // STREAMING append keeps the append's newer batch id (a stale pinned
+    // id would let the engine double-commit the replayed batch)
+    beforeCommit()
+    commit(merged, table, keepDirs = kept.map(_._1._1),
+      expectedVersion = base, statsKeys = Seq(key), knownRanges = known,
+      rebaseAppends = rebase)
   }
 
   /** Write `df` and publish atomically; returns the committed version.
@@ -469,6 +512,18 @@ object AtomicLanding {
     * cure. The slow part (staging the data) happens BEFORE allocation,
     * so the contended window is just manifest-write + pointer swing.
     *
+    * SNAPSHOT REWRITES (`expectedVersion = Some(e)`) overtaken by a
+    * concurrent commit fail with ConcurrentModificationException —
+    * UNLESS every intervening commit was a pure append (no dir of
+    * snapshot `e` removed) AND `rebaseAppends(extras)` returns true for
+    * the concurrently-added dirs, in which case the rewrite REBASES:
+    * the extra dirs are carried into the published manifest verbatim
+    * (with their range lines and the LIVE batch watermark). The
+    * predicate is the caller's proof obligation that the appended rows
+    * cannot interact with the rewrite — [[mergePruned]] proves
+    * key-range disjointness from its update keys; the default never
+    * rebases.
+    *
     * PER-DIR KEY RANGES ("# range" manifest lines — [[mergePruned]]'s
     * manifest-only planning surface): `statsKeys` names key columns
     * whose [min, max] should be recorded for the NEWLY-written dir (one
@@ -488,7 +543,8 @@ object AtomicLanding {
       evolveSchema: Boolean = false,
       expectedVersion: Option[Long] = None,
       statsKeys: Seq[String] = Nil,
-      knownRanges: Map[(String, String), (String, String, String)] = Map.empty): Long = {
+      knownRanges: Map[(String, String), (String, String, String)] = Map.empty,
+      rebaseAppends: Seq[String] => Boolean = _ => false): Long = {
     val fs = fsOf(hp(table))
 
     // schema enforcement (Delta's rule): an append may never silently
@@ -553,7 +609,42 @@ object AtomicLanding {
       // rebuilt per attempt: a lost race means the snapshot we append to
       // (and the batch watermark, schema, and range lines we carry) just
       // changed under us
-      val dirs = (if (append) liveDirs(table) else keepDirs) :+ s"data/$dirName"
+      //
+      // snapshot-conflict handling for whole-snapshot rewrites (merge /
+      // compact): those callers computed `df` from version E, and if a
+      // concurrent commit won a version in between, publishing the
+      // rewrite blindly would silently erase that commit's rows. Checked
+      // HERE, before each reservation attempt, because the reservation
+      // invariant (a successful create of m-next pins the published
+      // version at next-1 until we publish) is exactly what makes the
+      // resolution stable: once we hold the slot, the dirs we decided on
+      // cannot change under us. Resolution: if every intervening commit
+      // was a PURE APPEND (no dir of snapshot E was removed) and the
+      // caller's `rebaseAppends` predicate accepts the appended dirs as
+      // non-interacting (mergePruned proves key-range disjointness from
+      // its update keys), the rewrite REBASES — the new dirs ride into
+      // our manifest verbatim, row-identical to serializing the appends
+      // after the rewrite. Otherwise detect-and-fail (Delta's non-append
+      // conflict rule): the caller retries from the fresh snapshot; the
+      // staged dir becomes vacuum-able garbage.
+      val carried: Seq[String] = expectedVersion match {
+        case Some(e) if next != e + 1L =>
+          val curDirs = liveDirs(table)
+          val eDirs = dirsOfVersion(table, e)
+          val removed = eDirs.filterNot(curDirs.toSet)
+          val extras = curDirs.filterNot(eDirs.toSet)
+          if (removed.nonEmpty || !rebaseAppends(extras))
+            throw new java.util.ConcurrentModificationException(
+              s"$table moved to version ${next - 1} while rewriting snapshot $e — " +
+                "a concurrent commit landed" + (
+                if (removed.nonEmpty)
+                  s" and removed dir(s) ${removed.mkString(", ")} of the rewritten snapshot"
+                else " whose dir(s) may interact with the rewrite") +
+                "; retry the rewrite from the current snapshot")
+          extras
+        case _ => Nil
+      }
+      val dirs = (if (append) liveDirs(table) else keepDirs ++ carried) :+ s"data/$dirName"
       val recorded = liveRanges(table)
       val rangeKeys = (statsKeys ++ recorded.keysIterator.map(_._2)).distinct
       val rangeLs = for {
@@ -584,17 +675,6 @@ object AtomicLanding {
     }
 
     try {
-      // snapshot-conflict detection for whole-snapshot rewrites (merge /
-      // compact): those callers computed `df` from version E, and if a
-      // concurrent append won a version in between, publishing the
-      // rewrite would silently erase that append's rows. Detect-and-fail
-      // (Delta's non-append conflict rule) — the caller retries from the
-      // fresh snapshot; the reserved slot is released below.
-      expectedVersion.foreach { e =>
-        if (next != e + 1L) throw new java.util.ConcurrentModificationException(
-          s"$table moved to version ${next - 1} while rewriting snapshot $e — " +
-            "a concurrent commit landed; retry the rewrite from the current snapshot")
-      }
       beforePublish()
       // the pointer swing goes through the PointerStore seam: rename-based
       // on POSIX/HDFS, direct-PUT on object stores without atomic rename

@@ -587,4 +587,86 @@ class AtomicLandingSpec extends AnyFunSuite {
     // and the manifest now carries STRING-typed range lines
     assert(AtomicLanding.liveRanges(pruned).values.forall(_._1 == "string"))
   }
+
+  test("mergePruned REBASES over a concurrent disjoint append: both commits survive") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n"))
+    def build(table: String): Unit = {
+      // statsKeys upgrades the table from the first commit, so every
+      // dir — including the concurrent append's — carries a range line
+      AtomicLanding.commit(docs.filter(col("doc_id") < 200), table,
+        batchId = Some(5L), statsKeys = Seq("doc_id"))
+      AtomicLanding.commit(docs.filter(col("doc_id") >= 200), table,
+        append = true)
+    }
+    val pruned = freshTable(); build(pruned)
+    val serial = freshTable(); build(serial)
+
+    val updates = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("source"), lit(-1L).as("n"))
+    // the concurrent append's keys (10000+) are DISJOINT from every
+    // update key, and it advances the stream watermark to batch 7
+    val late = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("source"),
+        lit(-7L).as("n"))
+
+    // pruned: the append lands INSIDE the merge's race window (after
+    // planning read snapshot v1, before the commit) — the rebase path
+    val v = AtomicLanding.mergePruned(updates, pruned, "doc_id",
+      beforeCommit = () =>
+        { AtomicLanding.commit(late, pruned, append = true, batchId = Some(7L)); () })
+    assert(v == 3L, "append took v2; the rebased merge publishes v3")
+
+    // serial: append first, then the same merge — the serialization the
+    // rebase must be row-identical to
+    AtomicLanding.commit(late, serial, append = true, batchId = Some(7L))
+    AtomicLanding.mergePruned(updates, serial, "doc_id")
+    def canon(t: String) = AtomicLanding.read(spark, t)
+      .select("doc_id", "source", "n")
+      .as[(Long, String, Long)](org.apache.spark.sql.Encoders
+        .tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect().sorted.toSeq
+    assert(canon(pruned) === canon(serial))
+
+    // the appended dir was CARRIED into the rebased manifest verbatim
+    val appendedDir = (AtomicLanding.dirsOfVersion(pruned, 2L).toSet --
+      AtomicLanding.dirsOfVersion(pruned, 1L).toSet).head
+    assert(AtomicLanding.dirsOfVersion(pruned, 3L).contains(appendedDir))
+    // the untouched range dir (>= 200) carried too: only dir 0 rewrote
+    assert((AtomicLanding.dirsOfVersion(pruned, 1L).toSet intersect
+      AtomicLanding.dirsOfVersion(pruned, 3L).toSet).size == 1)
+    // the rebase kept the append's NEWER batch watermark (a stale one
+    // would double-commit a replayed streaming batch)
+    assert(AtomicLanding.lastBatchId(pruned).contains(7L))
+    // and the carried dir kept its range line (manifest-only planning
+    // survives the rebase)
+    assert(AtomicLanding.liveRanges(pruned).contains((appendedDir, "doc_id")))
+  }
+
+  test("mergePruned still FAILS when the concurrent append may hold an update key") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n"))
+    val table = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") < 200), table,
+      statsKeys = Seq("doc_id"))
+    val updates = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("source"), lit(-1L).as("n"))
+    // the concurrent append OVERLAPS the update keys (doc_id < 10):
+    // carrying it forward would leave matched rows un-updated, so the
+    // publish must fail for the caller to retry
+    val overlapping = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("source"), lit(-7L).as("n"))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      AtomicLanding.mergePruned(updates, table, "doc_id",
+        beforeCommit = () =>
+          { AtomicLanding.commit(overlapping, table, append = true); () })
+    }
+    assert(ex.getMessage.contains("concurrent"))
+    // the append survived untouched; the failed merge left no new version
+    assert(AtomicLanding.currentVersion(table).contains(1L))
+    assert(AtomicLanding.read(spark, table)
+      .filter(col("n") === -7L).count() == 10)
+  }
 }
