@@ -198,11 +198,13 @@ object FuzzyJoin {
     * the signature pipeline once and materializes (key_corpus, sig_h)
     * columnar; every subsequent batch joins the slim parquet directly —
     * no corpus text scan at all. Results are bit-identical to the
-    * inline path (same signature pipeline, shared code). */
+    * inline path (same signature pipeline, shared code). The table is
+    * an [[graft.land.AtomicLanding]] table: every generation publishes
+    * through an atomic pointer swing, so a probe racing an append reads
+    * either the old or the new snapshot, never a torn listing. */
   def buildSigIndex(corpus: DataFrame, key: String, path: String): String = {
-    sigTable(corpus, key, "key_corpus")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/sigs")
+    graft.land.AtomicLanding.commit(
+      sigTable(corpus, key, "key_corpus"), s"$path/sigs")
     path
   }
 
@@ -210,33 +212,36 @@ object FuzzyJoin {
     * append a new batch's signatures to a [[buildSigIndex]] index so
     * the session's corpus can GROW without a rebuild (the
     * [[Ivf.addToIndex]] precedent — one signature job that scales with
-    * the batch, never a corpus re-scan). Replay-safe under
-    * at-least-once ingest AND under a crashed partial append: the
-    * anti-join dedupes at SIGNATURE granularity — left_anti on
-    * (key_corpus, sig_h) — so a retry after a torn write (parquet
-    * append is not atomic; a crash can land SOME of a key's signature
-    * rows) completes the partial key's remaining signatures instead of
-    * skipping the whole key (a key-level anti-join would anti-join the
-    * half-written key away and silently lose its never-written
-    * candidate pairs forever). Re-appending a fully-committed batch is
-    * still a no-op — without that, a duplicated signature row would
-    * double-emit its candidate pairs into every later probe's
+    * the batch, never a corpus re-scan). The append is an ACID commit:
+    * a crash mid-append publishes NOTHING (the staged dir is invisible
+    * garbage a vacuum reclaims) and the retry simply commits the whole
+    * batch — no torn partial append can exist for the anti-join to
+    * heal. The anti-join's remaining job is replay under at-least-once
+    * ingest: it dedupes at SIGNATURE granularity — left_anti on
+    * (key_corpus, sig_h) — so re-submitting a committed batch commits
+    * nothing at all. Without the dedupe, a duplicated signature row
+    * would double-emit its candidate pairs into every later probe's
     * verification (correct output after distinct(), but paying the
     * duplicate join volume forever). The grown index is row-identical
     * to a fresh [[buildSigIndex]] over the union corpus (asserted in
-    * FuzzyJoinSpec, including from a simulated torn append). Sessions
-    * needing concurrent probe/append should still land index
-    * generations through [[graft.land.AtomicLanding]] — signature-level
-    * dedupe heals a CRASHED append on retry, not a concurrent reader
-    * racing half-written files. */
+    * FuzzyJoinSpec). Concurrent probe/append sessions are safe by the
+    * ACID pointer: a reader resolves one snapshot and keeps it —
+    * FuzzyJoinSpec probes the index from INSIDE the append's
+    * pre-publish window via `beforePublish` (the
+    * [[graft.land.AtomicLanding.commit]] test seam, passed through). */
   def addToSigIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, batch: DataFrame, key: String): Unit = {
-    val existing = spark.read.parquet(s"$indexPath/sigs")
+      indexPath: String, batch: DataFrame, key: String,
+      beforePublish: () => Unit = () => ()): Unit = {
+    val existing = graft.land.AtomicLanding.read(spark, s"$indexPath/sigs")
       .select(col("key_corpus"), col("sig_h"))
-    sigTable(batch, key, "key_corpus")
+    val delta = sigTable(batch, key, "key_corpus")
       .join(existing, Seq("key_corpus", "sig_h"), "left_anti")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$indexPath/sigs")
+      .select(col("key_corpus"), col("sig_h"))
+      .persist()
+    try if (!delta.isEmpty) {
+      graft.land.AtomicLanding.commit(delta, s"$indexPath/sigs",
+        append = true, beforePublish = beforePublish); ()
+    } finally delta.unpersist()
   }
 
   /** [[againstCorpusEd1]] against a [[buildSigIndex]] index: same
@@ -244,7 +249,7 @@ object FuzzyJoin {
   def againstIndexEd1(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame, key: String,
       broadcastBatch: Boolean = true): DataFrame = {
-    val cs = spark.read.parquet(s"$indexPath/sigs")
+    val cs = graft.land.AtomicLanding.read(spark, s"$indexPath/sigs")
     val bs = sigTable(batch, key, "key_new")
     val candidates =
       if (broadcastBatch) broadcast(bs).join(cs, Seq("sig_h"))

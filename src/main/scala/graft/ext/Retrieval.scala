@@ -140,13 +140,25 @@ object Retrieval {
     * twice PER BATCH (candidate scan under the df aggregate and again
     * as the probe side — §15.3's accepted trade for a straggler-free
     * df); right for a one-shot batch, wrong for a retrieval session
-    * issuing many. Build materializes, in ONE corpus byte scan:
+    * issuing many. The index is TWO [[graft.land.AtomicLanding]]
+    * tables under `path`, so every generation publishes through an
+    * atomic pointer swing and a probe racing an append always reads a
+    * complete snapshot (never a torn parquet listing):
     *
-    *  - `postings/` (doc_id, dl, term, tf) — columnar, so a query batch
-    *    reads 4 slim columns instead of re-splitting text;
-    *  - `df/` (term, df) — corpus document frequency, aggregated from
-    *    the just-written postings (no second text scan);
-    *  - `stats/` — the one-row (n_docs, avgdl).
+    *  - `postings/` (doc_id, dl, term, tf) — append-only ACID table;
+    *    one corpus byte scan at build, one BATCH scan per append.
+    *  - `derived/` (term, df, n_docs, n_tok) — df rows (term, df,
+    *    null, null) plus ONE stats row (null, null, n_docs, n_tok),
+    *    committed with `batchId = <the postings VERSION it matches>`.
+    *    One table, one pointer: df and corpus stats can never publish
+    *    out of sync with each other.
+    *
+    * The derived/postings version handshake makes "postings appended
+    * but df stale" UNOBSERVABLE: readers compare derived's recorded
+    * batchId against the postings pointer and, on mismatch (the crash
+    * window between the two commits), fold the missing postings dirs'
+    * delta in-memory before scoring — read-only self-heal, exact by
+    * the additivity of df/n_docs/n_tok over disjoint doc sets.
     *
     * Every subsequent batch scores with NO text scan and NO df
     * aggregation. df(term) over the whole corpus EQUALS df over the
@@ -156,85 +168,157 @@ object Retrieval {
     * as `q_bm25`, and RetrievalSpec pins frame-level equality incl.
     * under a maxDf cap. */
   def buildIndex(docs: DataFrame, path: String): String = {
-    val spark = docs.sparkSession
-    tfOf(docs).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/postings")
-    spark.read.parquet(s"$path/postings")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/df")
-    statsOf(docs).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/stats")
+    graft.land.AtomicLanding.commit(tfOf(docs), s"$path/postings")
+    rebuildDerived(docs.sparkSession, path)
     path
+  }
+
+  /** Postings dirs read by the ADDITIVE df/stats maintenance — the
+    * O(batch) proof seam: RetrievalSpec asserts each append's derived
+    * refresh reads exactly the one dir that append committed, never
+    * the accumulated index. */
+  private[ext] val dfDeltaPostingDirs =
+    new java.util.concurrent.atomic.AtomicLong
+  /** Full derived rebuilds (the RECOVERY path — build time, or a
+    * manifest whose dir diff is not a pure append, e.g. compaction). */
+  private[ext] val derivedRebuilds =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** (term, df) rows ∪ the one stats row, from any postings slice —
+    * shared by build (whole corpus), the additive delta (one batch
+    * dir), and the read-side heal. Additive by construction: doc sets
+    * of distinct postings dirs are disjoint (the append anti-join
+    * dedupes at doc granularity and doc ids are immutable), so
+    * summing two slices' rows per term — nulls grouping as the stats
+    * key — IS the union slice's derivation. */
+  private def derivedOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"),
+        lit(null).cast("long").as("n_docs"),
+        lit(null).cast("long").as("n_tok"))
+      .unionByName(
+        postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tok"))
+          .select(lit(null).cast("string").as("term"),
+            lit(null).cast("long").as("df"), col("n_docs"), col("n_tok")))
+
+  /** Sum two derived slices per term (null term = the stats row). */
+  private def foldDerived(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tok")).as("n_tok"))
+      .select(col("term"), col("df"), col("n_docs"), col("n_tok"))
+
+  /** RECOVERY path: re-derive df/stats from the ENTIRE postings table
+    * and publish, stamped with the postings version it matches. Cost
+    * O(index) — only taken when the additive path cannot apply (first
+    * build; derived missing after a crash mid-build; a postings dir
+    * diff that is not a pure append). */
+  def rebuildDerived(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    derivedRebuilds.incrementAndGet()
+    val postingsT = s"$indexPath/postings"
+    val pv = graft.land.AtomicLanding.currentVersion(postingsT).getOrElse(
+      throw new IllegalStateException(s"no postings table at $postingsT"))
+    graft.land.AtomicLanding.commit(
+      derivedOf(graft.land.AtomicLanding.readVersion(spark, postingsT, pv)),
+      s"$indexPath/derived", batchId = Some(pv))
+  }
+
+  /** Bring `derived/` up to postings version `toV`. The normal path is
+    * ADDITIVE and O(batch): the manifest diff names exactly the dirs
+    * appended since derived's recorded version, their delta is one
+    * aggregation over THOSE dirs, and the fold touches the
+    * vocabulary-sized derived table — the accumulated postings are
+    * never re-read. Falls back to [[rebuildDerived]] when the diff
+    * removed dirs (compaction/merge rewrote the postings layout) or
+    * derived is missing. No-op when derived is already at (or past —
+    * a concurrent maintainer won) `toV`. */
+  private def advanceDerived(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, toV: Long): Unit = {
+    val postingsT = s"$indexPath/postings"
+    val derivedT = s"$indexPath/derived"
+    val fromOpt =
+      if (graft.land.AtomicLanding.currentVersion(derivedT).isEmpty) None
+      else graft.land.AtomicLanding.lastBatchId(derivedT)
+    fromOpt match {
+      case Some(f) if f >= toV => ()
+      case None => rebuildDerived(spark, indexPath)
+      case Some(f) =>
+        val (added, removed) = graft.land.ChangeFeed.dirDelta(postingsT, f, toV)
+        if (removed.nonEmpty) rebuildDerived(spark, indexPath)
+        else {
+          dfDeltaPostingDirs.addAndGet(added.size)
+          val old = graft.land.AtomicLanding.read(spark, derivedT)
+          val next =
+            if (added.isEmpty) old
+            else foldDerived(old,
+              derivedOf(spark.read.parquet(added.map(d => s"$postingsT/$d"): _*)))
+          graft.land.AtomicLanding.commit(next, derivedT, batchId = Some(toV))
+        }
+    }
   }
 
   /** Index MAINTENANCE for a long-running retrieval session: append a
     * new batch of documents to a [[buildIndex]] index so the corpus can
     * GROW without re-scanning its text (the [[FuzzyJoin.addToSigIndex]]
     * / [[Ivf.addToIndex]] precedent). One text scan over the BATCH
-    * produces its postings; the anti-join against the index dedupes at
-    * (doc_id, term) granularity, so a retry after a torn write (parquet
-    * append is not atomic) completes a half-appended doc's remaining
-    * term rows instead of skipping the whole doc, and re-appending a
-    * committed batch is a no-op. Doc ids are immutable-by-contract:
-    * re-submitting a doc_id with DIFFERENT text is undefined (the same
-    * rule every persisted index in the engine carries).
+    * produces its postings; the anti-join against the live snapshot
+    * dedupes at (doc_id, term) granularity, so re-appending a committed
+    * batch is a no-op (nothing commits at all). Doc ids are
+    * immutable-by-contract: re-submitting a doc_id with DIFFERENT text
+    * is undefined (the same rule every persisted index in the engine
+    * carries).
     *
-    * `df/` and `stats/` are then REBUILT from the updated postings —
-    * derived state, never incremented: df(term) and (n_docs, avgdl) are
-    * pure functions of the postings table, so maintenance is idempotent
-    * and a crash between the postings append and the rebuild heals on
-    * the next call (an additive df delta would go silently stale in
-    * that crash window, because the retry's anti-join correctly appends
-    * nothing and the lost delta is unrecoverable from the batch alone).
-    * Cost: a slim 2-column aggregation over the postings parquet — no
-    * text scan; vocabulary rows combine map-side. Amortize
-    * high-frequency appends by batching; concurrent probe/append
-    * sessions should land index generations through
-    * [[graft.land.AtomicLanding]] (the swap below is
-    * delete-then-rename, not atomic for racing readers).
+    * df/stats maintenance is the ADDITIVE delta, O(batch) per append:
+    * the postings commit publishes first (atomic), then
+    * [[advanceDerived]] folds just the committed dir into `derived/`
+    * and stamps it with the new postings version. A crash between the
+    * two commits cannot be observed — the version handshake makes every
+    * later reader and maintainer fold or rebuild the missing delta
+    * themselves (see the [[buildIndex]] scaladoc) — and
+    * [[rebuildDerived]] remains the recovery path when the postings
+    * layout changed by more than appends. `beforePublish` is
+    * [[graft.land.AtomicLanding.commit]]'s test seam, passed through so
+    * specs can probe the index mid-append.
     *
     * The grown index scores bit-identically to a fresh [[buildIndex]]
     * over the union corpus — value-gated by `q_bm25_grown` (which
     * shares `q_bm25`'s oracle) and frame-asserted in RetrievalSpec. */
   def addToIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, docs: DataFrame): String = {
-    val existing = spark.read.parquet(s"$indexPath/postings")
+      indexPath: String, docs: DataFrame,
+      beforePublish: () => Unit = () => ()): String = {
+    val postingsT = s"$indexPath/postings"
+    // heal first: a predecessor that crashed between its postings
+    // commit and its derived refresh left derived behind — catch up
+    // (O(missed batches)) so OUR delta folds onto current state
+    advanceDerived(spark, indexPath,
+      graft.land.AtomicLanding.currentVersion(postingsT).getOrElse(
+        throw new IllegalStateException(s"no postings table at $postingsT")))
+    val live = graft.land.AtomicLanding.read(spark, postingsT)
       .select(col("doc_id"), col("term"))
-    tfOf(docs)
-      .join(existing, Seq("doc_id", "term"), "left_anti")
+    val batch = tfOf(docs)
+      .join(live, Seq("doc_id", "term"), "left_anti")
       // the anti-join hoists its keys to the front; restore tfOf's
       // column order so appended files share the index's layout
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$indexPath/postings")
-    val postings = spark.read.parquet(s"$indexPath/postings")
-    swapIn(spark, s"$indexPath/df",
-      postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
-    swapIn(spark, s"$indexPath/stats",
-      postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tok"))
-        .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl")))
+      .persist()
+    try {
+      if (!batch.isEmpty) {
+        val pv = graft.land.AtomicLanding.commit(batch, postingsT,
+          append = true, beforePublish = beforePublish)
+        advanceDerived(spark, indexPath, pv)
+      }
+    } finally batch.unpersist()
     indexPath
   }
 
-  /** Materialize `df` beside `target` then swing it into place —
-    * Spark cannot overwrite a parquet dir it is still reading, and the
-    * derived tables above are computed FROM the index being updated. */
-  private def swapIn(spark: org.apache.spark.sql.SparkSession,
-      target: String, df: DataFrame): Unit = {
-    val next = s"$target.next"
-    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(next)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val t = new org.apache.hadoop.fs.Path(target)
-    val fs = t.getFileSystem(conf)
-    fs.delete(t, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(next), t),
-      s"rename $next -> $target failed")
-  }
-
   /** Score a query batch from a [[buildIndex]] index. Same output
-    * contract and same bits as [[bm25TopK]] on the indexed corpus. */
+    * contract and same bits as [[bm25TopK]] on the indexed corpus.
+    * Reads are snapshot-isolated (ACID pointer) and SELF-HEALING: when
+    * derived's recorded version trails the postings pointer (the crash
+    * window), the missing dirs' delta folds in-memory — the probe is
+    * exact without writing anything. */
   def bm25TopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -242,11 +326,35 @@ object Retrieval {
       k: Int,
       idfScale: Long = 1000L,
       broadcastQueries: Boolean = true,
-      maxDf: Option[Long] = None): DataFrame =
-    scoreTopK(spark.read.parquet(s"$indexPath/postings"),
-      dfPre = Some(spark.read.parquet(s"$indexPath/df")),
-      spark.read.parquet(s"$indexPath/stats"), queries, k,
-      idfScale, broadcastQueries, maxDf)
+      maxDf: Option[Long] = None): DataFrame = {
+    val postingsT = s"$indexPath/postings"
+    val derivedT = s"$indexPath/derived"
+    val pv = graft.land.AtomicLanding.currentVersion(postingsT).getOrElse(
+      throw new IllegalStateException(s"no BM25 index at $indexPath"))
+    val postings = graft.land.AtomicLanding.readVersion(spark, postingsT, pv)
+    val derived =
+      (if (graft.land.AtomicLanding.currentVersion(derivedT).isEmpty) None
+       else graft.land.AtomicLanding.lastBatchId(derivedT)) match {
+        case Some(dv) if dv == pv =>
+          graft.land.AtomicLanding.read(spark, derivedT)
+        case Some(dv) if dv < pv =>
+          val (added, removed) = graft.land.ChangeFeed.dirDelta(postingsT, dv, pv)
+          if (removed.nonEmpty) derivedOf(postings)
+          else if (added.isEmpty) graft.land.AtomicLanding.read(spark, derivedT)
+          else foldDerived(graft.land.AtomicLanding.read(spark, derivedT),
+            derivedOf(spark.read.parquet(added.map(d => s"$postingsT/$d"): _*)))
+        // derived missing (crash mid-build) or AHEAD of our postings
+        // snapshot (an append published between our two pointer reads):
+        // derive inline from the snapshot we actually read
+        case _ => derivedOf(postings)
+      }
+    scoreTopK(postings,
+      dfPre = Some(derived.where(col("term").isNotNull)
+        .select(col("term"), col("df"))),
+      derived.where(col("term").isNull)
+        .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl")),
+      queries, k, idfScale, broadcastQueries, maxDf)
+  }
 
   /** The shared scoring core. `dfPre = None` counts df over the
     * candidates per batch (inline path); `Some(table)` joins the

@@ -78,7 +78,7 @@ class FuzzyJoinSpec extends AnyFunSuite {
     FuzzyJoin.buildSigIndex(corpusA.unionByName(batchB), "name", s"$dir/fresh")
 
     // index CONTENT identical (overlap keys 380..400 deduped)
-    def rows(p: String) = spark.read.parquet(s"$p/sigs")
+    def rows(p: String) = graft.land.AtomicLanding.read(spark, s"$p/sigs")
       .as[(String, Long)].collect().toSet
     assert(rows(s"$dir/grown") === rows(s"$dir/fresh"))
 
@@ -89,9 +89,12 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(viaGrown === probe(s"$dir/fresh"))
     assert(viaGrown.nonEmpty) // the probe must actually exercise matches
 
-    // replaying the SAME batch appends nothing
+    // replaying the SAME batch appends nothing — not even a version
+    val vBefore = graft.land.AtomicLanding.currentVersion(s"$dir/grown/sigs")
     FuzzyJoin.addToSigIndex(spark, s"$dir/grown", batchB, "name")
     assert(rows(s"$dir/grown") === rows(s"$dir/fresh"))
+    assert(graft.land.AtomicLanding.currentVersion(s"$dir/grown/sigs") == vBefore,
+      "a full replay must not publish a new index generation")
   }
 
   test("maxBucket valve: subset of exact; cap >= max bucket is exact") {
@@ -112,35 +115,58 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
-  test("addToSigIndex: a retry completes a TORN partial append") {
-    // at-least-once ingest CAN crash mid-append, landing only some of a
-    // key's signature rows (parquet append is not atomic). The retry
-    // must complete the partial keys' REMAINING signatures — a
-    // key-level anti-join would skip the whole half-written key and
-    // silently drop its unwritten candidate pairs forever.
-    val dir = java.nio.file.Files.createTempDirectory("graft-sigtorn").toString
+  test("addToSigIndex: a crashed append publishes NOTHING; the retry lands the whole batch") {
+    // the ACID commit replaces the old torn-append hazard: a crash
+    // mid-append (before the pointer swing) leaves the index snapshot
+    // byte-identical — there is no partial state for the retry to heal,
+    // it simply commits the full batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigcrash").toString
     val corpusA = (1 to 300).map(i => f"Customer#$i%09d").toDF("name")
     val batchB = (290 to 450).map(i => f"Customer#$i%09d").toDF("name")
     FuzzyJoin.buildSigIndex(corpusA, "name", s"$dir/grown")
+    def rows(p: String) = graft.land.AtomicLanding.read(spark, s"$p/sigs")
+      .as[(String, Long)].collect().toSet
+    val preCrash = rows(s"$dir/grown")
 
-    // simulate the torn append: write only HALF of batchB's new
-    // signature rows (even sig_h) straight into the index, as a crashed
-    // addToSigIndex would have
-    val fullBatchSigs = {
-      FuzzyJoin.buildSigIndex(batchB, "name", s"$dir/tmpb")
-      spark.read.parquet(s"$dir/tmpb/sigs")
+    // crash at the worst point: batch staged and moved, pointer not yet
+    // swung — readers must still see the pre-append snapshot
+    intercept[RuntimeException] {
+      FuzzyJoin.addToSigIndex(spark, s"$dir/grown", batchB, "name",
+        beforePublish = () => throw new RuntimeException("kill -9"))
     }
-    fullBatchSigs.where(pmod(col("sig_h"), lit(2)) === 0)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$dir/grown/sigs")
+    assert(rows(s"$dir/grown") === preCrash,
+      "a crashed append must be invisible")
 
     // the retry heals: grown == fresh over the union corpus
     FuzzyJoin.addToSigIndex(spark, s"$dir/grown", batchB, "name")
     FuzzyJoin.buildSigIndex(corpusA.unionByName(batchB), "name", s"$dir/fresh")
-    def rows(p: String) = spark.read.parquet(s"$p/sigs")
-      .as[(String, Long)].collect().toSet
     assert(rows(s"$dir/grown") === rows(s"$dir/fresh"),
-      "retry after a torn append must complete the partial keys")
+      "retry after a crashed append must land the whole batch")
+  }
+
+  test("a probe racing an append reads a complete snapshot (never torn)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigrace").toString
+    val corpusA = (1 to 300).map(i => f"Customer#$i%09d").toDF("name")
+    val batchB = (290 to 450).map(i => f"Customer#$i%09d").toDF("name")
+    val probes = Seq(150, 295, 420).map(i => f"Customer#$i%09d").toDF("name")
+    FuzzyJoin.buildSigIndex(corpusA, "name", s"$dir/grown")
+    def probe() = FuzzyJoin.againstIndexEd1(spark, s"$dir/grown", probes, "name")
+      .as[(String, String)].collect().toSet
+    val before = probe()
+
+    // run the probe from INSIDE the append's pre-publish window: the
+    // batch's data dir is already under data/ but the pointer has not
+    // swung — the reader must resolve the OLD snapshot, bit-for-bit
+    var during: Set[(String, String)] = null
+    FuzzyJoin.addToSigIndex(spark, s"$dir/grown", batchB, "name",
+      beforePublish = () => { during = probe() })
+    assert(during === before,
+      "mid-append probe must see exactly the pre-append snapshot")
+
+    // and after the pointer swing the new keys match
+    val after = probe()
+    assert(before.subsetOf(after) && after.size > before.size,
+      "post-append probe must see the appended keys' matches")
   }
 
   test("bucket sizes stay bounded on the shared-prefix fixture corpus") {

@@ -141,18 +141,27 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         broadcastQueries = false)))
   }
 
-  test("addToIndex: grown == rebuilt; replay no-op; torn append heals") {
+  test("addToIndex: grown == rebuilt; replay no-op; df maintenance is O(batch)") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-bm25grow").toString
     val half1 = corpus.where($"doc_id" <= 2)
     val half2 = corpus.where($"doc_id" > 2)
     Retrieval.buildIndex(half1, s"$base/grown")
+    val dirs0 = Retrieval.dfDeltaPostingDirs.get()
+    val rebuilds0 = Retrieval.derivedRebuilds.get()
     Retrieval.addToIndex(spark, s"$base/grown", half2)
+    // the O(batch) claim, measured: the append's df/stats refresh read
+    // exactly the ONE postings dir it committed — never the index
+    assert(Retrieval.dfDeltaPostingDirs.get() - dirs0 == 1,
+      "df maintenance must fold exactly the appended dir")
+    assert(Retrieval.derivedRebuilds.get() == rebuilds0,
+      "an append must never trigger the O(index) rebuild path")
     Retrieval.buildIndex(corpus, s"$base/fresh")
 
-    def part(p: String, sub: String) = spark.read.parquet(s"$p/$sub")
-      .collect().map(_.toSeq).toSet
-    for (sub <- Seq("postings", "df", "stats"))
+    def part(p: String, sub: String) =
+      graft.land.AtomicLanding.read(spark, s"$p/$sub")
+        .collect().map(_.toSeq).toSet
+    for (sub <- Seq("postings", "derived"))
       assert(part(s"$base/grown", sub) === part(s"$base/fresh", sub),
         s"$sub must match a fresh build over the union corpus")
 
@@ -163,22 +172,81 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(canon(Retrieval.bm25TopKIndexed(spark, s"$base/grown", queries, k = 3)) ==
       canon(Retrieval.bm25TopK(corpus, queries, k = 3)))
 
-    // replaying the same batch appends nothing
+    // replaying the same batch appends nothing — not even a version
+    val pv = graft.land.AtomicLanding.currentVersion(s"$base/grown/postings")
     Retrieval.addToIndex(spark, s"$base/grown", half2)
+    assert(graft.land.AtomicLanding.currentVersion(s"$base/grown/postings") == pv,
+      "a full replay must not publish a new postings generation")
     assert(part(s"$base/grown", "postings") === part(s"$base/fresh", "postings"))
+  }
 
-    // torn append: half of a new batch's postings land raw (the crash
-    // shape), then the retry must complete the doc's remaining terms
-    // AND refresh df/stats
+  test("crash between postings commit and derived refresh is unobservable") {
+    // the crash window the version handshake closes: postings advanced,
+    // derived still stamped with the previous version. Probes self-heal
+    // read-only; the next maintenance catches derived up additively.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25crash").toString
+    Retrieval.buildIndex(corpus, s"$base/grown")
     val batch3 = Seq((6L, "query planner dogs")).toDF("doc_id", "text")
-    Seq((6L, 3L, "query", 1L)).toDF("doc_id", "dl", "term", "tf")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$base/grown/postings")
-    Retrieval.addToIndex(spark, s"$base/grown", batch3)
+
+    // stage the crash state: commit batch3's postings WITHOUT the
+    // derived refresh (a fresh side index supplies the exact rows a
+    // crashed addToIndex would have committed)
+    Retrieval.buildIndex(batch3, s"$base/side")
+    graft.land.AtomicLanding.commit(
+      graft.land.AtomicLanding.read(spark, s"$base/side/postings"),
+      s"$base/grown/postings", append = true)
+    assert(graft.land.AtomicLanding.lastBatchId(s"$base/grown/derived")
+      .contains(0L), "derived must still be stamped with the old version")
+
+    // (a) a probe during the window is EXACT: read-only self-heal
+    val queries = q(0L -> "spark the query planner", 1L -> "dogs chase")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect().toSeq
     Retrieval.buildIndex(corpus.unionByName(batch3), s"$base/fresh6")
-    for (sub <- Seq("postings", "df", "stats"))
-      assert(part(s"$base/grown", sub) === part(s"$base/fresh6", sub),
-        s"$sub must heal after a torn append")
+    assert(canon(Retrieval.bm25TopKIndexed(spark, s"$base/grown", queries, k = 3)) ==
+      canon(Retrieval.bm25TopKIndexed(spark, s"$base/fresh6", queries, k = 3)),
+      "a probe inside the crash window must score exactly")
+    // ...and it wrote nothing: derived is still stale after the probe
+    assert(graft.land.AtomicLanding.lastBatchId(s"$base/grown/derived")
+      .contains(0L), "the probe's heal must be read-only")
+
+    // (b) the next maintenance heals ADDITIVELY (no full rebuild), then
+    // lands its own batch: end state == fresh build over everything
+    val rebuilds0 = Retrieval.derivedRebuilds.get()
+    val batch4 = Seq((7L, "ball engines nothing")).toDF("doc_id", "text")
+    Retrieval.addToIndex(spark, s"$base/grown", batch4)
+    assert(Retrieval.derivedRebuilds.get() == rebuilds0,
+      "healing a missed append must stay on the additive path")
+    Retrieval.buildIndex(corpus.unionByName(batch3).unionByName(batch4),
+      s"$base/fresh7")
+    def part(p: String, sub: String) =
+      graft.land.AtomicLanding.read(spark, s"$p/$sub")
+        .collect().map(_.toSeq).toSet
+    for (sub <- Seq("postings", "derived"))
+      assert(part(s"$base/grown", sub) === part(s"$base/fresh7", sub),
+        s"$sub must heal to the fresh-build state")
+  }
+
+  test("a probe racing an index append reads a complete snapshot") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25race").toString
+    Retrieval.buildIndex(corpus, s"$base/idx")
+    val queries = q(0L -> "query planner dogs")
+    def probe() = Retrieval.bm25TopKIndexed(spark, s"$base/idx", queries, k = 5)
+      .orderBy("rnk").collect().toSeq
+    val before = probe()
+    // probe from INSIDE the append's pre-publish window: batch staged
+    // and moved under data/, pointer not yet swung
+    var during: Seq[org.apache.spark.sql.Row] = null
+    Retrieval.addToIndex(spark, s"$base/idx",
+      Seq((6L, "query planner dogs")).toDF("doc_id", "text"),
+      beforePublish = () => { during = probe() })
+    assert(during == before,
+      "mid-append probe must score the pre-append snapshot exactly")
+    val after = probe()
+    assert(after != before && after.exists(_.getAs[Long]("doc_id") == 6L),
+      "post-append probe must rank the appended doc")
   }
 
   test("indexed scoring plans no Generate: the text explode ran at build") {
