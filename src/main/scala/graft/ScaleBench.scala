@@ -42,7 +42,16 @@ object ScaleBench {
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq",
     "q_pagerank", "q_retention", "q_funnel",
     "q_outliers", "q_cms_join_size",
-    "q_sessionize", "q_sessionize_chunked", "q_weighted_sample")
+    "q_sessionize", "q_sessionize_chunked", "q_weighted_sample",
+    // estimation rows: the weighted draw is a TakeOrderedAndProject
+    // (global) / one stratum-partitioned window (stratified) over a
+    // priority projection — expect ~corpus-linear scan cost with a
+    // fixed-size result; the per-stratum variant re-uses ONE exchange
+    "q_weighted_estimate", "q_weighted_stratified_estimate",
+    // the GROWN BM25 index probe: built half + addToIndex half at
+    // warm-up (per-dir spool), timed passes score the query batch
+    // against the ACID index — must track q_bm25_indexed
+    "q_bm25_grown")
 
   /** Extra curve rows that are NOT gate queries: the corpus-sized-output
     * gate rows minus their global ORDER BY. Those rows' 100× residual is

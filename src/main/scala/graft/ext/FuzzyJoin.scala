@@ -164,6 +164,69 @@ object FuzzyJoin {
     (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
+  /** What a valve advisor recommends: the cap, whether it would
+    * actually drop anything on the censused corpus (`engages`), and the
+    * census evidence behind it — the (sample-scaled) hottest bucket and
+    * the quantile bucket size the cap was derived from. */
+  case class ValveAdvice(cap: Long, engages: Boolean,
+      maxObserved: Long, quantileObserved: Long)
+
+  /** `maxBucket` VALVE ADVISOR — stops callers guessing the
+    * [[selfJoinEdK]] candidate-budget cap. One sampled census pass: a
+    * `sampleFraction` key sample's signature-bucket sizes feed one
+    * map-side-combined aggregate (approx-quantile sketch + max — both
+    * mergeable, no join, no pair enumeration), and the recommendation is
+    *
+    * {{{ cap = headroom × q_quantile(bucket sizes) / sampleFraction }}}
+    *
+    * RECALL CONTRACT: the cap only drops buckets more than `headroom`×
+    * hotter than the corpus's `quantile`-typical bucket. On a corpus
+    * whose edit-space density is healthy (real entity keys — hash-like
+    * suffixes, injected typos) the hottest bucket sits inside
+    * headroom× of typical, `engages` comes back false, and applying the
+    * cap is a NO-OP — exact output, zero recall loss (spec-asserted on
+    * the sparse probe corpus). On a pathological corpus (dense
+    * sequential keys whose ≤2-edit neighborhoods are all live) the hot
+    * tail is orders of magnitude above typical: the cap engages, bounds
+    * every bucket's candidate contribution at C(cap, 2), and loses only
+    * pairs whose EVERY shared signature is hot — the measured dense
+    * recall trade [[selfJoinEdK]]'s scaladoc documents. Callers wanting
+    * a harder budget pass a smaller `headroom`; `quantile` defaults to
+    * 99.9% so one-in-a-thousand buckets at most shape the baseline.
+    *
+    * Sampling: a fraction-f key sample scales a size-B bucket to
+    * ~Binomial(B, f), so observed sizes are scaled back by 1/f before
+    * the headroom multiplies — at 100 TB the census runs on the sample,
+    * never the corpus. The returned advice carries the evidence
+    * (`maxObserved`, `quantileObserved`, both sample-scaled) so the
+    * decision is loggable, not oracular. */
+  def recommendMaxBucket(df: DataFrame, key: String, k: Int,
+      quantile: Double = 0.999, headroom: Long = 8L,
+      sampleFraction: Double = 1.0, seed: Long = 42L): ValveAdvice = {
+    require(quantile > 0 && quantile < 1, s"quantile in (0,1): $quantile")
+    require(headroom >= 1, s"headroom >= 1: $headroom")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0,1]: $sampleFraction")
+    val keys =
+      if (sampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, sampleFraction, seed)
+    val r = sigTable(keys, key, "k", k)
+      .groupBy(col("sig_h")).agg(count(lit(1)).as("bc"))
+      .agg(percentile_approx(col("bc"), lit(quantile), lit(10000)).as("q"),
+        max(col("bc")).as("mx")).head()
+    adviseCap(r.getLong(0), r.getLong(1), headroom, sampleFraction)
+  }
+
+  /** Shared advisor arithmetic ([[Retrieval.recommendMaxDf]] uses the
+    * same formula over posting-list lengths). Floor of 2: a cap below 2
+    * would drop EVERY shareable bucket. */
+  private[ext] def adviseCap(q: Long, mx: Long, headroom: Long,
+      sampleFraction: Double): ValveAdvice = {
+    val scale = (v: Long) => math.ceil(v / sampleFraction).toLong
+    val cap = math.max(2L, headroom * scale(q))
+    ValveAdvice(cap, engages = cap < scale(mx), scale(mx), scale(q))
+  }
+
   /** Incremental variant — the production entity-resolution shape: match
     * a NEW batch of keys against an existing corpus without re-joining
     * the corpus to itself. Candidates come from corpus-signature ⋈

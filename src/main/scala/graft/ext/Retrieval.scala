@@ -135,6 +135,40 @@ object Retrieval {
       sum(size(split(col("text"), " ", -1)).cast("long")).as("n_tok"))
     .select(col("n_docs"), expr("n_tok div n_docs").as("avgdl"))
 
+  /** `maxDf` VALVE ADVISOR — [[FuzzyJoin.recommendMaxBucket]]'s formula
+    * over POSTING-LIST lengths, so corpus-scale query sets stop
+    * guessing [[bm25TopK]]'s quadratic-cost cap. One sampled census: a
+    * `sampleFraction` doc sample's per-term document frequencies feed
+    * one map-side-combined aggregate (approx-quantile sketch + max),
+    * and the recommendation is `headroom × q_quantile(df) /
+    * sampleFraction`.
+    *
+    * RECALL CONTRACT: the cap only cuts terms more than `headroom`×
+    * more frequent than the `quantile`-typical vocabulary term — true
+    * stopword outliers, whose idf sits at the floor already, so
+    * surviving scores are UNCHANGED (the cap filters the df table, per
+    * [[bm25TopK]]'s scaladoc). On a corpus without a stopword-shaped
+    * tail the advice comes back `engages = false` and applying the cap
+    * is a no-op — bit-identical scores, spec-asserted. Sampling scales
+    * observed frequencies back by 1/f exactly as the bucket advisor
+    * does; the advice carries the (scaled) evidence for logging. */
+  def recommendMaxDf(docs: DataFrame, quantile: Double = 0.999,
+      headroom: Long = 8L, sampleFraction: Double = 1.0,
+      seed: Long = 42L): FuzzyJoin.ValveAdvice = {
+    require(quantile > 0 && quantile < 1, s"quantile in (0,1): $quantile")
+    require(headroom >= 1, s"headroom >= 1: $headroom")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0,1]: $sampleFraction")
+    val sample =
+      if (sampleFraction >= 1.0) docs
+      else docs.sample(withReplacement = false, sampleFraction, seed)
+    val r = tfOf(sample)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .agg(percentile_approx(col("df"), lit(quantile), lit(10000)).as("q"),
+        max(col("df")).as("mx")).head()
+    FuzzyJoin.adviseCap(r.getLong(0), r.getLong(1), headroom, sampleFraction)
+  }
+
   /** Persisted inverted index — the multi-query-SESSION dual of the
     * inline path. The inline [[bm25TopK]] byte-scans the corpus text
     * twice PER BATCH (candidate scan under the df aggregate and again

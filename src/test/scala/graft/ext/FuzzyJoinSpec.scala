@@ -115,6 +115,42 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(capped === exact)
   }
 
+  test("maxBucket advisor: inert on the sparse entity corpus, engages on the dense one") {
+    // sparse = the realistic entity shape (hash-suffixed keys, planted
+    // typo twins — FuzzyProbe's sparse leg): hottest bucket within
+    // headroom of typical, so the advice must NOT engage, and applying
+    // the advised cap anyway must return the exact output (inert)
+    val base = spark.range(1, 3001).select(col("id"),
+      concat(lit("Cust#"), substring(md5(col("id").cast("string")), 1, 9))
+        .as("name"))
+    val sparse = base.select(col("name"))
+      .unionAll(base.where(col("id") % 50 === 0)
+        .select(concat(lit("Cust#z"),
+          substring(md5(col("id").cast("string")), 2, 8)).as("name")))
+    val sAdvice = FuzzyJoin.recommendMaxBucket(sparse, "name", 2)
+    assert(!sAdvice.engages, s"sparse corpus must be inert: $sAdvice")
+    val exact = FuzzyJoin.selfJoinEdK(sparse, "name", 2)
+      .as[(String, String)].collect().toSet
+    val capped = FuzzyJoin.selfJoinEdK(sparse, "name", 2, Some(sAdvice.cap))
+      .as[(String, String)].collect().toSet
+    assert(exact.nonEmpty, "the planted twins must produce pairs")
+    assert(capped === exact, "the advised cap must be a no-op on sparse")
+
+    // dense = the adversarial sequential fixture: hot residue buckets
+    // orders beyond the typical bucket — the advice must engage
+    val dense = spark.range(1, 10001)
+      .select(format_string("Customer#%09d", col("id")).as("name"))
+    val dAdvice = FuzzyJoin.recommendMaxBucket(dense, "name", 2)
+    assert(dAdvice.engages, s"dense corpus must engage: $dAdvice")
+    assert(dAdvice.cap < dAdvice.maxObserved)
+
+    // the sampled census reaches the same verdicts (the 100-TB path)
+    assert(FuzzyJoin.recommendMaxBucket(dense, "name", 2,
+      sampleFraction = 0.5).engages, "sampled dense census must engage")
+    assert(!FuzzyJoin.recommendMaxBucket(sparse, "name", 2,
+      sampleFraction = 0.5).engages, "sampled sparse census must stay inert")
+  }
+
   test("addToSigIndex: a crashed append publishes NOTHING; the retry lands the whole batch") {
     // the ACID commit replaces the old torn-append hazard: a crash
     // mid-append (before the pointer swing) leaves the index snapshot

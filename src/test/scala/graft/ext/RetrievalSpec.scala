@@ -2,6 +2,7 @@ package graft.ext
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
 import graft.TestSpark
 
 class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
@@ -117,6 +118,37 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val uncapped = Retrieval.bm25TopK(corpus, q(0L -> "spark the"), k = 5)
       .orderBy("rnk").collect().toSeq
     assert(full == uncapped)
+  }
+
+  test("maxDf advisor: engages on a stopword corpus, inert on a uniform one") {
+    // stopword corpus: one term in EVERY doc, content terms rare — the
+    // quadratic tail the valve exists for
+    val stopCorpus = spark.range(0, 2000).select(col("id").as("doc_id"),
+      concat(lit("the w"), col("id").cast("string")).as("text"))
+    val sAdvice = Retrieval.recommendMaxDf(stopCorpus)
+    assert(sAdvice.engages, s"stopword corpus must engage: $sAdvice")
+    assert(sAdvice.cap < sAdvice.maxObserved)
+    assert(sAdvice.maxObserved == 2000L) // 'the' posting list
+
+    // uniform corpus: every term in exactly 3 docs (sliding window) —
+    // hottest df == typical df, the advice must be inert, and scoring
+    // with the advised cap must be bit-identical to uncapped
+    val uniform = spark.range(0, 500).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("w"), (col("id") % 500).cast("string")),
+        concat(lit("w"), ((col("id") + 1) % 500).cast("string")),
+        concat(lit("w"), ((col("id") + 2) % 500).cast("string"))).as("text"))
+    val uAdvice = Retrieval.recommendMaxDf(uniform)
+    assert(!uAdvice.engages, s"uniform corpus must be inert: $uAdvice")
+    val queries = q(0L -> "w13 w77", 1L -> "w250")
+    assert(Retrieval.bm25TopK(uniform, queries, k = 4,
+        maxDf = Some(uAdvice.cap)).orderBy("query_id", "rnk").collect().toSeq ==
+      Retrieval.bm25TopK(uniform, queries, k = 4)
+        .orderBy("query_id", "rnk").collect().toSeq,
+      "the advised cap must not change scores on a uniform corpus")
+
+    // the sampled census reaches the same verdict (the 100-TB path)
+    assert(Retrieval.recommendMaxDf(stopCorpus, sampleFraction = 0.5).engages)
   }
 
   test("indexed path is bit-identical to inline, incl. capped and shuffle duals") {
