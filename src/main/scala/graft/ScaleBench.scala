@@ -51,7 +51,11 @@ object ScaleBench {
     // the GROWN BM25 index probe: built half + addToIndex half at
     // warm-up (per-dir spool), timed passes score the query batch
     // against the ACID index — must track q_bm25_indexed
-    "q_bm25_grown")
+    "q_bm25_grown",
+    // the GROWN persisted IVF index probe: prefix build + two ACID
+    // appends at warm-up (per-dir spool), timed passes probe the saved
+    // snapshot — must track q_cosine_ivf minus its per-run build
+    "q_cosine_ivf_grown")
 
   /** Extra curve rows that are NOT gate queries: the corpus-sized-output
     * gate rows minus their global ORDER BY. Those rows' 100× residual is

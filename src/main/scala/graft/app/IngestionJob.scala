@@ -133,10 +133,11 @@ object IngestionJob {
     // Concurrent-writer safe, because this runs IN the commit path where
     // other writers may be live: vacuum gets a grace period so a
     // concurrent writer's future-slot reservation (its per-version lock)
-    // and freshly staged data survive, and a compact whose snapshot a
-    // concurrent commit overtook detects the conflict (expectedVersion)
-    // and is skipped this run — maintenance is best-effort and the next
-    // run retries it.
+    // and freshly staged data survive. A compact overtaken by a
+    // concurrent APPEND rebases (the appended dir rides into the
+    // compacted manifest — no starvation on a busy streaming table);
+    // only a concurrent REWRITE fails it (expectedVersion), and then
+    // maintenance is best-effort and the next run retries it.
     if (threshold <= 0) Nil
     else if (AtomicLanding.liveDirCount(table) > threshold) {
       try AtomicLanding.compact(spark, table, numFiles = targetFiles)

@@ -307,6 +307,22 @@ object FuzzyJoin {
     } finally delta.unpersist()
   }
 
+  /** Long-SESSION sig-index maintenance ([[Retrieval.maintainIndex]]'s
+    * simpler sibling — no derived state here): fold the small-dir
+    * micro-batch tail (body dirs above `smallBytes` never rewrite;
+    * concurrent appends ride the compaction rebase) and vacuum
+    * superseded generations. One maintainer at a time; concurrent
+    * probes/appends are safe. Returns reclaimed paths. */
+  def maintainSigIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, smallBytes: Long = 64L * 1024 * 1024,
+      reservationGraceMs: Long = 600000L): Seq[String] = {
+    import graft.land.AtomicLanding
+    val sigsT = s"$indexPath/sigs"
+    try AtomicLanding.compactSmall(spark, sigsT, smallBytes)
+    catch { case _: java.util.ConcurrentModificationException => () }
+    AtomicLanding.vacuum(sigsT, futureGraceMs = reservationGraceMs)
+  }
+
   /** [[againstCorpusEd1]] against a [[buildSigIndex]] index: same
     * output contract, same bits, no corpus scan. */
   def againstIndexEd1(spark: org.apache.spark.sql.SparkSession,

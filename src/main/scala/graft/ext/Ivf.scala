@@ -160,4 +160,110 @@ object Ivf {
   def topKIvf(emb: DataFrame, queries: DataFrame, k: Int,
       nLists: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
     probe(buildIndex(emb, nLists, iters), queries, k, nProbe)
+
+  // ---- persisted, growable IVF index (the [[Retrieval.buildIndex]] /
+  // [[FuzzyJoin.buildSigIndex]] contract applied to ANN) ----
+
+  private def readCents(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Seq[(Int, Seq[Float])] =
+    graft.land.AtomicLanding.read(spark, s"$indexPath/cents")
+      .orderBy(col("cid")).collect().toSeq
+      .map(r => (r.getAs[Int]("cid"),
+        r.getAs[scala.collection.Seq[Float]]("cvec").toSeq))
+
+  /** Persist a built IVF index for a long-running retrieval/dedup
+    * session: the trained coarse quantizer lands as `cents/` (nLists
+    * rows) and the inverted lists as `lists/`, both
+    * [[graft.land.AtomicLanding]] tables — every generation publishes
+    * through an atomic pointer swing, so a probe racing an append
+    * reads either the old or the new snapshot, never a torn listing
+    * (the in-memory [[Index]] has no such contract: it dies with its
+    * session, and [[IvfPq.save]]'s plain-parquet layout is
+    * build-once). The quantizer is FROZEN at build time — appends
+    * assign against it without retraining (recall drifts with the data
+    * distribution; rebuild when that matters), which is also what
+    * makes the grown index bit-identical to a fresh build whose
+    * training saw only the original segment. */
+  def buildSavedIndex(emb: DataFrame, path: String, nLists: Int = 16,
+      iters: Int = 2): String = {
+    val s = emb.sparkSession
+    val cents = train(emb, nLists, iters)
+    graft.land.AtomicLanding.commit(
+      centroidDf(s, cents).coalesce(1), s"$path/cents")
+    graft.land.AtomicLanding.commit(
+      assign(emb, cents).join(emb, "vec_id")
+        .select(col("vec_id").as("neighbor_id"), col("cid"),
+          col("embedding").as("ce")),
+      s"$path/lists")
+    path
+  }
+
+  /** Load a [[buildSavedIndex]] index as an in-memory [[Index]] handle:
+    * centroids collect (nLists x dim — bounded), lists stay a lazy
+    * snapshot-isolated scan, so [[probe]] runs off the saved layout
+    * with its plan unchanged. */
+  def loadSavedIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Index =
+    Index(readCents(spark, indexPath),
+      graft.land.AtomicLanding.read(spark, s"$indexPath/lists"))
+
+  /** Index MAINTENANCE: append a batch of vectors to a
+    * [[buildSavedIndex]] index so the session's corpus can GROW without
+    * a rebuild — one assign job that scales with the batch, against the
+    * frozen quantizer (the [[addToIndex]] semantics, made durable). The
+    * append is an ACID commit: a crash mid-append publishes NOTHING
+    * (the staged dir is invisible garbage a vacuum reclaims) and the
+    * retry lands the whole batch. The anti-join dedupes at vec_id
+    * granularity so an at-least-once ingest replaying a committed
+    * batch commits nothing at all — without it a duplicate list row
+    * would make [[probe]] emit the same neighbor at two ranks and
+    * silently evict the true k-th answer. Vec ids are
+    * immutable-by-contract: re-submitting a vec_id with a DIFFERENT
+    * embedding is undefined (the same rule every persisted index in
+    * the engine carries). `beforePublish` is
+    * [[graft.land.AtomicLanding.commit]]'s test seam, passed through
+    * so specs can probe the index mid-append. */
+  def addToSavedIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame,
+      beforePublish: () => Unit = () => ()): Unit = {
+    val cents = readCents(spark, indexPath)
+    val live = graft.land.AtomicLanding.read(spark, s"$indexPath/lists")
+      .select(col("neighbor_id").as("vec_id"))
+    val fresh = batch.join(live, Seq("vec_id"), "left_anti").persist()
+    try if (!fresh.isEmpty) {
+      graft.land.AtomicLanding.commit(
+        assign(fresh, cents).join(fresh, "vec_id")
+          .select(col("vec_id").as("neighbor_id"), col("cid"),
+            col("embedding").as("ce")),
+        s"$indexPath/lists", append = true, beforePublish = beforePublish)
+      ()
+    } finally fresh.unpersist()
+  }
+
+  /** [[probe]] against a [[buildSavedIndex]] index: same output
+    * contract, same bits, no training or assignment — the probe plan
+    * runs off the saved lists scan directly. */
+  def probeSavedIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame =
+    probe(loadSavedIndex(spark, indexPath), queries, k, nProbe)
+
+  /** Long-SESSION maintenance ([[FuzzyJoin.maintainSigIndex]]'s shape —
+    * the quantizer is frozen and the lists carry no derived state, so
+    * maintenance is purely physical): fold the small-dir micro-batch
+    * tail (body dirs above `smallBytes` never rewrite; concurrent
+    * appends ride the compaction rebase) and vacuum superseded
+    * generations of both tables. One maintainer at a time; concurrent
+    * probes/appends are safe. Returns reclaimed paths. */
+  def maintainSavedIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, smallBytes: Long = 64L * 1024 * 1024,
+      reservationGraceMs: Long = 600000L): Seq[String] = {
+    import graft.land.AtomicLanding
+    val listsT = s"$indexPath/lists"
+    try AtomicLanding.compactSmall(spark, listsT, smallBytes)
+    catch { case _: java.util.ConcurrentModificationException => () }
+    AtomicLanding.vacuum(listsT, futureGraceMs = reservationGraceMs) ++
+      AtomicLanding.vacuum(s"$indexPath/cents",
+        futureGraceMs = reservationGraceMs)
+  }
 }

@@ -225,37 +225,91 @@ object IvfPq {
       broadcastQueries = false)
   }
 
-  /** Persist a built index: quantizers + codes + norms as parquet under
-    * one root — the production handoff (build once on the corpus pass,
-    * probe from any later job). Geometry (m, subDim) is recovered from
-    * the codebook table itself, so there is no side metadata file to
-    * drift out of sync. */
-  def save(index: Index, path: String): Unit = {
+  /** Persist a built index: quantizers + codes + norms under one root —
+    * the production handoff (build once on the corpus pass, probe from
+    * any later job). Geometry (m, subDim) is recovered from the
+    * codebook table itself, so there is no side metadata file to drift
+    * out of sync.
+    *
+    * The four parts are [[graft.land.AtomicLanding]] tables, and the
+    * whole QUADRUPLE publishes atomically through a fifth, single-row
+    * `root/` table whose pointer swing is the linearization point: each
+    * part commits first (its returned version is its generation id),
+    * then the root row pinning all four versions commits last. A
+    * re-save (the retrain-on-drift path) therefore flips readers from
+    * one complete index to the next in one step — a [[load]] racing it
+    * resolves either four OLD parts or four NEW parts, never a
+    * cents-from-one-generation / codes-from-another mix, which the
+    * previous per-part `mode(overwrite)` layout could serve. A crash
+    * anywhere before the root commit publishes NOTHING (the staged part
+    * generations are invisible garbage [[maintainSavedIndex]]
+    * reclaims). `beforePublish` is the root commit's test seam. */
+  def save(index: Index, path: String,
+      beforePublish: () => Unit = () => ()): Unit = {
     val s = index.codes.sparkSession
-    coarseDf(s, index.cents).repartition(1)
-      .write.mode("overwrite").parquet(s"$path/cents")
-    cbDf(s, index.cb).repartition(1)
-      .write.mode("overwrite").parquet(s"$path/cb")
-    index.codes.write.mode("overwrite").parquet(s"$path/codes")
-    index.n2.write.mode("overwrite").parquet(s"$path/n2")
+    import s.implicits._
+    import graft.land.AtomicLanding
+    val centsV = AtomicLanding.commit(
+      coarseDf(s, index.cents).coalesce(1), s"$path/cents")
+    val cbV = AtomicLanding.commit(
+      cbDf(s, index.cb).coalesce(1), s"$path/cb")
+    val codesV = AtomicLanding.commit(index.codes, s"$path/codes")
+    val n2V = AtomicLanding.commit(index.n2, s"$path/n2")
+    AtomicLanding.commit(
+      Seq((centsV, cbV, codesV, n2V)).toDF("cents_v", "cb_v", "codes_v", "n2_v"),
+      s"$path/root", beforePublish = beforePublish)
+    ()
   }
 
-  /** Load an index saved by [[save]]. The codes/norms load as lazy
-    * parquet scans, so the ADC prune runs off the saved compressed
-    * layout alone; [[probe]]'s final EXACT re-rank still joins the
-    * corpus embeddings for the shortlisted candidates (that is the
-    * re-rank's definition — skip it only if ADC order suffices), and
-    * queries must be part of the indexed corpus (the norm join drops
-    * unknown query ids). */
+  /** Load an index saved by [[save]]: resolve the root row once, then
+    * read every part AT ITS PINNED VERSION — the consistent quadruple
+    * that row published, regardless of any re-save landing
+    * concurrently. The codes/norms load as lazy snapshot-isolated
+    * scans, so the ADC prune runs off the saved compressed layout
+    * alone; [[probe]]'s final EXACT re-rank still joins the corpus
+    * embeddings for the shortlisted candidates (that is the re-rank's
+    * definition — skip it only if ADC order suffices), and queries
+    * must be part of the indexed corpus (the norm join drops unknown
+    * query ids). */
   def load(s: SparkSession, path: String): Index = {
-    val cents = s.read.parquet(s"$path/cents").orderBy("cid").collect()
+    import graft.land.AtomicLanding
+    val r = AtomicLanding.read(s, s"$path/root").head()
+    val cents = AtomicLanding
+      .readVersion(s, s"$path/cents", r.getAs[Long]("cents_v"))
+      .orderBy("cid").collect()
       .map(r => (r.getAs[Int]("cid"),
         r.getAs[scala.collection.Seq[Float]]("cvec").toSeq)).toSeq
-    val cb = s.read.parquet(s"$path/cb").orderBy("sub", "code").collect()
+    val cb = AtomicLanding.readVersion(s, s"$path/cb", r.getAs[Long]("cb_v"))
+      .orderBy("sub", "code").collect()
       .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
         r.getAs[scala.collection.Seq[Double]]("rvec").toSeq)).toSeq
     Index(cents, cb, cb.map(_._1).max + 1, cb.head._3.size,
-      s.read.parquet(s"$path/codes"), s.read.parquet(s"$path/n2"))
+      AtomicLanding.readVersion(s, s"$path/codes", r.getAs[Long]("codes_v")),
+      AtomicLanding.readVersion(s, s"$path/n2", r.getAs[Long]("n2_v")))
+  }
+
+  /** Reclaim superseded part generations after re-saves.
+    * QUIESCENCE-GUARDED per part: a part is vacuumed only when its
+    * current version is exactly what the published root pins — during
+    * an in-flight (or crashed) save the parts are already at their NEW
+    * versions while root still points at the old quadruple, and
+    * vacuuming then would reclaim the very dirs the visible index
+    * needs. A crashed save's orphan generations therefore survive
+    * until the next SUCCESSFUL save supersedes them, after which this
+    * reclaims everything. Run one maintainer at a time. Returns
+    * reclaimed paths. */
+  def maintainSavedIndex(s: SparkSession, path: String,
+      reservationGraceMs: Long = 600000L): Seq[String] = {
+    import graft.land.AtomicLanding
+    val r = AtomicLanding.read(s, s"$path/root").head()
+    val pinned = Seq("cents" -> r.getAs[Long]("cents_v"),
+      "cb" -> r.getAs[Long]("cb_v"), "codes" -> r.getAs[Long]("codes_v"),
+      "n2" -> r.getAs[Long]("n2_v"))
+    pinned.flatMap { case (part, v) =>
+      if (AtomicLanding.currentVersion(s"$path/$part").contains(v))
+        AtomicLanding.vacuum(s"$path/$part", futureGraceMs = reservationGraceMs)
+      else Nil
+    } ++ AtomicLanding.vacuum(s"$path/root", futureGraceMs = reservationGraceMs)
   }
 
   /** Build + probe in one call (the coverage-query path). */

@@ -347,6 +347,64 @@ object Retrieval {
     indexPath
   }
 
+  /** Long-SESSION index maintenance — what a retrieval deployment runs
+    * periodically after many [[addToIndex]] batches: every append adds
+    * one postings data dir and one superseded derived generation, so an
+    * unmaintained session decays into the streaming small-file problem
+    * plus unbounded superseded snapshots.
+    *
+    *  1. catch `derived/` up (a crashed predecessor's missed delta);
+    *  2. fold the small-postings-dir tail through
+    *     [[graft.land.AtomicLanding.compactSmall]] — body dirs above
+    *     `smallBytes` are never rewritten, and a concurrent append
+    *     lands safely via the compaction rebase;
+    *  3. RESTAMP `derived/` at the compacted postings version WITHOUT
+    *     rebuilding: compaction preserves rows, so df/stats content is
+    *     unchanged — only the version handshake moves. A concurrent
+    *     append that rode the compaction's rebase is folded additively
+    *     (the fold output is the manifest's LAST dir line by commit
+    *     construction, so the ridden-along dirs are identifiable and
+    *     their delta is O(those batches));
+    *  4. vacuum both tables' superseded generations (grace-protected
+    *     for live writers — but like any vacuum, a probe still holding
+    *     a superseded snapshot older than this maintenance loses it:
+    *     the Delta retention trade).
+    *
+    * Concurrent probes and appends are safe; run ONE maintainer at a
+    * time (snapshot-replacing maintenance is single-writer, and a
+    * concurrent rewrite skips the fold — best-effort, the next run
+    * retries). Returns the vacuum-reclaimed paths. */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, smallBytes: Long = 64L * 1024 * 1024,
+      reservationGraceMs: Long = 600000L,
+      beforeFoldCommit: () => Unit = () => ()): Seq[String] = {
+    import graft.land.AtomicLanding
+    val postingsT = s"$indexPath/postings"
+    val derivedT = s"$indexPath/derived"
+    val v0 = AtomicLanding.currentVersion(postingsT).getOrElse(
+      throw new IllegalStateException(s"no postings table at $postingsT"))
+    advanceDerived(spark, indexPath, v0)
+    val v1 =
+      try AtomicLanding.compactSmall(spark, postingsT, smallBytes,
+        beforeCommit = beforeFoldCommit)
+      catch { case _: java.util.ConcurrentModificationException => v0 }
+    if (v1 > v0) {
+      val before = AtomicLanding.dirsOfVersion(postingsT, v0).toSet
+      val after = AtomicLanding.dirsOfVersion(postingsT, v1)
+      val foldDir = after.last
+      val extras = after.filterNot(d => before.contains(d) || d == foldDir)
+      val base = AtomicLanding.read(spark, derivedT)
+      dfDeltaPostingDirs.addAndGet(extras.size)
+      val next =
+        if (extras.isEmpty) base
+        else foldDerived(base,
+          derivedOf(spark.read.parquet(extras.map(d => s"$postingsT/$d"): _*)))
+      AtomicLanding.commit(next, derivedT, batchId = Some(v1))
+    }
+    AtomicLanding.vacuum(postingsT, futureGraceMs = reservationGraceMs) ++
+      AtomicLanding.vacuum(derivedT, futureGraceMs = reservationGraceMs)
+  }
+
   /** Score a query batch from a [[buildIndex]] index. Same output
     * contract and same bits as [[bm25TopK]] on the indexed corpus.
     * Reads are snapshot-isolated (ACID pointer) and SELF-HEALING: when

@@ -731,9 +731,23 @@ object AtomicLanding {
     * swing; concurrent readers keep whichever manifest they already
     * resolved — the old dirs stay on disk until [[vacuum]]. The batch-id
     * watermark carries over so a replayed micro-batch is still skipped
-    * after compaction. */
+    * after compaction (carried FRESH from the live manifest at publish
+    * time, so a concurrent append's newer watermark wins).
+    *
+    * CONCURRENT APPENDS REBASE instead of failing the compaction: a dir
+    * appended while the rewrite was staging is untouched data by
+    * definition — carrying it forward verbatim is row-identical to
+    * serializing the append after the compaction, and `rebaseAppends =
+    * always` is therefore sound with NO disjointness proof needed
+    * (unlike [[mergePruned]], which must show the appended rows escape
+    * the rewrite's key predicate). Without the rebase a busy streaming
+    * table could starve its own maintenance forever: some micro-batch
+    * always lands during the fold. A concurrent REWRITE (merge /
+    * another compaction) still fails the publish — dirs of the expected
+    * snapshot went missing, and both sides rewrote the same rows. */
   def compact(spark: SparkSession, table: String,
-      numFiles: Int = 0): Long = {
+      numFiles: Int = 0,
+      beforeCommit: () => Unit = () => ()): Long = {
     val base = currentVersion(table)
     // mergeSchema: a schema-evolved table has columns that live only in
     // newer data dirs; the default single-footer sample could silently
@@ -741,7 +755,8 @@ object AtomicLanding {
     // dirs that had the data, making the loss permanent
     val df0 = read(spark, table, mergeSchema = true)
     val df = if (numFiles > 0) df0.coalesce(numFiles) else df0
-    commit(df, table, batchId = lastBatchId(table), expectedVersion = base)
+    beforeCommit()
+    commit(df, table, expectedVersion = base, rebaseAppends = _ => true)
   }
 
   /** Bin-packing compaction: rewrite ONLY the data dirs at or below
@@ -750,10 +765,15 @@ object AtomicLanding {
     * year-old streaming table is a few huge compacted dirs plus a tail
     * of small recent micro-batches, and folding the tail must not
     * rewrite the body. No-op (returns the current version) when fewer
-    * than two dirs qualify. Run without concurrent writers, like any
-    * snapshot-replacing maintenance. */
+    * than two dirs qualify. Safe alongside concurrent APPENDERS — a
+    * micro-batch landing during the fold rides into the published
+    * manifest via the rebase seam (see [[compact]]'s scaladoc for the
+    * soundness argument; the appended dir just joins the small-file
+    * tail the NEXT fold collects); concurrent rewrites still fail the
+    * publish. */
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
-      numFiles: Int = 1): Long = {
+      numFiles: Int = 1,
+      beforeCommit: () => Unit = () => ()): Long = {
     val fs = fsOf(hp(table))
     val base = currentVersion(table)
     val (small, big) = liveDirs(table).partition { d =>
@@ -768,8 +788,9 @@ object AtomicLanding {
       val merged = spark.read.option("mergeSchema", "true")
         .parquet(small.map(d => s"$table/$d"): _*)
         .coalesce(numFiles)
-      commit(merged, table, batchId = lastBatchId(table), keepDirs = big,
-        expectedVersion = base)
+      beforeCommit()
+      commit(merged, table, keepDirs = big,
+        expectedVersion = base, rebaseAppends = _ => true)
     }
   }
 

@@ -94,6 +94,12 @@ object LlmPipeline {
     * measured by q_cosine_ivf/q_cosine_pq, which train per run). */
   private val ivfpqSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Once-per-(jvm, sf dir) GROWN persisted IVF index: built on the
+    * corpus prefix, then extended by two [[graft.ext.Ivf.addToSavedIndex]]
+    * batches — the live-ingest ANN shape (batches assign against the
+    * frozen quantizer; no retrain, no corpus re-scan). */
+  private val ivfGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
     * parquet like the sibling memos (a cached DataFrame would pin
     * localCheckpoint blocks to one SparkContext): q_scrub_spans APPLIES
@@ -727,6 +733,30 @@ object LlmPipeline {
       val e = emb(s, dir)
       graft.ext.Ivf.topKIvf(e, e.filter(col("vec_id") < 10), k = 5,
           nLists = 16, nProbe = 4, iters = 0)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- the GROWN persisted IVF index (q_bm25_grown's pattern on the
+    // ANN tier): built on the corpus prefix (which contains the seed
+    // quantizer's first-16-by-vec_id vectors), extended by two ACID
+    // append batches against the FROZEN quantizer, probed from the
+    // saved snapshot. With iters = 0 assignment is deterministic, so
+    // the grown index is bit-identical to the one-shot build over the
+    // full corpus and q_cosine_ivf's replay oracle gates it unchanged ----
+    "q_cosine_ivf_grown" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = ivfGrownSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivfgrown").toString + "/idx"
+        graft.ext.Ivf.buildSavedIndex(
+          e.filter(col("vec_id") < 200), d, nLists = 16, iters = 0)
+        graft.ext.Ivf.addToSavedIndex(s, d,
+          e.filter(col("vec_id") >= 200 && col("vec_id") < 350))
+        graft.ext.Ivf.addToSavedIndex(s, d, e.filter(col("vec_id") >= 350))
+        d
+      })
+      graft.ext.Ivf.probeSavedIndex(s, idx,
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -1735,6 +1765,10 @@ object LlmPipeline {
     "q_cosine_ann_exact" -> CosineTopkOracle,
     "q_cosine_ann" -> CosineAnnOracle,
     "q_cosine_ivf" -> CosineIvfOracle,
+    // the grown index's claim IS "same bits as the one-shot full-corpus
+    // build" (frozen seed quantizer + deterministic assignment), so the
+    // same replay oracle gates it
+    "q_cosine_ivf_grown" -> CosineIvfOracle,
     "q_cosine_pq" -> CosinePqOracle,
 
     // the trained-quantizer envelope rows: the oracle replays the exact

@@ -180,6 +180,36 @@ class FuzzyJoinSpec extends AnyFunSuite {
       "retry after a crashed append must land the whole batch")
   }
 
+  test("maintainSigIndex folds the append-session tail and vacuums; probes unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigmaint").toString
+    val corpusA = (1 to 200).map(i => f"Customer#$i%09d").toDF("name")
+    FuzzyJoin.buildSigIndex(corpusA, "name", s"$dir/grown")
+    for (lo <- Seq(201, 301, 401))
+      FuzzyJoin.addToSigIndex(spark,
+        s"$dir/grown", (lo until lo + 100).map(i => f"Customer#$i%09d").toDF("name"), "name")
+    assert(graft.land.AtomicLanding.liveDirCount(s"$dir/grown/sigs") == 4)
+    val probes = Seq(150, 250, 450).map(i => f"Customer#$i%09d").toDF("name")
+    def probe() = FuzzyJoin.againstIndexEd1(spark, s"$dir/grown", probes, "name")
+      .as[(String, String)].collect().toSet
+    val before = probe()
+
+    val removed = FuzzyJoin.maintainSigIndex(spark, s"$dir/grown",
+      smallBytes = 512L * 1024)
+    assert(graft.land.AtomicLanding.liveDirCount(s"$dir/grown/sigs") == 1,
+      "the micro-batch tail must fold to one dir")
+    assert(removed.nonEmpty, "superseded generations must be reclaimed")
+    assert(probe() === before, "maintenance must not change probe results")
+
+    // the maintained index keeps growing correctly afterwards
+    FuzzyJoin.addToSigIndex(spark, s"$dir/grown",
+      (501 to 600).map(i => f"Customer#$i%09d").toDF("name"), "name")
+    FuzzyJoin.buildSigIndex(
+      ((1 to 600).map(i => f"Customer#$i%09d")).toDF("name"), "name", s"$dir/fresh")
+    def rows(p: String) = graft.land.AtomicLanding.read(spark, s"$p/sigs")
+      .as[(String, Long)].collect().toSet
+    assert(rows(s"$dir/grown") === rows(s"$dir/fresh"))
+  }
+
   test("a probe racing an append reads a complete snapshot (never torn)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sigrace").toString
     val corpusA = (1 to 300).map(i => f"Customer#$i%09d").toDF("name")

@@ -59,6 +59,48 @@ class IvfPqSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("a re-save flips readers atomically: no cross-generation part mix, crashes invisible") {
+    // the retrain-on-drift path: index v1 is live and probed; a retrain
+    // re-saves v2. The root pointer is the linearization point — a load
+    // racing the re-save (inside the root commit's pre-publish window,
+    // when all four part tables ALREADY hold their v2 generations)
+    // must resolve the complete OLD quadruple
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfpqacid").toString
+    val v1 = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16)
+    IvfPq.save(v1, p)
+    def probed() = IvfPq.probe(emb, IvfPq.load(spark, p), queries,
+      k = 5, nProbe = 2, shortlist = 20).orderBy("query_id", "rnk")
+      .collect().toSeq
+    val old = probed()
+
+    val v2 = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16,
+      itersCoarse = 1, itersPq = 1)
+    // crash the first re-save attempt at the worst point: every part
+    // generation staged, root not yet swung — readers must be unmoved
+    intercept[RuntimeException] {
+      IvfPq.save(v2, p,
+        beforePublish = () => throw new RuntimeException("kill -9"))
+    }
+    assert(probed() == old, "a crashed re-save must be invisible")
+
+    // the retry: a reader INSIDE the pre-publish window still sees the
+    // old quadruple consistently; after publish, the new index
+    var mid: Seq[org.apache.spark.sql.Row] = Nil
+    IvfPq.save(v2, p, beforePublish = () => { mid = probed() })
+    assert(mid == old, "a mid-save load must resolve the OLD quadruple")
+    val fresh = IvfPq.load(spark, p)
+    assert(fresh.cents == v2.cents && fresh.cb == v2.cb,
+      "after the root swing, readers get the retrained quantizers")
+
+    // maintenance reclaims the superseded v1 generations (and the
+    // crashed attempt's orphans, now superseded too) without touching
+    // the live index
+    val removed = IvfPq.maintainSavedIndex(spark, p)
+    assert(removed.nonEmpty, "superseded generations must be reclaimed")
+    assert(probed() == IvfPq.probe(emb, v2, queries, k = 5, nProbe = 2,
+      shortlist = 20).orderBy("query_id", "rnk").collect().toSeq)
+  }
+
   test("codes are the compressed representation: m small ints per vector") {
     val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16)
     val perVec = idx.codes.groupBy("neighbor_id").count()

@@ -164,4 +164,100 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(probed == brute)
   }
+
+  // ---- persisted, growable index (AtomicLanding-backed) ----
+
+  private def canonProbe(idxPath: String, nProbe: Int = 16) =
+    Ivf.probeSavedIndex(spark, idxPath, queries, k = 5, nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("saved grown index == one-shot full-corpus build; replays no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsaved").toString
+    // prefix build (contains the seed quantizer's first-16 vectors),
+    // then two append batches against the frozen quantizer
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") < 200), s"$dir/grown",
+      nLists = 16, iters = 0)
+    Ivf.addToSavedIndex(spark, s"$dir/grown",
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 350))
+    Ivf.addToSavedIndex(spark, s"$dir/grown", emb.filter(col("vec_id") >= 350))
+    Ivf.buildSavedIndex(emb, s"$dir/fresh", nLists = 16, iters = 0)
+
+    val lists = graft.land.AtomicLanding.read(spark, s"$dir/grown/lists")
+    assert(lists.count() == emb.count())
+    assert(lists.select("neighbor_id").distinct().count() == emb.count())
+    def rows(p: String) = graft.land.AtomicLanding.read(spark, s"$p/lists")
+      .select("neighbor_id", "cid").as[(Long, Int)].collect().toSet
+    assert(rows(s"$dir/grown") === rows(s"$dir/fresh"),
+      "frozen-quantizer growth must be bit-identical to the one-shot build")
+    assert(canonProbe(s"$dir/grown") === canonProbe(s"$dir/fresh"))
+
+    // at-least-once replay: re-appending a committed batch commits nothing
+    val v0 = graft.land.AtomicLanding.currentVersion(s"$dir/grown/lists")
+    Ivf.addToSavedIndex(spark, s"$dir/grown", emb.filter(col("vec_id") >= 350))
+    assert(graft.land.AtomicLanding.currentVersion(s"$dir/grown/lists") == v0,
+      "a replayed batch must not publish a new version")
+  }
+
+  test("a probe racing a saved-index append reads a complete snapshot; crashed appends publish nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfrace").toString
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") < 300), s"$dir/idx",
+      nLists = 16, iters = 0)
+    val before = canonProbe(s"$dir/idx")
+    // probe from INSIDE the append's pre-publish window: must see the
+    // OLD snapshot bit-for-bit, never a torn listing
+    var mid: Set[(Long, Long, Long)] = Set.empty
+    Ivf.addToSavedIndex(spark, s"$dir/idx", emb.filter(col("vec_id") >= 300),
+      beforePublish = () => { mid = canonProbe(s"$dir/idx") })
+    assert(mid === before, "a mid-append probe must score the old snapshot")
+    // post-append the index scores like a one-shot build over the union
+    Ivf.buildSavedIndex(emb, s"$dir/full", nLists = 16, iters = 0)
+    val after = canonProbe(s"$dir/idx")
+    assert(after === canonProbe(s"$dir/full"))
+
+    // a crash mid-append publishes NOTHING; the retry lands the whole batch
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfcrash").toString
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") < 300), s"$dir2/idx",
+      nLists = 16, iters = 0)
+    val v0 = graft.land.AtomicLanding.currentVersion(s"$dir2/idx/lists")
+    intercept[RuntimeException] {
+      Ivf.addToSavedIndex(spark, s"$dir2/idx", emb.filter(col("vec_id") >= 300),
+        beforePublish = () => throw new RuntimeException("die before publish"))
+    }
+    assert(graft.land.AtomicLanding.currentVersion(s"$dir2/idx/lists") == v0,
+      "a crashed append must publish nothing")
+    Ivf.addToSavedIndex(spark, s"$dir2/idx", emb.filter(col("vec_id") >= 300))
+    assert(canonProbe(s"$dir2/idx") === after,
+      "the retry must land the whole batch")
+  }
+
+  test("maintainSavedIndex folds the append-session tail and vacuums; probes unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfmaint").toString
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") < 200), s"$dir/idx",
+      nLists = 16, iters = 0)
+    for (lo <- Seq(200, 300, 400))
+      Ivf.addToSavedIndex(spark, s"$dir/idx",
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 100))
+    assert(graft.land.AtomicLanding.liveDirCount(s"$dir/idx/lists") == 4)
+    val before = canonProbe(s"$dir/idx")
+
+    val removed = Ivf.maintainSavedIndex(spark, s"$dir/idx",
+      smallBytes = 512L * 1024)
+    assert(graft.land.AtomicLanding.liveDirCount(s"$dir/idx/lists") == 1,
+      "the micro-batch tail must fold to one dir")
+    assert(removed.nonEmpty, "superseded generations must be reclaimed")
+    assert(canonProbe(s"$dir/idx") === before,
+      "maintenance must not change probe results")
+
+    // the maintained index keeps growing correctly afterwards: union
+    // with an external batch still matches the one-shot build
+    val extra = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"),
+        col("label"))
+    Ivf.addToSavedIndex(spark, s"$dir/idx", extra)
+    Ivf.buildSavedIndex(emb.unionByName(extra), s"$dir/fresh",
+      nLists = 16, iters = 0)
+    def rows(p: String) = graft.land.AtomicLanding.read(spark, s"$p/lists")
+      .select("neighbor_id", "cid").as[(Long, Int)].collect().toSet
+    assert(rows(s"$dir/idx") === rows(s"$dir/fresh"))
+  }
 }

@@ -260,6 +260,77 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         s"$sub must heal to the fresh-build state")
   }
 
+  test("maintainIndex: folds the append tail, restamps derived without a rebuild, vacuums") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25maint").toString
+    val idx = s"$base/idx"
+    Retrieval.buildIndex(corpus.where($"doc_id" <= 2), idx)
+    // a 3-batch append session: postings grow one dir per batch
+    for (d <- 3L to 5L)
+      Retrieval.addToIndex(spark, idx, corpus.where($"doc_id" === d))
+    assert(graft.land.AtomicLanding.liveDirCount(s"$idx/postings") == 4)
+
+    val rebuilds0 = Retrieval.derivedRebuilds.get()
+    val removed = Retrieval.maintainIndex(spark, idx, smallBytes = 512L * 1024)
+    // the tail folded to one dir; derived was RESTAMPED, never rebuilt
+    assert(graft.land.AtomicLanding.liveDirCount(s"$idx/postings") == 1)
+    assert(Retrieval.derivedRebuilds.get() == rebuilds0,
+      "maintenance must not pay the O(index) rebuild for a row-preserving fold")
+    assert(graft.land.AtomicLanding.lastBatchId(s"$idx/derived")
+      .contains(graft.land.AtomicLanding.currentVersion(s"$idx/postings").get),
+      "derived must be stamped at the compacted postings version")
+    assert(removed.nonEmpty, "superseded generations must be reclaimed")
+
+    // scores after maintenance == a fresh build over the same corpus
+    Retrieval.buildIndex(corpus, s"$base/fresh")
+    val queries = q(0L -> "spark the query", 1L -> "dogs chase")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect().toSeq
+    assert(canon(Retrieval.bm25TopKIndexed(spark, idx, queries, k = 3)) ==
+      canon(Retrieval.bm25TopKIndexed(spark, s"$base/fresh", queries, k = 3)))
+
+    // and the maintained index keeps growing correctly afterwards
+    Retrieval.addToIndex(spark, idx,
+      Seq((6L, "query planner dogs")).toDF("doc_id", "text"))
+    assert(canon(Retrieval.bm25TopKIndexed(spark, idx, queries, k = 3)) ==
+      canon(Retrieval.bm25TopK(corpus.unionByName(
+        Seq((6L, "query planner dogs")).toDF("doc_id", "text")), queries, k = 3)))
+  }
+
+  test("maintainIndex folds a concurrent append's ridden-along batch additively") {
+    // the compaction rebase can carry a micro-batch INTO the compacted
+    // manifest; maintainIndex must identify it (the fold dir is the
+    // last manifest line) and fold its delta instead of rebuilding
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25maintrace").toString
+    val idx = s"$base/idx"
+    Retrieval.buildIndex(corpus.where($"doc_id" <= 2), idx)
+    for (d <- 3L to 4L)
+      Retrieval.addToIndex(spark, idx, corpus.where($"doc_id" === d))
+    // stage the race: doc 5's postings land as a concurrent append
+    // INSIDE the maintenance fold's pre-publish window (the
+    // beforeFoldCommit seam), exactly as a live ingest would — the
+    // compaction rebase carries the batch into the compacted manifest
+    Retrieval.buildIndex(corpus.where($"doc_id" === 5), s"$base/side")
+    val sideDf = graft.land.AtomicLanding.read(spark, s"$base/side/postings")
+    val rebuilds0 = Retrieval.derivedRebuilds.get()
+    val removed = Retrieval.maintainIndex(spark, idx,
+      smallBytes = 512L * 1024,
+      beforeFoldCommit = () => { graft.land.AtomicLanding.commit(sideDf,
+        s"$idx/postings", append = true); () })
+    assert(Retrieval.derivedRebuilds.get() == rebuilds0,
+      "the ridden-along batch must fold additively, not rebuild")
+    assert(removed.nonEmpty)
+    // scores == fresh build over ALL five docs + doc 5's batch
+    Retrieval.buildIndex(corpus, s"$base/fresh")
+    val queries = q(0L -> "spark the query", 1L -> "dogs chase",
+      2L -> "lone document")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rnk").collect().toSeq
+    assert(canon(Retrieval.bm25TopKIndexed(spark, idx, queries, k = 3)) ==
+      canon(Retrieval.bm25TopKIndexed(spark, s"$base/fresh", queries, k = 3)))
+  }
+
   test("a probe racing an index append reads a complete snapshot") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-bm25race").toString

@@ -645,6 +645,46 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.liveRanges(pruned).contains((appendedDir, "doc_id")))
   }
 
+  test("compaction REBASES over a concurrent append: the micro-batch survives the fold") {
+    // the maintenance-starvation fix: on a busy streaming table some
+    // micro-batch always lands during the fold, and before the rebase
+    // every such compact failed with ConcurrentModificationException
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n"))
+    val table = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") < 100), table,
+      batchId = Some(3L))
+    (1 to 3).foreach { i =>
+      AtomicLanding.commit(
+        docs.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100),
+        table, append = true)
+    }
+    val preCount = AtomicLanding.read(spark, table).count()
+    val late = docs.filter(col("doc_id") >= 400 && col("doc_id") < 420)
+    val lateCount = late.count()
+
+    // full compact with a concurrent append (carrying a NEWER stream
+    // watermark) landing inside the race window
+    val v = AtomicLanding.compact(spark, table, numFiles = 1,
+      beforeCommit = () =>
+        { AtomicLanding.commit(late, table, append = true, batchId = Some(9L)); () })
+    assert(AtomicLanding.read(spark, table).count() == preCount + lateCount,
+      "the concurrent micro-batch must survive the fold")
+    // the fold collapsed the 4 pre-compact dirs to 1; the appended dir rode along
+    assert(AtomicLanding.dirsOfVersion(table, v).size == 2)
+    // the rebase carried the append's newer exactly-once watermark
+    assert(AtomicLanding.lastBatchId(table).contains(9L))
+
+    // compactSmall: the appended dir joins the small tail for the NEXT fold
+    val late2 = docs.filter(col("doc_id") >= 420 && col("doc_id") < 440)
+    val v2 = AtomicLanding.compactSmall(spark, table, smallBytes = 512L * 1024,
+      beforeCommit = () =>
+        { AtomicLanding.commit(late2, table, append = true); () })
+    assert(AtomicLanding.read(spark, table).count() ==
+      preCount + lateCount + late2.count())
+    assert(AtomicLanding.currentVersion(table).contains(v2))
+  }
+
   test("mergePruned still FAILS when the concurrent append may hold an update key") {
     val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
       .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n"))
