@@ -214,7 +214,7 @@ object FuzzyJoin {
       .groupBy(col("sig_h")).agg(count(lit(1)).as("bc"))
       .agg(percentile_approx(col("bc"), lit(quantile), lit(10000)).as("q"),
         max(col("bc")).as("mx")).head()
-    adviseCap(r.getLong(0), r.getLong(1), headroom, sampleFraction)
+    adviseFromRow(r, headroom, sampleFraction)
   }
 
   /** Shared advisor arithmetic ([[Retrieval.recommendMaxDf]] uses the
@@ -226,6 +226,17 @@ object FuzzyJoin {
     val cap = math.max(2L, headroom * scale(q))
     ValveAdvice(cap, engages = cap < scale(mx), scale(mx), scale(q))
   }
+
+  /** An EMPTY census (no input rows, or a sampleFraction whose sample
+    * came back empty) yields null aggregates — there is no evidence to
+    * size a cap from, so the advice is inert: a cap that can never
+    * engage, not a NullPointerException. Callers wanting a hard error on
+    * empty corpora can check `quantileObserved == 0`. */
+  private[ext] def adviseFromRow(r: org.apache.spark.sql.Row,
+      headroom: Long, sampleFraction: Double): ValveAdvice =
+    if (r.isNullAt(0) || r.isNullAt(1))
+      ValveAdvice(Long.MaxValue, engages = false, 0L, 0L)
+    else adviseCap(r.getLong(0), r.getLong(1), headroom, sampleFraction)
 
   /** Incremental variant — the production entity-resolution shape: match
     * a NEW batch of keys against an existing corpus without re-joining

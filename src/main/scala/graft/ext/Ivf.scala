@@ -164,48 +164,63 @@ object Ivf {
   // ---- persisted, growable IVF index (the [[Retrieval.buildIndex]] /
   // [[FuzzyJoin.buildSigIndex]] contract applied to ANN) ----
 
-  private def readCents(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Seq[(Int, Seq[Float])] =
-    graft.land.AtomicLanding.read(spark, s"$indexPath/cents")
-      .orderBy(col("cid")).collect().toSeq
+  private def centsOf(df: DataFrame): Seq[(Int, Seq[Float])] =
+    df.orderBy(col("cid")).collect().toSeq
       .map(r => (r.getAs[Int]("cid"),
         r.getAs[scala.collection.Seq[Float]]("cvec").toSeq))
 
   /** Persist a built IVF index for a long-running retrieval/dedup
     * session: the trained coarse quantizer lands as `cents/` (nLists
     * rows) and the inverted lists as `lists/`, both
-    * [[graft.land.AtomicLanding]] tables — every generation publishes
-    * through an atomic pointer swing, so a probe racing an append
-    * reads either the old or the new snapshot, never a torn listing
+    * [[graft.land.AtomicLanding]] tables, and the PAIR publishes
+    * through one [[graft.land.AtomicLanding.publishLinked]] root
+    * generation — the single linearization point every reader resolves
     * (the in-memory [[Index]] has no such contract: it dies with its
-    * session, and [[IvfPq.save]]'s plain-parquet layout is
-    * build-once). The quantizer is FROZEN at build time — appends
-    * assign against it without retraining (recall drifts with the data
-    * distribution; rebuild when that matters), which is also what
-    * makes the grown index bit-identical to a fresh build whose
-    * training saw only the original segment. */
+    * session). A rebuild at the SAME path (the retrain-on-recall-drift
+    * loop) therefore flips probes from one complete index to the next
+    * atomically: a racing [[loadSavedIndex]] reads OLD cents with OLD
+    * lists or NEW with NEW, never new centroids routing old lists —
+    * and a crash between the part commits leaves the previous
+    * generation live, not a durable mixed state. The quantizer is
+    * FROZEN at build time — appends assign against it without
+    * retraining (recall drifts with the data distribution; rebuild
+    * when that matters), which is also what makes the grown index
+    * bit-identical to a fresh build whose training saw only the
+    * original segment. */
   def buildSavedIndex(emb: DataFrame, path: String, nLists: Int = 16,
       iters: Int = 2): String = {
+    import graft.land.AtomicLanding
     val s = emb.sparkSession
     val cents = train(emb, nLists, iters)
-    graft.land.AtomicLanding.commit(
+    val cv = AtomicLanding.commit(
       centroidDf(s, cents).coalesce(1), s"$path/cents")
-    graft.land.AtomicLanding.commit(
+    val lv = AtomicLanding.commit(
       assign(emb, cents).join(emb, "vec_id")
         .select(col("vec_id").as("neighbor_id"), col("cid"),
           col("embedding").as("ce")),
       s"$path/lists")
+    AtomicLanding.publishLinked(path, Map("cents" -> cv, "lists" -> lv),
+      expectedRoot = AtomicLanding.currentRootVersion(path))
     path
   }
 
   /** Load a [[buildSavedIndex]] index as an in-memory [[Index]] handle:
-    * centroids collect (nLists x dim — bounded), lists stay a lazy
-    * snapshot-isolated scan, so [[probe]] runs off the saved layout
-    * with its plan unchanged. */
+    * resolve the root ONCE, then read both members at their pinned
+    * versions — centroids collect (nLists x dim — bounded), lists stay
+    * a lazy snapshot-isolated scan, so [[probe]] runs off the saved
+    * layout with its plan unchanged regardless of concurrent appends
+    * or rebuilds. */
   def loadSavedIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Index =
-    Index(readCents(spark, indexPath),
-      graft.land.AtomicLanding.read(spark, s"$indexPath/lists"))
+      indexPath: String): Index = {
+    import graft.land.AtomicLanding
+    val snap = AtomicLanding.linkedSnapshot(indexPath).getOrElse(
+      throw new IllegalStateException(s"no saved IVF index at $indexPath"))
+    Index(
+      centsOf(AtomicLanding.readVersion(spark, s"$indexPath/cents",
+        snap.members("cents"))),
+      AtomicLanding.readVersion(spark, s"$indexPath/lists",
+        snap.members("lists")))
+  }
 
   /** Index MAINTENANCE: append a batch of vectors to a
     * [[buildSavedIndex]] index so the session's corpus can GROW without
@@ -225,19 +240,51 @@ object Ivf {
     * so specs can probe the index mid-append. */
   def addToSavedIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame,
-      beforePublish: () => Unit = () => ()): Unit = {
-    val cents = readCents(spark, indexPath)
-    val live = graft.land.AtomicLanding.read(spark, s"$indexPath/lists")
-      .select(col("neighbor_id").as("vec_id"))
-    val fresh = batch.join(live, Seq("vec_id"), "left_anti").persist()
-    try if (!fresh.isEmpty) {
-      graft.land.AtomicLanding.commit(
-        assign(fresh, cents).join(fresh, "vec_id")
-          .select(col("vec_id").as("neighbor_id"), col("cid"),
-            col("embedding").as("ce")),
-        s"$indexPath/lists", append = true, beforePublish = beforePublish)
-      ()
-    } finally fresh.unpersist()
+      beforePublish: () => Unit = () => (),
+      beforeRootPublish: () => Unit = () => ()): Unit = {
+    import graft.land.AtomicLanding
+    val listsT = s"$indexPath/lists"
+    var done = false
+    while (!done) {
+      val snap = AtomicLanding.linkedSnapshot(indexPath).getOrElse(
+        throw new IllegalStateException(s"no saved IVF index at $indexPath"))
+      val cents = centsOf(AtomicLanding.readVersion(spark,
+        s"$indexPath/cents", snap.members("cents")))
+      // dedupe against ALL durable postings — the LIVE lists pointer,
+      // which may run ahead of the root pin when a predecessor crashed
+      // between its lists commit and its root swing; re-appending that
+      // batch must not duplicate its rows
+      val live = AtomicLanding.read(spark, listsT)
+        .select(col("neighbor_id").as("vec_id"))
+      val fresh = batch.join(live, Seq("vec_id"), "left_anti").persist()
+      try {
+        val lNew =
+          if (!fresh.isEmpty)
+            AtomicLanding.commit(
+              assign(fresh, cents).join(fresh, "vec_id")
+                .select(col("vec_id").as("neighbor_id"), col("cid"),
+                  col("embedding").as("ce")),
+              listsT, append = true, beforePublish = beforePublish)
+          else AtomicLanding.currentVersion(listsT).get
+        if (lNew == snap.members("lists")) done = true // true replay no-op
+        else {
+          // CAS the root to the new lists version — ALSO the heal path
+          // for a crashed predecessor's committed-but-unpublished batch.
+          // A CAS loss means a concurrent appender/maintainer advanced
+          // the root first: re-resolve and retry (our lists commit is
+          // durable; the retry's anti-join no-ops and just republishes).
+          try {
+            AtomicLanding.publishLinked(indexPath,
+              Map("cents" -> snap.members("cents"), "lists" -> lNew),
+              expectedRoot = Some(snap.rootVersion),
+              beforePublish = beforeRootPublish)
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      } finally fresh.unpersist()
+    }
   }
 
   /** [[probe]] against a [[buildSavedIndex]] index: same output
@@ -252,18 +299,44 @@ object Ivf {
     * the quantizer is frozen and the lists carry no derived state, so
     * maintenance is purely physical): fold the small-dir micro-batch
     * tail (body dirs above `smallBytes` never rewrite; concurrent
-    * appends ride the compaction rebase) and vacuum superseded
-    * generations of both tables. One maintainer at a time; concurrent
-    * probes/appends are safe. Returns reclaimed paths. */
+    * appends ride the compaction rebase), CAS the root to the folded
+    * lists generation (also healing a crashed append's
+    * committed-but-unpublished batch forward), then
+    * [[graft.land.AtomicLanding.vacuumLinked]] reclaims superseded
+    * generations — quiescence-guarded, so a member a concurrent writer
+    * pushed ahead of the root pin is never touched. One maintainer at
+    * a time; concurrent probes/appends are safe. Returns reclaimed
+    * paths. */
   def maintainSavedIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, smallBytes: Long = 64L * 1024 * 1024,
       reservationGraceMs: Long = 600000L): Seq[String] = {
     import graft.land.AtomicLanding
     val listsT = s"$indexPath/lists"
-    try AtomicLanding.compactSmall(spark, listsT, smallBytes)
-    catch { case _: java.util.ConcurrentModificationException => () }
-    AtomicLanding.vacuum(listsT, futureGraceMs = reservationGraceMs) ++
-      AtomicLanding.vacuum(s"$indexPath/cents",
-        futureGraceMs = reservationGraceMs)
+    var done = false
+    while (!done) {
+      val snap = AtomicLanding.linkedSnapshot(indexPath).getOrElse(
+        throw new IllegalStateException(s"no saved IVF index at $indexPath"))
+      val folded =
+        try AtomicLanding.compactSmall(spark, listsT, smallBytes)
+        catch {
+          // a concurrent rewrite landed mid-fold: skip the fold this
+          // run (best-effort, the next maintenance retries) but still
+          // heal the root to whatever is durably committed
+          case _: java.util.ConcurrentModificationException =>
+            AtomicLanding.currentVersion(listsT).get
+        }
+      if (folded == snap.members("lists")) done = true
+      else {
+        try {
+          AtomicLanding.publishLinked(indexPath,
+            Map("cents" -> snap.members("cents"), "lists" -> folded),
+            expectedRoot = Some(snap.rootVersion))
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => ()
+        }
+      }
+    }
+    AtomicLanding.vacuumLinked(indexPath, futureGraceMs = reservationGraceMs)
   }
 }

@@ -232,22 +232,25 @@ object IvfPq {
     * out of sync.
     *
     * The four parts are [[graft.land.AtomicLanding]] tables, and the
-    * whole QUADRUPLE publishes atomically through a fifth, single-row
-    * `root/` table whose pointer swing is the linearization point: each
-    * part commits first (its returned version is its generation id),
-    * then the root row pinning all four versions commits last. A
-    * re-save (the retrain-on-drift path) therefore flips readers from
-    * one complete index to the next in one step — a [[load]] racing it
-    * resolves either four OLD parts or four NEW parts, never a
-    * cents-from-one-generation / codes-from-another mix, which the
-    * previous per-part `mode(overwrite)` layout could serve. A crash
-    * anywhere before the root commit publishes NOTHING (the staged part
-    * generations are invisible garbage [[maintainSavedIndex]]
-    * reclaims). `beforePublish` is the root commit's test seam. */
+    * whole QUADRUPLE publishes atomically through one
+    * [[graft.land.AtomicLanding.publishLinked]] root generation (the
+    * engine-wide linked-table primitive — the BM25 and plain-IVF
+    * persisted indexes share it): each part commits first (its
+    * returned version is its generation id), then the root manifest
+    * pinning all four versions swings last — O(metadata), no fifth
+    * Spark write. A re-save (the retrain-on-drift path) therefore
+    * flips readers from one complete index to the next in one step — a
+    * [[load]] racing it resolves either four OLD parts or four NEW
+    * parts, never a cents-from-one-generation / codes-from-another
+    * mix, which a per-part `mode(overwrite)` layout could serve — and
+    * the CAS on the prior root generation makes two racing re-saves
+    * fail loudly instead of interleaving. A crash anywhere before the
+    * root swing publishes NOTHING (the staged part generations are
+    * invisible garbage [[maintainSavedIndex]] reclaims).
+    * `beforePublish` is the root swing's test seam. */
   def save(index: Index, path: String,
       beforePublish: () => Unit = () => ()): Unit = {
     val s = index.codes.sparkSession
-    import s.implicits._
     import graft.land.AtomicLanding
     val centsV = AtomicLanding.commit(
       coarseDf(s, index.cents).coalesce(1), s"$path/cents")
@@ -255,9 +258,10 @@ object IvfPq {
       cbDf(s, index.cb).coalesce(1), s"$path/cb")
     val codesV = AtomicLanding.commit(index.codes, s"$path/codes")
     val n2V = AtomicLanding.commit(index.n2, s"$path/n2")
-    AtomicLanding.commit(
-      Seq((centsV, cbV, codesV, n2V)).toDF("cents_v", "cb_v", "codes_v", "n2_v"),
-      s"$path/root", beforePublish = beforePublish)
+    AtomicLanding.publishLinked(path,
+      Map("cents" -> centsV, "cb" -> cbV, "codes" -> codesV, "n2" -> n2V),
+      expectedRoot = AtomicLanding.currentRootVersion(path),
+      beforePublish = beforePublish)
     ()
   }
 
@@ -273,44 +277,33 @@ object IvfPq {
     * query ids). */
   def load(s: SparkSession, path: String): Index = {
     import graft.land.AtomicLanding
-    val r = AtomicLanding.read(s, s"$path/root").head()
+    val snap = AtomicLanding.linkedSnapshot(path).getOrElse(
+      throw new IllegalStateException(s"no saved IVF-PQ index at $path"))
     val cents = AtomicLanding
-      .readVersion(s, s"$path/cents", r.getAs[Long]("cents_v"))
+      .readVersion(s, s"$path/cents", snap.members("cents"))
       .orderBy("cid").collect()
       .map(r => (r.getAs[Int]("cid"),
         r.getAs[scala.collection.Seq[Float]]("cvec").toSeq)).toSeq
-    val cb = AtomicLanding.readVersion(s, s"$path/cb", r.getAs[Long]("cb_v"))
+    val cb = AtomicLanding.readVersion(s, s"$path/cb", snap.members("cb"))
       .orderBy("sub", "code").collect()
       .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
         r.getAs[scala.collection.Seq[Double]]("rvec").toSeq)).toSeq
     Index(cents, cb, cb.map(_._1).max + 1, cb.head._3.size,
-      AtomicLanding.readVersion(s, s"$path/codes", r.getAs[Long]("codes_v")),
-      AtomicLanding.readVersion(s, s"$path/n2", r.getAs[Long]("n2_v")))
+      AtomicLanding.readVersion(s, s"$path/codes", snap.members("codes")),
+      AtomicLanding.readVersion(s, s"$path/n2", snap.members("n2")))
   }
 
-  /** Reclaim superseded part generations after re-saves.
-    * QUIESCENCE-GUARDED per part: a part is vacuumed only when its
-    * current version is exactly what the published root pins — during
-    * an in-flight (or crashed) save the parts are already at their NEW
-    * versions while root still points at the old quadruple, and
-    * vacuuming then would reclaim the very dirs the visible index
-    * needs. A crashed save's orphan generations therefore survive
-    * until the next SUCCESSFUL save supersedes them, after which this
-    * reclaims everything. Run one maintainer at a time. Returns
-    * reclaimed paths. */
+  /** Reclaim superseded part generations after re-saves — now just
+    * [[graft.land.AtomicLanding.vacuumLinked]]: quiescence-guarded per
+    * part (a part whose pointer ran ahead of the root pin — an
+    * in-flight or crashed save — is never touched; its orphan
+    * generations survive until the next SUCCESSFUL save supersedes
+    * them), plus superseded root generations. Run one maintainer at a
+    * time. Returns reclaimed paths. */
   def maintainSavedIndex(s: SparkSession, path: String,
-      reservationGraceMs: Long = 600000L): Seq[String] = {
-    import graft.land.AtomicLanding
-    val r = AtomicLanding.read(s, s"$path/root").head()
-    val pinned = Seq("cents" -> r.getAs[Long]("cents_v"),
-      "cb" -> r.getAs[Long]("cb_v"), "codes" -> r.getAs[Long]("codes_v"),
-      "n2" -> r.getAs[Long]("n2_v"))
-    pinned.flatMap { case (part, v) =>
-      if (AtomicLanding.currentVersion(s"$path/$part").contains(v))
-        AtomicLanding.vacuum(s"$path/$part", futureGraceMs = reservationGraceMs)
-      else Nil
-    } ++ AtomicLanding.vacuum(s"$path/root", futureGraceMs = reservationGraceMs)
-  }
+      reservationGraceMs: Long = 600000L): Seq[String] =
+    graft.land.AtomicLanding.vacuumLinked(path,
+      futureGraceMs = reservationGraceMs)
 
   /** Build + probe in one call (the coverage-query path). */
   def topK(emb: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,

@@ -166,7 +166,7 @@ object Retrieval {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .agg(percentile_approx(col("df"), lit(quantile), lit(10000)).as("q"),
         max(col("df")).as("mx")).head()
-    FuzzyJoin.adviseCap(r.getLong(0), r.getLong(1), headroom, sampleFraction)
+    FuzzyJoin.adviseFromRow(r, headroom, sampleFraction)
   }
 
   /** Persisted inverted index — the multi-query-SESSION dual of the
@@ -175,24 +175,30 @@ object Retrieval {
     * as the probe side — §15.3's accepted trade for a straggler-free
     * df); right for a one-shot batch, wrong for a retrieval session
     * issuing many. The index is TWO [[graft.land.AtomicLanding]]
-    * tables under `path`, so every generation publishes through an
-    * atomic pointer swing and a probe racing an append always reads a
-    * complete snapshot (never a torn parquet listing):
+    * tables under `path`, published together through ONE
+    * [[graft.land.AtomicLanding.publishLinked]] root generation (the
+    * engine-wide linked-table primitive the IVF and IVF-PQ saved
+    * indexes share):
     *
     *  - `postings/` (doc_id, dl, term, tf) — append-only ACID table;
     *    one corpus byte scan at build, one BATCH scan per append.
     *  - `derived/` (term, df, n_docs, n_tok) — df rows (term, df,
-    *    null, null) plus ONE stats row (null, null, n_docs, n_tok),
-    *    committed with `batchId = <the postings VERSION it matches>`.
-    *    One table, one pointer: df and corpus stats can never publish
-    *    out of sync with each other.
+    *    null, null) plus ONE stats row (null, null, n_docs, n_tok).
     *
-    * The derived/postings version handshake makes "postings appended
-    * but df stale" UNOBSERVABLE: readers compare derived's recorded
-    * batchId against the postings pointer and, on mismatch (the crash
-    * window between the two commits), fold the missing postings dirs'
-    * delta in-memory before scoring — read-only self-heal, exact by
-    * the additivity of df/n_docs/n_tok over disjoint doc sets.
+    * The root pins the postings version each derived generation was
+    * computed from, so "postings appended but df stale" is
+    * UNOBSERVABLE by construction: a probe resolves the root once and
+    * reads BOTH members at their pins — all-old or all-new, never
+    * postings from one generation scored with df from another. Writers
+    * serialize through the root's CAS ([[syncRoot]]): two concurrent
+    * df folders can never both apply their delta onto the same base
+    * (the lost-update/double-fold race a timestamp or batch-id
+    * handshake alone cannot exclude — the loser FAILS its publish,
+    * re-resolves, and folds only what is still missing). A crash
+    * between the postings commit and the root swing leaves the batch
+    * durable but unpublished; the next append or maintenance folds the
+    * missed dirs' delta (O(missed batches), exact by the additivity of
+    * df/n_docs/n_tok over disjoint doc sets) and publishes both.
     *
     * Every subsequent batch scores with NO text scan and NO df
     * aggregation. df(term) over the whole corpus EQUALS df over the
@@ -202,8 +208,16 @@ object Retrieval {
     * as `q_bm25`, and RetrievalSpec pins frame-level equality incl.
     * under a maxDf cap. */
   def buildIndex(docs: DataFrame, path: String): String = {
-    graft.land.AtomicLanding.commit(tfOf(docs), s"$path/postings")
-    rebuildDerived(docs.sparkSession, path)
+    import graft.land.AtomicLanding
+    val s = docs.sparkSession
+    val pv = AtomicLanding.commit(tfOf(docs), s"$path/postings")
+    derivedRebuilds.incrementAndGet()
+    val dv = AtomicLanding.commit(
+      derivedOf(AtomicLanding.readVersion(s, s"$path/postings", pv)),
+      s"$path/derived")
+    AtomicLanding.publishLinked(path,
+      Map("postings" -> pv, "derived" -> dv),
+      expectedRoot = AtomicLanding.currentRootVersion(path))
     path
   }
 
@@ -220,7 +234,7 @@ object Retrieval {
 
   /** (term, df) rows ∪ the one stats row, from any postings slice —
     * shared by build (whole corpus), the additive delta (one batch
-    * dir), and the read-side heal. Additive by construction: doc sets
+    * dir), and the catch-up fold. Additive by construction: doc sets
     * of distinct postings dirs are disjoint (the append anti-join
     * dedupes at doc granularity and doc ids are immutable), so
     * summing two slices' rows per term — nulls grouping as the stats
@@ -243,54 +257,64 @@ object Retrieval {
         sum(col("n_tok")).as("n_tok"))
       .select(col("term"), col("df"), col("n_docs"), col("n_tok"))
 
-  /** RECOVERY path: re-derive df/stats from the ENTIRE postings table
-    * and publish, stamped with the postings version it matches. Cost
-    * O(index) — only taken when the additive path cannot apply (first
-    * build; derived missing after a crash mid-build; a postings dir
-    * diff that is not a pure append). */
-  def rebuildDerived(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
-    derivedRebuilds.incrementAndGet()
-    val postingsT = s"$indexPath/postings"
-    val pv = graft.land.AtomicLanding.currentVersion(postingsT).getOrElse(
-      throw new IllegalStateException(s"no postings table at $postingsT"))
-    graft.land.AtomicLanding.commit(
-      derivedOf(graft.land.AtomicLanding.readVersion(spark, postingsT, pv)),
-      s"$indexPath/derived", batchId = Some(pv))
-  }
-
-  /** Bring `derived/` up to postings version `toV`. The normal path is
-    * ADDITIVE and O(batch): the manifest diff names exactly the dirs
-    * appended since derived's recorded version, their delta is one
-    * aggregation over THOSE dirs, and the fold touches the
-    * vocabulary-sized derived table — the accumulated postings are
-    * never re-read. Falls back to [[rebuildDerived]] when the diff
-    * removed dirs (compaction/merge rewrote the postings layout) or
-    * derived is missing. No-op when derived is already at (or past —
-    * a concurrent maintainer won) `toV`. */
-  private def advanceDerived(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, toV: Long): Unit = {
+  /** Advance the root until it covers the postings table's LIVE
+    * pointer — the single writer-side maintenance primitive. The
+    * normal path is ADDITIVE and O(missed batches): the manifest diff
+    * names exactly the dirs appended since the root's postings pin,
+    * their delta is one aggregation over THOSE dirs, and the fold
+    * touches the vocabulary-sized derived table — the accumulated
+    * postings are never re-read. Falls back to a full re-derivation
+    * (O(index), [[derivedRebuilds]]-counted) when the dir diff removed
+    * dirs — a compaction/merge rewrote the postings layout out from
+    * under this folder. No-op when the root is already current.
+    *
+    * SERIALIZED BY THE ROOT CAS: the fold window is computed from the
+    * very generation the publish is conditioned on, so a concurrent
+    * folder that wins the CAS first invalidates this one — it
+    * re-resolves and folds only the still-missing window (never
+    * double-applies, never drops). Returns the snapshot it left live. */
+  private def syncRoot(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      beforeRootPublish: () => Unit = () => ()): graft.land.AtomicLanding.LinkedSnapshot = {
+    import graft.land.AtomicLanding
     val postingsT = s"$indexPath/postings"
     val derivedT = s"$indexPath/derived"
-    val fromOpt =
-      if (graft.land.AtomicLanding.currentVersion(derivedT).isEmpty) None
-      else graft.land.AtomicLanding.lastBatchId(derivedT)
-    fromOpt match {
-      case Some(f) if f >= toV => ()
-      case None => rebuildDerived(spark, indexPath)
-      case Some(f) =>
-        val (added, removed) = graft.land.ChangeFeed.dirDelta(postingsT, f, toV)
-        if (removed.nonEmpty) rebuildDerived(spark, indexPath)
+    while (true) {
+      val snap = AtomicLanding.linkedSnapshot(indexPath).getOrElse(
+        throw new IllegalStateException(s"no BM25 index at $indexPath"))
+      val pLive = AtomicLanding.currentVersion(postingsT).getOrElse(
+        throw new IllegalStateException(s"no postings table at $postingsT"))
+      val pPin = snap.members("postings")
+      if (pLive == pPin) return snap
+      val (added, removed) =
+        graft.land.ChangeFeed.dirDelta(postingsT, pPin, pLive)
+      val dv =
+        if (removed.nonEmpty) {
+          derivedRebuilds.incrementAndGet()
+          AtomicLanding.commit(
+            derivedOf(AtomicLanding.readVersion(spark, postingsT, pLive)),
+            derivedT)
+        } else if (added.isEmpty) snap.members("derived") // pure repin
         else {
           dfDeltaPostingDirs.addAndGet(added.size)
-          val old = graft.land.AtomicLanding.read(spark, derivedT)
-          val next =
-            if (added.isEmpty) old
-            else foldDerived(old,
-              derivedOf(spark.read.parquet(added.map(d => s"$postingsT/$d"): _*)))
-          graft.land.AtomicLanding.commit(next, derivedT, batchId = Some(toV))
+          AtomicLanding.commit(foldDerived(
+            AtomicLanding.readVersion(spark, derivedT, snap.members("derived")),
+            derivedOf(spark.read.parquet(added.map(d => s"$postingsT/$d"): _*))),
+            derivedT)
         }
+      try {
+        AtomicLanding.publishLinked(indexPath,
+          Map("postings" -> pLive, "derived" -> dv),
+          expectedRoot = Some(snap.rootVersion),
+          beforePublish = beforeRootPublish)
+        return AtomicLanding.linkedSnapshot(indexPath).get
+      } catch {
+        // a concurrent appender/maintainer advanced the root first: its
+        // publish covered ITS window; re-resolve and fold what remains
+        case _: java.util.ConcurrentModificationException => ()
+      }
     }
+    sys.error("unreachable")
   }
 
   /** Index MAINTENANCE for a long-running retrieval session: append a
@@ -305,30 +329,28 @@ object Retrieval {
     * carries).
     *
     * df/stats maintenance is the ADDITIVE delta, O(batch) per append:
-    * the postings commit publishes first (atomic), then
-    * [[advanceDerived]] folds just the committed dir into `derived/`
-    * and stamps it with the new postings version. A crash between the
-    * two commits cannot be observed — the version handshake makes every
-    * later reader and maintainer fold or rebuild the missing delta
-    * themselves (see the [[buildIndex]] scaladoc) — and
-    * [[rebuildDerived]] remains the recovery path when the postings
-    * layout changed by more than appends. `beforePublish` is
-    * [[graft.land.AtomicLanding.commit]]'s test seam, passed through so
-    * specs can probe the index mid-append.
+    * the postings commit publishes first (atomic), then [[syncRoot]]
+    * folds just the committed dir into `derived/` and CAS-publishes
+    * the root pinning both new versions. A crash between the postings
+    * commit and the root swing cannot corrupt anything — probes keep
+    * the previous consistent generation, and the next append or
+    * maintenance folds the missed delta itself (O(missed batches)).
+    * `beforePublish` is [[graft.land.AtomicLanding.commit]]'s test
+    * seam on the postings commit; `beforeRootPublish` is the root
+    * swing's, so specs can probe the index from inside either crash
+    * window.
     *
     * The grown index scores bit-identically to a fresh [[buildIndex]]
     * over the union corpus — value-gated by `q_bm25_grown` (which
     * shares `q_bm25`'s oracle) and frame-asserted in RetrievalSpec. */
   def addToIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, docs: DataFrame,
-      beforePublish: () => Unit = () => ()): String = {
+      beforePublish: () => Unit = () => (),
+      beforeRootPublish: () => Unit = () => ()): String = {
     val postingsT = s"$indexPath/postings"
-    // heal first: a predecessor that crashed between its postings
-    // commit and its derived refresh left derived behind — catch up
-    // (O(missed batches)) so OUR delta folds onto current state
-    advanceDerived(spark, indexPath,
-      graft.land.AtomicLanding.currentVersion(postingsT).getOrElse(
-        throw new IllegalStateException(s"no postings table at $postingsT")))
+    // dedupe against ALL durable postings — the LIVE pointer, which may
+    // run ahead of the root pin when a predecessor crashed before its
+    // root swing; re-appending that batch must not duplicate rows
     val live = graft.land.AtomicLanding.read(spark, postingsT)
       .select(col("doc_id"), col("term"))
     val batch = tfOf(docs)
@@ -339,10 +361,13 @@ object Retrieval {
       .persist()
     try {
       if (!batch.isEmpty) {
-        val pv = graft.land.AtomicLanding.commit(batch, postingsT,
+        graft.land.AtomicLanding.commit(batch, postingsT,
           append = true, beforePublish = beforePublish)
-        advanceDerived(spark, indexPath, pv)
+        ()
       }
+      // fold our dir (and any crashed predecessor's) into derived and
+      // publish — also the pure-heal path when our batch was a replay
+      syncRoot(spark, indexPath, beforeRootPublish)
     } finally batch.unpersist()
     indexPath
   }
@@ -353,27 +378,32 @@ object Retrieval {
     * unmaintained session decays into the streaming small-file problem
     * plus unbounded superseded snapshots.
     *
-    *  1. catch `derived/` up (a crashed predecessor's missed delta);
+    *  1. [[syncRoot]] — fold a crashed predecessor's missed delta and
+    *     bring the root's postings pin to the live pointer;
     *  2. fold the small-postings-dir tail through
-    *     [[graft.land.AtomicLanding.compactSmall]] — body dirs above
-    *     `smallBytes` are never rewritten, and a concurrent append
-    *     lands safely via the compaction rebase;
-    *  3. RESTAMP `derived/` at the compacted postings version WITHOUT
-    *     rebuilding: compaction preserves rows, so df/stats content is
-    *     unchanged — only the version handshake moves. A concurrent
-    *     append that rode the compaction's rebase is folded additively
-    *     (the fold output is the manifest's LAST dir line by commit
-    *     construction, so the ridden-along dirs are identifiable and
-    *     their delta is O(those batches));
-    *  4. vacuum both tables' superseded generations (grace-protected
-    *     for live writers — but like any vacuum, a probe still holding
-    *     a superseded snapshot older than this maintenance loses it:
-    *     the Delta retention trade).
+    *     [[graft.land.AtomicLanding.compactSmallFrom]] pinned to the
+    *     just-synced base — body dirs above `smallBytes` are never
+    *     rewritten; an append landing between the sync and the fold
+    *     planning fails the pin loudly (re-sync and retry) so a
+    *     not-yet-folded batch can NEVER be swallowed into the fold
+    *     output, while an append landing DURING the fold rides the
+    *     compaction rebase and is identifiable (everything in the new
+    *     manifest that is neither kept-from-base nor the reported fold
+    *     dir) — its df delta folds additively, O(those batches);
+    *  3. CAS-publish the root pinning the compacted postings and the
+    *     (content-identical, possibly extended) derived generation — a
+    *     concurrent appender that wins the CAS first simply sends this
+    *     maintainer back to step 1;
+    *  4. [[graft.land.AtomicLanding.vacuumLinked]]: superseded root
+    *     generations plus quiescence-guarded member vacuums
+    *     (grace-protected for live writers — but like any vacuum, a
+    *     probe still holding a superseded snapshot older than this
+    *     maintenance loses it: the Delta retention trade).
     *
-    * Concurrent probes and appends are safe; run ONE maintainer at a
-    * time (snapshot-replacing maintenance is single-writer, and a
-    * concurrent rewrite skips the fold — best-effort, the next run
-    * retries). Returns the vacuum-reclaimed paths. */
+    * Concurrent probes, appends, AND other maintainers are all safe —
+    * every publish is a root CAS, so the losing writer of any race
+    * recomputes instead of double-applying or dropping a delta.
+    * Returns the vacuum-reclaimed paths. */
   def maintainIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, smallBytes: Long = 64L * 1024 * 1024,
       reservationGraceMs: Long = 600000L,
@@ -381,36 +411,59 @@ object Retrieval {
     import graft.land.AtomicLanding
     val postingsT = s"$indexPath/postings"
     val derivedT = s"$indexPath/derived"
-    val v0 = AtomicLanding.currentVersion(postingsT).getOrElse(
-      throw new IllegalStateException(s"no postings table at $postingsT"))
-    advanceDerived(spark, indexPath, v0)
-    val v1 =
-      try AtomicLanding.compactSmall(spark, postingsT, smallBytes,
-        beforeCommit = beforeFoldCommit)
-      catch { case _: java.util.ConcurrentModificationException => v0 }
-    if (v1 > v0) {
-      val before = AtomicLanding.dirsOfVersion(postingsT, v0).toSet
-      val after = AtomicLanding.dirsOfVersion(postingsT, v1)
-      val foldDir = after.last
-      val extras = after.filterNot(d => before.contains(d) || d == foldDir)
-      val base = AtomicLanding.read(spark, derivedT)
-      dfDeltaPostingDirs.addAndGet(extras.size)
-      val next =
-        if (extras.isEmpty) base
-        else foldDerived(base,
-          derivedOf(spark.read.parquet(extras.map(d => s"$postingsT/$d"): _*)))
-      AtomicLanding.commit(next, derivedT, batchId = Some(v1))
+    var done = false
+    while (!done) {
+      val snap = syncRoot(spark, indexPath)
+      val pv = snap.members("postings")
+      val folded =
+        try Some(AtomicLanding.compactSmallFrom(spark, postingsT, smallBytes,
+          expectedBase = Some(pv), beforeCommit = beforeFoldCommit))
+        catch {
+          // an append moved postings past our sync, or a concurrent
+          // rewrite landed mid-fold — re-sync and retry the fold
+          case _: java.util.ConcurrentModificationException => None
+        }
+      folded match {
+        case None => ()
+        case Some(f) if f.foldDir.isEmpty => done = true // nothing to fold
+        case Some(f) =>
+          val fd = f.foldDir.get
+          val baseDirs = AtomicLanding.dirsOfVersion(postingsT, pv).toSet
+          val carried = AtomicLanding.dirsOfVersion(postingsT, f.version)
+            .filterNot(d => baseDirs.contains(d) || d == fd)
+          val dv =
+            if (carried.isEmpty) snap.members("derived")
+            else {
+              dfDeltaPostingDirs.addAndGet(carried.size)
+              AtomicLanding.commit(foldDerived(
+                AtomicLanding.readVersion(spark, derivedT,
+                  snap.members("derived")),
+                derivedOf(spark.read.parquet(
+                  carried.map(d => s"$postingsT/$d"): _*))),
+                derivedT)
+            }
+          try {
+            AtomicLanding.publishLinked(indexPath,
+              Map("postings" -> f.version, "derived" -> dv),
+              expectedRoot = Some(snap.rootVersion))
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+      }
     }
-    AtomicLanding.vacuum(postingsT, futureGraceMs = reservationGraceMs) ++
-      AtomicLanding.vacuum(derivedT, futureGraceMs = reservationGraceMs)
+    AtomicLanding.vacuumLinked(indexPath, futureGraceMs = reservationGraceMs)
   }
 
   /** Score a query batch from a [[buildIndex]] index. Same output
     * contract and same bits as [[bm25TopK]] on the indexed corpus.
-    * Reads are snapshot-isolated (ACID pointer) and SELF-HEALING: when
-    * derived's recorded version trails the postings pointer (the crash
-    * window), the missing dirs' delta folds in-memory — the probe is
-    * exact without writing anything. */
+    * ONE root resolution pins BOTH members, so the probe is
+    * snapshot-isolated against every concurrent append, fold, and
+    * compaction — and needs none of the read-side healing a two-pointer
+    * layout would: the pinned derived was derived from exactly the
+    * pinned postings, by the writer protocol's invariant. (A batch a
+    * crashed appender committed but never published is simply not yet
+    * visible — the next writer folds and publishes it.) */
   def bm25TopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -419,27 +472,13 @@ object Retrieval {
       idfScale: Long = 1000L,
       broadcastQueries: Boolean = true,
       maxDf: Option[Long] = None): DataFrame = {
-    val postingsT = s"$indexPath/postings"
-    val derivedT = s"$indexPath/derived"
-    val pv = graft.land.AtomicLanding.currentVersion(postingsT).getOrElse(
+    import graft.land.AtomicLanding
+    val snap = AtomicLanding.linkedSnapshot(indexPath).getOrElse(
       throw new IllegalStateException(s"no BM25 index at $indexPath"))
-    val postings = graft.land.AtomicLanding.readVersion(spark, postingsT, pv)
-    val derived =
-      (if (graft.land.AtomicLanding.currentVersion(derivedT).isEmpty) None
-       else graft.land.AtomicLanding.lastBatchId(derivedT)) match {
-        case Some(dv) if dv == pv =>
-          graft.land.AtomicLanding.read(spark, derivedT)
-        case Some(dv) if dv < pv =>
-          val (added, removed) = graft.land.ChangeFeed.dirDelta(postingsT, dv, pv)
-          if (removed.nonEmpty) derivedOf(postings)
-          else if (added.isEmpty) graft.land.AtomicLanding.read(spark, derivedT)
-          else foldDerived(graft.land.AtomicLanding.read(spark, derivedT),
-            derivedOf(spark.read.parquet(added.map(d => s"$postingsT/$d"): _*)))
-        // derived missing (crash mid-build) or AHEAD of our postings
-        // snapshot (an append published between our two pointer reads):
-        // derive inline from the snapshot we actually read
-        case _ => derivedOf(postings)
-      }
+    val postings = AtomicLanding.readVersion(spark, s"$indexPath/postings",
+      snap.members("postings"))
+    val derived = AtomicLanding.readVersion(spark, s"$indexPath/derived",
+      snap.members("derived"))
     scoreTopK(postings,
       dfPre = Some(derived.where(col("term").isNotNull)
         .select(col("term"), col("df"))),

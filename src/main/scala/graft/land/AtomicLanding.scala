@@ -544,7 +544,24 @@ object AtomicLanding {
       expectedVersion: Option[Long] = None,
       statsKeys: Seq[String] = Nil,
       knownRanges: Map[(String, String), (String, String, String)] = Map.empty,
-      rebaseAppends: Seq[String] => Boolean = _ => false): Long = {
+      rebaseAppends: Seq[String] => Boolean = _ => false): Long =
+    commitCore(df, table, append, beforePublish, batchId, maxConflictWaitMs,
+      keepDirs, evolveSchema, expectedVersion, statsKeys, knownRanges,
+      rebaseAppends)._1
+
+  /** [[commit]] plus the manifest-relative name of the dir this commit
+    * wrote — what [[compactSmallFrom]] needs to tell its fold output
+    * apart from concurrently-appended dirs that rode the rebase. */
+  private def commitCore(df: DataFrame, table: String, append: Boolean = false,
+      beforePublish: () => Unit = () => (),
+      batchId: Option[Long] = None,
+      maxConflictWaitMs: Long = 30000L,
+      keepDirs: Seq[String] = Nil,
+      evolveSchema: Boolean = false,
+      expectedVersion: Option[Long] = None,
+      statsKeys: Seq[String] = Nil,
+      knownRanges: Map[(String, String), (String, String, String)] = Map.empty,
+      rebaseAppends: Seq[String] => Boolean = _ => false): (Long, String) = {
     val fs = fsOf(hp(table))
 
     // schema enforcement (Delta's rule): an append may never silently
@@ -557,9 +574,16 @@ object AtomicLanding {
     // schema a concurrent evolveSchema append may have just changed, so
     // a stale pre-loop schema would silently drop the evolved column
     // from the manifest it records.
-    def enforcedSchema(): org.apache.spark.sql.types.StructType = {
+    // `carried` = concurrently-appended dirs riding a rebase: their
+    // rows may carry a column evolveSchema added AFTER the rewrite's
+    // base snapshot, and the LIVE manifest's schema line (not the base
+    // df's schema) is the only record of it — recording the base schema
+    // would drop the evolved column, making every later append fail
+    // enforcement while the data silently drifts from the schema line.
+    def enforcedSchema(carried: Seq[String]): org.apache.spark.sql.types.StructType = {
       val liveSch: Option[org.apache.spark.sql.types.StructType] =
-        if (append || keepDirs.nonEmpty) liveSchema(df.sparkSession, table) else None
+        if (append || keepDirs.nonEmpty || carried.nonEmpty)
+          liveSchema(df.sparkSession, table) else None
       if (append) liveSch.foreach { live =>
         live.foreach { f =>
           val inc = df.schema.find(_.name == f.name).getOrElse(
@@ -655,7 +679,7 @@ object AtomicLanding {
       } yield rangeLine(d, k, r)
       val lines = batchId.orElse(lastBatchId(table))
         .map(b => s"# batch $b").toSeq ++
-        Seq(s"# schema ${enforcedSchema().json}") ++ rangeLs ++ dirs
+        Seq(s"# schema ${enforcedSchema(carried).json}") ++ rangeLs ++ dirs
       reserved = reserveManifest(fs,
         hp(table, "manifests", manifestName(next)), lines.mkString("\n"))
       if (!reserved) {
@@ -689,7 +713,7 @@ object AtomicLanding {
         catch { case _: Throwable => () }
         throw t
     }
-    next
+    (next, s"data/$dirName")
   }
 
   /** Streaming sink body: commit every micro-batch as an atomic append
@@ -773,15 +797,47 @@ object AtomicLanding {
     * publish. */
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
       numFiles: Int = 1,
-      beforeCommit: () => Unit = () => ()): Long = {
+      beforeCommit: () => Unit = () => ()): Long =
+    compactSmallFrom(spark, table, smallBytes, numFiles,
+      beforeCommit = beforeCommit).version
+
+  /** What a [[compactSmallFrom]] run did: the published (or unchanged)
+    * version, and — ONLY when a fold actually committed — the
+    * manifest-relative name of the merged output dir. Derived-state
+    * maintainers (BM25's df fold) need both: `foldDir.isEmpty` means no
+    * restamp is due even if `version` advanced (a concurrent append
+    * moved the pointer, not this compaction), and when a fold did
+    * commit, every OTHER new dir in the published manifest is a
+    * concurrent append that rode the rebase and still owes its delta. */
+  final case class SmallCompaction(version: Long, foldDir: Option[String])
+
+  /** [[compactSmall]] with an explicit base: the small-dir tail is
+    * partitioned over `dirsOfVersion(expectedBase)` — the exact snapshot
+    * the caller's derived state covers — never over a live listing that
+    * a concurrent append may have just grown. A dir appended after
+    * `expectedBase` therefore can NEVER be folded into the output (it
+    * rides the commit's rebase verbatim instead), which is what makes
+    * the returned accounting exact: fold output rows == the folded base
+    * dirs' rows, carried dirs == exactly the appends still owing their
+    * derived delta. Throws ConcurrentModificationException when the
+    * table moved past `expectedBase` before the fold was even planned
+    * (the caller re-syncs and retries) or when a concurrent REWRITE
+    * landed during the fold; concurrent APPENDS rebase as before. */
+  def compactSmallFrom(spark: SparkSession, table: String, smallBytes: Long,
+      numFiles: Int = 1,
+      expectedBase: Option[Long] = None,
+      beforeCommit: () => Unit = () => ()): SmallCompaction = {
     val fs = fsOf(hp(table))
-    val base = currentVersion(table)
-    val (small, big) = liveDirs(table).partition { d =>
+    val base = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $table"))
+    expectedBase.foreach { e =>
+      if (e != base) throw new java.util.ConcurrentModificationException(
+        s"$table is at version $base, not the expected $e — re-sync and retry")
+    }
+    val (small, big) = dirsOfVersion(table, base).partition { d =>
       fs.getContentSummary(hp(table, d)).getLength <= smallBytes
     }
-    if (small.size < 2)
-      base.getOrElse(
-        throw new IllegalStateException(s"no committed snapshot at $table"))
+    if (small.size < 2) SmallCompaction(base, None)
     else {
       // mergeSchema for the same reason as compact(): an evolved column
       // present in only some of the small dirs must survive the fold
@@ -789,8 +845,9 @@ object AtomicLanding {
         .parquet(small.map(d => s"$table/$d"): _*)
         .coalesce(numFiles)
       beforeCommit()
-      commit(merged, table, keepDirs = big,
-        expectedVersion = base, rebaseAppends = _ => true)
+      val (v, newDir) = commitCore(merged, table, keepDirs = big,
+        expectedVersion = Some(base), rebaseAppends = _ => true)
+      SmallCompaction(v, Some(newDir))
     }
   }
 
@@ -872,5 +929,169 @@ object AtomicLanding {
           fs.delete(s.getPath, true); s.getPath.toString
         }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Linked-table root: ONE pointer naming a consistent version per member
+  // table.
+  //
+  // Every persisted index in the engine is a SET of tables that must
+  // publish together: BM25 is postings + derived df/stats, IVF is
+  // centroids + inverted lists, IVF-PQ is four quantizer/code/norm parts.
+  // Committing the parts through their own pointers leaves two torn
+  // states no single-table protocol can exclude: a reader that resolves
+  // part A's NEW generation and part B's OLD one (silent wrong answers —
+  // centroids from one training run scoring codes from another), and a
+  // crash between the part commits that makes the mix DURABLE. The root
+  // closes both: member tables commit first (each returned version is a
+  // generation id; until the root swings they are unreachable staging,
+  // not data), then one root manifest pinning every member's version
+  // publishes through the same reserve-slot + pointer-swing protocol as
+  // a table commit. Readers resolve the root once and read every member
+  // AT ITS PINNED VERSION — either all-old or all-new, never a mix, no
+  // matter what lands concurrently.
+  //
+  // Optimistic concurrency composes the same way as table commits: the
+  // exclusive create of root slot r-(v+1) serializes publishers, and
+  // `expectedRoot` turns the swing into a CAS — a maintainer that folded
+  // derived state from root generation v publishes with
+  // expectedRoot = Some(v) and FAILS (ConcurrentModificationException)
+  // if another writer advanced the root first, so two concurrent
+  // folders can never both apply their delta onto the same base (the
+  // lost-update/double-fold race a batchId handshake alone cannot
+  // exclude). Member-version monotonicity is the caller's contract:
+  // members only ever advance, so a retried publisher re-reads the root
+  // and recomputes its delta window from the winner's pins.
+  //
+  // At 100 TB the root costs nothing per query: it is one small text
+  // file naming a handful of versions — no Spark job, no data pass —
+  // and it makes index maintenance (compaction, df folds, retrains)
+  // publishable in O(metadata) regardless of corpus size.
+  // ---------------------------------------------------------------------
+
+  private val RootPointer = "_ROOT"
+
+  private def rootName(v: Long): String = f"r-$v%010d"
+
+  /** A resolved root generation: every member table's pinned version. */
+  final case class LinkedSnapshot(rootVersion: Long, members: Map[String, Long])
+
+  /** The published root generation, if any publish ever completed. */
+  def currentRootVersion(root: String): Option[Long] = {
+    val p = hp(root, RootPointer)
+    val fs = fsOf(p)
+    if (fs.exists(p)) Some(readUtf8(fs, p).trim.stripPrefix("r-").toLong)
+    else None
+  }
+
+  /** Resolve the live root generation to its member pins — ONE read;
+    * every member then reads via [[readVersion]] at its pin, so the
+    * whole multi-table index is snapshot-isolated against concurrent
+    * publishes. */
+  def linkedSnapshot(root: String): Option[LinkedSnapshot] =
+    currentRootVersion(root).map { v =>
+      val p = hp(root, "roots", rootName(v))
+      val members = readUtf8(fsOf(p), p).split("\n").toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val i = l.lastIndexOf(' ')
+          l.substring(0, i) -> l.substring(i + 1).toLong
+        }.toMap
+      LinkedSnapshot(v, members)
+    }
+
+  /** Publish a consistent member-version set as the next root
+    * generation. Members must already be committed [[AtomicLanding]]
+    * tables under `root/<member>` — this writes ONLY the root manifest
+    * and swings ONLY the root pointer (no data moves). `expectedRoot =
+    * Some(v)` is the CAS: the publish fails with
+    * ConcurrentModificationException unless this generation directly
+    * succeeds `v` — the caller recomputes from the fresh snapshot and
+    * retries. A crash before the swing leaves the previous generation
+    * live and the reserved slot as vacuumable garbage ([[vacuumLinked]]
+    * heals it, grace-protected for live publishers). `beforePublish`
+    * is the test seam between reservation and the pointer swing. */
+  def publishLinked(root: String, members: Map[String, Long],
+      expectedRoot: Option[Long] = None,
+      beforePublish: () => Unit = () => (),
+      maxConflictWaitMs: Long = 30000L): Long = {
+    require(members.nonEmpty, "a linked root needs at least one member")
+    members.keys.foreach(m => require(
+      m.nonEmpty && !m.exists(c => c == '\n' || c == '\r'),
+      s"bad member name '$m'"))
+    val fs = fsOf(hp(root))
+    var next = currentRootVersion(root).getOrElse(-1L) + 1L
+    var waitedMs = 0L
+    var reserved = false
+    while (!reserved) {
+      expectedRoot.foreach { e =>
+        if (next != e + 1L) throw new java.util.ConcurrentModificationException(
+          s"$root moved to generation ${next - 1} while this publisher worked " +
+            s"from generation $e — recompute from the live snapshot and retry")
+      }
+      val lines = members.toSeq.sortBy(_._1).map { case (m, v) => s"$m $v" }
+      reserved = reserveManifest(fs,
+        hp(root, "roots", rootName(next)), lines.mkString("\n"))
+      if (!reserved) {
+        require(waitedMs < maxConflictWaitMs,
+          s"root generation $next of $root has been reserved by another " +
+            s"publisher for >${maxConflictWaitMs}ms — a publish is in flight " +
+            "or its writer died (vacuumLinked() reclaims the orphaned slot)")
+        Thread.sleep(25); waitedMs += 25
+        currentRootVersion(root).foreach(cv => if (cv >= next) next = cv + 1L)
+      }
+    }
+    try {
+      beforePublish()
+      PointerStore.forPointer(fs, hconf, hp(root, RootPointer))
+        .publish(rootName(next))
+    } catch {
+      case t: Throwable =>
+        try fs.delete(hp(root, "roots", rootName(next)), false)
+        catch { case _: Throwable => () }
+        throw t
+    }
+    next
+  }
+
+  /** Read one member at the version the live root pins. */
+  def readLinkedMember(spark: SparkSession, root: String,
+      member: String): DataFrame = {
+    val snap = linkedSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no published root at $root"))
+    readVersion(spark, s"$root/$member",
+      snap.members.getOrElse(member,
+        throw new IllegalArgumentException(
+          s"root $root pins no member '$member' (has ${snap.members.keys.mkString(", ")})")))
+  }
+
+  /** Reclaim superseded root generations and — QUIESCENCE-GUARDED —
+    * superseded member generations: a member is vacuumed only when its
+    * own pointer sits exactly at the live root's pin, because a member
+    * that ran AHEAD (a crashed publish, or one in flight) still needs
+    * its pinned manifest, which [[vacuum]] would reclaim. A positive
+    * grace makes this safe alongside live publishers (their reserved
+    * future root slots survive, same rule as [[vacuum]]). */
+  def vacuumLinked(root: String, futureGraceMs: Long = 0L): Seq[String] = {
+    val fs = fsOf(hp(root))
+    val cur = currentRootVersion(root)
+    val now = System.currentTimeMillis()
+    val dir = hp(root, "roots")
+    val roots: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq else Nil
+    val removedRoots = roots.filterNot { s =>
+      val v = s.getPath.getName.stripPrefix("r-")
+      cur.map(rootName).contains(s.getPath.getName) ||
+        (futureGraceMs > 0 && now - s.getModificationTime < futureGraceMs &&
+          v.forall(_.isDigit) && cur.forall(_ < v.toLong))
+    }.map { s => fs.delete(s.getPath, false); s.getPath.toString }
+    val removedMembers = linkedSnapshot(root).toSeq
+      .flatMap(_.members.toSeq).flatMap { case (m, pinned) =>
+        val t = s"$root/$m"
+        if (currentVersion(t).contains(pinned))
+          vacuum(t, futureGraceMs = futureGraceMs)
+        else Nil
+      }
+    removedRoots ++ removedMembers
   }
 }

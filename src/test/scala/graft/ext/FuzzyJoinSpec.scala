@@ -149,6 +149,13 @@ class FuzzyJoinSpec extends AnyFunSuite {
       sampleFraction = 0.5).engages, "sampled dense census must engage")
     assert(!FuzzyJoin.recommendMaxBucket(sparse, "name", 2,
       sampleFraction = 0.5).engages, "sampled sparse census must stay inert")
+
+    // an EMPTY census (no keys, or a sample that came back empty) has
+    // no evidence to size a cap from: the advice must be inert, not NPE
+    val empty = base.where(col("id") < 0)
+    val eAdvice = FuzzyJoin.recommendMaxBucket(empty, "name", 2)
+    assert(!eAdvice.engages && eAdvice.cap == Long.MaxValue)
+    assert(eAdvice.quantileObserved == 0L && eAdvice.maxObserved == 0L)
   }
 
   test("addToSigIndex: a crashed append publishes NOTHING; the retry lands the whole batch") {

@@ -149,6 +149,10 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
 
     // the sampled census reaches the same verdict (the 100-TB path)
     assert(Retrieval.recommendMaxDf(stopCorpus, sampleFraction = 0.5).engages)
+
+    // an empty corpus (or empty sample) yields inert advice, never NPE
+    val eAdvice = Retrieval.recommendMaxDf(stopCorpus.where(col("doc_id") < 0))
+    assert(!eAdvice.engages && eAdvice.cap == Long.MaxValue)
   }
 
   test("indexed path is bit-identical to inline, incl. capped and shuffle duals") {

@@ -386,6 +386,34 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(df2.filter(col("extra") === 7L).count() == 1)
   }
 
+  test("a rebase carries a concurrently-EVOLVED column into the recorded schema") {
+    import spark.implicits._
+    // an evolveSchema append riding a compaction's rebase: the carried
+    // dir holds a column the rewrite's base snapshot never saw, and the
+    // published manifest's schema line must record it — otherwise later
+    // appends carrying the column fail enforcement while the recorded
+    // schema silently drifts from the live data
+    val table = freshTable()
+    AtomicLanding.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), table)
+    AtomicLanding.commit(Seq((3L, "c")).toDF("id", "name"), table, append = true)
+    val v = AtomicLanding.compact(spark, table, numFiles = 1,
+      beforeCommit = () => {
+        AtomicLanding.commit(Seq((4L, "d", 0.5)).toDF("id", "name", "score"),
+          table, append = true, evolveSchema = true); ()
+      })
+    assert(AtomicLanding.dirsOfVersion(table, v).size == 2) // fold + carried
+    val sch = AtomicLanding.liveSchema(spark, table).get
+    assert(sch.fieldNames.contains("score"),
+      s"the evolved column must survive the rebase's schema line: $sch")
+    // enforcement now accepts appends that carry the evolved column...
+    AtomicLanding.commit(Seq((5L, "e", 1.5)).toDF("id", "name", "score"),
+      table, append = true)
+    // ...and the data is all there
+    val df = AtomicLanding.read(spark, table, mergeSchema = true)
+    assert(df.count() == 5)
+    assert(df.filter(col("score").isNotNull).count() == 2)
+  }
+
   test("vacuum with a grace period spares a concurrent writer's live reservation and staged data") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")
