@@ -217,43 +217,60 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
   }
 
   test("crash between postings commit and derived refresh is unobservable") {
-    // the crash window the version handshake closes: postings advanced,
-    // derived still stamped with the previous version. Probes self-heal
-    // read-only; the next maintenance catches derived up additively.
+    // the crash window the LinkedRoot closes: an appender committed its
+    // postings batch but died before the root swing. The root pin is
+    // unchanged, so probes read the all-old pinned generation (exact,
+    // read-only); the next writer folds the orphaned dir additively.
+    import graft.land.AtomicLanding
     val base = java.nio.file.Files
       .createTempDirectory("graft-bm25crash").toString
     Retrieval.buildIndex(corpus, s"$base/grown")
     val batch3 = Seq((6L, "query planner dogs")).toDF("doc_id", "text")
+    val root0 = AtomicLanding.linkedSnapshot(s"$base/grown").get
 
-    // stage the crash state: commit batch3's postings WITHOUT the
-    // derived refresh (a fresh side index supplies the exact rows a
-    // crashed addToIndex would have committed)
-    Retrieval.buildIndex(batch3, s"$base/side")
-    graft.land.AtomicLanding.commit(
-      graft.land.AtomicLanding.read(spark, s"$base/side/postings"),
-      s"$base/grown/postings", append = true)
-    assert(graft.land.AtomicLanding.lastBatchId(s"$base/grown/derived")
-      .contains(0L), "derived must still be stamped with the old version")
+    // stage the crash through the protocol's OWN seam: addToIndex dies
+    // between its postings commit and the root publish
+    final class Crash extends RuntimeException("die before root swing")
+    intercept[Crash] {
+      Retrieval.addToIndex(spark, s"$base/grown", batch3,
+        beforeRootPublish = () => throw new Crash)
+    }
+    // postings' live pointer ran AHEAD of the root pin...
+    val snap1 = AtomicLanding.linkedSnapshot(s"$base/grown").get
+    assert(snap1.rootVersion == root0.rootVersion &&
+      snap1.members == root0.members,
+      "a crash before the root swing must leave the root pin unchanged")
+    assert(AtomicLanding.currentVersion(s"$base/grown/postings").get >
+      snap1.members("postings"),
+      "the crashed batch's postings commit is durable but unreachable")
 
-    // (a) a probe during the window is EXACT: read-only self-heal
+    // (a) a probe during the window is EXACT at the pinned (old)
+    // generation — batch3 is invisible until a writer publishes it
     val queries = q(0L -> "spark the query planner", 1L -> "dogs chase")
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("query_id", "rnk").collect().toSeq
-    Retrieval.buildIndex(corpus.unionByName(batch3), s"$base/fresh6")
+    Retrieval.buildIndex(corpus, s"$base/fresh5")
     assert(canon(Retrieval.bm25TopKIndexed(spark, s"$base/grown", queries, k = 3)) ==
-      canon(Retrieval.bm25TopKIndexed(spark, s"$base/fresh6", queries, k = 3)),
-      "a probe inside the crash window must score exactly")
-    // ...and it wrote nothing: derived is still stale after the probe
-    assert(graft.land.AtomicLanding.lastBatchId(s"$base/grown/derived")
-      .contains(0L), "the probe's heal must be read-only")
+      canon(Retrieval.bm25TopKIndexed(spark, s"$base/fresh5", queries, k = 3)),
+      "a probe inside the crash window must score exactly at the pinned generation")
+    // ...and it published nothing: the root is untouched after the probe
+    assert(AtomicLanding.linkedSnapshot(s"$base/grown").get == snap1,
+      "the probe must be read-only (no root swing, no member commit)")
 
-    // (b) the next maintenance heals ADDITIVELY (no full rebuild), then
-    // lands its own batch: end state == fresh build over everything
+    // (b) the next append folds the orphaned dir ADDITIVELY (no
+    // rebuild; exactly batch3's dir + its own), then publishes: end
+    // state == fresh build over everything
     val rebuilds0 = Retrieval.derivedRebuilds.get()
+    val dirs0 = Retrieval.dfDeltaPostingDirs.get()
     val batch4 = Seq((7L, "ball engines nothing")).toDF("doc_id", "text")
     Retrieval.addToIndex(spark, s"$base/grown", batch4)
     assert(Retrieval.derivedRebuilds.get() == rebuilds0,
       "healing a missed append must stay on the additive path")
+    assert(Retrieval.dfDeltaPostingDirs.get() - dirs0 == 2,
+      "the fold must read exactly the orphaned dir plus the new batch's dir")
+    assert(AtomicLanding.linkedSnapshot(s"$base/grown").get.members("postings") ==
+      AtomicLanding.currentVersion(s"$base/grown/postings").get,
+      "the healing append must pin the root at the live postings version")
     Retrieval.buildIndex(corpus.unionByName(batch3).unionByName(batch4),
       s"$base/fresh7")
     def part(p: String, sub: String) =
@@ -280,9 +297,13 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(graft.land.AtomicLanding.liveDirCount(s"$idx/postings") == 1)
     assert(Retrieval.derivedRebuilds.get() == rebuilds0,
       "maintenance must not pay the O(index) rebuild for a row-preserving fold")
-    assert(graft.land.AtomicLanding.lastBatchId(s"$idx/derived")
-      .contains(graft.land.AtomicLanding.currentVersion(s"$idx/postings").get),
-      "derived must be stamped at the compacted postings version")
+    val snapM = graft.land.AtomicLanding.linkedSnapshot(idx).get
+    assert(snapM.members("postings") ==
+      graft.land.AtomicLanding.currentVersion(s"$idx/postings").get,
+      "the root must pin postings at the compacted version")
+    assert(snapM.members("derived") ==
+      graft.land.AtomicLanding.currentVersion(s"$idx/derived").get,
+      "the root must pin the live derived generation")
     assert(removed.nonEmpty, "superseded generations must be reclaimed")
 
     // scores after maintenance == a fresh build over the same corpus
