@@ -88,6 +88,12 @@ object Ivf {
     Index(cents, lists)
   }
 
+  /** O(index) dedupe scans taken by id-less [[addToSavedIndex]]
+    * appends — the proof seam that an identified batch (replayed OR
+    * new) never pays the live-lists anti-join. */
+  private[ext] val dedupeListScans =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Append a batch to an existing index WITHOUT retraining: arriving
     * vectors are assigned to the FROZEN coarse quantizer and unioned
     * into the inverted lists — the production ingest shape (the corpus
@@ -237,9 +243,20 @@ object Ivf {
     * embedding is undefined (the same rule every persisted index in
     * the engine carries). `beforePublish` is
     * [[graft.land.AtomicLanding.commit]]'s test seam, passed through
-    * so specs can probe the index mid-append. */
+    * so specs can probe the index mid-append.
+    *
+    * REPLAY COST: `batchId` is the at-least-once ingest's fast path
+    * (the [[graft.land.AtomicLanding.streamSink]] contract — monotone
+    * per checkpointed query, recorded inside the lists manifest in the
+    * same atomic swing as the data). A known-committed id
+    * short-circuits to a pure root heal with ZERO lists reads and no
+    * assign job; a known-new id skips the O(index) dedupe anti-join
+    * (exactly-once comes from the id). Id-less appends keep the
+    * anti-join fallback — exact but O(index) read per append, so a
+    * 100 TB streaming ingest should always carry its micro-batch id. */
   def addToSavedIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame,
+      batchId: Option[Long] = None,
       beforePublish: () => Unit = () => (),
       beforeRootPublish: () => Unit = () => ()): Unit = {
     import graft.land.AtomicLanding
@@ -248,44 +265,65 @@ object Ivf {
     while (!done) {
       val snap = AtomicLanding.linkedSnapshot(indexPath).getOrElse(
         throw new IllegalStateException(s"no saved IVF index at $indexPath"))
-      val cents = centsOf(AtomicLanding.readVersion(spark,
-        s"$indexPath/cents", snap.members("cents")))
-      // dedupe against ALL durable postings — the LIVE lists pointer,
-      // which may run ahead of the root pin when a predecessor crashed
-      // between its lists commit and its root swing; re-appending that
-      // batch must not duplicate its rows
-      val live = AtomicLanding.read(spark, listsT)
-        .select(col("neighbor_id").as("vec_id"))
-      val fresh = batch.join(live, Seq("vec_id"), "left_anti").persist()
-      try {
-        val lNew =
-          if (!fresh.isEmpty)
-            AtomicLanding.commit(
-              assign(fresh, cents).join(fresh, "vec_id")
-                .select(col("vec_id").as("neighbor_id"), col("cid"),
-                  col("embedding").as("ce")),
-              listsT, append = true, beforePublish = beforePublish)
-          else AtomicLanding.currentVersion(listsT).get
-        if (lNew == snap.members("lists")) done = true // true replay no-op
-        else {
-          // CAS the root to the new lists version — ALSO the heal path
-          // for a crashed predecessor's committed-but-unpublished batch.
-          // A CAS loss means a concurrent appender/maintainer advanced
-          // the root first: re-resolve and retry (our lists commit is
-          // durable; the retry's anti-join no-ops and just republishes).
-          try {
-            AtomicLanding.publishLinked(indexPath,
-              Map("cents" -> snap.members("cents"), "lists" -> lNew),
-              expectedRoot = Some(snap.rootVersion),
-              beforePublish = beforeRootPublish)
-            done = true
-          } catch {
-            case _: java.util.ConcurrentModificationException => ()
-          }
-        }
-      } finally fresh.unpersist()
+      if (batchId.exists(b => AtomicLanding.lastBatchId(listsT).exists(_ >= b))) {
+        // known-committed replay: data + id became durable in one
+        // pointer swing — no scan, no assign; just heal the root over
+        // any committed-but-unpublished predecessor generation
+        val lLive = AtomicLanding.currentVersion(listsT).get
+        if (lLive == snap.members("lists")) done = true
+        else done = casRoot(indexPath, snap, lLive, beforeRootPublish)
+      } else {
+        val cents = centsOf(AtomicLanding.readVersion(spark,
+          s"$indexPath/cents", snap.members("cents")))
+        val fresh = (batchId match {
+          case Some(_) =>
+            // identified and known-new: ids are monotone, so nothing of
+            // this batch can be in the lists — skip the O(index) scan
+            batch
+          case None =>
+            // id-less fallback: dedupe against ALL durable lists — the
+            // LIVE pointer, which may run ahead of the root pin when a
+            // predecessor crashed between its lists commit and its root
+            // swing; re-appending that batch must not duplicate rows
+            dedupeListScans.incrementAndGet()
+            val live = AtomicLanding.read(spark, listsT)
+              .select(col("neighbor_id").as("vec_id"))
+            batch.join(live, Seq("vec_id"), "left_anti")
+        }).persist()
+        try {
+          val lNew =
+            if (!fresh.isEmpty)
+              AtomicLanding.commit(
+                assign(fresh, cents).join(fresh, "vec_id")
+                  .select(col("vec_id").as("neighbor_id"), col("cid"),
+                    col("embedding").as("ce")),
+                listsT, append = true, beforePublish = beforePublish,
+                batchId = batchId)
+            else AtomicLanding.currentVersion(listsT).get
+          if (lNew == snap.members("lists")) done = true // true replay no-op
+          else done = casRoot(indexPath, snap, lNew, beforeRootPublish)
+        } finally fresh.unpersist()
+      }
     }
   }
+
+  /** CAS the root's lists pin to `lNew` — ALSO the heal path for a
+    * crashed predecessor's committed-but-unpublished batch. A CAS loss
+    * means a concurrent appender/maintainer advanced the root first:
+    * the caller re-resolves and retries (a durable lists commit
+    * survives the retry; its republish is pure metadata). */
+  private def casRoot(indexPath: String,
+      snap: graft.land.AtomicLanding.LinkedSnapshot, lNew: Long,
+      beforeRootPublish: () => Unit): Boolean =
+    try {
+      graft.land.AtomicLanding.publishLinked(indexPath,
+        Map("cents" -> snap.members("cents"), "lists" -> lNew),
+        expectedRoot = Some(snap.rootVersion),
+        beforePublish = beforeRootPublish)
+      true
+    } catch {
+      case _: java.util.ConcurrentModificationException => false
+    }
 
   /** [[probe]] against a [[buildSavedIndex]] index: same output
     * contract, same bits, no training or assignment — the probe plan

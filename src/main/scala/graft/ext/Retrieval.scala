@@ -231,6 +231,11 @@ object Retrieval {
     * manifest whose dir diff is not a pure append, e.g. compaction). */
   private[ext] val derivedRebuilds =
     new java.util.concurrent.atomic.AtomicLong
+  /** O(index) dedupe scans taken by id-less [[addToIndex]] appends —
+    * the proof seam that an identified batch (replayed OR new) never
+    * pays the live-postings anti-join. */
+  private[ext] val dedupeIndexScans =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** (term, df) rows ∪ the one stats row, from any postings slice —
     * shared by build (whole corpus), the additive delta (one batch
@@ -342,27 +347,59 @@ object Retrieval {
     *
     * The grown index scores bit-identically to a fresh [[buildIndex]]
     * over the union corpus — value-gated by `q_bm25_grown` (which
-    * shares `q_bm25`'s oracle) and frame-asserted in RetrievalSpec. */
+    * shares `q_bm25`'s oracle) and frame-asserted in RetrievalSpec.
+    *
+    * REPLAY COST: `batchId` is the at-least-once ingest's fast path
+    * (the [[graft.land.AtomicLanding.streamSink]] contract: ids are
+    * monotone per checkpointed query and recorded INSIDE the postings
+    * manifest, durable in the same atomic swing as the batch's data).
+    * An id at or below the recorded one is a known-committed replay —
+    * the append short-circuits to a pure [[syncRoot]] heal with ZERO
+    * postings reads and ZERO batch scans; an id above it is known-new,
+    * so the batch commits directly, skipping the O(index) dedupe
+    * anti-join (exactly-once comes from the id, not the scan). Id-less
+    * appends keep the anti-join fallback: exact dedupe at (doc_id,
+    * term) granularity, at O(index) read per append — fine for manual
+    * growth, wrong for a 100 TB streaming ingest, which should always
+    * carry its micro-batch id. */
   def addToIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, docs: DataFrame,
+      batchId: Option[Long] = None,
       beforePublish: () => Unit = () => (),
       beforeRootPublish: () => Unit = () => ()): String = {
+    import graft.land.AtomicLanding
     val postingsT = s"$indexPath/postings"
-    // dedupe against ALL durable postings — the LIVE pointer, which may
-    // run ahead of the root pin when a predecessor crashed before its
-    // root swing; re-appending that batch must not duplicate rows
-    val live = graft.land.AtomicLanding.read(spark, postingsT)
-      .select(col("doc_id"), col("term"))
-    val batch = tfOf(docs)
-      .join(live, Seq("doc_id", "term"), "left_anti")
-      // the anti-join hoists its keys to the front; restore tfOf's
-      // column order so appended files share the index's layout
-      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-      .persist()
+    if (batchId.exists(b => AtomicLanding.lastBatchId(postingsT).exists(_ >= b))) {
+      // known-committed replay: the batch's data and its id became
+      // durable in one pointer swing — nothing to dedupe, nothing to
+      // commit; just heal the root over any orphaned predecessor dirs
+      syncRoot(spark, indexPath, beforeRootPublish)
+      return indexPath
+    }
+    val batch = (batchId match {
+      case Some(_) =>
+        // identified and known-new: ids are monotone, so no prefix of
+        // this batch can be in the index — commit without the dedupe
+        // scan (O(batch), not O(index))
+        tfOf(docs)
+      case None =>
+        // id-less fallback: dedupe against ALL durable postings — the
+        // LIVE pointer, which may run ahead of the root pin when a
+        // predecessor crashed before its root swing; re-appending that
+        // batch must not duplicate rows
+        dedupeIndexScans.incrementAndGet()
+        val live = AtomicLanding.read(spark, postingsT)
+          .select(col("doc_id"), col("term"))
+        tfOf(docs)
+          .join(live, Seq("doc_id", "term"), "left_anti")
+          // the anti-join hoists its keys to the front; restore tfOf's
+          // column order so appended files share the index's layout
+          .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    }).persist()
     try {
       if (!batch.isEmpty) {
-        graft.land.AtomicLanding.commit(batch, postingsT,
-          append = true, beforePublish = beforePublish)
+        AtomicLanding.commit(batch, postingsT, append = true,
+          beforePublish = beforePublish, batchId = batchId)
         ()
       }
       // fold our dir (and any crashed predecessor's) into derived and

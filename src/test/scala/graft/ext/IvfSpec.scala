@@ -260,4 +260,62 @@ class IvfSpec extends AnyFunSuite {
       .select("neighbor_id", "cid").as[(Long, Int)].collect().toSet
     assert(rows(s"$dir/idx") === rows(s"$dir/fresh"))
   }
+
+  test("identified batches: replay heals with zero scans; new ids skip the dedupe anti-join") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfbatchid").toString
+    val idx = s"$dir/idx"
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") < 300), idx,
+      nLists = 16, iters = 0)
+    val batch1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val batch2 = emb.filter(col("vec_id") >= 400)
+
+    // a known-NEW identified batch commits WITHOUT the O(index) scan
+    val scans0 = Ivf.dedupeListScans.get()
+    Ivf.addToSavedIndex(spark, idx, batch1, batchId = Some(1L))
+    assert(Ivf.dedupeListScans.get() == scans0,
+      "an identified batch must never scan the live lists")
+    assert(AtomicLanding.lastBatchId(s"$idx/lists").contains(1L),
+      "the id must be durable inside the lists manifest")
+
+    // replaying the published batch is a zero-cost no-op: no version,
+    // no assign job, no scan of lists OR batch
+    val v1 = AtomicLanding.currentVersion(s"$idx/lists")
+    Ivf.addToSavedIndex(spark, idx, batch1, batchId = Some(1L))
+    assert(AtomicLanding.currentVersion(s"$idx/lists") == v1,
+      "a replayed identified batch must not publish a lists generation")
+    assert(Ivf.dedupeListScans.get() == scans0)
+
+    // crash-replay: batch2's lists commit (id durable) but the root
+    // never swings; the identified retry is a pure root heal
+    final class Crash extends RuntimeException("die before root swing")
+    intercept[Crash] {
+      Ivf.addToSavedIndex(spark, idx, batch2, batchId = Some(2L),
+        beforeRootPublish = () => throw new Crash)
+    }
+    val vLive = AtomicLanding.currentVersion(s"$idx/lists").get
+    assert(AtomicLanding.linkedSnapshot(idx).get.members("lists") < vLive,
+      "the crashed batch must be committed but unpublished")
+    Ivf.addToSavedIndex(spark, idx, batch2, batchId = Some(2L))
+    assert(Ivf.dedupeListScans.get() == scans0,
+      "the crash-replay heal must not scan the live lists")
+    assert(AtomicLanding.currentVersion(s"$idx/lists").contains(vLive),
+      "the heal must republish the durable generation, not re-commit")
+    assert(AtomicLanding.linkedSnapshot(idx).get.members("lists") == vLive)
+
+    // end state == a fresh one-shot build over the full corpus
+    Ivf.buildSavedIndex(emb, s"$dir/fresh", nLists = 16, iters = 0)
+    def rows(p: String) = AtomicLanding.read(spark, s"$p/lists")
+      .select("neighbor_id", "cid").as[(Long, Int)].collect().toSet
+    assert(rows(idx) === rows(s"$dir/fresh"))
+    assert(canonProbe(idx) === canonProbe(s"$dir/fresh"))
+
+    // the id-less fallback still dedupes exactly — and pays the
+    // counted scan (the proof the fast path skipped it above)
+    Ivf.addToSavedIndex(spark, idx, batch2)
+    assert(Ivf.dedupeListScans.get() == scans0 + 1,
+      "an id-less append keeps the anti-join fallback")
+    assert(rows(idx) === rows(s"$dir/fresh"),
+      "the id-less replay must not duplicate rows")
+  }
 }

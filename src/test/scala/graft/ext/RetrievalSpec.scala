@@ -377,6 +377,72 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       "post-append probe must rank the appended doc")
   }
 
+  test("identified batches: replay heals with zero scans; new ids skip the dedupe anti-join") {
+    import graft.land.AtomicLanding
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25batchid").toString
+    val idx = s"$base/idx"
+    Retrieval.buildIndex(corpus.where($"doc_id" <= 3), idx)
+    val batch1 = corpus.where($"doc_id" === 4)
+    val batch2 = corpus.where($"doc_id" === 5)
+
+    // a known-NEW identified batch commits WITHOUT the O(index)
+    // anti-join: exactly-once comes from the monotone id
+    val scans0 = Retrieval.dedupeIndexScans.get()
+    Retrieval.addToIndex(spark, idx, batch1, batchId = Some(1L))
+    assert(Retrieval.dedupeIndexScans.get() == scans0,
+      "an identified batch must never scan the live index")
+    assert(AtomicLanding.lastBatchId(s"$idx/postings").contains(1L),
+      "the id must be durable inside the postings manifest")
+
+    // replaying the published batch is a zero-cost no-op: no postings
+    // version, no derived fold, no scan of index OR batch
+    val pv = AtomicLanding.currentVersion(s"$idx/postings")
+    val dirs0 = Retrieval.dfDeltaPostingDirs.get()
+    Retrieval.addToIndex(spark, idx, batch1, batchId = Some(1L))
+    assert(AtomicLanding.currentVersion(s"$idx/postings") == pv,
+      "a replayed identified batch must not publish a postings generation")
+    assert(Retrieval.dedupeIndexScans.get() == scans0 &&
+      Retrieval.dfDeltaPostingDirs.get() == dirs0,
+      "a fully-published replay must read nothing at all")
+
+    // crash-replay: batch2 commits (id durable) but the root never
+    // swings; the identified retry heals the root by folding exactly
+    // the orphaned dir — still zero dedupe scans, no rebuild
+    final class Crash extends RuntimeException("die before root swing")
+    intercept[Crash] {
+      Retrieval.addToIndex(spark, idx, batch2, batchId = Some(2L),
+        beforeRootPublish = () => throw new Crash)
+    }
+    val scans1 = Retrieval.dedupeIndexScans.get()
+    val dirs1 = Retrieval.dfDeltaPostingDirs.get()
+    val rebuilds1 = Retrieval.derivedRebuilds.get()
+    Retrieval.addToIndex(spark, idx, batch2, batchId = Some(2L))
+    assert(Retrieval.dedupeIndexScans.get() == scans1,
+      "the crash-replay heal must not scan the live index")
+    assert(Retrieval.dfDeltaPostingDirs.get() - dirs1 == 1,
+      "the heal must fold exactly the crashed batch's dir")
+    assert(Retrieval.derivedRebuilds.get() == rebuilds1)
+    assert(AtomicLanding.linkedSnapshot(idx).get.members("postings") ==
+      AtomicLanding.currentVersion(s"$idx/postings").get)
+
+    // end state == a fresh build over the full corpus, bit-identical
+    Retrieval.buildIndex(corpus, s"$base/fresh")
+    def part(p: String, sub: String) =
+      AtomicLanding.read(spark, s"$p/$sub").collect().map(_.toSeq).toSet
+    for (sub <- Seq("postings", "derived"))
+      assert(part(idx, sub) === part(s"$base/fresh", sub),
+        s"$sub must match a fresh build after identified growth")
+
+    // the id-less fallback still dedupes exactly — and pays the
+    // counted scan (the proof the fast path skipped it above)
+    Retrieval.addToIndex(spark, idx, batch2)
+    assert(Retrieval.dedupeIndexScans.get() == scans1 + 1,
+      "an id-less append keeps the anti-join fallback")
+    assert(part(idx, "postings") === part(s"$base/fresh", "postings"),
+      "the id-less replay must not duplicate rows")
+  }
+
   test("indexed scoring plans no Generate: the text explode ran at build") {
     import org.apache.spark.sql.execution.SparkPlan
     val dir = java.nio.file.Files
