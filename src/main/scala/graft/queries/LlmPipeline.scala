@@ -99,6 +99,7 @@ object LlmPipeline {
     * batches — the live-ingest ANN shape (batches assign against the
     * frozen quantizer; no retrain, no corpus re-scan). */
   private val ivfGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val ivfStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
     * parquet like the sibling memos (a cached DataFrame would pin
@@ -753,6 +754,50 @@ object LlmPipeline {
         graft.ext.Ivf.addToSavedIndex(s, d,
           e.filter(col("vec_id") >= 200 && col("vec_id") < 350))
         graft.ext.Ivf.addToSavedIndex(s, d, e.filter(col("vec_id") >= 350))
+        d
+      })
+      graft.ext.Ivf.probeSavedIndex(s, idx,
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- STREAMING vector ingest, end-to-end under the gate: a
+    // file-source stream drains the corpus tail in micro-batches
+    // (maxFilesPerTrigger = 1), each foreachBatch body appending to the
+    // persisted IVF index through [[graft.ext.Ivf.addToSavedIndex]]
+    // with the engine's micro-batch id — the batch-id fast path, so an
+    // at-least-once replay heals the root without scanning the lists —
+    // and the probe runs at the live root AFTER the stream drains.
+    // With iters = 0 the frozen quantizer makes growth
+    // order-independent and the grown index bit-identical to the
+    // one-shot build over the full corpus, so q_cosine_ivf's replay
+    // oracle gates the whole streaming lifecycle for free ----
+    "q_stream_ivf_ingest" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = ivfStreamSpooled.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ivfstream").toString
+        val d = s"$root/idx"
+        // prefix build freezes the seed quantizer (first 16 by vec_id)
+        graft.ext.Ivf.buildSavedIndex(
+          e.filter(col("vec_id") < 200), d, nLists = 16, iters = 0)
+        // spool the tail as 3 files; AvailableNow + one file per
+        // trigger drains it in 3 micro-batches
+        e.filter(col("vec_id") >= 200).repartition(3)
+          .write.mode("overwrite").parquet(s"$root/in")
+        val src = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = src.writeStream
+            .foreachBatch((df: DataFrame, b: Long) =>
+              graft.ext.Ivf.addToSavedIndex(s, d, df, batchId = Some(b)))
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
         d
       })
       graft.ext.Ivf.probeSavedIndex(s, idx,
@@ -1769,6 +1814,9 @@ object LlmPipeline {
     // build" (frozen seed quantizer + deterministic assignment), so the
     // same replay oracle gates it
     "q_cosine_ivf_grown" -> CosineIvfOracle,
+    // streamed growth ≡ ACID growth ≡ one-shot build (frozen quantizer,
+    // iters = 0): the same replay oracle gates the streaming lifecycle
+    "q_stream_ivf_ingest" -> CosineIvfOracle,
     "q_cosine_pq" -> CosinePqOracle,
 
     // the trained-quantizer envelope rows: the oracle replays the exact
