@@ -171,6 +171,66 @@ object FuzzyJoin {
   case class ValveAdvice(cap: Long, engages: Boolean,
       maxObserved: Long, quantileObserved: Long)
 
+  /** Valve SETTING for the capped operators — the tri-state callers
+    * pass instead of hand-sizing an `Option[Long]` cap:
+    *
+    *  - [[Valve.Off]] — exact, no cap;
+    *  - [[Valve.Fixed]] — the classic explicit cap, unchanged;
+    *  - [[Valve.Auto]] — run the operator's sampled census advisor
+    *    ([[recommendMaxBucket]] / [[Retrieval.recommendMaxDf]]) and
+    *    apply its recommendation IFF it engages: on a healthy corpus
+    *    the advice comes back inert and the run is exact
+    *    (bit-identical to Off, spec-asserted); on a pathological one
+    *    (dense edit space, stopword-shaped df tail) the cap bounds the
+    *    quadratic candidate volume under the advisor's documented
+    *    recall contract. At 100 TB pass a small `sampleFraction` so
+    *    the census reads a sample, never the corpus. */
+  sealed trait Valve
+  object Valve {
+    case object Off extends Valve
+    final case class Fixed(cap: Long) extends Valve
+    final case class Auto(quantile: Double = 0.999, headroom: Long = 8L,
+        sampleFraction: Double = 1.0, seed: Long = 42L) extends Valve
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.ext.FuzzyJoin")
+
+  /** Shared [[Valve]] resolution ([[Retrieval.bm25TopK]] routes its
+    * `maxDf` through the same switch): Auto runs the operator's census
+    * and logs the evidence-backed decision either way, so a production
+    * run records WHY it capped (or didn't) instead of an oracular
+    * setting. */
+  private[ext] def resolveCap(valve: Valve,
+      census: Valve.Auto => ValveAdvice, what: String): Option[Long] =
+    valve match {
+      case Valve.Off => None
+      case Valve.Fixed(c) => Some(c)
+      case a: Valve.Auto =>
+        val adv = census(a)
+        if (adv.engages) {
+          log.info(s"$what Auto valve ENGAGES: cap=${adv.cap} " +
+            s"(max observed=${adv.maxObserved}, " +
+            s"q${a.quantile}=${adv.quantileObserved}, headroom=${a.headroom})")
+          Some(adv.cap)
+        } else {
+          log.info(s"$what Auto valve inert: max observed=" +
+            s"${adv.maxObserved} within headroom ${a.headroom} of " +
+            s"q${a.quantile}=${adv.quantileObserved} — running exact")
+          None
+        }
+    }
+
+  /** [[selfJoinEdK]] with the candidate-budget valve as a SETTING:
+    * `Valve.Auto` runs [[recommendMaxBucket]]'s sampled census over
+    * THIS corpus and applies the cap only when it engages — the
+    * logged, evidence-backed alternative to guessing `maxBucket`. */
+  def selfJoinEdK(df: DataFrame, key: String, k: Int,
+      valve: Valve): DataFrame =
+    selfJoinEdK(df, key, k, resolveCap(valve,
+      a => recommendMaxBucket(df, key, k, a.quantile, a.headroom,
+        a.sampleFraction, a.seed),
+      s"selfJoinEdK(k=$k)"))
+
   /** `maxBucket` VALVE ADVISOR — stops callers guessing the
     * [[selfJoinEdK]] candidate-budget cap. One sampled census pass: a
     * `sampleFraction` key sample's signature-bucket sizes feed one

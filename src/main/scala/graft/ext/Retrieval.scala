@@ -114,6 +114,18 @@ object Retrieval {
     scoreTopK(tfOf(docs), dfPre = None, statsOf(docs), queries, k,
       idfScale, broadcastQueries, maxDf)
 
+  /** [[bm25TopK]] with the `maxDf` valve as a SETTING
+    * ([[FuzzyJoin.Valve]]): `Auto` runs [[recommendMaxDf]]'s sampled
+    * census over THIS corpus and applies the cap only when it engages
+    * — inert (bit-identical to uncapped) on corpora without a
+    * stopword-shaped df tail, logged either way. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      valve: FuzzyJoin.Valve): DataFrame =
+    bm25TopK(docs, queries, k, maxDf = FuzzyJoin.resolveCap(valve,
+      a => recommendMaxDf(docs, a.quantile, a.headroom,
+        a.sampleFraction, a.seed),
+      "bm25TopK"))
+
   /** Per-doc (doc_id, dl, term, tf) — map-side byte scan, no exchange.
     * dl is computed in its OWN projection BEFORE the explode: selected
     * alongside the explode it lands in the post-Generate project and

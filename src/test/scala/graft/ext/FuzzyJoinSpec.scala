@@ -158,6 +158,44 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(eAdvice.quantileObserved == 0L && eAdvice.maxObserved == 0L)
   }
 
+  test("Valve.Auto wires the census in: inert on sparse == exact; engaged on dense == advised cap") {
+    import FuzzyJoin.Valve
+    // sparse (hash-suffixed keys + planted twins): the census comes
+    // back inert, so Auto must return the EXACT output — bit-identical
+    // to no valve at all
+    val base = spark.range(1, 2001).select(col("id"),
+      concat(lit("Cust#"), substring(md5(col("id").cast("string")), 1, 9))
+        .as("name"))
+    val sparse = base.select(col("name"))
+      .unionAll(base.where(col("id") % 50 === 0)
+        .select(concat(lit("Cust#z"),
+          substring(md5(col("id").cast("string")), 2, 8)).as("name")))
+    assert(!FuzzyJoin.recommendMaxBucket(sparse, "name", 2).engages)
+    val exact = FuzzyJoin.selfJoinEdK(sparse, "name", 2)
+      .as[(String, String)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(FuzzyJoin.selfJoinEdK(sparse, "name", 2, Valve.Auto())
+      .as[(String, String)].collect().toSet === exact,
+      "Auto must be inert (exact output) on the sparse corpus")
+    // Off / Fixed pass through the classic semantics unchanged
+    assert(FuzzyJoin.selfJoinEdK(sparse, "name", 2, Valve.Off)
+      .as[(String, String)].collect().toSet === exact)
+
+    // dense sequential keys: the census engages, and Auto must apply
+    // exactly the advised cap (== Fixed(advice.cap)), a subset of exact
+    val dense = spark.range(1, 2001)
+      .select(format_string("Customer#%09d", col("id")).as("name"))
+    val dAdvice = FuzzyJoin.recommendMaxBucket(dense, "name", 2)
+    assert(dAdvice.engages, s"dense corpus must engage: $dAdvice")
+    val auto = FuzzyJoin.selfJoinEdK(dense, "name", 2, Valve.Auto())
+      .as[(String, String)].collect().toSet
+    assert(auto === FuzzyJoin.selfJoinEdK(dense, "name", 2, Some(dAdvice.cap))
+      .as[(String, String)].collect().toSet,
+      "engaged Auto must apply exactly the advised cap")
+    assert(auto.subsetOf(FuzzyJoin.selfJoinEdK(dense, "name", 2)
+      .as[(String, String)].collect().toSet))
+  }
+
   test("addToSigIndex: a crashed append publishes NOTHING; the retry lands the whole batch") {
     // the ACID commit replaces the old torn-append hazard: a crash
     // mid-append (before the pointer swing) leaves the index snapshot

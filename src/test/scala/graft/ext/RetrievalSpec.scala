@@ -153,6 +153,22 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // an empty corpus (or empty sample) yields inert advice, never NPE
     val eAdvice = Retrieval.recommendMaxDf(stopCorpus.where(col("doc_id") < 0))
     assert(!eAdvice.engages && eAdvice.cap == Long.MaxValue)
+
+    // Valve.Auto wires the census in: engaged on the stopword corpus
+    // it must score exactly as the advised Fixed cap; inert on the
+    // uniform corpus it must be bit-identical to uncapped
+    import graft.ext.FuzzyJoin.Valve
+    val sq = q(0L -> "the w7", 1L -> "w100")
+    assert(Retrieval.bm25TopK(stopCorpus, sq, k = 4, Valve.Auto())
+        .orderBy("query_id", "rnk").collect().toSeq ==
+      Retrieval.bm25TopK(stopCorpus, sq, k = 4, maxDf = Some(sAdvice.cap))
+        .orderBy("query_id", "rnk").collect().toSeq,
+      "engaged Auto must apply exactly the advised cap")
+    assert(Retrieval.bm25TopK(uniform, queries, k = 4, Valve.Auto())
+        .orderBy("query_id", "rnk").collect().toSeq ==
+      Retrieval.bm25TopK(uniform, queries, k = 4)
+        .orderBy("query_id", "rnk").collect().toSeq,
+      "inert Auto must be bit-identical to uncapped")
   }
 
   test("indexed path is bit-identical to inline, incl. capped and shuffle duals") {
