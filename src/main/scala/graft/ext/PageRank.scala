@@ -38,10 +38,29 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** (node, rank) for every node appearing in `edges` (columns src, dst;
-    * duplicates tolerated), after `iters` rounds at fixed-point `scale`.
-    * Output unordered — callers sort by node. */
+    * duplicates tolerated), after AT MOST `iters` rounds at fixed-point
+    * `scale`. Output unordered — callers sort by node.
+    *
+    * EARLY TERMINATION: integer fixed-point arithmetic reaches an EXACT
+    * fixed point (no epsilon tuning — ranks stop changing at all, which
+    * floats never guarantee), and once a round changes nothing every
+    * further round is the identity, so the loop exits there with output
+    * bit-identical to the full `iters` unroll — `q_pagerank`'s
+    * 5-round oracle stays hash-green over the early-exiting loop by
+    * construction. The probe is one |nodes|-sized join of two CACHED
+    * rank tables per round (state-sized, never edge-sized) feeding
+    * `isEmpty` — at 100× graph scale it is noise against the round's
+    * adjacency scan, and the rounds it saves are whole edge passes. */
   def ranks(spark: SparkSession, edges: DataFrame, iters: Int,
-            scale: Long = 1000000000000L): DataFrame = {
+            scale: Long = 1000000000000L): DataFrame =
+    ranksWithRounds(spark, edges, iters, scale)._1
+
+  /** [[ranks]] plus the number of rounds actually executed (the
+    * converged-contract form: `rounds < maxIters` is the proof the
+    * delta-zero exit engaged; `rounds == maxIters` means the budget,
+    * not the fixed point, ended the loop). */
+  def ranksWithRounds(spark: SparkSession, edges: DataFrame, maxIters: Int,
+            scale: Long = 1000000000000L): (DataFrame, Int) = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -65,24 +84,33 @@ object PageRank {
       // as soon as its successor materializes — checkpoint RDDs have no
       // public unpersist and would pile up in executor storage until GC
       var prev: Option[DataFrame] = None
-      for (_ <- 1 to iters) {
+      var rounds = 0
+      var converged = false
+      while (rounds < maxIters && !converged) {
+        rounds += 1
         val contrib = esrc.join(r, esrc("src") === r("node"))
           .select(col("dst"), expr("rank div outdeg").as("c"))
         val inc = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-        r = nodes.join(inc, nodes("node") === inc("dst"), "left")
+        val rNew = nodes.join(inc, nodes("node") === inc("dst"), "left")
           .select(col("node"),
             (lit(base) +
               expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
           .persist()
-        r.count() // materialize this round before dropping the previous
+        rNew.count() // materialize this round before dropping the previous
+        // exact delta-zero probe: this round vs the previous one
+        converged = rNew
+          .join(r.select(col("node"), col("rank").as("_prank")), "node")
+          .where(col("rank") =!= col("_prank"))
+          .isEmpty
         prev.foreach(_.unpersist())
-        prev = Some(r)
+        prev = Some(rNew)
+        r = rNew
       }
       // the handle returned to the caller must survive the unpersists:
       // one eager checkpoint of the FINAL |nodes|-sized table only
       val out = r.localCheckpoint()
       prev.foreach(_.unpersist())
-      out
+      (out, rounds)
     } finally esrc.unpersist()
   }
 }

@@ -212,6 +212,25 @@ object Analytics {
         .select(col("l_suppkey").as("src"),
           (lit(-1L) - col("o_custkey")).as("dst"))
       PageRank.ranks(s, edges, iters = 5).orderBy(col("node"))
+    }),
+
+    // ---- the delta-zero EARLY EXIT under the gate: a 25-round budget
+    // on the same bipartite graph must stop at round 3, structurally —
+    // suppliers have no in-edges, so their ranks pin to the base term
+    // from round 1 on; customer ranks, functions of supplier ranks
+    // only, repeat from round 2 on; round 3 detects the fixed point at
+    // ANY scale factor. n_rounds = 3 is therefore an oracle-pinnable
+    // consequence of the graph shape (a broken exit runs all 25 and
+    // hash-fails the column), and the converged ranks equal the
+    // 5-round unroll bit-for-bit (identity past the fixed point) ----
+    "q_pagerank_converged" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (lit(-1L) - col("o_custkey")).as("dst"))
+      val (ranks, rounds) = PageRank.ranksWithRounds(s, edges, maxIters = 25)
+      ranks.withColumn("n_rounds", lit(rounds.toLong)).orderBy(col("node"))
     })
   )
 
@@ -417,6 +436,21 @@ object Analytics {
          |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
          |r0 AS (SELECT node, (SELECT $Scale // n FROM nn) AS rank FROM nodes),
          |${(1 to 5).map(pageRankRound).mkString(",\n")}
-         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin,
+
+    // converged == the 5-round unroll (identity past the fixed point);
+    // n_rounds pinned 3 by the bipartite structure (see the query's
+    // comment) — a loop that fails to exit hash-fails the column
+    "q_pagerank_converged" ->
+      s"""WITH e AS (SELECT DISTINCT l_suppkey AS src,
+         |    -1 - o_custkey AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, (SELECT $Scale // n FROM nn) AS rank FROM nodes),
+         |${(1 to 5).map(pageRankRound).mkString(",\n")}
+         |SELECT node, rank, cast(3 as bigint) AS n_rounds
+         |FROM r5 ORDER BY node""".stripMargin
   )
 }

@@ -213,4 +213,29 @@ class AnalyticsSpec extends AnyFunSuite {
     // no dangling nodes here: total mass stays within truncation slack
     assert(ranks <= scale && ranks > scale - 1000L * 3)
   }
+
+  test("pagerank delta-zero exit: fixed point == full unroll; budget exit runs out the clock") {
+    // star source: node 1 feeds 2 and 3, nothing feeds 1 — rank(1)
+    // pins to the base term from round 1, ranks(2,3) repeat from round
+    // 2, so round 3 must detect the exact fixed point
+    val star = Seq((1L, 2L), (1L, 3L))
+    val (rConv, rounds) = PageRank.ranksWithRounds(
+      spark, star.toDF("src", "dst"), maxIters = 25, scale = 1000000L)
+    assert(rounds == 3, s"star graph must fix at round 3, got $rounds")
+    val conv = rConv.orderBy(col("node")).as[(Long, Long)].collect().toSeq
+    // identity past the fixed point: the early exit equals ANY longer
+    // unroll bit-for-bit — the q_pagerank oracle-compat guarantee
+    assert(conv == refRanks(star, 5, 1000000L).toSeq.sortBy(_._1))
+    assert(conv == refRanks(star, 25, 1000000L).toSeq.sortBy(_._1))
+
+    // a cycle at this scale keeps shedding one truncation unit per
+    // round for a while — a 3-round budget must end the loop, not the
+    // (unreached) fixed point, and the result is the exact 3-round state
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val (rCyc, cycRounds) = PageRank.ranksWithRounds(
+      spark, cycle.toDF("src", "dst"), maxIters = 3, scale = 1000000L)
+    assert(cycRounds == 3, "the budget, not convergence, must end this loop")
+    assert(rCyc.orderBy(col("node")).as[(Long, Long)].collect().toSeq ==
+      refRanks(cycle, 3, 1000000L).toSeq.sortBy(_._1))
+  }
 }
