@@ -278,6 +278,114 @@ object ScaleBench {
       f""""rows":$rows,"timetravel_rows":$travelRows}"""
   }
 
+  /** Rebase + grown-index maintenance legs — the "O(updates), not
+    * O(table)" claims MEASURED at two scales instead of argued:
+    *
+    *  - `rebase`: on a body+tail orders table, a fixed-size concurrent
+    *    append lands INSIDE the compaction's pre-commit window (the
+    *    `beforeCommit` seam — exactly a live streaming ingest racing
+    *    maintenance), so the commit takes the rebase path and carries
+    *    the batch into the compacted manifest. The tail and the ridden
+    *    batch are fixed-size at every scale; the rebase reads manifests
+    *    and the batch, never the body — so the timed fold+rebase wall
+    *    must stay ~flat while the body grows 10×. Row conservation is
+    *    require()d: a rebase that swallowed or duplicated the ridden
+    *    batch fails the run, not just the curve.
+    *  - `index_maint`: a BM25 index over the documents corpus grows by
+    *    three fixed-size identified batches (batch-id fast path — no
+    *    dedupe scan), then [[graft.ext.Retrieval.maintainIndex]] folds
+    *    the tail and republishes the root. The fold touches the tail
+    *    dirs plus the vocabulary-sized derived table; the corpus-sized
+    *    postings body must never be re-read (`derivedRebuilds` delta
+    *    require()d zero, body-dir survival require()d), so append and
+    *    maintenance wall must track the tail, not the corpus — while
+    *    `build_sec` (the one corpus-sized step, reported for contrast)
+    *    scales with the table. */
+  private def maintSection(spark: SparkSession, dir: String,
+      scratch: String): String = {
+    import graft.land.AtomicLanding
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      (((System.nanoTime() - t0) / 1e9), r)
+    }
+
+    // ---- leg 1: concurrent append riding the compaction rebase ----
+    val table = s"$scratch/orders_tail"
+    val body = Tables.t(spark, dir, "orders")
+    val keySpan = span(body, "o_orderkey")
+    AtomicLanding.commit(body, table)
+    (1 to 8).foreach { i =>
+      AtomicLanding.commit(
+        body.where(pmod(col("o_orderkey"), lit(71)) === i).limit(2000)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * keySpan)),
+        table, append = true)
+    }
+    val rowsBefore = AtomicLanding.read(spark, table).count()
+    // the ridden batch is staged eagerly OUTSIDE the timer: the timed
+    // section is the fold + the concurrent commit + the rebase, not
+    // the batch's own lineage
+    val ride = body.where(pmod(col("o_orderkey"), lit(71)) === 9).limit(2000)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(9L * keySpan))
+      .localCheckpoint()
+    val rideRows = ride.count()
+    // scale-proof threshold: just under the BODY dir's size, so exactly
+    // the fixed-size tail folds at every scale factor
+    def maxDirBytes(t: String): Long =
+      AtomicLanding.dirsOfVersion(t, AtomicLanding.currentVersion(t).get)
+        .map(d => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$t/$d")).getLength).max
+    val (tRebase, comp) = time {
+      AtomicLanding.compactSmallFrom(spark, table,
+        smallBytes = maxDirBytes(table) - 1,
+        beforeCommit = () =>
+          { AtomicLanding.commit(ride, table, append = true); () })
+    }
+    require(comp.foldDir.nonEmpty, "the tail must have folded")
+    val rowsAfter = AtomicLanding.read(spark, table).count()
+    require(rowsAfter == rowsBefore + rideRows,
+      s"rebase must conserve rows: $rowsBefore + $rideRows != $rowsAfter")
+    val rideDirs = AtomicLanding.liveDirCount(table)
+
+    // ---- leg 2: grown BM25 index maintenance ----
+    val idx = s"$scratch/bm25idx"
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dSpan = span(docs, "doc_id")
+    val (tBuild, _) = time(graft.ext.Retrieval.buildIndex(docs, idx))
+    // fixed-size batches from the base-scale head (replica 0 keeps the
+    // original text), shifted to fresh ids: identical batch content at
+    // every scale
+    val batchSrc = docs.orderBy(col("doc_id")).limit(300).localCheckpoint()
+    val (tAppend, _) = time {
+      (1 to 3).foreach { i =>
+        graft.ext.Retrieval.addToIndex(spark, idx,
+          batchSrc.withColumn("doc_id", col("doc_id") + lit(i * dSpan)),
+          batchId = Some(i.toLong)); ()
+      }
+    }
+    val bodyDirs = AtomicLanding.liveDirCount(s"$idx/postings")
+    require(bodyDirs == 4, s"expected body + 3 tail dirs, got $bodyDirs")
+    val rebuilds0 = graft.ext.Retrieval.derivedRebuilds.get()
+    val (tMaint, removed) = time(
+      graft.ext.Retrieval.maintainIndex(spark, idx,
+        smallBytes = maxDirBytes(s"$idx/postings") - 1))
+    require(graft.ext.Retrieval.derivedRebuilds.get() == rebuilds0,
+      "maintenance must never pay the O(index) derived rebuild")
+    val dirsAfterMaint = AtomicLanding.liveDirCount(s"$idx/postings")
+    require(dirsAfterMaint == 2,
+      s"the fold must leave body + folded tail, got $dirsAfterMaint " +
+        "(threshold misfit: the corpus body dir folded, or the tail did not)")
+
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    f"""{"rebase_sec":$tRebase%.3f,"ride_rows":$rideRows,""" +
+      f""""dirs_after_rebase":$rideDirs,"index_build_sec":$tBuild%.3f,""" +
+      f""""index_append3_sec":$tAppend%.3f,"index_maint_sec":$tMaint%.3f,""" +
+      f""""maint_removed_paths":${removed.size},"derived_rebuilds":0}"""
+  }
+
   /** Distributed CC on an ENTITY-SHAPED graph — bounded components
     * (chains of 100 keys over the scaled customer keyspace) whose COUNT
     * scales with the corpus, unlike the zero-padded-name fixture where
@@ -376,7 +484,16 @@ object ScaleBench {
           f""""rounds_scaled":$roundsS,"components_base":$compB,""" +
           f""""components_scaled":$compS}"""
       }
-    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson}""")
+    val runMaint = only.forall(_.contains("maint"))
+    val maintJson =
+      if (!runMaint) ""
+      else {
+        val runTag = java.util.UUID.randomUUID().toString.take(8)
+        val mb = maintSection(spark, base, s"/tmp/graft_maint_base_$runTag")
+        val ms = maintSection(spark, out, s"/tmp/graft_maint_scaled_$runTag")
+        s""","maint":{"base":$mb,"scaled":$ms}"""
+      }
+    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson}""")
     spark.stop()
   }
 }

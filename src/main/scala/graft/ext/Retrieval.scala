@@ -241,7 +241,7 @@ object Retrieval {
     new java.util.concurrent.atomic.AtomicLong
   /** Full derived rebuilds (the RECOVERY path — build time, or a
     * manifest whose dir diff is not a pure append, e.g. compaction). */
-  private[ext] val derivedRebuilds =
+  private[graft] val derivedRebuilds =
     new java.util.concurrent.atomic.AtomicLong
   /** O(index) dedupe scans taken by id-less [[addToIndex]] appends —
     * the proof seam that an identified batch (replayed OR new) never
