@@ -362,21 +362,48 @@ object FuzzyJoin {
     * ACID pointer: a reader resolves one snapshot and keeps it —
     * FuzzyJoinSpec probes the index from INSIDE the append's
     * pre-publish window via `beforePublish` (the
-    * [[graft.land.AtomicLanding.commit]] test seam, passed through). */
+    * [[graft.land.AtomicLanding.commit]] test seam, passed through).
+    *
+    * REPLAY COST: `batchId` is the at-least-once ingest's fast path
+    * (the [[graft.land.AtomicLanding.streamSink]] contract — monotone
+    * per checkpointed query, recorded inside the sigs manifest in the
+    * same atomic swing as the data; the
+    * [[Retrieval.addToIndex]]/[[Ivf.addToSavedIndex]] precedent). A
+    * known-committed id makes the append a PURE NO-OP — the single
+    * sigs table needs no root heal, so nothing is read at all; a
+    * known-new id commits directly, skipping the O(index) dedupe
+    * anti-join. Id-less appends keep the anti-join fallback. */
   def addToSigIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame, key: String,
+      batchId: Option[Long] = None,
       beforePublish: () => Unit = () => ()): Unit = {
-    val existing = graft.land.AtomicLanding.read(spark, s"$indexPath/sigs")
-      .select(col("key_corpus"), col("sig_h"))
-    val delta = sigTable(batch, key, "key_corpus")
-      .join(existing, Seq("key_corpus", "sig_h"), "left_anti")
-      .select(col("key_corpus"), col("sig_h"))
-      .persist()
+    import graft.land.AtomicLanding
+    val sigsT = s"$indexPath/sigs"
+    if (batchId.exists(b => AtomicLanding.lastBatchId(sigsT).exists(_ >= b)))
+      return // known-committed replay: data + id durable in one swing
+    val delta = (batchId match {
+      case Some(_) =>
+        // identified and known-new: monotone ids mean nothing of this
+        // batch is in the index — skip the O(index) scan
+        sigTable(batch, key, "key_corpus")
+      case None =>
+        dedupeSigScans.incrementAndGet()
+        val existing = AtomicLanding.read(spark, sigsT)
+          .select(col("key_corpus"), col("sig_h"))
+        sigTable(batch, key, "key_corpus")
+          .join(existing, Seq("key_corpus", "sig_h"), "left_anti")
+    }).select(col("key_corpus"), col("sig_h")).persist()
     try if (!delta.isEmpty) {
-      graft.land.AtomicLanding.commit(delta, s"$indexPath/sigs",
-        append = true, beforePublish = beforePublish); ()
+      AtomicLanding.commit(delta, sigsT, append = true,
+        beforePublish = beforePublish, batchId = batchId); ()
     } finally delta.unpersist()
   }
+
+  /** O(index) dedupe scans taken by id-less [[addToSigIndex]] appends —
+    * the proof seam that an identified batch never pays the live-sigs
+    * anti-join. */
+  private[ext] val dedupeSigScans =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Long-SESSION sig-index maintenance ([[Retrieval.maintainIndex]]'s
     * simpler sibling — no derived state here): fold the small-dir

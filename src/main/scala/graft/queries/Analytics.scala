@@ -100,8 +100,11 @@ object Analytics {
         val d = tempIndexDir("graft-fuzzygrown") + "/idx"
         FuzzyJoin.buildSigIndex(
           corpus.where(col("c_custkey") % 2 === 1), "c_name", d)
+        // identified batch: the batch-id fast path (no dedupe scan of
+        // the live sigs) must still produce the incremental bits
         FuzzyJoin.addToSigIndex(s, d,
-          corpus.where(col("c_custkey") % 2 === 0), "c_name")
+          corpus.where(col("c_custkey") % 2 === 0), "c_name",
+          batchId = Some(1L))
         d
       })
       FuzzyJoin.againstIndexEd1(s, idx,

@@ -751,9 +751,13 @@ object LlmPipeline {
           .createTempDirectory("graft-ivfgrown").toString + "/idx"
         graft.ext.Ivf.buildSavedIndex(
           e.filter(col("vec_id") < 200), d, nLists = 16, iters = 0)
+        // identified batches: the batch-id fast path (no dedupe scan
+        // of the live lists) must still match the one-shot build bits
         graft.ext.Ivf.addToSavedIndex(s, d,
-          e.filter(col("vec_id") >= 200 && col("vec_id") < 350))
-        graft.ext.Ivf.addToSavedIndex(s, d, e.filter(col("vec_id") >= 350))
+          e.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+          batchId = Some(1L))
+        graft.ext.Ivf.addToSavedIndex(s, d, e.filter(col("vec_id") >= 350),
+          batchId = Some(2L))
         d
       })
       graft.ext.Ivf.probeSavedIndex(s, idx,
@@ -1266,7 +1270,10 @@ object LlmPipeline {
           .createTempDirectory("graft-bm25grown").toString + "/idx"
         val corpus = docs(s, dir).select(col("doc_id"), col("text"))
         Retrieval.buildIndex(corpus.where(col("doc_id") % 2 === 1), d)
-        Retrieval.addToIndex(s, d, corpus.where(col("doc_id") % 2 === 0))
+        // identified batch: the batch-id fast path (no dedupe scan of
+        // the live index) must still produce q_bm25's exact bits
+        Retrieval.addToIndex(s, d, corpus.where(col("doc_id") % 2 === 0),
+          batchId = Some(1L))
         d
       })
       val qs = Seq(

@@ -97,6 +97,42 @@ class FuzzyJoinSpec extends AnyFunSuite {
       "a full replay must not publish a new index generation")
   }
 
+  test("addToSigIndex identified batches: replay is a pure no-op; new ids skip the dedupe scan") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigidxbid").toString
+    val idx = s"$dir/idx"
+    val corpusA = (1 to 400).map(i => f"Customer#$i%09d").toDF("name")
+    val batchB = (401 to 600).map(i => f"Customer#$i%09d").toDF("name")
+    FuzzyJoin.buildSigIndex(corpusA, "name", idx)
+
+    // a known-NEW identified batch commits WITHOUT the O(index) scan
+    val scans0 = FuzzyJoin.dedupeSigScans.get()
+    FuzzyJoin.addToSigIndex(spark, idx, batchB, "name", batchId = Some(1L))
+    assert(FuzzyJoin.dedupeSigScans.get() == scans0,
+      "an identified batch must never scan the live sigs")
+    assert(AtomicLanding.lastBatchId(s"$idx/sigs").contains(1L),
+      "the id must be durable inside the sigs manifest")
+
+    // replaying it is a pure no-op: no version, no scan of any kind
+    val v1 = AtomicLanding.currentVersion(s"$idx/sigs")
+    FuzzyJoin.addToSigIndex(spark, idx, batchB, "name", batchId = Some(1L))
+    assert(AtomicLanding.currentVersion(s"$idx/sigs") == v1 &&
+      FuzzyJoin.dedupeSigScans.get() == scans0)
+
+    // end state == a fresh build over the union corpus
+    FuzzyJoin.buildSigIndex(corpusA.unionByName(batchB), "name", s"$dir/fresh")
+    def rows(p: String) = graft.land.AtomicLanding.read(spark, s"$p/sigs")
+      .as[(String, Long)].collect().toSet
+    assert(rows(idx) === rows(s"$dir/fresh"))
+
+    // the id-less fallback still dedupes — and pays the counted scan
+    FuzzyJoin.addToSigIndex(spark, idx, batchB, "name")
+    assert(FuzzyJoin.dedupeSigScans.get() == scans0 + 1,
+      "an id-less append keeps the anti-join fallback")
+    assert(rows(idx) === rows(s"$dir/fresh"),
+      "the id-less replay must not duplicate rows")
+  }
+
   test("maxBucket valve: subset of exact; cap >= max bucket is exact") {
     val cs = corpus(150)
     val df = cs.toDF("k")
