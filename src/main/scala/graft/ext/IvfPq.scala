@@ -293,6 +293,107 @@ object IvfPq {
       AtomicLanding.readVersion(s, s"$path/n2", snap.members("n2")))
   }
 
+  /** Index MAINTENANCE: append a batch of vectors to a [[save]]d index
+    * WITHOUT retraining — [[Ivf.addToSavedIndex]]'s semantics on the
+    * compressed tier, completing the engine-wide contract (every
+    * persisted index grows; IVF-PQ previously required a full
+    * re-save). The FROZEN coarse quantizer and codebooks load once at
+    * their root-pinned versions (bounded: nLists×dim + m×k×subDim
+    * rows); the batch pays one residual + code-assignment job that
+    * scales with the batch, and the codes and norms tables append
+    * through ACID commits before one root CAS publishes the new
+    * quadruple with cents/cb pinned unchanged — a probe never scores
+    * codes from one generation under another generation's codebooks.
+    *
+    * TWO-MEMBER EXACTNESS: codes and n2 are separate tables, so a
+    * crash can land between their commits. Each member therefore
+    * carries its own dedupe — the batch-id check (`batchId` recorded
+    * in EACH member's manifest, atomic with its data) or, id-less,
+    * an anti-join against that member's own live rows — so a retry
+    * completes exactly the missing member and never duplicates the
+    * committed one. Until the root swings, any committed half is
+    * unreachable staging; probes keep the previous quadruple.
+    *
+    * With deterministic quantizers (iters = 0) the grown index is
+    * bit-identical to a one-shot [[buildIndex]]+[[save]] over the
+    * union corpus — `q_cosine_ivfpq_grown` reuses the saved-probe
+    * replay oracle unchanged on that equality. Vec ids are
+    * immutable-by-contract, as everywhere in the engine. */
+  def addToSavedIndex(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Option[Long] = None,
+      beforePublish: () => Unit = () => (),
+      beforeRootPublish: () => Unit = () => ()): Unit = {
+    import graft.land.AtomicLanding
+    val codesT = s"$path/codes"
+    val n2T = s"$path/n2"
+    def committed(t: String): Boolean =
+      batchId.exists(b => AtomicLanding.lastBatchId(t).exists(_ >= b))
+    var done = false
+    while (!done) {
+      val snap = AtomicLanding.linkedSnapshot(path).getOrElse(
+        throw new IllegalStateException(s"no saved IVF-PQ index at $path"))
+      def freshFor(t: String, keyCol: String): DataFrame =
+        if (batchId.isDefined) {
+          // identified: monotone ids mean a batch below the recorded id
+          // is fully in THIS member, one above it not at all — no scan
+          if (committed(t)) batch.limit(0) else batch
+        } else {
+          dedupeCodeScans.incrementAndGet()
+          batch.join(
+            AtomicLanding.read(s, t).select(col(keyCol).as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+        }
+      val freshN2 = freshFor(n2T, "vec_id").persist()
+      val freshCodes = freshFor(codesT, "neighbor_id").persist()
+      try {
+        val nNew =
+          if (!freshN2.isEmpty)
+            AtomicLanding.commit(norms(freshN2), n2T, append = true,
+              batchId = batchId)
+          else AtomicLanding.currentVersion(n2T).get
+        val cNew =
+          if (!freshCodes.isEmpty) {
+            val cents = AtomicLanding
+              .readVersion(s, s"$path/cents", snap.members("cents"))
+              .orderBy("cid").collect()
+              .map(r => (r.getAs[Int]("cid"),
+                r.getAs[scala.collection.Seq[Float]]("cvec").toSeq)).toSeq
+            val cb = AtomicLanding
+              .readVersion(s, s"$path/cb", snap.members("cb"))
+              .orderBy("sub", "code").collect()
+              .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+                r.getAs[scala.collection.Seq[Double]]("rvec").toSeq)).toSeq
+            AtomicLanding.commit(
+              assignCodes(residuals(freshCodes, cents), cb,
+                  cb.map(_._1).max + 1, cb.head._3.size)
+                .withColumnRenamed("vec_id", "neighbor_id"),
+              codesT, append = true, beforePublish = beforePublish,
+              batchId = batchId)
+          } else AtomicLanding.currentVersion(codesT).get
+        if (cNew == snap.members("codes") && nNew == snap.members("n2"))
+          done = true // true replay no-op
+        else {
+          try {
+            AtomicLanding.publishLinked(path, Map(
+              "cents" -> snap.members("cents"), "cb" -> snap.members("cb"),
+              "codes" -> cNew, "n2" -> nNew),
+              expectedRoot = Some(snap.rootVersion),
+              beforePublish = beforeRootPublish)
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      } finally { freshN2.unpersist(); freshCodes.unpersist() }
+    }
+  }
+
+  /** O(index) dedupe scans taken by id-less [[addToSavedIndex]]
+    * appends (counted per member side) — the proof seam that an
+    * identified batch never pays the live-table anti-joins. */
+  private[ext] val dedupeCodeScans =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Reclaim superseded part generations after re-saves — now just
     * [[graft.land.AtomicLanding.vacuumLinked]]: quiescence-guarded per
     * part (a part whose pointer ran ahead of the root pin — an

@@ -100,6 +100,7 @@ object LlmPipeline {
     * frozen quantizer; no retrain, no corpus re-scan). */
   private val ivfGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val ivfpqGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
     * parquet like the sibling memos (a cached DataFrame would pin
@@ -702,6 +703,35 @@ object LlmPipeline {
       val p = ivfpqSpooled.getOrElseUpdate(dir, {
         val d = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
         graft.ext.IvfPq.save(graft.ext.IvfPq.buildIndex(e), d)
+        d
+      })
+      graft.ext.IvfPq.probe(e, graft.ext.IvfPq.load(s, p),
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 4, shortlist = 50)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- the GROWN persisted IVF-PQ index (q_cosine_ivf_grown's
+    // pattern on the compressed tier — the engine-wide every-index-
+    // grows contract): saved on the corpus prefix (which contains BOTH
+    // frozen seed sets — coarse = first 16 vectors, PQ codebooks =
+    // first 16 residual slices), extended by two identified ACID
+    // append batches (codes and norms each carry their own batch-id
+    // dedupe; one root CAS publishes the quadruple), probed from the
+    // saved snapshot. Deterministic quantizers make growth
+    // order-independent and the grown index bit-identical to the
+    // one-shot build, so the same replay oracle gates it unchanged ----
+    "q_cosine_ivfpq_grown" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = ivfpqGrownSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivfpqgrown").toString + "/idx"
+        graft.ext.IvfPq.save(
+          graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") < 200)), d)
+        graft.ext.IvfPq.addToSavedIndex(s, d,
+          e.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+          batchId = Some(1L))
+        graft.ext.IvfPq.addToSavedIndex(s, d,
+          e.filter(col("vec_id") >= 350), batchId = Some(2L))
         d
       })
       graft.ext.IvfPq.probe(e, graft.ext.IvfPq.load(s, p),
@@ -1842,6 +1872,9 @@ object LlmPipeline {
         | cast(10 as bigint) AS k, TRUE AS recall_in_envelope
         |FROM embeddings WHERE vec_id < 20""".stripMargin,
     "q_cosine_ivfpq" -> CosineIvfPqOracle,
+    // grown ≡ one-shot (frozen quantizers, per-vector determinism):
+    // the same replay oracle gates the ACID-grown compressed index
+    "q_cosine_ivfpq_grown" -> CosineIvfPqOracle,
     // same replay, query set = the whole corpus (the self-join shape) —
     // the physical-strategy difference (salted shuffle joins vs
     // broadcast probes) is invisible to the replayed values

@@ -59,6 +59,65 @@ class IvfPqSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("addToSavedIndex: grown == one-shot; identified replay zero-scan; half-crash heals exactly") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqgrow").toString
+    val idx = s"$dir/idx"
+    // deterministic quantizers (iters = 0); the prefix holds both seed
+    // sets (coarse first-16 vectors, PQ first-16 residual slices)
+    IvfPq.save(IvfPq.buildIndex(emb.filter(col("vec_id") < 300)), idx)
+    val batch1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val batch2 = emb.filter(col("vec_id") >= 400)
+
+    // identified appends never scan the live tables
+    val scans0 = IvfPq.dedupeCodeScans.get()
+    IvfPq.addToSavedIndex(spark, idx, batch1, batchId = Some(1L))
+    assert(IvfPq.dedupeCodeScans.get() == scans0)
+    // replay: zero scans, no versions, no root swing
+    val snap1 = AtomicLanding.linkedSnapshot(idx).get
+    IvfPq.addToSavedIndex(spark, idx, batch1, batchId = Some(1L))
+    assert(AtomicLanding.linkedSnapshot(idx).get == snap1 &&
+      IvfPq.dedupeCodeScans.get() == scans0)
+
+    // half-crash: batch2's n2 and codes commit, the root swing dies —
+    // the identified retry completes ONLY the root (both ids durable)
+    final class Crash extends RuntimeException("die before root swing")
+    intercept[Crash] {
+      IvfPq.addToSavedIndex(spark, idx, batch2, batchId = Some(2L),
+        beforeRootPublish = () => throw new Crash)
+    }
+    assert(AtomicLanding.linkedSnapshot(idx).get == snap1,
+      "a crash before the root swing must leave the pinned quadruple")
+    IvfPq.addToSavedIndex(spark, idx, batch2, batchId = Some(2L))
+    assert(IvfPq.dedupeCodeScans.get() == scans0,
+      "the crash-replay heal must not scan the live tables")
+
+    // grown == one-shot build over the union corpus, bit-for-bit:
+    // probes equal, and the codes/n2 tables are row-identical
+    val fresh = s"$dir/fresh"
+    IvfPq.save(IvfPq.buildIndex(emb), fresh)
+    def canon(p: String) =
+      IvfPq.probe(emb, IvfPq.load(spark, p), queries,
+          k = 5, nProbe = 4, shortlist = 50)
+        .orderBy("query_id", "rnk").collect().toSeq
+    assert(canon(idx) == canon(fresh))
+    def rows(p: String, t: String) = AtomicLanding.read(spark, s"$p/$t")
+      .collect().map(_.toSeq).toSet
+    for (t <- Seq("codes", "n2"))
+      assert(rows(idx, t) === rows(fresh, t),
+        s"$t must match a one-shot build over the union corpus")
+
+    // the id-less fallback dedupes both member sides (two counted
+    // scans) and a full replay commits nothing
+    val v = (AtomicLanding.currentVersion(s"$idx/codes"),
+      AtomicLanding.currentVersion(s"$idx/n2"))
+    IvfPq.addToSavedIndex(spark, idx, batch2)
+    assert(IvfPq.dedupeCodeScans.get() == scans0 + 2)
+    assert((AtomicLanding.currentVersion(s"$idx/codes"),
+      AtomicLanding.currentVersion(s"$idx/n2")) == v,
+      "an id-less full replay must not publish new member generations")
+  }
+
   test("a re-save flips readers atomically: no cross-generation part mix, crashes invisible") {
     // the retrain-on-drift path: index v1 is live and probed; a retrain
     // re-saves v2. The root pointer is the linearization point — a load
