@@ -1314,6 +1314,47 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- STREAMING text ingest into the BM25 index, end-to-end under
+    // the gate (q_stream_ivf_ingest's text-side sibling): a file-source
+    // stream drains the corpus tail in micro-batches, each foreachBatch
+    // body running addToIndex with the engine's micro-batch id — every
+    // append commits postings, folds the df delta, and CAS-swings the
+    // LinkedRoot, all under the at-least-once replay contract — and the
+    // probe scores at the live root after the drain. Grown ≡ one-shot
+    // bits, so q_bm25's oracle gates the whole streaming lifecycle ----
+    "q_stream_bm25_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val idx = bm25IdxSpooled.getOrElseUpdate(dir + "#stream", {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-bm25stream").toString
+        val d = s"$root/idx"
+        val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+        Retrieval.buildIndex(corpus.where(col("doc_id") % 4 === 0), d)
+        corpus.where(col("doc_id") % 4 =!= 0).repartition(3)
+          .write.mode("overwrite").parquet(s"$root/in")
+        val src = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = src.writeStream
+            .foreachBatch((df: DataFrame, b: Long) =>
+              { Retrieval.addToIndex(s, d, df, batchId = Some(b)); () })
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        d
+      })
+      val qs = Seq(
+        (0L, "spark query engine"), (1L, "join filter window"),
+        (2L, "customer order stream"), (3L, "table scan merge sort"))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25TopKIndexed(s, idx, qs, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- BM25 CORPUS-SCALE dual (the retrieval self-join shape, mirror
     // of q_cosine_ivfpq_selfjoin): EVERY doc probes the corpus with its
     // own first-8-token prefix as the query. broadcastQueries = false —
@@ -1548,7 +1589,10 @@ object LlmPipeline {
     Map("q_bm25_indexed" -> staticOracles("q_bm25"),
       // the grown index's claim IS "same bits as the full-corpus
       // index", so it shares the same oracle too
-      "q_bm25_grown" -> staticOracles("q_bm25")) ++
+      "q_bm25_grown" -> staticOracles("q_bm25"),
+      // ...and so does the stream-grown index (micro-batched appends
+      // with batch ids, probed at the live LinkedRoot)
+      "q_stream_bm25_ingest" -> staticOracles("q_bm25")) ++
     // single-dir contract: the trained oracle replays the LAST dir's
     // learned merges — pairing one dir's dump with another dir's merges
     // is only possible if a caller interleaves dirs before dumping,
