@@ -394,17 +394,54 @@ object IvfPq {
   private[ext] val dedupeCodeScans =
     new java.util.concurrent.atomic.AtomicLong
 
-  /** Reclaim superseded part generations after re-saves — now just
-    * [[graft.land.AtomicLanding.vacuumLinked]]: quiescence-guarded per
-    * part (a part whose pointer ran ahead of the root pin — an
-    * in-flight or crashed save — is never touched; its orphan
-    * generations survive until the next SUCCESSFUL save supersedes
-    * them), plus superseded root generations. Run one maintainer at a
-    * time. Returns reclaimed paths. */
+  /** Long-SESSION maintenance ([[Ivf.maintainSavedIndex]]'s shape on
+    * the compressed tier — the quantizers are frozen and the codes/n2
+    * tables carry no derived state, so maintenance is purely
+    * physical): fold each append-session micro-batch tail
+    * (`compactSmall` per member — body dirs above `smallBytes` never
+    * rewrite; a concurrent append rides the compaction rebase), CAS
+    * the root to the folded generations with cents/cb pinned
+    * unchanged, then [[graft.land.AtomicLanding.vacuumLinked]]
+    * reclaims superseded generations — quiescence-guarded, so a part
+    * a concurrent writer pushed ahead of the root pin is never
+    * touched. One maintainer at a time; concurrent probes/appends are
+    * safe (every publish is a root CAS — a losing maintainer
+    * re-resolves and retries). Returns reclaimed paths. */
   def maintainSavedIndex(s: SparkSession, path: String,
-      reservationGraceMs: Long = 600000L): Seq[String] =
-    graft.land.AtomicLanding.vacuumLinked(path,
-      futureGraceMs = reservationGraceMs)
+      smallBytes: Long = 64L * 1024 * 1024,
+      reservationGraceMs: Long = 600000L): Seq[String] = {
+    import graft.land.AtomicLanding
+    var done = false
+    while (!done) {
+      val snap = AtomicLanding.linkedSnapshot(path).getOrElse(
+        throw new IllegalStateException(s"no saved IVF-PQ index at $path"))
+      def folded(t: String): Long =
+        try AtomicLanding.compactSmall(s, s"$path/$t", smallBytes)
+        catch {
+          // a concurrent rewrite landed mid-fold: skip this member for
+          // this run (the next maintenance retries) but still heal the
+          // root to whatever is durably committed
+          case _: java.util.ConcurrentModificationException =>
+            AtomicLanding.currentVersion(s"$path/$t").get
+        }
+      val cNew = folded("codes")
+      val nNew = folded("n2")
+      if (cNew == snap.members("codes") && nNew == snap.members("n2"))
+        done = true
+      else {
+        try {
+          AtomicLanding.publishLinked(path, Map(
+            "cents" -> snap.members("cents"), "cb" -> snap.members("cb"),
+            "codes" -> cNew, "n2" -> nNew),
+            expectedRoot = Some(snap.rootVersion))
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException => ()
+        }
+      }
+    }
+    AtomicLanding.vacuumLinked(path, futureGraceMs = reservationGraceMs)
+  }
 
   /** Build + probe in one call (the coverage-query path). */
   def topK(emb: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,

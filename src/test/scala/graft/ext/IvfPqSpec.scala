@@ -116,6 +116,20 @@ class IvfPqSpec extends AnyFunSuite {
     assert((AtomicLanding.currentVersion(s"$idx/codes"),
       AtomicLanding.currentVersion(s"$idx/n2")) == v,
       "an id-less full replay must not publish new member generations")
+
+    // session maintenance folds each member's append tail to one dir
+    // and republishes the root; probes unchanged, superseded
+    // generations reclaimed
+    assert(AtomicLanding.liveDirCount(s"$idx/codes") == 3)
+    val probedBefore = canon(idx)
+    val removed = IvfPq.maintainSavedIndex(spark, idx,
+      smallBytes = 512L * 1024)
+    assert(removed.nonEmpty, "superseded generations must be reclaimed")
+    assert(AtomicLanding.liveDirCount(s"$idx/codes") == 1 &&
+      AtomicLanding.liveDirCount(s"$idx/n2") == 1,
+      "each member's micro-batch tail must fold to one dir")
+    assert(canon(idx) == probedBefore,
+      "maintenance must not change probe results")
   }
 
   test("a re-save flips readers atomically: no cross-generation part mix, crashes invisible") {
