@@ -1010,7 +1010,17 @@ object AtomicLanding {
     * retries. A crash before the swing leaves the previous generation
     * live and the reserved slot as vacuumable garbage ([[vacuumLinked]]
     * heals it, grace-protected for live publishers). `beforePublish`
-    * is the test seam between reservation and the pointer swing. */
+    * is the test seam between reservation and the pointer swing.
+    *
+    * WRITER CARDINALITY: the conflict path polls a reserved slot at
+    * 25 ms up to `maxConflictWaitMs` — sized for a HANDFUL of
+    * concurrent publishers (one streaming appender + one maintainer is
+    * the design point; each publish is O(metadata), so slots clear in
+    * milliseconds). Hundreds of writers contending on one root would
+    * serialize here by design — the root is a single linearization
+    * point, which is exactly what makes readers torn-proof. Shard the
+    * INDEX (separate roots), not the root, if writer fan-in ever needs
+    * to scale. */
   def publishLinked(root: String, members: Map[String, Long],
       expectedRoot: Option[Long] = None,
       beforePublish: () => Unit = () => (),
