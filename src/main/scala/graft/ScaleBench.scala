@@ -89,6 +89,17 @@ object ScaleBench {
         Tables.t(s, dir, "customer")
           .select(format_string("Customer#%09d", col("c_custkey")).as("name")),
         "name", k = 2)),
+    // the same join under Valve.Auto — the advisor's VALUE measured:
+    // the sequential-name corpus is the dense shape the census engages
+    // on, so this row prices the sampled census + the capped join
+    // against the exact row above, at both scales (probe via `only`,
+    // like its exact sibling)
+    "q_fuzzy_names_ed2_auto" -> ((s: SparkSession, dir: String) =>
+      graft.ext.FuzzyJoin.selfJoinEdK(
+        Tables.t(s, dir, "customer")
+          .select(format_string("Customer#%09d", col("c_custkey")).as("name")),
+        "name", k = 2,
+        graft.ext.FuzzyJoin.Valve.Auto(sampleFraction = 0.25))),
     // hybrid retrieval AT CORPUS SCALE — the q_hybrid_rrf gate row with
     // the brute-force vector side swapped for IVF-PQ (built inline, the
     // q_cosine_ivfpq_selfjoin precedent) and the BM25 side carrying the
@@ -432,7 +443,8 @@ object ScaleBench {
         // the billions at 100× — probe both at moderate replica counts
         // with the `only` filter, not in the full curve
         only.map(_.contains(name))
-          .getOrElse(name != "q_entity_names" && name != "q_fuzzy_names_ed2")
+          .getOrElse(name != "q_entity_names" && name != "q_fuzzy_names_ed2" &&
+            name != "q_fuzzy_names_ed2_auto")
       }
     def time(dir: String): Map[String, (Double, String)] = {
       qs.foreach { case (_, fn) => Bench.materialize(fn(spark, dir)) } // warm-up
