@@ -114,6 +114,49 @@ object Analytics {
         .orderBy(col("name_new"), col("name_corpus"))
     }),
 
+    // ---- STREAMING ingest into the fuzzy signature index — the ER-side
+    // cell of the engine-wide lifecycle matrix (every persisted index
+    // builds, appends, STREAMS, maintains, probes): a file-source stream
+    // drains half the corpus in micro-batches, each foreachBatch body
+    // running addToSigIndex with the engine's micro-batch id (known-
+    // committed replays are pure no-ops — the single sigs table needs no
+    // root heal), probe after the drain. Signature derivation is
+    // per-row-deterministic, so the streamed index reproduces the inline
+    // incremental bits exactly and q_fuzzy_incremental's oracle gates
+    // the whole streaming lifecycle ----
+    "q_stream_fuzzy_ingest" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val corpus = c.where(col("c_custkey") % 10 =!= 0)
+      val idx = fuzzyIdx.getOrElseUpdate(dir + "#stream", {
+        val root = tempIndexDir("graft-fuzzystream")
+        val d = s"$root/idx"
+        FuzzyJoin.buildSigIndex(
+          corpus.where(col("c_custkey") % 2 === 1), "c_name", d)
+        val tail = corpus.where(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name"))
+        tail.repartition(3).write.mode("overwrite").parquet(s"$root/in")
+        val src = s.readStream.schema(tail.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = src.writeStream
+            .foreachBatch((df: DataFrame, b: Long) =>
+              FuzzyJoin.addToSigIndex(s, d, df, "c_name", batchId = Some(b)))
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        d
+      })
+      FuzzyJoin.againstIndexEd1(s, idx,
+          c.where(col("c_custkey") % 10 === 0), "c_name")
+        .select(col("key_new").as("name_new"),
+          col("key_corpus").as("name_corpus"))
+        .orderBy(col("name_new"), col("name_corpus"))
+    }),
+
     // ---- CMS join-size estimation: "will this join explode?" answered
     // from two one-pass d×w sketches (row-wise inner product, min over
     // rows — never an undercount); the row carries the exact sizes so
@@ -341,6 +384,9 @@ object Analytics {
     "q_fuzzy_indexed" -> FuzzyIncrementalOracle,
     // ... and so must the built-then-GROWN index
     "q_fuzzy_grown" -> FuzzyIncrementalOracle,
+    // ... and the STREAMED one (micro-batch growth ≡ ACID growth ≡
+    // one-shot build: per-row-deterministic signatures)
+    "q_stream_fuzzy_ingest" -> FuzzyIncrementalOracle,
 
     // sparse replay of BOTH d=4 x w=256 sketches with the engine's
     // hash60 + Kirsch-Mitzenmacher bucket mix (the q_cms oracle shape),

@@ -101,6 +101,8 @@ object LlmPipeline {
   private val ivfGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfpqGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val ivfpqStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val clustersSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
     * parquet like the sibling memos (a cached DataFrame would pin
@@ -616,6 +618,50 @@ object LlmPipeline {
         .orderBy(col("component"))
     }),
 
+    // ---- INCREMENTAL clustering through the persisted state — cluster
+    // assignments as a growable artifact (the every-index-grows contract
+    // applied to dedup clusters): standing pairs cluster once into an
+    // ACID state table; an arriving batch folds its new edges (batch x
+    // corpus + batch-internal) in via Clusters.addToSaved — contraction:
+    // endpoints map to standing roots, CC runs on the BATCH-sized
+    // contracted graph, only remapped + first-seen rows are written,
+    // generation-stamped, CAS on the state version, identified batch
+    // replayed once to prove the no-op — then one maintenance fold.
+    // Hyperplane bands are a per-vector property, so
+    // pairs(standing ∪ batch) = standing pairs ∪ cross ∪ batch pairs
+    // exactly, and incremental ≡ one-shot: q_embed_cluster's census
+    // oracle gates the whole lifecycle unchanged ----
+    "q_embed_cluster_grown" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      def pert(lo: Int, hi: Int) =
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"),
+              x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      val path = clustersSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-clusters").toString + "/state"
+        val standing = e.unionByName(pert(0, 25))
+        graft.ext.Clusters.buildSaved(
+          Similarity.embedNearDupPairs(standing, threshold = 0.9)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")), d)
+        val batch = pert(25, 50)
+        val newEdges = Similarity
+          .embedNearDupPairsAgainst(standing, batch, threshold = 0.9)
+          .select(col("corpus_id").as("doc_a"), col("batch_id").as("doc_b"))
+          .unionByName(Similarity.embedNearDupPairs(batch, threshold = 0.9)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        graft.ext.Clusters.addToSaved(s, d, newEdges, batchId = Some(1L))
+        // at-least-once replay of the identified batch: pure no-op
+        graft.ext.Clusters.addToSaved(s, d, newEdges, batchId = Some(1L))
+        graft.ext.Clusters.maintainSaved(s, d)
+        d
+      })
+      graft.ext.Clusters.snapshot(s, path)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("component"))
+    }),
+
     // ---- embedding preprocessing: L2-normalization. The fixture is
     // already unit-normalized, so the op must be observable — the query
     // normalizes a SCALED copy (x2, float-exact) and fingerprints the
@@ -836,6 +882,49 @@ object LlmPipeline {
       })
       graft.ext.Ivf.probeSavedIndex(s, idx,
           e.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- STREAMING ingest into the COMPRESSED index — the last cell of
+    // the lifecycle matrix (fuzzy sigs / BM25 / IVF / IVF-PQ each now
+    // build, append, STREAM, maintain, probe): a file-source stream
+    // drains the corpus tail in micro-batches, each foreachBatch body
+    // running [[graft.ext.IvfPq.addToSavedIndex]] with the engine's
+    // micro-batch id — per-member batch-id dedupe (codes and n2 commit
+    // separately) plus one root CAS per batch, all under the
+    // at-least-once replay contract — and the probe scores at the live
+    // root after the drain. Frozen quantizers make growth
+    // order-independent and bit-identical to the one-shot build, so
+    // q_cosine_ivfpq's replay oracle gates the streaming lifecycle ----
+    "q_stream_ivfpq_ingest" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = ivfpqStreamSpooled.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ivfpqstream").toString
+        val d = s"$root/idx"
+        // prefix build freezes both seed sets (coarse = first 16 by
+        // vec_id, PQ codebooks = first 16 residual slices)
+        graft.ext.IvfPq.save(
+          graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") < 200)), d)
+        e.filter(col("vec_id") >= 200).repartition(3)
+          .write.mode("overwrite").parquet(s"$root/in")
+        val src = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = src.writeStream
+            .foreachBatch((df: DataFrame, b: Long) =>
+              graft.ext.IvfPq.addToSavedIndex(s, d, df, batchId = Some(b)))
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        d
+      })
+      graft.ext.IvfPq.probe(e, graft.ext.IvfPq.load(s, p),
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 4, shortlist = 50)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -1919,6 +2008,10 @@ object LlmPipeline {
     // grown ≡ one-shot (frozen quantizers, per-vector determinism):
     // the same replay oracle gates the ACID-grown compressed index
     "q_cosine_ivfpq_grown" -> CosineIvfPqOracle,
+    // streamed growth ≡ ACID growth ≡ one-shot build (frozen coarse +
+    // residual quantizers): the same replay oracle gates the streaming
+    // lifecycle of the compressed index
+    "q_stream_ivfpq_ingest" -> CosineIvfPqOracle,
     // same replay, query set = the whole corpus (the self-join shape) —
     // the physical-strategy difference (salted shuffle joins vs
     // broadcast probes) is invisible to the replayed values
@@ -1989,35 +2082,11 @@ object LlmPipeline {
 
     // exact all-pairs + recursive-CTE closure: component(v) = min
     // reachable id (incl. self), census per component
-    "q_embed_cluster" ->
-      """WITH RECURSIVE u AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 10000,
-        |    list_transform(embedding,
-        |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
-        |  FROM embeddings WHERE vec_id < 50),
-        |n AS (SELECT vec_id, list_sum(list_transform(embedding,
-        |        x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
-        |      FROM u),
-        |d AS (SELECT a.vec_id va, b.vec_id vb,
-        |        list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |          p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
-        |      FROM u a JOIN u b ON a.vec_id < b.vec_id),
-        |p AS (SELECT va, vb FROM d
-        |      JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
-        |      WHERE cast(dots as double)/sqrt(cast(na.n2 as double)*cast(nb.n2 as double))
-        |            >= cast(0.9 as double)),
-        |ed AS (SELECT va a, vb b FROM p UNION SELECT vb, va FROM p),
-        |rch AS (SELECT a, b FROM ed
-        |        UNION
-        |        SELECT r.a, e.b FROM rch r JOIN ed e ON r.b = e.a AND r.a <> e.b),
-        |comp AS (SELECT v.a AS vec_id,
-        |           least(v.a, min(r.b)) AS component
-        |         FROM (SELECT DISTINCT a FROM ed) v JOIN rch r ON r.a = v.a
-        |         GROUP BY v.a)
-        |SELECT component, count(*) AS n_members
-        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+    "q_embed_cluster" -> EmbedClusterOracle,
+    // incremental ≡ one-shot (contraction exactness + per-vector band
+    // identity): the same census oracle gates the persisted grown state
+    "q_embed_cluster_grown" -> EmbedClusterOracle,
+
 
     // exact all-CROSS-pairs oracle: every (corpus, batch) cosine, no
     // corpus self-pairs — same scaled-integer dot recipe as neardup
@@ -3053,6 +3122,42 @@ object LlmPipeline {
     * residuals, residual codebooks from the first 16 residual slices,
     * (d2, code)-tie-broken code assignment, ADC = coarse dot + per-sub
     * LUT sum, top-50 shortlist, exact cosine re-rank. */
+  /** Exact all-pairs + recursive-CTE closure over the union corpus
+    * (originals + 50 perturbed copies): component(v) = min reachable id
+    * (incl. self), census per component. Gates BOTH the one-shot
+    * `q_embed_cluster` and the persisted-incremental
+    * `q_embed_cluster_grown` — incremental ≡ one-shot by contraction
+    * exactness (scaladoc on [[graft.ext.Clusters.extend]]). */
+  private lazy val EmbedClusterOracle: String =
+    """WITH RECURSIVE u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000,
+      |    list_transform(embedding,
+      |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
+      |  FROM embeddings WHERE vec_id < 50),
+      |n AS (SELECT vec_id, list_sum(list_transform(embedding,
+      |        x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+      |      FROM u),
+      |d AS (SELECT a.vec_id va, b.vec_id vb,
+      |        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |          p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+      |      FROM u a JOIN u b ON a.vec_id < b.vec_id),
+      |p AS (SELECT va, vb FROM d
+      |      JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb
+      |      WHERE cast(dots as double)/sqrt(cast(na.n2 as double)*cast(nb.n2 as double))
+      |            >= cast(0.9 as double)),
+      |ed AS (SELECT va a, vb b FROM p UNION SELECT vb, va FROM p),
+      |rch AS (SELECT a, b FROM ed
+      |        UNION
+      |        SELECT r.a, e.b FROM rch r JOIN ed e ON r.b = e.a AND r.a <> e.b),
+      |comp AS (SELECT v.a AS vec_id,
+      |           least(v.a, min(r.b)) AS component
+      |         FROM (SELECT DISTINCT a FROM ed) v JOIN rch r ON r.a = v.a
+      |         GROUP BY v.a)
+      |SELECT component, count(*) AS n_members
+      |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
   private lazy val CosineIvfPqOracle: String = cosineIvfPqOracleFor("vec_id < 10")
 
   /** The IVF-PQ replay oracle, parameterized by the query-set predicate
