@@ -397,6 +397,60 @@ object ScaleBench {
       f""""maint_removed_paths":${removed.size},"derived_rebuilds":0}"""
   }
 
+  /** Incremental clustering at scale — the [[graft.ext.Clusters]] leg:
+    * a corpus-scaled standing state (the [[ccSection]] chain graph:
+    * components of 100 whose COUNT grows with the corpus) takes a
+    * FIXED batch — 50 chain-pair merges + 100 first-seen pairs. The
+    * claim under the clock: an append is a batch-sized contraction
+    * plus three filtered passes over the state (extendDeltaRaw's
+    * scaladoc) — no state-wide shuffle, no re-cluster — so
+    * `append_sec` must track the batch while `build_sec` (the one
+    * corpus-sized step) scales with the corpus. Exactness is
+    * require()d structurally: the delta is exactly 5,200 rows (100
+    * members × 50 dissolved chains + 200 fresh) at EVERY scale, and a
+    * probed member of a dissolved chain resolves to the merged root. */
+  private def clustersSection(spark: SparkSession, dir: String,
+      scratch: String): String = {
+    import graft.land.AtomicLanding
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      (((System.nanoTime() - t0) / 1e9), r)
+    }
+    val state = s"$scratch/clusters"
+    val standing = Tables.t(spark, dir, "customer")
+      .select(col("c_custkey").as("doc_a"))
+      .where(pmod(col("doc_a"), lit(100L)) =!= 0L)
+      .withColumn("doc_b", col("doc_a") + 1L)
+    val (tBuild, _) = time(graft.ext.Clusters.buildSaved(standing, state))
+    val rows0 = AtomicLanding.read(spark, state).count()
+    // fixed batch, staged outside the timer: merge chains (2i, 2i+1)
+    // for i < 50 at member offset 50, plus 100 pairs of unseen ids far
+    // above any replica's keyspan
+    val spark2 = spark; import spark2.implicits._
+    val batch = ((0 until 50).map(i =>
+        (200L * i + 50L, 200L * i + 150L)) ++
+      (0 until 100).map(j =>
+        (4000000000000L + 2 * j, 4000000000000L + 2 * j + 1)))
+      .toDF("doc_a", "doc_b").localCheckpoint()
+    val (tAppend, _) = time(
+      graft.ext.Clusters.addToSaved(spark, state, batch, batchId = Some(1L)))
+    val deltaRows = AtomicLanding.read(spark, state).count() - rows0
+    require(deltaRows == 5200L,
+      s"append must write exactly the affected rows (5200), got $deltaRows")
+    // chain 3 ([301,400], root 301) dissolved into chain 2's root 201
+    val probe = graft.ext.Clusters.snapshot(spark, state)
+      .where(col("doc_id") === 350L).head().getAs[Long]("component")
+    require(probe == 201L, s"member 350 must resolve to merged root 201, got $probe")
+    val (tFold, _) = time(graft.ext.Clusters.maintainSaved(spark, state))
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    f"""{"build_sec":$tBuild%.3f,"state_rows":$rows0,""" +
+      f""""append_sec":$tAppend%.3f,"delta_rows":$deltaRows,""" +
+      f""""fold_sec":$tFold%.3f}"""
+  }
+
   /** Distributed CC on an ENTITY-SHAPED graph — bounded components
     * (chains of 100 keys over the scaled customer keyspace) whose COUNT
     * scales with the corpus, unlike the zero-padded-name fixture where
@@ -505,7 +559,16 @@ object ScaleBench {
         val ms = maintSection(spark, out, s"/tmp/graft_maint_scaled_$runTag")
         s""","maint":{"base":$mb,"scaled":$ms}"""
       }
-    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson}""")
+    val runClusters = only.forall(_.contains("clusters"))
+    val clustersJson =
+      if (!runClusters) ""
+      else {
+        val runTag = java.util.UUID.randomUUID().toString.take(8)
+        val cb = clustersSection(spark, base, s"/tmp/graft_clusters_base_$runTag")
+        val cs = clustersSection(spark, out, s"/tmp/graft_clusters_scaled_$runTag")
+        s""","clusters":{"base":$cb,"scaled":$cs}"""
+      }
+    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson}""")
     spark.stop()
   }
 }

@@ -123,11 +123,81 @@ object Clusters {
       .agg(max(struct(col("gen"), col("component"))).as("w"))
       .select(col("doc_id"), col("w.component").as("component"))
 
+  /** [[extendDelta]] against the RAW generation-stamped state, with the
+    * resolution work cut to the rows the batch can touch — the
+    * per-append path of [[addToSaved]], which must not pay a state-wide
+    * groupBy shuffle per micro-batch:
+    *
+    *  1. ENDPOINT pass: latest-wins resolution runs after a broadcast
+    *     semi-join on the batch's endpoint ids — filtering by key
+    *     commutes with per-key argmax, so this is exact.
+    *  2. MEMBER pass: members of remapped clusters are found by
+    *     matching raw rows on `component` ∈ remapped-roots. Sound
+    *     because clusters only ever MERGE: once a root dissolves it can
+    *     never be anyone's current root again, so a STALE row's
+    *     component (a dissolved root) cannot collide with a current
+    *     root in the remap set, and every matching row is current.
+    *  3. FRESH pass: contracted nodes with no raw rows are first-seen.
+    *
+    * Three column-pruned passes over the state (each with a literal
+    * key-range filter for parquet footer pruning), zero state-wide
+    * shuffles; everything else scales with the batch. `ClustersSpec`
+    * gates raw ≡ resolved on multi-generation states. */
+  private[ext] def extendDeltaRaw(raw: DataFrame, newPairs: DataFrame,
+      maxRounds: Int = 50, localSolveMax: Long = 1000000L): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val e = norm(newPairs)
+    val keys = e.select(col("u").as("doc_id"))
+      .unionAll(e.select(col("v").as("doc_id"))).distinct()
+    def latest(rows: DataFrame): DataFrame =
+      rows.groupBy(col("doc_id"))
+        .agg(max(struct(col("gen"), col("component"))).as("w"))
+        .select(col("doc_id"), col("w.component").as("component"))
+    // pass 1: resolve ONLY the endpoint docs
+    val aEnd = latest(raw.join(broadcast(keys), Seq("doc_id")))
+    val mapped = e
+      .join(aEnd.select(col("doc_id").as("u"), col("component").as("cu")),
+        Seq("u"), "left")
+      .join(aEnd.select(col("doc_id").as("v"), col("component").as("cv")),
+        Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("doc_a"),
+        coalesce(col("cv"), col("v")).as("doc_b"))
+    val contracted = ConnectedComponents.components(mapped, maxRounds,
+      localSolveMax).persist()
+    try {
+      // bounded collect: contracted-graph-sized (≤ 2× batch edges), the
+      // same driver-side budget as the CC fast path itself
+      val remap = contracted.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).filter(p => p._1 != p._2)
+      val moved = if (remap.isEmpty) {
+        spark.emptyDataset[(Long, Long)].toDF("doc_id", "component")
+      } else {
+        val rootMap = remap.toSeq.toDF("component", "newc")
+        // literal range + broadcast match: footer pruning plus an exact
+        // filter, BEFORE any resolution work
+        val lo = remap.map(_._1).min
+        val hi = remap.map(_._1).max
+        val hit = raw
+          .filter(col("component") >= lit(lo) && col("component") <= lit(hi))
+          .join(broadcast(rootMap), Seq("component"))
+        hit.select(col("doc_id"), col("newc").as("component"))
+      }
+      // pass 3: first-seen vertices — contracted nodes with no raw rows
+      val fresh = contracted
+        .join(raw.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      moved.unionByName(fresh)
+        .localCheckpoint(true) // sever lineage from `contracted` before unpersist
+    } finally { contracted.unpersist(); () }
+  }
+
   /** Fold a batch of new edges into the saved assignment: O(affected)
     * write (only remapped + first-seen rows), generation-stamped,
     * CAS-serialized on the state version, batch-id replays are pure
     * no-ops. A crash after the commit is healed by the id check; a
-    * lost CAS race recomputes the delta against the winner's state. */
+    * lost CAS race recomputes the delta against the winner's state.
+    * Reads are the three filtered passes of [[extendDeltaRaw]] — an
+    * append never resolves or shuffles the whole state. */
   def addToSaved(s: SparkSession, path: String, newPairs: DataFrame,
       batchId: Option[Long] = None,
       maxRounds: Int = 50, localSolveMax: Long = 1000000L): Unit = {
@@ -137,8 +207,9 @@ object Clusters {
       if (batchId.exists(b => AtomicLanding.lastBatchId(path).exists(_ >= b)))
         return // known-committed replay: data + id durable in one swing
       val base = AtomicLanding.currentVersion(path)
-      val delta = extendDelta(snapshot(s, path), newPairs, maxRounds,
-        localSolveMax).withColumn("gen", lit(base.getOrElse(0L) + 1L))
+      val delta = extendDeltaRaw(AtomicLanding.read(s, path), newPairs,
+        maxRounds, localSolveMax)
+        .withColumn("gen", lit(base.getOrElse(0L) + 1L))
         .persist()
       try {
         if (delta.isEmpty) {

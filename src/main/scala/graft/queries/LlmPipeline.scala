@@ -662,6 +662,59 @@ object LlmPipeline {
         .orderBy(col("component"))
     }),
 
+    // ---- STREAMING edge ingest into the persisted cluster state — the
+    // clustering cell of the streamed-ingest column (fuzzy sigs / BM25 /
+    // IVF / IVF-PQ / clusters): the batch's new edges spool as 3 files,
+    // a file-source stream drains them in micro-batches, each
+    // foreachBatch body folding its edges in via Clusters.addToSaved
+    // with the engine's micro-batch id (at-least-once replays are pure
+    // no-ops; CAS on the state version), census probed at the live
+    // state after the drain. Incremental CC is ORDER-INDEPENDENT in the
+    // final partition (components of a union don't care how edges
+    // arrive), so streamed ≡ grown ≡ one-shot and the same census
+    // oracle gates it ----
+    "q_stream_cluster_ingest" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      def pert(lo: Int, hi: Int) =
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            transform(col("embedding"),
+              x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      val path = clustersSpooled.getOrElseUpdate(dir + "#stream", {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-clusterstream").toString
+        val d = s"$root/state"
+        val standing = e.unionByName(pert(0, 25))
+        graft.ext.Clusters.buildSaved(
+          Similarity.embedNearDupPairs(standing, threshold = 0.9)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")), d)
+        val batch = pert(25, 50)
+        val newEdges = Similarity
+          .embedNearDupPairsAgainst(standing, batch, threshold = 0.9)
+          .select(col("corpus_id").as("doc_a"), col("batch_id").as("doc_b"))
+          .unionByName(Similarity.embedNearDupPairs(batch, threshold = 0.9)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        newEdges.repartition(3).write.mode("overwrite").parquet(s"$root/in")
+        val src = s.readStream.schema(s.read.parquet(s"$root/in").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = src.writeStream
+            .foreachBatch((df: DataFrame, b: Long) =>
+              graft.ext.Clusters.addToSaved(s, d, df, batchId = Some(b)))
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        d
+      })
+      graft.ext.Clusters.snapshot(s, path)
+        .groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("component"))
+    }),
+
     // ---- embedding preprocessing: L2-normalization. The fixture is
     // already unit-normalized, so the op must be observable — the query
     // normalizes a SCALED copy (x2, float-exact) and fingerprints the
@@ -2086,6 +2139,8 @@ object LlmPipeline {
     // incremental ≡ one-shot (contraction exactness + per-vector band
     // identity): the same census oracle gates the persisted grown state
     "q_embed_cluster_grown" -> EmbedClusterOracle,
+    // ... and the STREAMED state (union-of-edges order independence)
+    "q_stream_cluster_ingest" -> EmbedClusterOracle,
 
 
     // exact all-CROSS-pairs oracle: every (corpus, batch) cosine, no

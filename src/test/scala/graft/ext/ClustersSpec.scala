@@ -127,6 +127,30 @@ class ClustersSpec extends AnyFunSuite {
     assert(AtomicLanding.currentVersion(p) == v)
   }
 
+  test("extendDeltaRaw == extendDelta on a multi-generation raw state") {
+    // build a genuinely multi-gen state via the persisted path: three
+    // appends, each remapping earlier rows — raw then holds stale rows
+    // whose components are dissolved roots
+    val p = tmp()
+    Clusters.buildSaved(df(Seq((10L, 11L), (20L, 21L), (30L, 31L))), p)
+    Clusters.addToSaved(spark, p, df(Seq((11L, 20L))), batchId = Some(1L))
+    Clusters.addToSaved(spark, p, df(Seq((21L, 30L), (40L, 41L))),
+      batchId = Some(2L))
+    val raw = AtomicLanding.read(spark, p)
+    assert(raw.count() > raw.select("doc_id").distinct().count(),
+      "precondition: the state must actually hold superseded generations")
+    val batch = df(Seq((5L, 10L), (40L, 50L), (60L, 61L)))
+    val viaRaw = asMap(Clusters.extendDeltaRaw(raw, batch))
+    val viaResolved = asMap(
+      Clusters.extendDelta(Clusters.snapshot(spark, p), batch))
+    assert(viaRaw == viaResolved)
+    // ... and the composed result still equals one-shot CC
+    val all = Seq((10L, 11L), (20L, 21L), (30L, 31L), (11L, 20L),
+      (21L, 30L), (40L, 41L), (5L, 10L), (40L, 50L), (60L, 61L))
+    Clusters.addToSaved(spark, p, batch, batchId = Some(3L))
+    assert(asMap(Clusters.snapshot(spark, p)) == oneShot(all))
+  }
+
   test("id-less append with nothing new commits nothing") {
     val p = tmp()
     Clusters.buildSaved(df(Seq((1L, 2L))), p)
