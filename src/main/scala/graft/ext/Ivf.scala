@@ -271,7 +271,15 @@ object Ivf {
         // any committed-but-unpublished predecessor generation
         val lLive = AtomicLanding.currentVersion(listsT).get
         if (lLive == snap.members("lists")) done = true
-        else done = casRoot(indexPath, snap, lLive, beforeRootPublish)
+        else done = healLive(indexPath, snap, lLive, beforeRootPublish)
+      } else if (AtomicLanding.currentVersion(listsT).get
+          != snap.members("lists")) {
+        // live ran ahead of the pin (a crashed append OR a crashed
+        // rebalance rewrite): heal it to a consistent pair FIRST, so
+        // this append never assigns against a quantizer the live lists
+        // were not built under, then re-resolve and land on top
+        healLive(indexPath, snap,
+          AtomicLanding.currentVersion(listsT).get); ()
       } else {
         val cents = centsOf(AtomicLanding.readVersion(spark,
           s"$indexPath/cents", snap.members("cents")))
@@ -325,6 +333,123 @@ object Ivf {
       case _: java.util.ConcurrentModificationException => false
     }
 
+  /** Heal a committed-but-unpublished LIVE lists generation forward —
+    * the one place that must tell two crash shapes apart:
+    *
+    *  - an APPEND chain (the live version's dirs are a superset of the
+    *    pinned version's — crashed [[addToSavedIndex]], or a
+    *    [[maintainSavedIndex]] fold, whose rows were all assigned
+    *    under the pinned quantizer): publish it under the PINNED
+    *    cents, the classic [[casRoot]] heal;
+    *  - a REWRITE generation (disjoint dirs — a [[rebalanceSavedIndex]]
+    *    that crashed between its lists rewrite and the root swing,
+    *    whose rows were REASSIGNED under a new quantizer): publish it
+    *    with its paired cents rewrite (the live cents version — under
+    *    the engine's one-maintainer contract only the same crashed
+    *    rebalance can have advanced it). Publishing pinned cents over
+    *    reassigned lists would route new cids through old centroids —
+    *    the mixed generation the whole root protocol exists to
+    *    prevent, so the dir-lineage check is what makes every OTHER
+    *    writer's blind forward-heal safe again. */
+  private def healLive(indexPath: String,
+      snap: graft.land.AtomicLanding.LinkedSnapshot, lLive: Long,
+      beforeRootPublish: () => Unit = () => ()): Boolean = {
+    import graft.land.AtomicLanding
+    val listsT = s"$indexPath/lists"
+    val pinnedDirs =
+      AtomicLanding.dirsOfVersion(listsT, snap.members("lists")).toSet
+    val liveDirs = AtomicLanding.dirsOfVersion(listsT, lLive).toSet
+    if (pinnedDirs.subsetOf(liveDirs))
+      casRoot(indexPath, snap, lLive, beforeRootPublish)
+    else
+      try {
+        AtomicLanding.publishLinked(indexPath,
+          Map("cents" ->
+            AtomicLanding.currentVersion(s"$indexPath/cents").get,
+            "lists" -> lLive),
+          expectedRoot = Some(snap.rootVersion),
+          beforePublish = beforeRootPublish)
+        true
+      } catch {
+        case _: java.util.ConcurrentModificationException => false
+      }
+  }
+
+  /** MAJOR maintenance — the missing half of the pair whose minor half
+    * is [[maintainSavedIndex]]'s physical tail fold: re-seed (iters=0)
+    * or re-train the coarse quantizer from the CURRENT corpus and
+    * reassign every list row against it. Growth under a frozen
+    * quantizer is what keeps appends O(batch), but when the corpus has
+    * grown far past the training segment the routing drifts (hot
+    * lists, recall decay); this is the corpus-sized "recluster when it
+    * matters" step the [[buildSavedIndex]] scaladoc promises. The
+    * corpus is already IN the lists (`ce`), so the caller supplies
+    * nothing: one training pass + one reassign job, a cents rewrite, a
+    * lists rewrite CAS'd on the lists version (a concurrent append
+    * landing mid-rebalance fails the rewrite and the loop retries with
+    * the appended rows included — nothing is ever dropped), then one
+    * root CAS. Readers flip from the old quantizer+lists to the new
+    * pair atomically; a crash before the root swing leaves the old
+    * generation live.
+    *
+    * With `iters = 0` the new seeds are the first `nLists` vectors of
+    * the current corpus by vec_id — deterministic, so a rebalanced
+    * index is BIT-IDENTICAL to a one-shot [[buildSavedIndex]] over the
+    * same corpus; `q_cosine_ivf_rebalanced` gates exactly that (an
+    * index grown from a SUFFIX segment, whose seeds differ from the
+    * canonical build's, must equal the canonical bits after the
+    * rebalance re-seeds it). */
+  def rebalanceSavedIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, nLists: Int = 16, iters: Int = 2,
+      beforeListsCommit: () => Unit = () => (),
+      beforeRootPublish: () => Unit = () => ()): Unit = {
+    import graft.land.AtomicLanding
+    val listsT = s"$indexPath/lists"
+    var done = false
+    while (!done) {
+      val snap = AtomicLanding.linkedSnapshot(indexPath).getOrElse(
+        throw new IllegalStateException(s"no saved IVF index at $indexPath"))
+      val lPin = snap.members("lists")
+      val lLive = AtomicLanding.currentVersion(listsT).get
+      if (lLive != lPin) {
+        // a committed-but-unpublished generation (crashed append or
+        // crashed rebalance): heal it to a consistent pair first, else
+        // the CAS'd rewrite below could never match the live version —
+        // then retry over the healed pin
+        healLive(indexPath, snap, lLive); ()
+      } else {
+        val corpus = AtomicLanding.readVersion(spark, listsT, lPin)
+          .select(col("neighbor_id").as("vec_id"), col("ce").as("embedding"))
+        val cents = train(corpus, nLists, iters)
+        val cv = AtomicLanding.commit(
+          centroidDf(spark, cents).coalesce(1), s"$indexPath/cents")
+        try {
+          // test seam: fires BEFORE the rewrite reserves its version
+          // slot (a concurrent append staged inside the reservation
+          // window would deadlock on the slot, not race the CAS)
+          beforeListsCommit()
+          val lv = AtomicLanding.commit(
+            assign(corpus, cents).join(corpus, "vec_id")
+              .select(col("vec_id").as("neighbor_id"), col("cid"),
+                col("embedding").as("ce")),
+            listsT,
+            expectedVersion = Some(lPin),
+            batchId = AtomicLanding.lastBatchId(listsT))
+          AtomicLanding.publishLinked(indexPath,
+            Map("cents" -> cv, "lists" -> lv),
+            expectedRoot = Some(snap.rootVersion),
+            beforePublish = beforeRootPublish)
+          done = true
+        } catch {
+          // a concurrent append advanced the lists (or the root) past
+          // our snapshot: retrain over the fresh corpus — the staged
+          // rewrite is unreachable garbage a vacuum reclaims
+          case _: java.util.ConcurrentModificationException => ()
+        }
+      }
+    }
+  }
+
   /** [[probe]] against a [[buildSavedIndex]] index: same output
     * contract, same bits, no training or assignment — the probe plan
     * runs off the saved lists scan directly. */
@@ -354,6 +479,14 @@ object Ivf {
     while (!done) {
       val snap = AtomicLanding.linkedSnapshot(indexPath).getOrElse(
         throw new IllegalStateException(s"no saved IVF index at $indexPath"))
+      val lLive = AtomicLanding.currentVersion(listsT).get
+      if (lLive != snap.members("lists")) {
+        // a crashed predecessor (append OR rebalance rewrite): heal to
+        // a consistent pair before folding — compacting a rebalanced
+        // generation under the old quantizer pin would publish the
+        // mixed state healLive exists to prevent
+        healLive(indexPath, snap, lLive)
+      } else {
       val folded =
         try AtomicLanding.compactSmall(spark, listsT, smallBytes)
         catch {
@@ -373,6 +506,7 @@ object Ivf {
         } catch {
           case _: java.util.ConcurrentModificationException => ()
         }
+      }
       }
     }
     AtomicLanding.vacuumLinked(indexPath, futureGraceMs = reservationGraceMs)

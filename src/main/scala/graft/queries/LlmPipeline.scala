@@ -102,6 +102,7 @@ object LlmPipeline {
   private val ivfStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfpqGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfpqStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val ivfRebalSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val clustersSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
@@ -887,6 +888,38 @@ object LlmPipeline {
           batchId = Some(1L))
         graft.ext.Ivf.addToSavedIndex(s, d, e.filter(col("vec_id") >= 350),
           batchId = Some(2L))
+        d
+      })
+      graft.ext.Ivf.probeSavedIndex(s, idx,
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- MAJOR index maintenance under the gate: an index built on a
+    // SUFFIX segment (seed quantizer = vectors 350-365, NOT the
+    // canonical first-16) and grown with the earlier segments routes
+    // every vector through drifted seeds — its probe bits deliberately
+    // differ from the canonical build's. rebalanceSavedIndex re-seeds
+    // from the current corpus (iters = 0 → first 16 by vec_id, now the
+    // canonical seeds) and reassigns the lists in one corpus-sized
+    // rewrite (cents + lists CAS'd, root swings once). Rebalanced ≡
+    // one-shot build BIT-IDENTICAL, so q_cosine_ivf's replay oracle
+    // gates the whole drift-then-recluster lifecycle — a rebalance
+    // that kept the drifted seeds, dropped a row, or mixed generations
+    // hash-fails ----
+    "q_cosine_ivf_rebalanced" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = ivfRebalSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivfrebal").toString + "/idx"
+        graft.ext.Ivf.buildSavedIndex(
+          e.filter(col("vec_id") >= 350), d, nLists = 16, iters = 0)
+        graft.ext.Ivf.addToSavedIndex(s, d,
+          e.filter(col("vec_id") < 200), batchId = Some(1L))
+        graft.ext.Ivf.addToSavedIndex(s, d,
+          e.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+          batchId = Some(2L))
+        graft.ext.Ivf.rebalanceSavedIndex(s, d, nLists = 16, iters = 0)
         d
       })
       graft.ext.Ivf.probeSavedIndex(s, idx,
@@ -2040,6 +2073,9 @@ object LlmPipeline {
     // streamed growth ≡ ACID growth ≡ one-shot build (frozen quantizer,
     // iters = 0): the same replay oracle gates the streaming lifecycle
     "q_stream_ivf_ingest" -> CosineIvfOracle,
+    // rebalanced ≡ one-shot (deterministic re-seed from the current
+    // corpus): the same replay oracle gates major maintenance
+    "q_cosine_ivf_rebalanced" -> CosineIvfOracle,
     "q_cosine_pq" -> CosinePqOracle,
 
     // the trained-quantizer envelope rows: the oracle replays the exact

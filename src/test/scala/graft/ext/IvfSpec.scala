@@ -318,4 +318,82 @@ class IvfSpec extends AnyFunSuite {
     assert(rows(idx) === rows(s"$dir/fresh"),
       "the id-less replay must not duplicate rows")
   }
+
+  test("rebalanceSavedIndex: drifted seeds re-cluster to canonical bits; crash keeps the old generation") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfrebal").toString
+    val idx = s"$dir/idx"
+    // SUFFIX build: seed quantizer = vectors 350-365, then grow with
+    // the earlier segments — every routing decision uses drifted seeds
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") >= 350), idx,
+      nLists = 16, iters = 0)
+    Ivf.addToSavedIndex(spark, idx, emb.filter(col("vec_id") < 200),
+      batchId = Some(1L))
+    Ivf.addToSavedIndex(spark, idx,
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+      batchId = Some(2L))
+    Ivf.buildSavedIndex(emb, s"$dir/fresh", nLists = 16, iters = 0)
+    def rows(p: String) = AtomicLanding.read(spark, s"$p/lists")
+      .select("neighbor_id", "cid").as[(Long, Int)].collect().toSet
+    // precondition: the drift must be OBSERVABLE, else this test (and
+    // the q_cosine_ivf_rebalanced gate) would pass vacuously
+    assert(rows(idx) !== rows(s"$dir/fresh"),
+      "suffix seeds must route differently from canonical seeds")
+
+    // crash between the member rewrites and the root swing: the OLD
+    // (drifted) generation stays live — readers never see new cents
+    // over old lists
+    val drifted = canonProbe(idx, nProbe = 4)
+    final class Crash extends RuntimeException("die before root swing")
+    intercept[Crash] {
+      Ivf.rebalanceSavedIndex(spark, idx, nLists = 16, iters = 0,
+        beforeRootPublish = () => throw new Crash)
+    }
+    assert(canonProbe(idx, nProbe = 4) === drifted,
+      "a crashed rebalance must leave the drifted generation live")
+
+    // the retry completes: bit-identical to the one-shot canonical build
+    Ivf.rebalanceSavedIndex(spark, idx, nLists = 16, iters = 0)
+    assert(rows(idx) === rows(s"$dir/fresh"),
+      "rebalance must reassign every row against the canonical seeds")
+    assert(canonProbe(idx, nProbe = 4) === canonProbe(s"$dir/fresh", nProbe = 4))
+
+    // the replay watermark survives the rewrite: a replayed identified
+    // batch is still a no-op afterwards
+    val v = AtomicLanding.currentVersion(s"$idx/lists")
+    Ivf.addToSavedIndex(spark, idx,
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+      batchId = Some(2L))
+    assert(AtomicLanding.currentVersion(s"$idx/lists") == v,
+      "the rebalance rewrite must carry the batch-id watermark forward")
+  }
+
+  test("rebalance racing an append retries and keeps the appended rows") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfrebalrace").toString
+    val idx = s"$dir/idx"
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") >= 350), idx,
+      nLists = 16, iters = 0)
+    Ivf.addToSavedIndex(spark, idx,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 350),
+      batchId = Some(1L))
+    val late = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .localCheckpoint()
+    // the append lands INSIDE the rebalance's lists-commit window: the
+    // CAS'd rewrite must lose, retry over the union, and drop nothing
+    var fired = false
+    Ivf.rebalanceSavedIndex(spark, idx, nLists = 16, iters = 0,
+      beforeListsCommit = () => if (!fired) {
+        fired = true
+        Ivf.addToSavedIndex(spark, idx, late, batchId = Some(2L))
+      })
+    assert(fired, "the race seam must have fired")
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") >= 100)
+        .unionByName(late), s"$dir/fresh", nLists = 16, iters = 0)
+    def rows(p: String) = AtomicLanding.read(spark, s"$p/lists")
+      .select("neighbor_id", "cid").as[(Long, Int)].collect().toSet
+    assert(rows(idx) === rows(s"$dir/fresh"),
+      "the retried rebalance must include the concurrently appended rows")
+  }
 }
