@@ -192,4 +192,97 @@ object Zorder {
     }
     (files.size, selected.map(_.toString).toSeq)
   }
+
+  // ------------------------------------------------ ACID layout lifecycle
+
+  /** Z-ordered ACID body: key, range-partition into `nFiles` sorted
+    * files, commit as one [[graft.land.AtomicLanding]] snapshot — the
+    * layout tier joining the engine's grow-and-maintain contract.
+    * `_zkey` stays in the schema (the cluster index column; appends
+    * must carry it too, which [[appendUnordered]] handles). */
+  def zorderedCommit(df: DataFrame, table: String,
+      clusterCols: Seq[String], bits: Int, nFiles: Int): Long = {
+    val keyed = withKey(df, domainsOf(df, clusterCols), bits)
+    graft.land.AtomicLanding.commit(
+      keyed.repartitionByRange(nFiles, col("_zkey"))
+        .sortWithinPartitions(col("_zkey")), table)
+  }
+
+  /** The DECAY path: an arriving batch lands as one unordered tail dir
+    * (its `_zkey` is computed over the batch's OWN domains — good
+    * enough for the fold's re-sort, useless for pruning, which is the
+    * point: ingest must never pay the body's range shuffle). Footer
+    * locality degrades with every append until [[maintainZordered]]
+    * folds the tail. Batch-id replays follow the engine-wide
+    * at-least-once contract. */
+  def appendUnordered(batch: DataFrame, table: String,
+      clusterCols: Seq[String], bits: Int,
+      batchId: Option[Long] = None): Long = {
+    import graft.land.AtomicLanding
+    if (batchId.exists(b => AtomicLanding.lastBatchId(table).exists(_ >= b)))
+      AtomicLanding.currentVersion(table).get
+    else
+      AtomicLanding.commit(
+        withKey(batch, domainsOf(batch, clusterCols), bits),
+        table, append = true, batchId = batchId)
+  }
+
+  /** Layout MAINTENANCE — the engine's OPTIMIZE ZORDER: fold the
+    * small-dir append tail back into `nFiles` z-key-sorted files
+    * (re-keyed over the folded rows' own domains — per-file footer
+    * locality needs only the fold's internal order, not global key
+    * consistency), leaving body dirs untouched; concurrent appends
+    * ride the rebase exactly as in every other fold. One maintenance
+    * pass restores multi-dimension footer pruning over everything that
+    * arrived since the last one; cost scales with the tail, never the
+    * body. */
+  def maintainZordered(spark: org.apache.spark.sql.SparkSession,
+      table: String, clusterCols: Seq[String], bits: Int,
+      smallBytes: Long, nFiles: Int): graft.land.AtomicLanding.SmallCompaction =
+    graft.land.AtomicLanding.compactSmallFrom(spark, table, smallBytes,
+      transform = Some(df => {
+        val keyed = withKey(df.drop("_zkey"),
+          domainsOf(df, clusterCols), bits)
+        keyed.repartitionByRange(nFiles, col("_zkey"))
+          .sortWithinPartitions(col("_zkey"))
+      }))
+
+  /** Mean per-file footer span over `column`, as a fraction of the
+    * global span, across the parquet files under `dirs` — the locality
+    * measure the maintenance gate pins: ~1.0 for unordered layouts,
+    * well under it once z-order maintenance has run. */
+  def meanSpanFraction(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], column: String): Double = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = dirs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+      }
+      buf
+    }
+    val ranges = files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val stats = r.getFooter.getBlocks.asScala.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(throw new IllegalArgumentException(
+            s"meanSpanFraction: column $column not found in $f"))
+          .getStatistics)
+        (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+          stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+      } finally r.close()
+    }
+    val global = (ranges.map(_._2).max - ranges.map(_._1).min).toDouble
+    if (global == 0d) 0d
+    else ranges.map { case (lo, hi) => (hi - lo).toDouble }.sum /
+      ranges.size / global
+  }
 }

@@ -823,10 +823,19 @@ object AtomicLanding {
     * table moved past `expectedBase` before the fold was even planned
     * (the caller re-syncs and retries) or when a concurrent REWRITE
     * landed during the fold; concurrent APPENDS rebase as before. */
+  /** `transform` (when provided) replaces the default `coalesce
+    * (numFiles)` as the fold's physical shaping pass — the seam layout
+    * maintainers use to re-sort the folded tail ([[graft.ext.Zorder
+    * .maintainZordered]]: re-key + range-repartition + sort-within,
+    * restoring footer locality the unordered appends decayed). It MUST
+    * be row-preserving and schema-preserving: the fold's accounting
+    * contract (output rows == folded dirs' rows, carried dirs exact)
+    * and the append-time schema enforcement both run over its output. */
   def compactSmallFrom(spark: SparkSession, table: String, smallBytes: Long,
       numFiles: Int = 1,
       expectedBase: Option[Long] = None,
-      beforeCommit: () => Unit = () => ()): SmallCompaction = {
+      beforeCommit: () => Unit = () => (),
+      transform: Option[DataFrame => DataFrame] = None): SmallCompaction = {
     val fs = fsOf(hp(table))
     val base = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $table"))
@@ -841,9 +850,10 @@ object AtomicLanding {
     else {
       // mergeSchema for the same reason as compact(): an evolved column
       // present in only some of the small dirs must survive the fold
-      val merged = spark.read.option("mergeSchema", "true")
+      val merged0 = spark.read.option("mergeSchema", "true")
         .parquet(small.map(d => s"$table/$d"): _*)
-        .coalesce(numFiles)
+      val merged = transform.map(_(merged0))
+        .getOrElse(merged0.coalesce(numFiles))
       beforeCommit()
       val (v, newDir) = commitCore(merged, table, keepDirs = big,
         expectedVersion = Some(base), rebaseAppends = _ => true)

@@ -139,4 +139,71 @@ class ZorderSpec extends AnyFunSuite {
       assert(hit <= nFiles / 2, s"$c: $hit of $nFiles files overlap probe")
     }
   }
+
+  test("ACID layout lifecycle: appends decay locality, maintainZordered restores it, concurrent appends ride the fold") {
+    import graft.land.AtomicLanding
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-zlife").toString + "/orders_zm"
+    val cols = Seq("o_custkey", "o_orderkey")
+    val o = graft.Tables.t(spark, TestSpark.Sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    Zorder.zorderedCommit(o.where(pmod(col("o_orderkey"), lit(4)) =!= 0),
+      tbl, cols, bits = 16, nFiles = 8)
+    for ((m, i) <- Seq(0L, 4L).zipWithIndex)
+      Zorder.appendUnordered(o.where(pmod(col("o_orderkey"), lit(12)) === m),
+        tbl, cols, bits = 16, batchId = Some(i + 1L))
+    // replayed identified batch: no version
+    val vr = AtomicLanding.currentVersion(tbl)
+    Zorder.appendUnordered(o.where(pmod(col("o_orderkey"), lit(12)) === 4L),
+      tbl, cols, bits = 16, batchId = Some(2L))
+    assert(AtomicLanding.currentVersion(tbl) == vr)
+
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def dirBytes(d: String): Long = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$tbl/$d")).getLength
+    val dirs0 = AtomicLanding.dirsOfVersion(tbl,
+      AtomicLanding.currentVersion(tbl).get)
+    val bodyDir = dirs0.maxBy(dirBytes)
+    val tail = dirs0.filterNot(_ == bodyDir).map(d => s"$tbl/$d")
+    cols.foreach { c =>
+      assert(Zorder.meanSpanFraction(spark, tail, c) > 0.5,
+        s"$c: the unordered tail must have decayed locality")
+    }
+
+    val before = AtomicLanding.read(spark, tbl)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+    // a batch landing DURING the fold rides the rebase untouched
+    val late = o.where(pmod(col("o_orderkey"), lit(12)) === 8L)
+      .localCheckpoint()
+    val lateKeyed = Zorder.withKey(late,
+      Zorder.domainsOf(late, cols), 16).localCheckpoint()
+    val comp = AtomicLanding.compactSmallFrom(spark, tbl,
+      smallBytes = dirBytes(bodyDir) - 1,
+      beforeCommit = () =>
+        { AtomicLanding.commit(lateKeyed, tbl, append = true); () },
+      transform = Some(df => {
+        val keyed = Zorder.withKey(df.drop("_zkey"),
+          Zorder.domainsOf(df, cols), 16)
+        keyed.repartitionByRange(8, col("_zkey"))
+          .sortWithinPartitions(col("_zkey"))
+      }))
+    assert(comp.foldDir.nonEmpty, "the tail must have folded")
+    val after = AtomicLanding.read(spark, tbl)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+    assert(after.getLong(0) == before.getLong(0) + late.count(),
+      "the fold must conserve rows and carry the ridden append")
+    // fold locality restored on BOTH interleaved dimensions
+    cols.foreach { c =>
+      assert(Zorder.meanSpanFraction(spark,
+        Seq(s"$tbl/${comp.foldDir.get}"), c) <= 0.7,
+        s"$c: the folded tail must be z-local again")
+    }
+    // body untouched; live dirs = body + fold + the ridden append
+    val dirs1 = AtomicLanding.dirsOfVersion(tbl,
+      AtomicLanding.currentVersion(tbl).get)
+    assert(dirs1.contains(bodyDir), "the body dir must never rewrite")
+    assert(dirs1.size == 3,
+      s"expected body + fold + ridden append, got ${dirs1.size}")
+  }
 }
