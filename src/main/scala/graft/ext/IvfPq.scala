@@ -249,14 +249,19 @@ object IvfPq {
     * invisible garbage [[maintainSavedIndex]] reclaims).
     * `beforePublish` is the root swing's test seam. */
   def save(index: Index, path: String,
-      beforePublish: () => Unit = () => ()): Unit = {
+      beforePublish: () => Unit = () => (),
+      beforeMember: String => Unit = _ => ()): Unit = {
     val s = index.codes.sparkSession
     import graft.land.AtomicLanding
+    beforeMember("cents")
     val centsV = AtomicLanding.commit(
       coarseDf(s, index.cents).coalesce(1), s"$path/cents")
+    beforeMember("cb")
     val cbV = AtomicLanding.commit(
       cbDf(s, index.cb).coalesce(1), s"$path/cb")
+    beforeMember("codes")
     val codesV = AtomicLanding.commit(index.codes, s"$path/codes")
+    beforeMember("n2")
     val n2V = AtomicLanding.commit(index.n2, s"$path/n2")
     AtomicLanding.publishLinked(path,
       Map("cents" -> centsV, "cb" -> cbV, "codes" -> codesV, "n2" -> n2V),
@@ -328,10 +333,45 @@ object IvfPq {
     val n2T = s"$path/n2"
     def committed(t: String): Boolean =
       batchId.exists(b => AtomicLanding.lastBatchId(t).exists(_ >= b))
+    // a member whose LIVE version is a committed-but-unpublished
+    // REWRITE (dir lineage disjoint from the pin — a [[save]] re-save
+    // that crashed before its root swing), as opposed to an append
+    // chain a crashed addToSavedIndex leaves (dirs superset)
+    def rewriteAhead(t: String, pin: Long): Boolean = {
+      val live = AtomicLanding.currentVersion(t).get
+      live != pin && !AtomicLanding.dirsOfVersion(t, pin).toSet
+        .subsetOf(AtomicLanding.dirsOfVersion(t, live).toSet)
+    }
     var done = false
     while (!done) {
       val snap = AtomicLanding.linkedSnapshot(path).getOrElse(
         throw new IllegalStateException(s"no saved IVF-PQ index at $path"))
+      // CRASHED RE-SAVE detection BEFORE any append work: appending
+      // old-quantizer codes on top of a re-save's rewritten tables
+      // would make the next publish serve a mixed generation. save()
+      // commits cents -> cb -> codes -> n2 -> root, so n2-ahead means
+      // the quadruple is COMPLETE (heal it forward and append against
+      // the new quantizers); codes-ahead without n2 is INCOMPLETE and
+      // cannot be completed here (the re-save's source corpus is not
+      // ours to re-derive) — refuse loudly, re-running save() heals.
+      if (rewriteAhead(codesT, snap.members("codes")) ||
+          rewriteAhead(n2T, snap.members("n2"))) {
+        if (rewriteAhead(n2T, snap.members("n2"))) {
+          try {
+            AtomicLanding.publishLinked(path, Map(
+              "cents" -> AtomicLanding.currentVersion(s"$path/cents").get,
+              "cb" -> AtomicLanding.currentVersion(s"$path/cb").get,
+              "codes" -> AtomicLanding.currentVersion(codesT).get,
+              "n2" -> AtomicLanding.currentVersion(n2T).get),
+              expectedRoot = Some(snap.rootVersion))
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        } else throw new IllegalStateException(
+          s"$path: a crashed re-save left an incomplete member rewrite " +
+            "(codes ahead of the root pin, n2 not) — re-run save() over " +
+            "the intended index to heal before appending")
+      } else {
       def freshFor(t: String, keyCol: String): DataFrame =
         if (batchId.isDefined) {
           // identified: monotone ids mean a batch below the recorded id
@@ -385,6 +425,7 @@ object IvfPq {
           }
         }
       } finally { freshN2.unpersist(); freshCodes.unpersist() }
+      }
     }
   }
 
@@ -415,6 +456,28 @@ object IvfPq {
     while (!done) {
       val snap = AtomicLanding.linkedSnapshot(path).getOrElse(
         throw new IllegalStateException(s"no saved IVF-PQ index at $path"))
+      // same crashed re-save discipline as addToSavedIndex: folding a
+      // rewritten live table and publishing it under the OLD pinned
+      // quantizers would serve a mixed generation
+      def rewriteAhead(t: String): Boolean = {
+        val pin = snap.members(t)
+        val live = AtomicLanding.currentVersion(s"$path/$t").get
+        live != pin && !AtomicLanding.dirsOfVersion(s"$path/$t", pin).toSet
+          .subsetOf(AtomicLanding.dirsOfVersion(s"$path/$t", live).toSet)
+      }
+      if (rewriteAhead("codes") || rewriteAhead("n2")) {
+        if (rewriteAhead("n2")) {
+          try AtomicLanding.publishLinked(path, Map(
+            "cents" -> AtomicLanding.currentVersion(s"$path/cents").get,
+            "cb" -> AtomicLanding.currentVersion(s"$path/cb").get,
+            "codes" -> AtomicLanding.currentVersion(s"$path/codes").get,
+            "n2" -> AtomicLanding.currentVersion(s"$path/n2").get),
+            expectedRoot = Some(snap.rootVersion))
+          catch { case _: java.util.ConcurrentModificationException => () }
+        } else throw new IllegalStateException(
+          s"$path: a crashed re-save left an incomplete member rewrite — " +
+            "re-run save() over the intended index to heal before maintaining")
+      } else {
       def folded(t: String): Long =
         try AtomicLanding.compactSmall(s, s"$path/$t", smallBytes)
         catch {
@@ -438,6 +501,7 @@ object IvfPq {
         } catch {
           case _: java.util.ConcurrentModificationException => ()
         }
+      }
       }
     }
     AtomicLanding.vacuumLinked(path, futureGraceMs = reservationGraceMs)

@@ -174,6 +174,67 @@ class IvfPqSpec extends AnyFunSuite {
       shortlist = 20).orderBy("query_id", "rnk").collect().toSeq)
   }
 
+  test("appends after a crashed re-save: complete quadruple heals forward, incomplete refuses") {
+    import graft.land.AtomicLanding
+    def rows(p: String, t: String) = AtomicLanding.read(spark, s"$p/$t")
+      .collect().map(_.toSeq).toSet
+    val head = emb.filter(col("vec_id") < 300)
+    val tail = emb.filter(col("vec_id") >= 300)
+    val v1 = IvfPq.buildIndex(head)               // 16 lists
+    val v2 = IvfPq.buildIndex(head, nLists = 8)   // re-trained config
+
+    // the oracle lineage: a CLEAN re-save + append
+    val q = java.nio.file.Files
+      .createTempDirectory("graft-ivfpqclean").toString
+    IvfPq.save(v1, q); IvfPq.save(v2, q)
+    IvfPq.addToSavedIndex(spark, q, tail, batchId = Some(1L))
+
+    // COMPLETE crash: all four members staged, root never swung — the
+    // next append must heal the quadruple forward and assign the batch
+    // under the RE-SAVED quantizers, never the pinned old ones
+    val p1 = java.nio.file.Files
+      .createTempDirectory("graft-ivfpqcrashc").toString
+    IvfPq.save(v1, p1)
+    intercept[RuntimeException] {
+      IvfPq.save(v2, p1,
+        beforePublish = () => throw new RuntimeException("kill -9"))
+    }
+    IvfPq.addToSavedIndex(spark, p1, tail, batchId = Some(1L))
+    assert(rows(p1, "codes") == rows(q, "codes") &&
+      rows(p1, "n2") == rows(q, "n2") &&
+      rows(p1, "cents") == rows(q, "cents"),
+      "the healed index must equal the clean re-save + append lineage")
+
+    // INCOMPLETE crash (cents/cb/codes rewritten, n2 still at its pin):
+    // un-completable here — the append and the maintainer both refuse
+    // rather than publish a mix; re-running save() is the heal
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft-ivfpqcrashi").toString
+    IvfPq.save(v1, p2)
+    val before = IvfPq.probe(emb, IvfPq.load(spark, p2), queries,
+      k = 5, nProbe = 2, shortlist = 20).orderBy("query_id", "rnk")
+      .collect().toSeq
+    intercept[RuntimeException] {
+      IvfPq.save(v2, p2, beforeMember =
+        m => if (m == "n2") throw new RuntimeException("kill -9"))
+    }
+    intercept[IllegalStateException] {
+      IvfPq.addToSavedIndex(spark, p2, tail, batchId = Some(1L))
+    }
+    intercept[IllegalStateException] {
+      IvfPq.maintainSavedIndex(spark, p2)
+    }
+    assert(IvfPq.probe(emb, IvfPq.load(spark, p2), queries,
+      k = 5, nProbe = 2, shortlist = 20).orderBy("query_id", "rnk")
+      .collect().toSeq == before,
+      "probes must keep serving the old generation throughout")
+    IvfPq.save(v2, p2) // the documented heal
+    IvfPq.addToSavedIndex(spark, p2, tail, batchId = Some(1L))
+    assert(rows(p2, "codes") == rows(q, "codes") &&
+      rows(p2, "n2") == rows(q, "n2"),
+      "after the re-run save the append lands exactly")
+  }
+
   test("codes are the compressed representation: m small ints per vector") {
     val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16)
     val perVec = idx.codes.groupBy("neighbor_id").count()
