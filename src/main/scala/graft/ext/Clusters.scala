@@ -200,7 +200,8 @@ object Clusters {
     * append never resolves or shuffles the whole state. */
   def addToSaved(s: SparkSession, path: String, newPairs: DataFrame,
       batchId: Option[Long] = None,
-      maxRounds: Int = 50, localSolveMax: Long = 1000000L): Unit = {
+      maxRounds: Int = 50, localSolveMax: Long = 1000000L,
+      beforeCommit: () => Unit = () => ()): Unit = {
     import graft.land.AtomicLanding
     var done = false
     while (!done) {
@@ -211,6 +212,7 @@ object Clusters {
         maxRounds, localSolveMax)
         .withColumn("gen", lit(base.getOrElse(0L) + 1L))
         .persist()
+      beforeCommit() // test seam: a concurrent folder lands HERE
       try {
         if (delta.isEmpty) {
           batchId match {

@@ -151,6 +151,29 @@ class ClustersSpec extends AnyFunSuite {
     assert(asMap(Clusters.snapshot(spark, p)) == oneShot(all))
   }
 
+  test("a lost CAS race recomputes against the winner's state, never blind-applies") {
+    val p = tmp()
+    Clusters.buildSaved(df(Seq((1L, 2L), (10L, 11L))), p)
+    val retries0 = Clusters.casRetries.get()
+    var fired = false
+    // the outer folder merges {1,2}+{10,11} via (2,10); the racing
+    // folder lands between the outer's delta computation and its
+    // commit, bridging {10,11} to an unseen smaller id 5 — which
+    // CHANGES the outer's contraction (10's root becomes 5). A blind
+    // append of the outer's stale delta would leave 5 outside the
+    // merged cluster; the CAS forces a recompute against the winner
+    Clusters.addToSaved(spark, p, df(Seq((2L, 10L))), batchId = Some(1L),
+      beforeCommit = () => if (!fired) {
+        fired = true
+        Clusters.addToSaved(spark, p, df(Seq((5L, 10L))))
+      })
+    assert(fired, "the race seam must have fired")
+    assert(Clusters.casRetries.get() > retries0,
+      "the outer folder must have lost the CAS and retried")
+    assert(asMap(Clusters.snapshot(spark, p)) ==
+      oneShot(Seq((1L, 2L), (10L, 11L), (2L, 10L), (5L, 10L))))
+  }
+
   test("id-less append with nothing new commits nothing") {
     val p = tmp()
     Clusters.buildSaved(df(Seq((1L, 2L))), p)
