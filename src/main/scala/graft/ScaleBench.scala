@@ -451,6 +451,137 @@ object ScaleBench {
       f""""fold_sec":$tFold%.3f}"""
   }
 
+  /** IVF major maintenance at scale — the
+    * [[graft.ext.Ivf.rebalanceSavedIndex]] leg: a saved index over the
+    * full embeddings corpus takes three FIXED identified appends
+    * (base-corpus head, shifted to fresh ids), then a full re-seed
+    * rebalance. Claims under the clock: appends track the BATCH (flat
+    * across scales — the batch-id fast path plus one batch-sized
+    * assign); the rebalance is the one corpus-sized maintenance step
+    * (retrain + reassign + CAS'd lists rewrite) and must stay
+    * build-shaped — it scales with the corpus like `build_sec`, never
+    * super-linearly past it. Row conservation through the rewrite, a
+    * fresh root pin, and probe sanity (every self-probe's top-1 at
+    * cosine ~1) are require()d at both scales. */
+  private def ivfRebalSection(spark: SparkSession, dir: String,
+      scratch: String): String = {
+    import graft.land.AtomicLanding
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      (((System.nanoTime() - t0) / 1e9), r)
+    }
+    val idx = s"$scratch/ivfidx"
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vSpan = span(e, "vec_id")
+    val (tBuild, _) = time(
+      graft.ext.Ivf.buildSavedIndex(e, idx, nLists = 16, iters = 0))
+    val rows0 = AtomicLanding.read(spark, s"$idx/lists").count()
+    // fixed-size batches from the base-scale head (replica 0 keeps the
+    // original vectors), shifted to fresh ids: identical batch content
+    // at every scale
+    val batchSrc = e.orderBy(col("vec_id")).limit(200).localCheckpoint()
+    val (tAppend, _) = time {
+      (1 to 3).foreach { i =>
+        graft.ext.Ivf.addToSavedIndex(spark, idx,
+          batchSrc.select((col("vec_id") + lit(i * vSpan)).as("vec_id"),
+            col("embedding")),
+          batchId = Some(i.toLong)); ()
+      }
+    }
+    val rowsGrown = AtomicLanding.read(spark, s"$idx/lists").count()
+    require(rowsGrown == rows0 + 600,
+      s"appends must add exactly the batch rows: $rows0 + 600 != $rowsGrown")
+    val root0 = AtomicLanding.currentRootVersion(idx).get
+    val (tRebal, _) = time(
+      graft.ext.Ivf.rebalanceSavedIndex(spark, idx, nLists = 16, iters = 0))
+    require(AtomicLanding.currentRootVersion(idx).exists(_ > root0),
+      "rebalance must publish a fresh root generation")
+    val rowsRebal = AtomicLanding.read(spark, s"$idx/lists").count()
+    require(rowsRebal == rowsGrown,
+      s"the rewrite must conserve rows: $rowsGrown != $rowsRebal")
+    val selfTop = graft.ext.Ivf.probeSavedIndex(spark, idx,
+        e.filter(col("vec_id") < 4), k = 1, nProbe = 4)
+      .select(col("cos_sim")).collect().map(_.getDouble(0))
+    require(selfTop.length == 4 && selfTop.forall(_ >= 0.999),
+      s"self-probe top-1 must score ~1 after the rebalance, got ${selfTop.mkString(",")}")
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    f"""{"build_sec":$tBuild%.3f,"lists_rows":$rows0,""" +
+      f""""append3_sec":$tAppend%.3f,"rebalance_sec":$tRebal%.3f}"""
+  }
+
+  /** Z-order layout maintenance at scale — the
+    * [[graft.ext.Zorder.maintainZordered]] leg: the orders corpus is
+    * z-committed once (the corpus-sized contrast row), takes three
+    * FIXED 2000-row unordered tail appends (the decay path — ingest
+    * never pays the body's range shuffle), then one fold. The claim
+    * under the clock: the fold rewrites ONLY the tail, so `fold_sec`
+    * must stay FLAT at 100× while the body it leaves untouched grows
+    * 100×. Decay before (tail footer spans ~the domain) and restored
+    * locality after (fold-dir spans bounded) are require()d via
+    * parquet footer stats at both scales, as is row conservation and
+    * the body+folded-tail dir layout. */
+  private def zmaintSection(spark: SparkSession, dir: String,
+      scratch: String): String = {
+    import graft.land.AtomicLanding
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      (((System.nanoTime() - t0) / 1e9), r)
+    }
+    val tbl = s"$scratch/orders_z"
+    val cols = Seq("o_custkey", "o_orderkey")
+    val o = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val (tBody, _) = time(graft.ext.Zorder.zorderedCommit(
+      o, tbl, cols, bits = 16, nFiles = 8))
+    val rows0 = AtomicLanding.read(spark, tbl).count()
+    // fixed batches: the base-scale head re-appended (key dupes are
+    // fine — the table has no uniqueness contract), so batch content,
+    // size, and key-domain shape are identical at every scale
+    val batchSrc = o.orderBy(col("o_orderkey")).limit(2000).localCheckpoint()
+    val (tAppend, _) = time {
+      (1 to 3).foreach { i =>
+        graft.ext.Zorder.appendUnordered(batchSrc, tbl, cols,
+          bits = 16, batchId = Some(i.toLong)); ()
+      }
+    }
+    def dirBytes(d: String): Long = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$tbl/$d")).getLength
+    val dirs0 = AtomicLanding.dirsOfVersion(tbl,
+      AtomicLanding.currentVersion(tbl).get)
+    val bodyDir = dirs0.maxBy(dirBytes)
+    val tailDirs = dirs0.filterNot(_ == bodyDir)
+    require(tailDirs.size == 3, s"expected 3 tail dirs, got ${tailDirs.size}")
+    // decay evidence, measured BEFORE the fold: unordered tail files
+    // each span ~the whole (tail-local) domain on both dimensions
+    val decayed = cols.forall(c => graft.ext.Zorder.meanSpanFraction(
+      spark, tailDirs.map(d => s"$tbl/$d"), c) > 0.5)
+    require(decayed, "the unshuffled tail must measure as decayed pre-fold")
+    val (tFold, comp) = time(graft.ext.Zorder.maintainZordered(
+      spark, tbl, cols, bits = 16,
+      smallBytes = dirBytes(bodyDir) - 1, nFiles = 8))
+    require(comp.foldDir.nonEmpty, "the tail must have folded")
+    val rowsAfter = AtomicLanding.read(spark, tbl).count()
+    require(rowsAfter == rows0 + 6000,
+      s"the fold must conserve rows: $rows0 + 6000 != $rowsAfter")
+    val dirsAfter = AtomicLanding.liveDirCount(tbl)
+    require(dirsAfter == 2,
+      s"the fold must leave body + folded tail, got $dirsAfter dirs")
+    val local = cols.forall(c => graft.ext.Zorder.meanSpanFraction(
+      spark, Seq(s"$tbl/${comp.foldDir.get}"), c) <= 0.7)
+    require(local, "the folded tail must measure z-local post-fold")
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    f"""{"body_sec":$tBody%.3f,"body_rows":$rows0,""" +
+      f""""append3_sec":$tAppend%.3f,"fold_sec":$tFold%.3f,""" +
+      f""""fold_rows":6000,"dirs_after":$dirsAfter}"""
+  }
+
   /** Distributed CC on an ENTITY-SHAPED graph — bounded components
     * (chains of 100 keys over the scaled customer keyspace) whose COUNT
     * scales with the corpus, unlike the zero-padded-name fixture where
@@ -568,7 +699,25 @@ object ScaleBench {
         val cs = clustersSection(spark, out, s"/tmp/graft_clusters_scaled_$runTag")
         s""","clusters":{"base":$cb,"scaled":$cs}"""
       }
-    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson}""")
+    val runIvfRebal = only.forall(_.contains("ivfrebal"))
+    val ivfRebalJson =
+      if (!runIvfRebal) ""
+      else {
+        val runTag = java.util.UUID.randomUUID().toString.take(8)
+        val ib = ivfRebalSection(spark, base, s"/tmp/graft_ivfrebal_base_$runTag")
+        val is = ivfRebalSection(spark, out, s"/tmp/graft_ivfrebal_scaled_$runTag")
+        s""","ivf_rebalance":{"base":$ib,"scaled":$is}"""
+      }
+    val runZmaint = only.forall(_.contains("zmaint"))
+    val zmaintJson =
+      if (!runZmaint) ""
+      else {
+        val runTag = java.util.UUID.randomUUID().toString.take(8)
+        val zb = zmaintSection(spark, base, s"/tmp/graft_zmaint_base_$runTag")
+        val zs = zmaintSection(spark, out, s"/tmp/graft_zmaint_scaled_$runTag")
+        s""","zorder_maint":{"base":$zb,"scaled":$zs}"""
+      }
+    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson$ivfRebalJson$zmaintJson}""")
     spark.stop()
   }
 }
