@@ -435,6 +435,118 @@ object IvfPq {
   private[ext] val dedupeCodeScans =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Rebuild attempts [[rebalanceSavedIndex]] lost to a concurrent
+    * commit (member-CAS or root-CAS) — the proof seam that a racing
+    * append makes the rebalance RETRY over the fresh state rather
+    * than silently overwrite it. */
+  private[ext] val rebalanceRetries =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** MAJOR maintenance on the compressed tier — retrain-on-drift with
+    * append-loss protection ([[Ivf.rebalanceSavedIndex]]'s contract,
+    * reshaped by the lossy layout: PQ codes cannot reconstruct their
+    * vectors, so unlike the plain-IVF rebalance — which retrains from
+    * the full vectors its own lists store — the caller supplies the
+    * retrain `corpus`). One call retrains both quantizers over
+    * `corpus`, recomputes codes + norms, commits all four members,
+    * and swings the root once; with iters = 0 the result is
+    * bit-identical to a one-shot [[buildIndex]]+[[save]] over the
+    * same corpus, which is what `q_cosine_ivfpq_rebalanced` gates.
+    *
+    * Append-loss protection — the hole a raw re-[[save]] leaves open:
+    * save() reads its root-CAS expectation at PUBLISH time, so an
+    * append that lands during the rebuild is silently overwritten by
+    * a quadruple built from a corpus that never held it. Here three
+    * fences close it:
+    * (a) CENSUS — every id durably committed to the LIVE norms table
+    *     must appear in `corpus` (one id-only anti-join over two
+    *     pruned columns, before any rebuild work); a stale corpus
+    *     fails loudly instead of dropping vectors — this also covers
+    *     a CRASHED append's committed-but-unpublished ids, because
+    *     the census reads the member's live version, not the root pin;
+    * (b) MEMBER CAS — the codes/n2 rewrites carry `expectedVersion` =
+    *     the censused versions, so an append landing after the census
+    *     fails the rewrite commit, never a reader;
+    * (c) ROOT CAS — the publish pins the snapshot generation.
+    * Losing any fence retries the loop: the census re-runs over the
+    * fresh state (the racing append's ids are in the live norms now —
+    * a corpus that covers them rebuilds them in; one that does not
+    * fails the census). A live generation AHEAD of the root pin heals
+    * first, exactly as [[addToSavedIndex]]: an n2-complete rewrite
+    * publishes forward, an incomplete one refuses (re-run save() to
+    * heal), an append chain publishes forward. A crash between this
+    * rewrite's member commits and its root swing is the same
+    * crashed-re-save window those heals already close — member commit
+    * order (cents, cb, codes, n2, root) is save()'s, so n2-ahead
+    * still certifies a complete quadruple. */
+  def rebalanceSavedIndex(s: SparkSession, path: String, corpus: DataFrame,
+      nLists: Int = 16, m: Int = 8, k: Int = 16,
+      itersCoarse: Int = 0, itersPq: Int = 0,
+      beforeMembersCommit: () => Unit = () => (),
+      beforeRootPublish: () => Unit = () => ()): Unit = {
+    import graft.land.AtomicLanding
+    val codesT = s"$path/codes"
+    val n2T = s"$path/n2"
+    var done = false
+    while (!done) {
+      val snap = AtomicLanding.linkedSnapshot(path).getOrElse(
+        throw new IllegalStateException(s"no saved IVF-PQ index at $path"))
+      val cLive = AtomicLanding.currentVersion(codesT).get
+      val nLive = AtomicLanding.currentVersion(n2T).get
+      def rewriteAhead(t: String, pin: Long, live: Long): Boolean =
+        live != pin && !AtomicLanding.dirsOfVersion(t, pin).toSet
+          .subsetOf(AtomicLanding.dirsOfVersion(t, live).toSet)
+      if (cLive != snap.members("codes") || nLive != snap.members("n2")) {
+        if (rewriteAhead(codesT, snap.members("codes"), cLive) &&
+            !rewriteAhead(n2T, snap.members("n2"), nLive))
+          throw new IllegalStateException(
+            s"$path: a crashed re-save left an incomplete member rewrite " +
+              "(codes ahead of the root pin, n2 not) — re-run save() over " +
+              "the intended index to heal before rebalancing")
+        try AtomicLanding.publishLinked(path, Map(
+          "cents" -> AtomicLanding.currentVersion(s"$path/cents").get,
+          "cb" -> AtomicLanding.currentVersion(s"$path/cb").get,
+          "codes" -> cLive, "n2" -> nLive),
+          expectedRoot = Some(snap.rootVersion))
+        catch { case _: java.util.ConcurrentModificationException => () }
+      } else {
+        val missing = AtomicLanding.readVersion(s, n2T, nLive)
+          .select(col("vec_id"))
+          .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .count()
+        require(missing == 0L,
+          s"$path: rebalance corpus is stale — $missing indexed ids are " +
+            "absent from it; rebuilding would silently drop those vectors")
+        val idx = buildIndex(corpus, nLists, m, k, itersCoarse, itersPq)
+        // test seam: fires after the census + rebuild, before any
+        // member commit — the widest window a concurrent append can
+        // land in
+        beforeMembersCommit()
+        try {
+          val centsV = AtomicLanding.commit(
+            coarseDf(s, idx.cents).coalesce(1), s"$path/cents")
+          val cbV = AtomicLanding.commit(
+            cbDf(s, idx.cb).coalesce(1), s"$path/cb")
+          val codesV = AtomicLanding.commit(idx.codes, codesT,
+            expectedVersion = Some(cLive),
+            batchId = AtomicLanding.lastBatchId(codesT))
+          val n2V = AtomicLanding.commit(idx.n2, n2T,
+            expectedVersion = Some(nLive),
+            batchId = AtomicLanding.lastBatchId(n2T))
+          AtomicLanding.publishLinked(path,
+            Map("cents" -> centsV, "cb" -> cbV,
+              "codes" -> codesV, "n2" -> n2V),
+            expectedRoot = Some(snap.rootVersion),
+            beforePublish = beforeRootPublish)
+          done = true
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            rebalanceRetries.incrementAndGet(); ()
+        }
+      }
+    }
+  }
+
   /** Long-SESSION maintenance ([[Ivf.maintainSavedIndex]]'s shape on
     * the compressed tier — the quantizers are frozen and the codes/n2
     * tables carry no derived state, so maintenance is purely

@@ -109,6 +109,7 @@ object LlmPipeline {
   private val ivfpqGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfpqStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfRebalSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val ivfpqRebalSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val clustersSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) duplicate-span set (n = 5), spooled to
@@ -930,6 +931,40 @@ object LlmPipeline {
       })
       graft.ext.Ivf.probeSavedIndex(s, idx,
           e.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- MAJOR maintenance on the COMPRESSED tier under the gate
+    // (q_cosine_ivf_rebalanced's drift-then-recluster lifecycle on
+    // IVF-PQ): the index is saved from a SUFFIX segment — coarse seeds
+    // = vectors 350-365, PQ codebooks = their residual slices, both
+    // drifted off the canonical first-16 — then grown with the earlier
+    // segments, then rebalanceSavedIndex retrains BOTH quantizers over
+    // the full corpus (iters = 0 → canonical seeds), recodes every
+    // vector, and swings the root once. The lossy layout cannot
+    // reconstruct its own vectors, so the caller supplies the retrain
+    // corpus and the census fence proves it covers every live id
+    // (append-loss protection a raw re-save lacks). Rebalanced ≡
+    // one-shot build BIT-IDENTICAL, so q_cosine_ivfpq's replay oracle
+    // gates it — drifted seeds kept, a dropped row, or a mixed
+    // generation all hash-fail ----
+    "q_cosine_ivfpq_rebalanced" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = ivfpqRebalSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivfpqrebal").toString + "/idx"
+        graft.ext.IvfPq.save(
+          graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") >= 350)), d)
+        graft.ext.IvfPq.addToSavedIndex(s, d,
+          e.filter(col("vec_id") < 200), batchId = Some(1L))
+        graft.ext.IvfPq.addToSavedIndex(s, d,
+          e.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+          batchId = Some(2L))
+        graft.ext.IvfPq.rebalanceSavedIndex(s, d, e)
+        d
+      })
+      graft.ext.IvfPq.probe(e, graft.ext.IvfPq.load(s, p),
+          e.filter(col("vec_id") < 10), k = 5, nProbe = 4, shortlist = 50)
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -2165,6 +2200,7 @@ object LlmPipeline {
     // grown ≡ one-shot (frozen quantizers, per-vector determinism):
     // the same replay oracle gates the ACID-grown compressed index
     "q_cosine_ivfpq_grown" -> CosineIvfPqOracle,
+    "q_cosine_ivfpq_rebalanced" -> CosineIvfPqOracle,
     // streamed growth ≡ ACID growth ≡ one-shot build (frozen coarse +
     // residual quantizers): the same replay oracle gates the streaming
     // lifecycle of the compressed index

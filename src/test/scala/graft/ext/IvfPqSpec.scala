@@ -235,6 +235,108 @@ class IvfPqSpec extends AnyFunSuite {
       "after the re-run save the append lands exactly")
   }
 
+  test("rebalanceSavedIndex: drifted seeds re-cluster to canonical bits; a stale corpus refuses loudly") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqrebal").toString
+    val idx = s"$dir/idx"
+    // suffix build: coarse seeds = vectors 350-365 and PQ codebooks =
+    // their residual slices — both drifted off the canonical first-16
+    IvfPq.save(IvfPq.buildIndex(emb.filter(col("vec_id") >= 350)), idx)
+    IvfPq.addToSavedIndex(spark, idx, emb.filter(col("vec_id") < 200),
+      batchId = Some(1L))
+    IvfPq.addToSavedIndex(spark, idx,
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+      batchId = Some(2L))
+    def canon(p: String) =
+      IvfPq.probe(emb, IvfPq.load(spark, p), queries,
+          k = 5, nProbe = 4, shortlist = 50)
+        .orderBy("query_id", "rnk").collect().toSeq
+
+    // the census fence: a corpus missing live ids refuses before any
+    // rebuild work, and publishes nothing
+    val snap0 = AtomicLanding.linkedSnapshot(idx).get
+    val e1 = intercept[IllegalArgumentException] {
+      IvfPq.rebalanceSavedIndex(spark, idx, emb.filter(col("vec_id") < 400))
+    }
+    assert(e1.getMessage.contains("stale"))
+    assert(AtomicLanding.linkedSnapshot(idx).get == snap0,
+      "a refused rebalance must leave the index untouched")
+
+    // the rebalance re-seeds to the canonical quantizers: bit-identical
+    // to a one-shot build+save over the same corpus
+    IvfPq.rebalanceSavedIndex(spark, idx, emb)
+    val fresh = s"$dir/fresh"
+    IvfPq.save(IvfPq.buildIndex(emb), fresh)
+    assert(canon(idx) == canon(fresh))
+    def rows(p: String, t: String) = AtomicLanding.read(spark, s"$p/$t")
+      .collect().map(_.toSeq).toSet
+    for (t <- Seq("codes", "n2"))
+      assert(rows(idx, t) === rows(fresh, t),
+        s"$t must match a one-shot build over the rebalance corpus")
+  }
+
+  test("a concurrent append during rebalance is never lost: the member CAS forces a retry over the fresh state") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqrebalrace").toString
+    val idx = s"$dir/idx"
+    IvfPq.save(IvfPq.buildIndex(emb.filter(col("vec_id") < 480)), idx)
+    // the racing append lands inside the rebalance's widest window —
+    // after its census + rebuild, before any member commit. Its ids
+    // ARE in the rebalance corpus, so the retry must carry them.
+    var fired = false
+    val retries0 = IvfPq.rebalanceRetries.get()
+    IvfPq.rebalanceSavedIndex(spark, idx, emb,
+      beforeMembersCommit = () => {
+        if (!fired) {
+          fired = true
+          IvfPq.addToSavedIndex(spark, idx,
+            emb.filter(col("vec_id") >= 480), batchId = Some(1L))
+        }
+      })
+    assert(IvfPq.rebalanceRetries.get() > retries0,
+      "the overtaken rewrite must have lost its CAS and retried")
+    assert(AtomicLanding.read(spark, s"$idx/n2").count() == emb.count(),
+      "the racing append's vectors must survive the rebalance")
+    val fresh = s"$dir/fresh"
+    IvfPq.save(IvfPq.buildIndex(emb), fresh)
+    def canon(p: String) =
+      IvfPq.probe(emb, IvfPq.load(spark, p), queries,
+          k = 5, nProbe = 4, shortlist = 50)
+        .orderBy("query_id", "rnk").collect().toSeq
+    assert(canon(idx) == canon(fresh))
+  }
+
+  test("a rebalance crash before the root swing is unobservable, then heals forward") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqrebalcrash").toString
+    val idx = s"$dir/idx"
+    IvfPq.save(IvfPq.buildIndex(emb.filter(col("vec_id") >= 350)), idx)
+    IvfPq.addToSavedIndex(spark, idx, emb.filter(col("vec_id") < 350),
+      batchId = Some(1L))
+    def canon(p: String) =
+      IvfPq.probe(emb, IvfPq.load(spark, p), queries,
+          k = 5, nProbe = 4, shortlist = 50)
+        .orderBy("query_id", "rnk").collect().toSeq
+    val drifted = canon(idx)
+    final class Crash extends RuntimeException("die before root swing")
+    intercept[Crash] {
+      IvfPq.rebalanceSavedIndex(spark, idx, emb,
+        beforeRootPublish = () => throw new Crash)
+    }
+    // all four members are rewritten-ahead, but the root pin is
+    // untouched: probes keep scoring the drifted generation exactly
+    assert(canon(idx) == drifted,
+      "a probe inside the crash window must read the pinned generation")
+    // the next append heals the COMPLETE rewritten quadruple forward
+    // (n2-ahead certifies completeness), then replays as a no-op
+    IvfPq.addToSavedIndex(spark, idx, emb.filter(col("vec_id") < 350),
+      batchId = Some(1L))
+    val fresh = s"$dir/fresh"
+    IvfPq.save(IvfPq.buildIndex(emb), fresh)
+    assert(canon(idx) == canon(fresh),
+      "the heal must publish the rebalanced generation")
+  }
+
   test("codes are the compressed representation: m small ints per vector") {
     val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16)
     val perVec = idx.codes.groupBy("neighbor_id").count()
