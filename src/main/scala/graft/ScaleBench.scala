@@ -513,6 +513,60 @@ object ScaleBench {
       f""""append3_sec":$tAppend%.3f,"rebalance_sec":$tRebal%.3f}"""
   }
 
+  /** IVF-PQ major maintenance at scale — the
+    * [[graft.ext.IvfPq.rebalanceSavedIndex]] leg: the compressed index
+    * over the full embeddings corpus takes three FIXED identified
+    * appends, then a full retrain-recode rebalance from the
+    * caller-supplied corpus. Claims under the clock: appends track the
+    * batch (flat across scales); the census fence costs one id-only
+    * anti-join (O(index) ids, two pruned columns — it rides inside
+    * `rebalance_sec`); the rebalance itself is corpus-shaped like the
+    * build, never super-linear past it. Row conservation and a fresh
+    * root pin are require()d at both scales. */
+  private def pqRebalSection(spark: SparkSession, dir: String,
+      scratch: String): String = {
+    import graft.land.AtomicLanding
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      (((System.nanoTime() - t0) / 1e9), r)
+    }
+    val idx = s"$scratch/pqidx"
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vSpan = span(e, "vec_id")
+    val (tBuild, _) = time(
+      graft.ext.IvfPq.save(graft.ext.IvfPq.buildIndex(e), idx))
+    val rows0 = AtomicLanding.read(spark, s"$idx/n2").count()
+    val batchSrc = e.orderBy(col("vec_id")).limit(200).localCheckpoint()
+    val shifted = (1 to 3).map(i =>
+      batchSrc.select((col("vec_id") + lit(i * vSpan)).as("vec_id"),
+        col("embedding")))
+    val (tAppend, _) = time {
+      shifted.zipWithIndex.foreach { case (b, i) =>
+        graft.ext.IvfPq.addToSavedIndex(spark, idx, b,
+          batchId = Some(i + 1L)); ()
+      }
+    }
+    require(AtomicLanding.read(spark, s"$idx/n2").count() == rows0 + 600,
+      "appends must add exactly the batch rows")
+    val root0 = AtomicLanding.currentRootVersion(idx).get
+    // the rebalance corpus = live ids (corpus + the shifted appends),
+    // exactly what a production retrain-on-drift would supply
+    val corpus = shifted.foldLeft(e)(_ unionByName _)
+    val (tRebal, _) = time(
+      graft.ext.IvfPq.rebalanceSavedIndex(spark, idx, corpus))
+    require(AtomicLanding.currentRootVersion(idx).exists(_ > root0),
+      "rebalance must publish a fresh root generation")
+    require(AtomicLanding.read(spark, s"$idx/n2").count() == rows0 + 600,
+      "the rewrite must conserve rows")
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    f"""{"build_sec":$tBuild%.3f,"n2_rows":$rows0,""" +
+      f""""append3_sec":$tAppend%.3f,"rebalance_sec":$tRebal%.3f}"""
+  }
+
   /** Z-order layout maintenance at scale — the
     * [[graft.ext.Zorder.maintainZordered]] leg: the orders corpus is
     * z-committed once (the corpus-sized contrast row), takes three
@@ -708,6 +762,15 @@ object ScaleBench {
         val is = ivfRebalSection(spark, out, s"/tmp/graft_ivfrebal_scaled_$runTag")
         s""","ivf_rebalance":{"base":$ib,"scaled":$is}"""
       }
+    val runPqRebal = only.forall(_.contains("pqrebal"))
+    val pqRebalJson =
+      if (!runPqRebal) ""
+      else {
+        val runTag = java.util.UUID.randomUUID().toString.take(8)
+        val pb = pqRebalSection(spark, base, s"/tmp/graft_pqrebal_base_$runTag")
+        val ps = pqRebalSection(spark, out, s"/tmp/graft_pqrebal_scaled_$runTag")
+        s""","ivfpq_rebalance":{"base":$pb,"scaled":$ps}"""
+      }
     val runZmaint = only.forall(_.contains("zmaint"))
     val zmaintJson =
       if (!runZmaint) ""
@@ -717,7 +780,7 @@ object ScaleBench {
         val zs = zmaintSection(spark, out, s"/tmp/graft_zmaint_scaled_$runTag")
         s""","zorder_maint":{"base":$zb,"scaled":$zs}"""
       }
-    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson$ivfRebalJson$zmaintJson}""")
+    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson$ivfRebalJson$pqRebalJson$zmaintJson}""")
     spark.stop()
   }
 }
