@@ -419,28 +419,8 @@ object AtomicLanding {
           "allowMissingColumns = true to do that deliberately")
     }
     // manifest-first planning; footer listing only for pre-upgrade dirs
-    val recorded = liveRanges(table)
-    val ranges = dirs.map { d =>
-      d -> recorded.get((d, key))
-        .orElse(footerKeyRange(spark, s"$table/$d", key, planning = true))
-    }
-    val flagged = ranges.zipWithIndex.collect {
-      case ((_, Some(r)), i) =>
-        i -> max(when(rangeCond(key, r), 1).otherwise(0)).as(s"_t$i")
-    }
-    val hit: Map[Int, Boolean] =
-      if (flagged.isEmpty) Map.empty
-      else {
-        val row = updates.agg(flagged.head._2, flagged.tail.map(_._2): _*).head()
-        flagged.map(_._1).zipWithIndex
-          .map { case (dirIdx, c) => dirIdx -> (!row.isNullAt(c) && row.getInt(c) == 1) }
-          .toMap
-      }
-    val (touched, kept) = ranges.zipWithIndex.partition {
-      case ((_, None), _) => true // statless dir: conservatively rewrite
-      case ((_, Some(_)), i) => hit.getOrElse(i, false)
-    }
-    val touchedData: Option[DataFrame] = touched.map(_._1._1) match {
+    val (touched, kept) = prunePlan(updates, table, key)
+    val touchedData: Option[DataFrame] = touched.map(_._1) match {
       case Nil => None
       case ds => Some(spark.read.option("mergeSchema", "true")
         .parquet(ds.map(d => s"$table/$d"): _*))
@@ -453,40 +433,116 @@ object AtomicLanding {
     // kept dirs' ranges (just read — from the manifest or the one-time
     // footer fallback) ride into the new manifest via knownRanges, so a
     // pre-upgrade table is fully range-lined after its first merge
-    val known = kept.collect { case ((d, Some(r)), _) => (d, key) -> r }.toMap
-    // Concurrent-append rebase (commit's rebaseAppends seam): a commit
-    // that landed while we were rewriting fails the publish ONLY if it
-    // could interact with this merge. A concurrently-appended dir whose
-    // recorded key range holds NO update key provably contains no row
-    // this merge would have rewritten — carrying it forward verbatim is
-    // row-identical to serializing the append after the merge, so the
-    // rewrite survives instead of being retried from scratch. The test
-    // is one agg over `updates` with a per-extra-dir BETWEEN flag (the
-    // same shape as touched-dir planning), reading ranges from the
-    // CURRENT manifest — the "# range" lines the append itself
-    // maintained. A rangeless extra dir, or one whose range covers an
-    // update key, refuses the rebase (conservative: fail as before).
-    val rebase: Seq[String] => Boolean = { extras =>
-      val rec = liveRanges(table)
-      val extRanges = extras.map(d => rec.get((d, key)))
-      extRanges.forall(_.isDefined) && {
-        val flags = extRanges.flatten.zipWithIndex.map { case (r, i) =>
-          max(when(rangeCond(key, r), 1).otherwise(0)).as(s"_x$i")
-        }
-        flags.isEmpty || {
-          val row = updates.agg(flags.head, flags.tail: _*).head()
-          flags.indices.forall(c => row.isNullAt(c) || row.getInt(c) == 0)
-        }
-      }
-    }
+    val known = kept.collect { case (d, Some(r)) => (d, key) -> r }.toMap
     // no pinned batchId: the watermark is carried fresh from the live
     // manifest at reservation time, so a rebase over a concurrent
     // STREAMING append keeps the append's newer batch id (a stale pinned
     // id would let the engine double-commit the replayed batch)
     beforeCommit()
-    commit(merged, table, keepDirs = kept.map(_._1._1),
+    commit(merged, table, keepDirs = kept.map(_._1),
       expectedVersion = base, statsKeys = Seq(key), knownRanges = known,
-      rebaseAppends = rebase)
+      rebaseAppends = rebaseDisjoint(updates, table, key))
+  }
+
+  /** Manifest-first pruning plan for a keyed snapshot rewrite: every
+    * live dir's recorded `key` range (one footer pass only for
+    * pre-upgrade dirs), partitioned into dirs a probe key CAN live in
+    * (range hit — or no range at all, which rewrites conservatively)
+    * and dirs provably untouched. ONE aggregate over `probe` computes
+    * every dir's flag. Shared by [[mergePruned]] and [[deletePruned]]. */
+  private def prunePlan(probe: DataFrame, table: String, key: String)
+      : (Seq[(String, Option[KeyRange])], Seq[(String, Option[KeyRange])]) = {
+    val spark = probe.sparkSession
+    val recorded = liveRanges(table)
+    val ranges = liveDirs(table).map { d =>
+      d -> recorded.get((d, key))
+        .orElse(footerKeyRange(spark, s"$table/$d", key, planning = true))
+    }
+    val flagged = ranges.zipWithIndex.collect {
+      case ((_, Some(r)), i) =>
+        i -> max(when(rangeCond(key, r), 1).otherwise(0)).as(s"_t$i")
+    }
+    val hit: Map[Int, Boolean] =
+      if (flagged.isEmpty) Map.empty
+      else {
+        val row = probe.agg(flagged.head._2, flagged.tail.map(_._2): _*).head()
+        flagged.map(_._1).zipWithIndex
+          .map { case (dirIdx, c) => dirIdx -> (!row.isNullAt(c) && row.getInt(c) == 1) }
+          .toMap
+      }
+    val (touched, kept) = ranges.zipWithIndex.partition {
+      case ((_, None), _) => true // statless dir: conservatively rewrite
+      case ((_, Some(_)), i) => hit.getOrElse(i, false)
+    }
+    (touched.map(_._1), kept.map(_._1))
+  }
+
+  /** Concurrent-append rebase predicate (commit's rebaseAppends seam):
+    * a commit that landed while a keyed rewrite was running fails the
+    * publish ONLY if it could interact with the rewrite. A
+    * concurrently-appended dir whose recorded key range holds NO probe
+    * key provably contains no row the rewrite would have touched —
+    * carrying it forward verbatim is row-identical to serializing the
+    * append after the rewrite, so the rewrite survives instead of
+    * being retried from scratch. The test is one agg over `probe` with
+    * a per-extra-dir BETWEEN flag (the same shape as touched-dir
+    * planning), reading ranges from the CURRENT manifest — the
+    * "# range" lines the append itself maintained. A rangeless extra
+    * dir, or one whose range covers a probe key, refuses the rebase
+    * (conservative: fail as before). */
+  private def rebaseDisjoint(probe: DataFrame, table: String,
+      key: String): Seq[String] => Boolean = { extras =>
+    val rec = liveRanges(table)
+    val extRanges = extras.map(d => rec.get((d, key)))
+    extRanges.forall(_.isDefined) && {
+      val flags = extRanges.flatten.zipWithIndex.map { case (r, i) =>
+        max(when(rangeCond(key, r), 1).otherwise(0)).as(s"_x$i")
+      }
+      flags.isEmpty || {
+        val row = probe.agg(flags.head, flags.tail: _*).head()
+        flags.indices.forall(c => row.isNullAt(c) || row.getInt(c) == 0)
+      }
+    }
+  }
+
+  /** Row-level DELETE by key with file pruning — the
+    * right-to-be-forgotten primitive at 100 TB: rows of `table` whose
+    * `key` appears in `deleteKeys` vanish in one atomic snapshot, and
+    * only data dirs whose recorded key range can hold a delete key are
+    * rewritten ([[mergePruned]]'s manifest-first planning) — the rest
+    * of the table is carried verbatim, so cost scales with the
+    * AFFECTED files, never the table. Returns the published version;
+    * when no live dir can hold any delete key the delete is a provable
+    * no-op and publishes nothing (the current version returns).
+    *
+    * Concurrency: the rewrite CASes on the planned snapshot
+    * (`expectedVersion`); a concurrent append whose recorded range
+    * holds no delete key rides the rebase; anything else fails the
+    * publish and the caller retries against the fresh snapshot.
+    * Deletion is logical-then-physical: superseded dirs hold the
+    * deleted bytes until [[vacuum]] reclaims them — time travel to a
+    * pre-delete version still serves them, so a compliance hard-delete
+    * is deletePruned + vacuum, the same retention trade Delta's
+    * DELETE + VACUUM makes. */
+  def deletePruned(deleteKeys: DataFrame, table: String, key: String,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val spark = deleteKeys.sparkSession
+    val base = currentVersion(table)
+    require(base.isDefined, s"no committed snapshot at $table")
+    val keys = deleteKeys.select(col(key))
+    val (touched, kept) = prunePlan(keys, table, key)
+    if (touched.isEmpty) return base.get
+    val remaining = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(d => s"$table/${d._1}"): _*)
+      .join(keys, Seq(key), "left_anti")
+    // an all-rows-deleted rewrite still needs a schema-bearing footer:
+    // zero partitions would write no part file and break later reads
+    val body = if (remaining.isEmpty) remaining.repartition(1) else remaining
+    val known = kept.collect { case (d, Some(r)) => (d, key) -> r }.toMap
+    beforeCommit()
+    commit(body, table, keepDirs = kept.map(_._1),
+      expectedVersion = base, statsKeys = Seq(key), knownRanges = known,
+      rebaseAppends = rebaseDisjoint(keys, table, key))
   }
 
   /** Write `df` and publish atomically; returns the committed version.

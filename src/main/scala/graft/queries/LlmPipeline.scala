@@ -47,6 +47,7 @@ object LlmPipeline {
   /** Once-per-(jvm, sf dir) ACID table for the MERGE (upsert) gate. */
   private val mergeSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val mergePrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val deletePrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) ACID table for the COMPACTION gate. */
   private val compactSpooled = scala.collection.concurrent.TrieMap[String, String]()
@@ -322,6 +323,40 @@ object LlmPipeline {
             .select((col("doc_id") + 20000).as("doc_id"), col("source"),
               lit(-2).as("n")))
         graft.land.AtomicLanding.mergePruned(upd, d, "doc_id")
+        d
+      })
+      graft.land.AtomicLanding.read(s, tbl)
+        .select(col("doc_id"), col("n"))
+        .withColumn("n_live_dirs",
+          lit(graft.land.AtomicLanding.liveDirCount(tbl).toLong))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- row-level DELETE with file pruning under the gate — the
+    // right-to-be-forgotten primitive (land/AtomicLanding.deletePruned):
+    // a range-clustered table loses the odd keys of ONE segment; only
+    // that segment's dir rewrites (manifest-first range planning), the
+    // other three carry verbatim, and the live-dir count is
+    // column-gated so an unpruned table-wide rewrite (1 dir) or a
+    // skipped delete hash-fails alongside the surviving rows ----
+    "q_acid_delete_pruned" -> ((s, dir) => {
+      val tbl = deletePrunedSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-aciddelp").toString + "/t"
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("source"), length(col("text")).as("n"))
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") < 125), d,
+          statsKeys = Seq("doc_id"))
+        Seq((125, 250), (250, 375), (375, Int.MaxValue)).foreach { case (lo, hi) =>
+          graft.land.AtomicLanding.commit(
+            base.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            d, append = true)
+        }
+        graft.land.AtomicLanding.deletePruned(
+          base.filter(col("doc_id") >= 125 && col("doc_id") < 250 &&
+              col("doc_id") % 2 === 1)
+            .select(col("doc_id")),
+          d, "doc_id")
         d
       })
       graft.land.AtomicLanding.read(s, tbl)
@@ -2057,6 +2092,12 @@ object LlmPipeline {
         |UNION ALL
         |SELECT doc_id + 20000, -2, cast(4 as bigint) FROM documents
         |WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_acid_delete_pruned" ->
+      """SELECT doc_id, length(text) AS n, cast(4 as bigint) AS n_live_dirs
+        |FROM documents
+        |WHERE NOT (doc_id >= 125 AND doc_id < 250 AND doc_id % 2 = 1)
         |ORDER BY doc_id""".stripMargin,
 
     "q_top_terms" ->

@@ -737,4 +737,105 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, table)
       .filter(col("n") === -7L).count() == 10)
   }
+
+  test("deletePruned rewrites only range-touched dirs; a provable no-op publishes nothing") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n"))
+    val table = freshTable()
+    // statsKeys upgrades the table from the first commit, so every
+    // dir carries a range line and planning is manifest-only
+    AtomicLanding.commit(docs.filter(col("doc_id") < 125), table,
+      statsKeys = Seq("doc_id"))
+    Seq((125, 250), (250, 375), (375, 10000)).foreach { case (lo, hi) =>
+      AtomicLanding.commit(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        table, append = true)
+    }
+    val v0 = AtomicLanding.currentVersion(table).get
+    val dirs0 = AtomicLanding.dirsOfVersion(table, v0).toSet
+    val total = AtomicLanding.read(spark, table).count()
+
+    // keys outside every recorded range: a provable no-op — no rewrite,
+    // no new version, nothing staged
+    val ghost = docs.filter(col("doc_id") === 0)
+      .select(lit(77777L).as("doc_id"))
+    assert(AtomicLanding.deletePruned(ghost, table, "doc_id") == v0)
+    assert(AtomicLanding.currentVersion(table).contains(v0))
+
+    // victims confined to the second segment: ONE dir rewrites, three carry
+    val victims = docs.filter(col("doc_id") >= 130 && col("doc_id") < 200)
+      .select(col("doc_id"))
+    val nVictims = victims.count()
+    assert(nVictims > 0)
+    val v1 = AtomicLanding.deletePruned(victims, table, "doc_id")
+    assert(v1 > v0)
+    val live = AtomicLanding.read(spark, table)
+    assert(live.count() == total - nVictims)
+    assert(live.join(victims, Seq("doc_id"), "left_semi").count() == 0,
+      "every victim key must be gone from the live snapshot")
+    val dirs1 = AtomicLanding.dirsOfVersion(table, v1).toSet
+    assert((dirs0 intersect dirs1).size == 3,
+      s"three untouched range dirs must carry verbatim, got ${dirs0 intersect dirs1}")
+    assert(dirs1.size == 4)
+    // logical-then-physical: time travel still serves the pre-delete
+    // snapshot until vacuum reclaims it
+    assert(AtomicLanding.readVersion(spark, table, v0).count() == total)
+  }
+
+  test("deletePruned: an emptied segment stays readable; a disjoint concurrent append rides the rebase; overlap fails") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n"))
+    val table = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") < 125), table,
+      statsKeys = Seq("doc_id"))
+    AtomicLanding.commit(
+      docs.filter(col("doc_id") >= 125 && col("doc_id") < 250),
+      table, append = true)
+    val total = AtomicLanding.read(spark, table).count()
+
+    // wipe the ENTIRE second segment: the rewritten dir is empty but
+    // must stay schema-bearing and readable
+    val seg = docs.filter(col("doc_id") >= 125 && col("doc_id") < 250)
+      .select(col("doc_id"))
+    val nSeg = seg.count()
+    AtomicLanding.deletePruned(seg, table, "doc_id")
+    assert(AtomicLanding.read(spark, table).count() == total - nSeg)
+    assert(AtomicLanding.read(spark, table)
+      .filter(col("doc_id") >= 125 && col("doc_id") < 250).count() == 0)
+
+    // a concurrent append with keys DISJOINT from the victims rides the
+    // rebase: both the delete and the append survive one publish
+    val late = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("source"),
+        lit(-7L).as("n"))
+    val victims = docs.filter(col("doc_id") < 50).select(col("doc_id"))
+    AtomicLanding.deletePruned(victims, table, "doc_id",
+      beforeCommit = () =>
+        { AtomicLanding.commit(late, table, append = true); () })
+    val live = AtomicLanding.read(spark, table)
+    assert(live.filter(col("n") === -7L).count() == 10,
+      "the ridden append's rows must survive the delete's publish")
+    assert(live.filter(col("doc_id") < 50).count() == 0)
+
+    // an OVERLAPPING concurrent append refuses the rebase: carrying it
+    // would resurrect victim keys, so the publish must fail loudly
+    val resurrecting = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+      .select(col("doc_id"), col("source"), lit(-8L).as("n"))
+    val vBefore = AtomicLanding.currentVersion(table).get
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      AtomicLanding.deletePruned(
+        docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+          .select(col("doc_id")),
+        table, "doc_id",
+        beforeCommit = () =>
+          { AtomicLanding.commit(resurrecting, table, append = true); () })
+    }
+    assert(ex.getMessage.contains("concurrent"))
+    // the append survived; the refused delete published nothing on top
+    assert(AtomicLanding.currentVersion(table).contains(vBefore + 1))
+    assert(AtomicLanding.read(spark, table)
+      .filter(col("n") === -8L).count() == 10)
+  }
 }
