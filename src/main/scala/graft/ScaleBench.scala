@@ -513,6 +513,71 @@ object ScaleBench {
       f""""append3_sec":$tAppend%.3f,"rebalance_sec":$tRebal%.3f}"""
   }
 
+  /** File-pruned row-level delete at scale — the
+    * [[graft.land.AtomicLanding.deletePruned]] leg on a
+    * range-clustered table (4 corpus-sized key segments + one FIXED
+    * 2000-row appended tail). Three timed rows tell the whole cost
+    * story: a provable no-op (ghost keys outside every range) is
+    * manifest-only planning — FLAT; victims confined to the fixed
+    * tail dir rewrite only that dir — FLAT while the 4 body segments
+    * grow 100×; victims inside a body segment rewrite that segment —
+    * corpus-shaped, the honest contrast. Row conservation and the
+    * carried-dir layout are require()d at both scales. */
+  private def deleteSection(spark: SparkSession, dir: String,
+      scratch: String): String = {
+    import graft.land.AtomicLanding
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      (((System.nanoTime() - t0) / 1e9), r)
+    }
+    val tbl = s"$scratch/orders_del"
+    val o = Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val kSpan = span(o, "o_orderkey")
+    val q = kSpan / 4
+    AtomicLanding.commit(o.filter(col("o_orderkey") < q), tbl,
+      statsKeys = Seq("o_orderkey"))
+    Seq((q, 2 * q), (2 * q, 3 * q), (3 * q, kSpan)).foreach { case (lo, hi) =>
+      AtomicLanding.commit(
+        o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi),
+        tbl, append = true)
+    }
+    // the fixed tail: the base-scale head re-keyed beyond every segment
+    val tail = o.orderBy(col("o_orderkey")).limit(2000)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2L * kSpan))
+      .localCheckpoint()
+    AtomicLanding.commit(tail, tbl, append = true)
+    val total = AtomicLanding.read(spark, tbl).count()
+    require(AtomicLanding.liveDirCount(tbl) == 5)
+    val spark2 = spark; import spark2.implicits._
+    val v0 = AtomicLanding.currentVersion(tbl).get
+    val ghost = (0 until 500).map(i => 10L * kSpan + i)
+      .toDF("o_orderkey").localCheckpoint()
+    val (tNoop, vNoop) = time(
+      AtomicLanding.deletePruned(ghost, tbl, "o_orderkey"))
+    require(vNoop == v0, "ghost keys must be a provable no-op")
+    val victims = tail.select(col("o_orderkey"))
+      .orderBy(col("o_orderkey")).limit(500).localCheckpoint()
+    val (tTail, _) = time(
+      AtomicLanding.deletePruned(victims, tbl, "o_orderkey"))
+    require(AtomicLanding.read(spark, tbl).count() == total - 500,
+      "the tail delete must remove exactly its victims")
+    require(AtomicLanding.liveDirCount(tbl) == 5,
+      "the tail delete must carry all four body segments")
+    val bodyVictims = o.orderBy(col("o_orderkey")).limit(500)
+      .select(col("o_orderkey")).localCheckpoint()
+    val (tBody, _) = time(
+      AtomicLanding.deletePruned(bodyVictims, tbl, "o_orderkey"))
+    require(AtomicLanding.read(spark, tbl).count() == total - 1000,
+      "the body delete must remove exactly its victims")
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    f"""{"rows":$total,"noop_sec":$tNoop%.3f,""" +
+      f""""tail_delete_sec":$tTail%.3f,"body_delete_sec":$tBody%.3f}"""
+  }
+
   /** IVF-PQ major maintenance at scale — the
     * [[graft.ext.IvfPq.rebalanceSavedIndex]] leg: the compressed index
     * over the full embeddings corpus takes three FIXED identified
@@ -762,6 +827,15 @@ object ScaleBench {
         val is = ivfRebalSection(spark, out, s"/tmp/graft_ivfrebal_scaled_$runTag")
         s""","ivf_rebalance":{"base":$ib,"scaled":$is}"""
       }
+    val runDelete = only.forall(_.contains("delete"))
+    val deleteJson =
+      if (!runDelete) ""
+      else {
+        val runTag = java.util.UUID.randomUUID().toString.take(8)
+        val db = deleteSection(spark, base, s"/tmp/graft_delete_base_$runTag")
+        val ds = deleteSection(spark, out, s"/tmp/graft_delete_scaled_$runTag")
+        s""","delete_pruned":{"base":$db,"scaled":$ds}"""
+      }
     val runPqRebal = only.forall(_.contains("pqrebal"))
     val pqRebalJson =
       if (!runPqRebal) ""
@@ -780,7 +854,7 @@ object ScaleBench {
         val zs = zmaintSection(spark, out, s"/tmp/graft_zmaint_scaled_$runTag")
         s""","zorder_maint":{"base":$zb,"scaled":$zs}"""
       }
-    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson$ivfRebalJson$pqRebalJson$zmaintJson}""")
+    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson$ivfRebalJson$pqRebalJson$zmaintJson$deleteJson}""")
     spark.stop()
   }
 }
