@@ -147,6 +147,15 @@ object AtomicLanding {
   private def liveDirs(table: String): Seq[String] =
     manifestLines(table).filterNot(_.startsWith("#"))
 
+  /** Resolve a manifest dir entry to a readable path. Entries written
+    * by a table's own commits are RELATIVE ("data/<uuid>"); a
+    * [[cloneShallow]] target's first manifest references the source's
+    * dirs ABSOLUTELY (path- or scheme-qualified), and those resolve
+    * as-is. Dir entries stay opaque strings everywhere else, so the
+    * two kinds coexist in one manifest as a clone diverges. */
+  private[land] def resolveDir(table: String, d: String): String =
+    if (d.startsWith("/") || d.contains(":/")) d else s"$table/$d"
+
   /** The streaming batch id recorded by the last published commit, if
     * that commit carried one. Lives INSIDE the manifest, so it becomes
     * durable in the same atomic pointer swing as the data it describes —
@@ -179,7 +188,7 @@ object AtomicLanding {
     val dirs = liveDirs(table)
     require(dirs.nonEmpty, s"no committed snapshot at $table")
     spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(dirs.map(d => s"$table/$d"): _*)
+      .parquet(dirs.map(d => resolveDir(table, d)): _*)
   }
 
   /** Time travel: read the snapshot a PAST commit published. Works until
@@ -189,7 +198,7 @@ object AtomicLanding {
     * and pointer swing leaves an orphaned FUTURE manifest on disk, and
     * that snapshot was never committed. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
-    spark.read.parquet(dirsOfVersion(table, version).map(d => s"$table/$d"): _*)
+    spark.read.parquet(dirsOfVersion(table, version).map(d => resolveDir(table, d)): _*)
 
   /** The data dirs a committed version references (relative to `table`)
     * — the manifest-level delta primitive [[ChangeFeed]] diffs to serve
@@ -205,6 +214,56 @@ object AtomicLanding {
     require(fs.exists(manifest), s"version $version not found (vacuumed?)")
     readUtf8(fs, manifest).split("\n").toSeq
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  /** SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): publish
+    * `target` as a new table whose first manifest references `source`'s
+    * live data dirs ABSOLUTELY — O(metadata), no data copied, no Spark
+    * job. The clone then diverges freely and independently: its appends
+    * and rewrites land under its own `data/`, its version history and
+    * [[vacuum]] are its own, and every snapshot rewrite (merge /
+    * compact / [[deletePruned]]) progressively replaces the absolute
+    * references with local dirs ([[compact]] localizes the whole table
+    * in one pass). Range lines and the schema line carry over (re-keyed
+    * to the absolute names), so manifest-only pruned planning works on
+    * the clone from its first version. The streaming batch watermark
+    * does NOT carry: a clone is a new sink, and inheriting the source's
+    * watermark would make a fresh checkpointed stream silently skip its
+    * early batches.
+    *
+    * CAVEAT (Delta's shallow-clone trade, verbatim): the source is not
+    * told about its clones — [[vacuum]] on the SOURCE reclaims
+    * superseded dirs with no knowledge of them. Vacuum the source only
+    * when no clone still references the reclaimed generation, or
+    * [[compact]] the clone first to localize every row it owns. */
+  def cloneShallow(source: String, target: String): Long = {
+    require(currentVersion(source).isDefined,
+      s"no committed snapshot at $source")
+    require(currentVersion(target).isEmpty,
+      s"refusing to clone onto existing table $target")
+    val absRoot =
+      if (source.startsWith("/") || source.contains(":/")) source
+      else fsOf(hp(source)).makeQualified(hp(source)).toString
+    def absolutize(d: String): String =
+      if (d.startsWith("/") || d.contains(":/")) d else s"$absRoot/$d"
+    val lines = manifestLines(source).flatMap {
+      case l if l.startsWith("# batch ") => None
+      case l if l.startsWith("# range ") =>
+        l.stripPrefix("# range ").trim.split(" ") match {
+          case Array(d, k, t, lo, hi) =>
+            Some(s"# range ${enc(absolutize(dec(d)))} $k $t $lo $hi")
+          case _ => Some(l)
+        }
+      case l if l.startsWith("#") => Some(l)
+      case d => Some(absolutize(d))
+    }
+    val fs = fsOf(hp(target))
+    require(reserveManifest(fs, hp(target, "manifests", manifestName(0L)),
+        lines.mkString("\n")),
+      s"$target version 0 is already reserved — another writer is racing the clone")
+    PointerStore.forPointer(fs, hconf, hp(target, Pointer))
+      .publish(manifestName(0L))
+    0L
   }
 
   /** Upsert (MERGE-by-key): rows of `updates` replace current rows with
@@ -423,7 +482,7 @@ object AtomicLanding {
     val touchedData: Option[DataFrame] = touched.map(_._1) match {
       case Nil => None
       case ds => Some(spark.read.option("mergeSchema", "true")
-        .parquet(ds.map(d => s"$table/$d"): _*))
+        .parquet(ds.map(d => resolveDir(table, d)): _*))
     }
     val merged = touchedData match {
       case Some(t) => t.join(updates.select(key), Seq(key), "left_anti")
@@ -456,7 +515,7 @@ object AtomicLanding {
     val recorded = liveRanges(table)
     val ranges = liveDirs(table).map { d =>
       d -> recorded.get((d, key))
-        .orElse(footerKeyRange(spark, s"$table/$d", key, planning = true))
+        .orElse(footerKeyRange(spark, resolveDir(table, d), key, planning = true))
     }
     val flagged = ranges.zipWithIndex.collect {
       case ((_, Some(r)), i) =>
@@ -533,7 +592,7 @@ object AtomicLanding {
     val (touched, kept) = prunePlan(keys, table, key)
     if (touched.isEmpty) return base.get
     val remaining = spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(d => s"$table/${d._1}"): _*)
+      .parquet(touched.map(d => resolveDir(table, d._1)): _*)
       .join(keys, Seq(key), "left_anti")
     // an all-rows-deleted rewrite still needs a schema-bearing footer:
     // zero partitions would write no part file and break later reads
@@ -900,14 +959,14 @@ object AtomicLanding {
         s"$table is at version $base, not the expected $e — re-sync and retry")
     }
     val (small, big) = dirsOfVersion(table, base).partition { d =>
-      fs.getContentSummary(hp(table, d)).getLength <= smallBytes
+      fs.getContentSummary(new HPath(resolveDir(table, d))).getLength <= smallBytes
     }
     if (small.size < 2) SmallCompaction(base, None)
     else {
       // mergeSchema for the same reason as compact(): an evolved column
       // present in only some of the small dirs must survive the fold
       val merged0 = spark.read.option("mergeSchema", "true")
-        .parquet(small.map(d => s"$table/$d"): _*)
+        .parquet(small.map(d => resolveDir(table, d)): _*)
       val merged = transform.map(_(merged0))
         .getOrElse(merged0.coalesce(numFiles))
       beforeCommit()

@@ -57,7 +57,7 @@ object ChangeFeed {
       // append fast path: delta = the added dirs, read directly
       val adds =
         if (added.isEmpty) AtomicLanding.readVersion(spark, table, vNew).limit(0)
-        else spark.read.parquet(added.map(d => s"$table/$d"): _*)
+        else spark.read.parquet(added.map(d => AtomicLanding.resolveDir(table, d)): _*)
       val dataCols = adds.columns.filter(_ != key).toSeq
       adds.select(lit("insert").as("change_type") +: col(key) +:
         dataCols.map(col): _*)

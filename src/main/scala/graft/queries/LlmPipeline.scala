@@ -48,6 +48,7 @@ object LlmPipeline {
   private val mergeSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val mergePrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val deletePrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val cloneSpooled = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** Once-per-(jvm, sf dir) ACID table for the COMPACTION gate. */
   private val compactSpooled = scala.collection.concurrent.TrieMap[String, String]()
@@ -363,6 +364,37 @@ object LlmPipeline {
         .select(col("doc_id"), col("n"))
         .withColumn("n_live_dirs",
           lit(graft.land.AtomicLanding.liveDirCount(tbl).toLong))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- SHALLOW CLONE under the gate (land/AtomicLanding
+    // .cloneShallow): a zero-copy O(metadata) clone of a two-segment
+    // table diverges by a pruned delete — the clone loses its victims
+    // while the SOURCE's row count (column-gated as n_src_rows) stays
+    // whole, so a clone that copied nothing yet shared mutable state
+    // with its source hash-fails either way ----
+    "q_acid_clone" -> ((s, dir) => {
+      val (src, cln) = cloneSpooled.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-acidclone").toString
+        val sT = s"$root/src"; val cT = s"$root/clone"
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("source"), length(col("text")).as("n"))
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") < 250),
+          sT, statsKeys = Seq("doc_id"))
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") >= 250),
+          sT, append = true)
+        graft.land.AtomicLanding.cloneShallow(sT, cT)
+        graft.land.AtomicLanding.deletePruned(
+          base.filter(col("doc_id") < 250 && col("doc_id") % 2 === 1)
+            .select(col("doc_id")),
+          cT, "doc_id")
+        (sT, cT)
+      })
+      graft.land.AtomicLanding.read(s, cln)
+        .select(col("doc_id"), col("n"))
+        .withColumn("n_src_rows",
+          lit(graft.land.AtomicLanding.read(s, src).count()))
         .orderBy(col("doc_id"))
     }),
 
@@ -2098,6 +2130,13 @@ object LlmPipeline {
       """SELECT doc_id, length(text) AS n, cast(4 as bigint) AS n_live_dirs
         |FROM documents
         |WHERE NOT (doc_id >= 125 AND doc_id < 250 AND doc_id % 2 = 1)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_acid_clone" ->
+      """SELECT doc_id, length(text) AS n,
+        |  (SELECT count(*) FROM documents) AS n_src_rows
+        |FROM documents
+        |WHERE NOT (doc_id < 250 AND doc_id % 2 = 1)
         |ORDER BY doc_id""".stripMargin,
 
     "q_top_terms" ->

@@ -838,4 +838,65 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, table)
       .filter(col("n") === -8L).count() == 10)
   }
+
+  test("cloneShallow: zero-copy snapshot; clone and source diverge independently; pruned planning carries") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n"))
+    val src = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") < 250), src,
+      statsKeys = Seq("doc_id"), batchId = Some(9L))
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 250), src,
+      append = true)
+    val total = AtomicLanding.read(spark, src).count()
+
+    val cln = freshTable()
+    assert(AtomicLanding.cloneShallow(src, cln) == 0L)
+    // zero-copy: the clone holds NO data files of its own
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$cln/data")),
+      "a shallow clone must copy no data")
+    // same rows through the absolute references
+    assert(AtomicLanding.read(spark, cln).count() == total)
+    // the batch watermark did NOT carry (a clone is a fresh sink)
+    assert(AtomicLanding.lastBatchId(src).contains(9L))
+    assert(AtomicLanding.lastBatchId(cln).isEmpty)
+    // refusing to clone onto an existing table
+    intercept[IllegalArgumentException] {
+      AtomicLanding.cloneShallow(src, cln)
+    }
+
+    // divergence 1: a pruned delete on the CLONE rewrites only the
+    // touched absolute segment (range lines carried) — and the source
+    // never changes
+    val victims = docs.filter(col("doc_id") >= 10 && col("doc_id") < 40)
+      .select(col("doc_id"))
+    val nVictims = victims.count()
+    AtomicLanding.deletePruned(victims, cln, "doc_id")
+    assert(AtomicLanding.read(spark, cln).count() == total - nVictims)
+    assert(AtomicLanding.read(spark, src).count() == total,
+      "deleting on the clone must never touch the source")
+    val clnDirs = AtomicLanding.dirsOfVersion(cln,
+      AtomicLanding.currentVersion(cln).get)
+    assert(clnDirs.exists(_.startsWith("/")) &&
+      clnDirs.exists(!_.startsWith("/")),
+      s"post-delete clone should mix carried absolute + local rewritten dirs: $clnDirs")
+
+    // divergence 2: an append to the SOURCE is invisible to the clone
+    AtomicLanding.commit(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 90000L).as("doc_id"), col("source"),
+          lit(-9L).as("n")),
+      src, append = true)
+    assert(AtomicLanding.read(spark, cln)
+      .filter(col("doc_id") >= 90000L).count() == 0)
+
+    // compact localizes the clone: every dir becomes local, rows keep
+    AtomicLanding.compact(spark, cln, numFiles = 1)
+    val localized = AtomicLanding.dirsOfVersion(cln,
+      AtomicLanding.currentVersion(cln).get)
+    assert(localized.forall(!_.startsWith("/")),
+      s"compact must replace every absolute reference: $localized")
+    assert(AtomicLanding.read(spark, cln).count() == total - nVictims)
+  }
 }
