@@ -545,6 +545,13 @@ object ScaleBench {
         o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi),
         tbl, append = true)
     }
+    // shallow clone of the 4-segment body: O(metadata) — the timed row
+    // must stay FLAT while the referenced corpus grows 100×
+    val (tClone, _) = time(
+      AtomicLanding.cloneShallow(tbl, s"$scratch/orders_clone"))
+    require(AtomicLanding.read(spark, s"$scratch/orders_clone").count() ==
+      AtomicLanding.read(spark, tbl).count(),
+      "the clone must serve the source snapshot bit-for-bit")
     // the fixed tail: the base-scale head re-keyed beyond every segment
     val tail = o.orderBy(col("o_orderkey")).limit(2000)
       .withColumn("o_orderkey", col("o_orderkey") + lit(2L * kSpan))
@@ -574,7 +581,7 @@ object ScaleBench {
     require(AtomicLanding.read(spark, tbl).count() == total - 1000,
       "the body delete must remove exactly its victims")
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    f"""{"rows":$total,"noop_sec":$tNoop%.3f,""" +
+    f"""{"rows":$total,"clone_sec":$tClone%.3f,"noop_sec":$tNoop%.3f,""" +
       f""""tail_delete_sec":$tTail%.3f,"body_delete_sec":$tBody%.3f}"""
   }
 
