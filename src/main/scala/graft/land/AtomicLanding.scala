@@ -992,8 +992,17 @@ object AtomicLanding {
     * reserving its slot), and `.staging` is not touched at all (its
     * mtime freezes at write start, so NO age bound can distinguish a
     * long-running write from an abandoned one). Auto-maintenance in the
-    * ingestion commit path uses this mode. */
-  def vacuum(table: String, futureGraceMs: Long = 0L): Seq[String] = {
+    * ingestion commit path uses this mode.
+    *
+    * `retainVersions = N` keeps a TIME-TRAVEL window: the last N
+    * superseded manifests (versions `cur-N .. cur-1`) and every data
+    * dir they reference survive the vacuum, so [[readVersion]] and
+    * [[graft.land.ChangeFeed]] keep working over the retained window
+    * while everything older reclaims — Delta's retention-period trade
+    * expressed in versions (deterministic and testable) rather than
+    * wall-clock hours. */
+  def vacuum(table: String, futureGraceMs: Long = 0L,
+      retainVersions: Int = 0): Seq[String] = {
     val fs = fsOf(hp(table))
     val cur = currentVersion(table)
     val current = cur.map(manifestName)
@@ -1006,11 +1015,17 @@ object AtomicLanding {
       val v = s.getPath.getName.stripPrefix("m-")
       young(s) && v.forall(_.isDigit) && cur.forall(_ < v.toLong)
     }
+    def isRetained(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val v = s.getPath.getName.stripPrefix("m-")
+      retainVersions > 0 && v.forall(_.isDigit) &&
+        cur.exists(c => v.toLong >= c - retainVersions && v.toLong < c)
+    }
     val mDir = hp(table, "manifests")
     val manifests: Seq[org.apache.hadoop.fs.FileStatus] =
       if (fs.exists(mDir)) fs.listStatus(mDir).toSeq else Nil
     val (keptManifests, doomedManifests) = manifests.partition(s =>
-      current.contains(s.getPath.getName) || isLiveReservation(s))
+      current.contains(s.getPath.getName) || isLiveReservation(s) ||
+        isRetained(s))
     def parseRefs(text: String): Seq[String] =
       text.split("\n").toSeq.map(_.trim)
         .filter(l => l.nonEmpty && !l.startsWith("#"))

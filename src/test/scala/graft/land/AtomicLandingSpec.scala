@@ -839,6 +839,34 @@ class AtomicLandingSpec extends AnyFunSuite {
       .filter(col("n") === -8L).count() == 10)
   }
 
+  test("vacuum retainVersions keeps a time-travel window; everything older reclaims") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"))
+    val table = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") % 4 === 0), table)  // v0
+    (1 to 2).foreach(i => AtomicLanding.commit(                        // v1, v2
+      docs.filter(col("doc_id") % 4 === i), table, append = true))
+    AtomicLanding.compact(spark, table, numFiles = 1)                  // v3
+    val counts = (0L to 3L)
+      .map(v => AtomicLanding.readVersion(spark, table, v).count())
+    val removed = AtomicLanding.vacuum(table, retainVersions = 2)
+    assert(removed.nonEmpty)
+    // the retained window still time-travels, bit-for-bit
+    for (v <- 1L to 3L)
+      assert(AtomicLanding.readVersion(spark, table, v).count() == counts(v.toInt),
+        s"version $v must stay readable inside the retention window")
+    // outside the window: the manifest is gone
+    intercept[IllegalArgumentException] {
+      AtomicLanding.readVersion(spark, table, 0L)
+    }
+    // a later full vacuum still collapses to the live snapshot only
+    AtomicLanding.vacuum(table)
+    intercept[IllegalArgumentException] {
+      AtomicLanding.readVersion(spark, table, 2L)
+    }
+    assert(AtomicLanding.read(spark, table).count() == counts(3))
+  }
+
   test("cloneShallow: zero-copy snapshot; clone and source diverge independently; pruned planning carries") {
     val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
       .select(col("doc_id"), col("source"),
