@@ -49,6 +49,7 @@ object LlmPipeline {
   private val mergePrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val deletePrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val cloneSpooled = scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private val retentionSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) ACID table for the COMPACTION gate. */
   private val compactSpooled = scala.collection.concurrent.TrieMap[String, String]()
@@ -396,6 +397,34 @@ object LlmPipeline {
         .withColumn("n_src_rows",
           lit(graft.land.AtomicLanding.read(s, src).count()))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- retention-window vacuum under the gate (vacuum
+    // retainVersions): a 4-version lineage (3 mod-class appends + a
+    // compaction) vacuumed with a 2-version window must still
+    // time-travel v1..v3 with exact per-version counts while v0 is
+    // reclaimed — a vacuum that kept nothing, kept everything, or
+    // dropped live rows hash-fails ----
+    "q_acid_retention" -> ((s, dir) => {
+      val tbl = retentionSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-acidretain").toString + "/t"
+        val base = docs(s, dir).select(col("doc_id"), col("source"))
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") % 4 === 0), d)
+        (1 to 2).foreach(i => graft.land.AtomicLanding.commit(
+          base.filter(col("doc_id") % 4 === i), d, append = true))
+        graft.land.AtomicLanding.compact(s, d, numFiles = 1)
+        graft.land.AtomicLanding.vacuum(d, retainVersions = 2)
+        d
+      })
+      val counts = (1L to 3L).map(v =>
+        graft.land.AtomicLanding.readVersion(s, tbl, v).count())
+      val v0Gone =
+        try { graft.land.AtomicLanding.readVersion(s, tbl, 0L); false }
+        catch { case _: IllegalArgumentException => true }
+      import s.implicits._
+      Seq((counts(0), counts(1), counts(2), v0Gone))
+        .toDF("n_v1", "n_v2", "n_v3", "v0_reclaimed")
     }),
 
     // ---- ACID compaction under the gate: a streaming table's tail of
@@ -2138,6 +2167,13 @@ object LlmPipeline {
         |FROM documents
         |WHERE NOT (doc_id < 250 AND doc_id % 2 = 1)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_acid_retention" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id % 4 IN (0, 1)) AS n_v1,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 4 IN (0, 1, 2)) AS n_v2,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 4 IN (0, 1, 2)) AS n_v3,
+        |  true AS v0_reclaimed""".stripMargin,
 
     "q_top_terms" ->
       """WITH wl AS (SELECT doc_id, string_split(text,' ') t FROM documents),
