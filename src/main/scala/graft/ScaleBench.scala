@@ -41,6 +41,11 @@ object ScaleBench {
     "q_cms", "q_heavy_hitters",
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq",
     "q_pagerank", "q_retention", "q_funnel",
+    // decontamination pair: corpus grows 100x, the benchmark side stays
+    // 10 docs — the probe that prices the bloom prefilter's shuffle
+    // savings against its build cost (base-scale bloom build dominates;
+    // at scale the dropped corpus n-grams should pay for it)
+    "q_decontaminate", "q_decontaminate_bloom",
     "q_outliers", "q_cms_join_size",
     "q_sessionize", "q_sessionize_chunked", "q_weighted_sample",
     // estimation rows: the weighted draw is a TakeOrderedAndProject
