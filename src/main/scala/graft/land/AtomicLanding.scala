@@ -216,6 +216,59 @@ object AtomicLanding {
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
+  /** UTF-8 byte-order <= — the same unsigned order parquet BINARY
+    * stats and Spark's UTF8String comparisons use, so driver-side
+    * range overlap tests agree with the recorded string ranges. */
+  private def utf8Lte(a: String, b: String): Boolean = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
+  /** The live data dirs a `key` in [lo, hi] can possibly live in,
+    * from the manifest's "# range" lines alone — no footer is opened.
+    * Dirs without a recorded range for `key` are conservatively
+    * included. The planning surface of [[readPruned]], exposed so
+    * callers (and gates) can observe how many dirs a scan will touch. */
+  def planPrunedDirs(table: String, key: String, lo: Any, hi: Any): Seq[String] = {
+    val recorded = liveRanges(table)
+    def overlaps(r: KeyRange): Boolean = r match {
+      case ("long", dlo, dhi) =>
+        val l = lo.toString.toLong; val h = hi.toString.toLong
+        dlo.toLong <= h && l <= dhi.toLong
+      case ("string", dlo, dhi) =>
+        utf8Lte(dlo, hi.toString) && utf8Lte(lo.toString, dhi)
+      case (other, _, _) =>
+        throw new IllegalArgumentException(s"unknown range type '$other'")
+    }
+    liveDirs(table).filter(d => recorded.get((d, key)).forall(overlaps))
+  }
+
+  /** Manifest-pruned range read: the snapshot filtered to
+    * `key BETWEEN lo AND hi`, scanning ONLY the data dirs whose
+    * recorded range can intersect the interval — whole dirs are
+    * skipped from one small manifest read BEFORE any parquet footer
+    * opens. On a range-clustered 100 TB table a narrow-key read costs
+    * one dir of N instead of N footer probes; correctness never
+    * depends on the pruning (the filter still applies to every
+    * surviving row, and rangeless dirs are conservatively scanned),
+    * so the result is row-identical to `read().filter(between)`. */
+  def readPruned(spark: SparkSession, table: String, key: String,
+      lo: Any, hi: Any): DataFrame = {
+    val kept = planPrunedDirs(table, key, lo, hi)
+    val body =
+      if (kept.isEmpty) read(spark, table).limit(0)
+      else spark.read.parquet(kept.map(d => resolveDir(table, d)): _*)
+    body.filter(col(key).between(lit(lo), lit(hi)))
+  }
+
   /** SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): publish
     * `target` as a new table whose first manifest references `source`'s
     * live data dirs ABSOLUTELY — O(metadata), no data copied, no Spark

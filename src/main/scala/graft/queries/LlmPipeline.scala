@@ -50,6 +50,8 @@ object LlmPipeline {
   private val deletePrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val cloneSpooled = scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val retentionSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val readPrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val cdfDeleteSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
   /** Once-per-(jvm, sf dir) ACID table for the COMPACTION gate. */
   private val compactSpooled = scala.collection.concurrent.TrieMap[String, String]()
@@ -425,6 +427,66 @@ object LlmPipeline {
       import s.implicits._
       Seq((counts(0), counts(1), counts(2), v0Gone))
         .toDF("n_v1", "n_v2", "n_v3", "v0_reclaimed")
+    }),
+
+    // ---- manifest-pruned range READ under the gate (AtomicLanding
+    // .readPruned): a narrow key interval on a range-clustered table
+    // scans ONE dir of four, planned from the manifest's range lines
+    // alone — the planned-dir count is column-gated, so a planner that
+    // stopped pruning (4 dirs) or over-pruned (dropped rows) hash-fails
+    // alongside the row values ----
+    "q_acid_read_pruned" -> ((s, dir) => {
+      val tbl = readPrunedSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-acidreadp").toString + "/t"
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("source"), length(col("text")).as("n"))
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") < 125), d,
+          statsKeys = Seq("doc_id"))
+        Seq((125, 250), (250, 375), (375, Int.MaxValue)).foreach { case (lo, hi) =>
+          graft.land.AtomicLanding.commit(
+            base.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            d, append = true)
+        }
+        d
+      })
+      graft.land.AtomicLanding.readPruned(s, tbl, "doc_id", 130L, 240L)
+        .select(col("doc_id"), col("n"))
+        .withColumn("n_planned_dirs",
+          lit(graft.land.AtomicLanding
+            .planPrunedDirs(tbl, "doc_id", 130L, 240L).size.toLong))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- CDC of a row-level DELETE under the gate: the change feed
+    // between the pre- and post-delete versions must be EXACTLY the
+    // victims tagged `delete` (keyed snapshot diff — the delete
+    // rewrote a dir, so dir identity no longer tracks row identity);
+    // surviving rows of the rewritten dir emit nothing ----
+    "q_acid_cdf_delete" -> ((s, dir) => {
+      val tbl = cdfDeleteSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-acidcdfdel").toString + "/t"
+        val base = docs(s, dir)
+          .select(col("doc_id"), col("source"), length(col("text")).as("n"))
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") < 125), d,
+          statsKeys = Seq("doc_id"))
+        graft.land.AtomicLanding.commit(
+          base.filter(col("doc_id") >= 125 && col("doc_id") < 250),
+          d, append = true)
+        graft.land.AtomicLanding.commit(base.filter(col("doc_id") >= 250),
+          d, append = true)
+        graft.land.AtomicLanding.deletePruned(
+          base.filter(col("doc_id") >= 125 && col("doc_id") < 250 &&
+              col("doc_id") % 2 === 1)
+            .select(col("doc_id")),
+          d, "doc_id")
+        d
+      })
+      val vNew = graft.land.AtomicLanding.currentVersion(tbl).get
+      graft.land.ChangeFeed.changes(s, tbl, vNew - 1, vNew, "doc_id")
+        .select(col("change_type"), col("doc_id"), col("n"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- ACID compaction under the gate: a streaming table's tail of
@@ -2174,6 +2236,18 @@ object LlmPipeline {
         |  (SELECT count(*) FROM documents WHERE doc_id % 4 IN (0, 1, 2)) AS n_v2,
         |  (SELECT count(*) FROM documents WHERE doc_id % 4 IN (0, 1, 2)) AS n_v3,
         |  true AS v0_reclaimed""".stripMargin,
+
+    "q_acid_read_pruned" ->
+      """SELECT doc_id, length(text) AS n, cast(1 as bigint) AS n_planned_dirs
+        |FROM documents
+        |WHERE doc_id BETWEEN 130 AND 240
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_acid_cdf_delete" ->
+      """SELECT 'delete' AS change_type, doc_id, length(text) AS n
+        |FROM documents
+        |WHERE doc_id >= 125 AND doc_id < 250 AND doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_top_terms" ->
       """WITH wl AS (SELECT doc_id, string_split(text,' ') t FROM documents),

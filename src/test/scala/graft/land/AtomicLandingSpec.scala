@@ -839,6 +839,42 @@ class AtomicLandingSpec extends AnyFunSuite {
       .filter(col("n") === -8L).count() == 10)
   }
 
+  test("readPruned skips whole dirs from the manifest; rangeless dirs scan conservatively") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"))
+    val table = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") < 125), table,
+      statsKeys = Seq("doc_id"))
+    Seq((125, 250), (250, 375), (375, 10000)).foreach { case (lo, hi) =>
+      AtomicLanding.commit(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        table, append = true)
+    }
+    // a narrow interval inside the second segment plans exactly one dir
+    assert(AtomicLanding.planPrunedDirs(table, "doc_id", 130L, 240L).size == 1)
+    // spanning two segments plans two
+    assert(AtomicLanding.planPrunedDirs(table, "doc_id", 100L, 140L).size == 2)
+    // outside every range plans zero, and the read is empty but typed
+    assert(AtomicLanding.planPrunedDirs(table, "doc_id", 99990L, 99999L).isEmpty)
+    val empty = AtomicLanding.readPruned(spark, table, "doc_id", 99990L, 99999L)
+    assert(empty.count() == 0 && empty.columns.contains("source"))
+    // row-identical to the unpruned filtered read
+    val a = AtomicLanding.readPruned(spark, table, "doc_id", 130L, 240L)
+      .orderBy("doc_id").collect().toSeq
+    val b = AtomicLanding.read(spark, table)
+      .filter(col("doc_id").between(130L, 240L))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // a rangeless dir (appended to a table that tracks no key for it —
+    // fresh table, no statsKeys) is conservatively scanned
+    val legacy = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") < 100), legacy)
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 100), legacy, append = true)
+    assert(AtomicLanding.planPrunedDirs(legacy, "doc_id", 0L, 1L).size == 2)
+    assert(AtomicLanding.readPruned(spark, legacy, "doc_id", 0L, 1L).count() ==
+      docs.filter(col("doc_id").between(0L, 1L)).count())
+  }
+
   test("vacuum retainVersions keeps a time-travel window; everything older reclaims") {
     val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
       .select(col("doc_id"), col("source"))
