@@ -521,13 +521,14 @@ object ScaleBench {
   /** File-pruned row-level delete at scale — the
     * [[graft.land.AtomicLanding.deletePruned]] leg on a
     * range-clustered table (4 corpus-sized key segments + one FIXED
-    * 2000-row appended tail). Three timed rows tell the whole cost
-    * story: a provable no-op (ghost keys outside every range) is
-    * manifest-only planning — FLAT; victims confined to the fixed
-    * tail dir rewrite only that dir — FLAT while the 4 body segments
-    * grow 100×; victims inside a body segment rewrite that segment —
-    * corpus-shaped, the honest contrast. Row conservation and the
-    * carried-dir layout are require()d at both scales. */
+    * 2000-row appended tail). The timed rows tell the whole cost
+    * story: the shallow clone and the provable no-op delete (ghost
+    * keys outside every range) are manifest-only — FLAT; the
+    * manifest-pruned tail read and the tail-confined delete touch one
+    * fixed dir — FLAT while the 4 body segments grow 100×; victims
+    * inside a body segment rewrite that segment — corpus-shaped, the
+    * honest contrast. Row conservation and the carried-dir layout are
+    * require()d at both scales. */
   private def deleteSection(spark: SparkSession, dir: String,
       scratch: String): String = {
     import graft.land.AtomicLanding
@@ -543,11 +544,18 @@ object ScaleBench {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val kSpan = span(o, "o_orderkey")
     val q = kSpan / 4
-    AtomicLanding.commit(o.filter(col("o_orderkey") < q), tbl,
+    // segments are committed ROUND-ROBIN-shuffled: within a dir every
+    // row group spans the dir's whole key range, so parquet row-group
+    // stats cannot skip inside it — dir-level manifest ranges are the
+    // only pruning surface, which is exactly what this leg prices
+    // (the source fixture is key-ordered, and committing it as-is
+    // would let footer skipping serve the unpruned read for free)
+    AtomicLanding.commit(o.filter(col("o_orderkey") < q).repartition(32), tbl,
       statsKeys = Seq("o_orderkey"))
     Seq((q, 2 * q), (2 * q, 3 * q), (3 * q, kSpan)).foreach { case (lo, hi) =>
       AtomicLanding.commit(
-        o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi),
+        o.filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+          .repartition(32),
         tbl, append = true)
     }
     // shallow clone of the 4-segment body: O(metadata) — the timed row
@@ -564,6 +572,28 @@ object ScaleBench {
     AtomicLanding.commit(tail, tbl, append = true)
     val total = AtomicLanding.read(spark, tbl).count()
     require(AtomicLanding.liveDirCount(tbl) == 5)
+    // manifest-pruned read of the tail interval: plans ONE dir of five
+    // from a single manifest read and must stay FLAT. The unpruned
+    // filtered read measures flat here TOO — each segment FILE's
+    // min/max is tight, so parquet file-level stats skip the body just
+    // as selectively at this dir count; the manifest path's advantage
+    // is the METADATA shape (one small manifest vs listing + footer
+    // probes across every file of every dir), which is the term that
+    // grows with file count on a 100 TB table and with object-store
+    // round-trip latency — both rows are reported so the curve records
+    // that honestly rather than manufacturing a decode gap
+    require(AtomicLanding
+      .planPrunedDirs(tbl, "o_orderkey", 2L * kSpan, 3L * kSpan).size == 1,
+      "the tail probe interval must plan exactly the tail dir")
+    val (tPruned, sPruned) = time(
+      AtomicLanding.readPruned(spark, tbl, "o_orderkey", 2L * kSpan, 3L * kSpan)
+        .agg(sum(col("o_custkey"))).head().getLong(0))
+    val (tFull, sFull) = time(
+      AtomicLanding.read(spark, tbl)
+        .filter(col("o_orderkey").between(2L * kSpan, 3L * kSpan))
+        .agg(sum(col("o_custkey"))).head().getLong(0))
+    require(sPruned == sFull,
+      "the pruned read must equal the filtered full read")
     val spark2 = spark; import spark2.implicits._
     val v0 = AtomicLanding.currentVersion(tbl).get
     val ghost = (0 until 500).map(i => 10L * kSpan + i)
@@ -586,7 +616,9 @@ object ScaleBench {
     require(AtomicLanding.read(spark, tbl).count() == total - 1000,
       "the body delete must remove exactly its victims")
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    f"""{"rows":$total,"clone_sec":$tClone%.3f,"noop_sec":$tNoop%.3f,""" +
+    f"""{"rows":$total,"clone_sec":$tClone%.3f,""" +
+      f""""read_pruned_sec":$tPruned%.3f,"read_full_sec":$tFull%.3f,""" +
+      f""""noop_sec":$tNoop%.3f,""" +
       f""""tail_delete_sec":$tTail%.3f,"body_delete_sec":$tBody%.3f}"""
   }
 
