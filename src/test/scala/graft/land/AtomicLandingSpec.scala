@@ -963,4 +963,54 @@ class AtomicLandingSpec extends AnyFunSuite {
       s"compact must replace every absolute reference: $localized")
     assert(AtomicLanding.read(spark, cln).count() == total - nVictims)
   }
+
+  test("a clone of a clone keeps second-hand absolute refs verbatim; string-key deletePruned prunes in byte order") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n"))
+    val src = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") < 250), src,
+      statsKeys = Seq("doc_id"))
+    val total = AtomicLanding.read(spark, src).count()
+    val c1 = freshTable(); AtomicLanding.cloneShallow(src, c1)
+    // c1 gains a LOCAL dir so c2's manifest mixes first- and
+    // second-hand entries
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 250), c1, append = true)
+    val c2 = freshTable(); AtomicLanding.cloneShallow(c1, c2)
+    val c2Dirs = AtomicLanding.dirsOfVersion(c2,
+      AtomicLanding.currentVersion(c2).get)
+    assert(c2Dirs.forall(_.startsWith("/")),
+      s"every c2 entry must be absolute: $c2Dirs")
+    // the second-hand ref still points at the ORIGINAL source data,
+    // not at c1 (absolutize keeps absolute entries verbatim)
+    assert(c2Dirs.exists(_.startsWith(src)),
+      s"c2 must reference $src directly, got $c2Dirs")
+    assert(AtomicLanding.read(spark, c2).count() == docs.count())
+
+    // string-key pruned delete: a table range-clustered on `source`
+    // rewrites only the dir whose UTF-8 byte-order range covers the
+    // victims
+    val bySource = freshTable()
+    val srcVals = docs.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+    assert(srcVals.size >= 2, s"fixture needs >= 2 sources, got $srcVals")
+    val (half1, half2) = srcVals.splitAt(srcVals.size / 2)
+    AtomicLanding.commit(docs.filter(col("source").isin(half1: _*)),
+      bySource, statsKeys = Seq("source"))
+    AtomicLanding.commit(docs.filter(col("source").isin(half2: _*)),
+      bySource, append = true)
+    val dirs0 = AtomicLanding.dirsOfVersion(bySource,
+      AtomicLanding.currentVersion(bySource).get).toSet
+    val victimSrc = half2.last
+    val spark2 = spark; import spark2.implicits._
+    val nVic = docs.filter(col("source") === victimSrc).count()
+    assert(nVic > 0)
+    AtomicLanding.deletePruned(Seq(victimSrc).toDF("source"),
+      bySource, "source")
+    assert(AtomicLanding.read(spark, bySource).count() == docs.count() - nVic)
+    val dirs1 = AtomicLanding.dirsOfVersion(bySource,
+      AtomicLanding.currentVersion(bySource).get).toSet
+    assert((dirs0 intersect dirs1).size == 1,
+      "the non-victim half's dir must carry verbatim")
+  }
 }
