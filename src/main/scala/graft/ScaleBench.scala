@@ -370,7 +370,8 @@ object ScaleBench {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val dSpan = span(docs, "doc_id")
-    val (tBuild, _) = time(graft.ext.Retrieval.buildIndex(docs, idx))
+    val (tBuild, _) = time(graft.ext.Retrieval.buildIndex(docs, idx,
+      batchId = Some(0L)))
     // fixed-size batches from the base-scale head (replica 0 keeps the
     // original text), shifted to fresh ids: identical batch content at
     // every scale
@@ -483,7 +484,8 @@ object ScaleBench {
       .select(col("vec_id"), col("embedding"))
     val vSpan = span(e, "vec_id")
     val (tBuild, _) = time(
-      graft.ext.Ivf.buildSavedIndex(e, idx, nLists = 16, iters = 0))
+      graft.ext.Ivf.buildSavedIndex(e, idx, nLists = 16, iters = 0,
+        batchId = Some(0L)))
     val rows0 = AtomicLanding.read(spark, s"$idx/lists").count()
     // fixed-size batches from the base-scale head (replica 0 keeps the
     // original vectors), shifted to fresh ids: identical batch content
@@ -647,7 +649,8 @@ object ScaleBench {
       .select(col("vec_id"), col("embedding"))
     val vSpan = span(e, "vec_id")
     val (tBuild, _) = time(
-      graft.ext.IvfPq.save(graft.ext.IvfPq.buildIndex(e), idx))
+      graft.ext.IvfPq.save(graft.ext.IvfPq.buildIndex(e), idx,
+        batchId = Some(0L)))
     val rows0 = AtomicLanding.read(spark, s"$idx/n2").count()
     val batchSrc = e.orderBy(col("vec_id")).limit(200).localCheckpoint()
     val shifted = (1 to 3).map(i =>

@@ -249,12 +249,35 @@ object Clusters {
     * wins), preserving the recorded batch id, then vacuum superseded
     * files. O(state) — the once-in-a-while fold, not the per-batch
     * path. */
-  def maintainSaved(s: SparkSession, path: String): Unit = {
+  def maintainSaved(s: SparkSession, path: String,
+      beforeCommit: () => Unit = () => ()): Unit = {
     import graft.land.AtomicLanding
-    val folded = snapshot(s, path).withColumn("gen", lit(0L))
-    AtomicLanding.commit(folded, path,
-      batchId = AtomicLanding.lastBatchId(path),
-      expectedVersion = AtomicLanding.currentVersion(path))
+    var done = false
+    while (!done) {
+      // Pin version + batch id BEFORE reading: a concurrent addToSaved
+      // landing between the read and the commit bumps the version past
+      // `v`, so the CAS fails and the fold retries against the winner's
+      // state instead of silently erasing the appended rows (the
+      // ordering compactSmallFrom and Ivf.rebalanceSavedIndex use).
+      val v = AtomicLanding.currentVersion(path)
+      val id = AtomicLanding.lastBatchId(path)
+      val raw = v.map(AtomicLanding.readVersion(s, path, _))
+        .getOrElse(AtomicLanding.read(s, path))
+      val folded = raw
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("gen"), col("component"))).as("w"))
+        .select(col("doc_id"), col("w.component").as("component"))
+        .withColumn("gen", lit(0L))
+      beforeCommit() // test seam: a concurrent addToSaved lands HERE
+      try {
+        AtomicLanding.commit(folded, path, batchId = id,
+          expectedVersion = v)
+        done = true
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          casRetries.incrementAndGet()
+      }
+    }
     AtomicLanding.vacuum(path); ()
   }
 }

@@ -54,7 +54,7 @@ object FuzzyJoin {
     * included, so a bucket only groups keys whose full content agrees
     * after ≤ 2 deletions. Bucket sizes on the zero-padded fixture
     * corpus stay bounded (asserted in FuzzyJoinSpec). */
-  private[ext] def deletionSigs2(c: Column): Column = {
+  private[graft] def deletionSigs2(c: Column): Column = {
     val L = length(c)
     val d2 = flatten(transform(sequence(lit(1), L - 1), i =>
       transform(sequence(i + 1, L), j =>
@@ -72,7 +72,7 @@ object FuzzyJoin {
     * string), and without it hot buckets join every copy against every
     * copy — candidate inflation quadratic in the run length (measured
     * 1.5M zero-padded names: ~4× fewer candidate rows deduped). */
-  private def sigTable(df: DataFrame, key: String, outName: String,
+  private[graft] def sigTable(df: DataFrame, key: String, outName: String,
       k: Int = 1): DataFrame = {
     val sigs =
       if (k >= 2) deletionSigs2(col(outName)) else deletionSigs(col(outName))
@@ -336,9 +336,13 @@ object FuzzyJoin {
     * an [[graft.land.AtomicLanding]] table: every generation publishes
     * through an atomic pointer swing, so a probe racing an append reads
     * either the old or the new snapshot, never a torn listing. */
-  def buildSigIndex(corpus: DataFrame, key: String, path: String): String = {
+  def buildSigIndex(corpus: DataFrame, key: String, path: String,
+      batchId: Option[Long] = None): String = {
+    // batchId = seed watermark (Ivf.buildSavedIndex's contract): vouch
+    // the build corpus so the first identified append skips the scan
     graft.land.AtomicLanding.commit(
-      sigTable(corpus, key, "key_corpus"), s"$path/sigs")
+      sigTable(corpus, key, "key_corpus"), s"$path/sigs",
+      batchId = batchId)
     path
   }
 
@@ -381,19 +385,24 @@ object FuzzyJoin {
     val sigsT = s"$indexPath/sigs"
     if (batchId.exists(b => AtomicLanding.lastBatchId(sigsT).exists(_ >= b)))
       return // known-committed replay: data + id durable in one swing
-    val delta = (batchId match {
+    val delta = (batchId.filter(_ =>
+        AtomicLanding.lastBatchId(sigsT).isDefined) match {
       case Some(_) =>
         // identified and known-new: monotone ids mean nothing of this
-        // batch is in the index — skip the O(index) scan
+        // batch is in the index — skip the O(index) scan. Only sound
+        // when a watermark exists; after id-less growth the first
+        // identified append pays the scan once (see Ivf.addToSavedIndex)
         sigTable(batch, key, "key_corpus")
-      case None =>
+      case _ =>
         dedupeSigScans.incrementAndGet()
         val existing = AtomicLanding.read(spark, sigsT)
           .select(col("key_corpus"), col("sig_h"))
         sigTable(batch, key, "key_corpus")
           .join(existing, Seq("key_corpus", "sig_h"), "left_anti")
     }).select(col("key_corpus"), col("sig_h")).persist()
-    try if (!delta.isEmpty) {
+    // an identified batch with an empty fallback delta still records
+    // its id (O(metadata) empty append), making the watermark durable
+    try if (!delta.isEmpty || batchId.isDefined) {
       AtomicLanding.commit(delta, sigsT, append = true,
         beforePublish = beforePublish, batchId = batchId); ()
     } finally delta.unpersist()

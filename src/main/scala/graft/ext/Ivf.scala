@@ -194,17 +194,22 @@ object Ivf {
     * bit-identical to a fresh build whose training saw only the
     * original segment. */
   def buildSavedIndex(emb: DataFrame, path: String, nLists: Int = 16,
-      iters: Int = 2): String = {
+      iters: Int = 2, batchId: Option[Long] = None): String = {
     import graft.land.AtomicLanding
     val s = emb.sparkSession
     val cents = train(emb, nLists, iters)
     val cv = AtomicLanding.commit(
       centroidDf(s, cents).coalesce(1), s"$path/cents")
+    // batchId is the SEED WATERMARK: recording it at build vouches the
+    // build corpus below it, so the FIRST identified append can skip
+    // the dedupe scan (a watermark-less table makes that append pay one
+    // O(index) anti-join to establish it — see addToSavedIndex). A
+    // streaming ingest whose engine ids start at 0 seeds with -1.
     val lv = AtomicLanding.commit(
       assign(emb, cents).join(emb, "vec_id")
         .select(col("vec_id").as("neighbor_id"), col("cid"),
           col("embedding").as("ce")),
-      s"$path/lists")
+      s"$path/lists", batchId = batchId)
     AtomicLanding.publishLinked(path, Map("cents" -> cv, "lists" -> lv),
       expectedRoot = AtomicLanding.currentRootVersion(path))
     path
@@ -283,12 +288,17 @@ object Ivf {
       } else {
         val cents = centsOf(AtomicLanding.readVersion(spark,
           s"$indexPath/cents", snap.members("cents")))
-        val fresh = (batchId match {
+        val fresh = (batchId.filter(_ =>
+            AtomicLanding.lastBatchId(listsT).isDefined) match {
           case Some(_) =>
             // identified and known-new: ids are monotone, so nothing of
-            // this batch can be in the lists — skip the O(index) scan
+            // this batch can be in the lists — skip the O(index) scan.
+            // Only sound when the table HAS a watermark: a table grown
+            // by id-less appends has durable rows no id can vouch for,
+            // so the first identified append after them pays the scan
+            // (establishing the watermark for every later one).
             batch
-          case None =>
+          case _ =>
             // id-less fallback: dedupe against ALL durable lists — the
             // LIVE pointer, which may run ahead of the root pin when a
             // predecessor crashed between its lists commit and its root
@@ -300,7 +310,12 @@ object Ivf {
         }).persist()
         try {
           val lNew =
-            if (!fresh.isEmpty)
+            if (!fresh.isEmpty || batchId.isDefined)
+              // an identified batch whose fallback anti-join left
+              // nothing fresh still records its id — an O(metadata)
+              // empty append (the Clusters.addToSaved precedent), so
+              // the replay watermark becomes durable and later
+              // identified appends regain the zero-scan fast path
               AtomicLanding.commit(
                 assign(fresh, cents).join(fresh, "vec_id")
                   .select(col("vec_id").as("neighbor_id"), col("cid"),

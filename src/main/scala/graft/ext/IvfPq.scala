@@ -250,7 +250,8 @@ object IvfPq {
     * `beforePublish` is the root swing's test seam. */
   def save(index: Index, path: String,
       beforePublish: () => Unit = () => (),
-      beforeMember: String => Unit = _ => ()): Unit = {
+      beforeMember: String => Unit = _ => (),
+      batchId: Option[Long] = None): Unit = {
     val s = index.codes.sparkSession
     import graft.land.AtomicLanding
     beforeMember("cents")
@@ -259,10 +260,16 @@ object IvfPq {
     beforeMember("cb")
     val cbV = AtomicLanding.commit(
       cbDf(s, index.cb).coalesce(1), s"$path/cb")
+    // batchId = seed watermark on BOTH growable members (codes and n2
+    // carry independent watermarks — Ivf.buildSavedIndex's contract):
+    // vouch the build corpus so the first identified append skips the
+    // per-member dedupe scan
     beforeMember("codes")
-    val codesV = AtomicLanding.commit(index.codes, s"$path/codes")
+    val codesV = AtomicLanding.commit(index.codes, s"$path/codes",
+      batchId = batchId)
     beforeMember("n2")
-    val n2V = AtomicLanding.commit(index.n2, s"$path/n2")
+    val n2V = AtomicLanding.commit(index.n2, s"$path/n2",
+      batchId = batchId)
     AtomicLanding.publishLinked(path,
       Map("cents" -> centsV, "cb" -> cbV, "codes" -> codesV, "n2" -> n2V),
       expectedRoot = AtomicLanding.currentRootVersion(path),
@@ -373,9 +380,11 @@ object IvfPq {
             "the intended index to heal before appending")
       } else {
       def freshFor(t: String, keyCol: String): DataFrame =
-        if (batchId.isDefined) {
+        if (batchId.isDefined && AtomicLanding.lastBatchId(t).isDefined) {
           // identified: monotone ids mean a batch below the recorded id
-          // is fully in THIS member, one above it not at all — no scan
+          // is fully in THIS member, one above it not at all — no scan.
+          // Only sound when the member HAS a watermark: after id-less
+          // growth the first identified append pays the scan once
           if (committed(t)) batch.limit(0) else batch
         } else {
           dedupeCodeScans.incrementAndGet()
@@ -386,13 +395,17 @@ object IvfPq {
       val freshN2 = freshFor(n2T, "vec_id").persist()
       val freshCodes = freshFor(codesT, "neighbor_id").persist()
       try {
+        // an identified batch with an empty fallback delta still
+        // records its id per member (O(metadata) empty append), making
+        // the watermark durable for the zero-scan fast path
         val nNew =
-          if (!freshN2.isEmpty)
+          if (!freshN2.isEmpty || (batchId.isDefined && !committed(n2T)))
             AtomicLanding.commit(norms(freshN2), n2T, append = true,
               batchId = batchId)
           else AtomicLanding.currentVersion(n2T).get
         val cNew =
-          if (!freshCodes.isEmpty) {
+          if (!freshCodes.isEmpty ||
+              (batchId.isDefined && !committed(codesT))) {
             val cents = AtomicLanding
               .readVersion(s, s"$path/cents", snap.members("cents"))
               .orderBy("cid").collect()

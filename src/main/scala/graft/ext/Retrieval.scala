@@ -219,10 +219,14 @@ object Retrieval {
     * `q_bm25_indexed` hash-gates that equality against the same oracle
     * as `q_bm25`, and RetrievalSpec pins frame-level equality incl.
     * under a maxDf cap. */
-  def buildIndex(docs: DataFrame, path: String): String = {
+  def buildIndex(docs: DataFrame, path: String,
+      batchId: Option[Long] = None): String = {
     import graft.land.AtomicLanding
     val s = docs.sparkSession
-    val pv = AtomicLanding.commit(tfOf(docs), s"$path/postings")
+    // batchId = seed watermark (Ivf.buildSavedIndex's contract): vouch
+    // the build corpus so the first identified append skips the scan
+    val pv = AtomicLanding.commit(tfOf(docs), s"$path/postings",
+      batchId = batchId)
     derivedRebuilds.incrementAndGet()
     val dv = AtomicLanding.commit(
       derivedOf(AtomicLanding.readVersion(s, s"$path/postings", pv)),
@@ -388,13 +392,17 @@ object Retrieval {
       syncRoot(spark, indexPath, beforeRootPublish)
       return indexPath
     }
-    val batch = (batchId match {
+    val batch = (batchId.filter(_ =>
+        AtomicLanding.lastBatchId(postingsT).isDefined) match {
       case Some(_) =>
         // identified and known-new: ids are monotone, so no prefix of
         // this batch can be in the index — commit without the dedupe
-        // scan (O(batch), not O(index))
+        // scan (O(batch), not O(index)). Only sound when a watermark
+        // exists: a table grown by id-less appends has durable rows no
+        // id vouches for, so the first identified append after them
+        // pays the scan once and establishes the watermark.
         tfOf(docs)
-      case None =>
+      case _ =>
         // id-less fallback: dedupe against ALL durable postings — the
         // LIVE pointer, which may run ahead of the root pin when a
         // predecessor crashed before its root swing; re-appending that
@@ -409,7 +417,11 @@ object Retrieval {
           .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     }).persist()
     try {
-      if (!batch.isEmpty) {
+      // an identified batch with an empty fallback delta still records
+      // its id (O(metadata) empty append — the Clusters.addToSaved
+      // precedent): the watermark becomes durable, so later identified
+      // appends regain the zero-scan fast path
+      if (!batch.isEmpty || batchId.isDefined) {
         AtomicLanding.commit(batch, postingsT, append = true,
           beforePublish = beforePublish, batchId = batchId)
         ()

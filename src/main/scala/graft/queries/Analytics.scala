@@ -99,7 +99,8 @@ object Analytics {
       val idx = fuzzyIdx.getOrElseUpdate(dir + "#grown", {
         val d = tempIndexDir("graft-fuzzygrown") + "/idx"
         FuzzyJoin.buildSigIndex(
-          corpus.where(col("c_custkey") % 2 === 1), "c_name", d)
+          corpus.where(col("c_custkey") % 2 === 1), "c_name", d,
+          batchId = Some(0L)) // seed watermark vouches the build half
         // identified batch: the batch-id fast path (no dedupe scan of
         // the live sigs) must still produce the incremental bits
         FuzzyJoin.addToSigIndex(s, d,
@@ -131,7 +132,8 @@ object Analytics {
         val root = tempIndexDir("graft-fuzzystream")
         val d = s"$root/idx"
         FuzzyJoin.buildSigIndex(
-          corpus.where(col("c_custkey") % 2 === 1), "c_name", d)
+          corpus.where(col("c_custkey") % 2 === 1), "c_name", d,
+          batchId = Some(-1L)) // seed below the engine's first id (0)
         val tail = corpus.where(col("c_custkey") % 2 === 0)
           .select(col("c_custkey"), col("c_name"))
         tail.repartition(3).write.mode("overwrite").parquet(s"$root/in")

@@ -991,7 +991,8 @@ object LlmPipeline {
         val d = java.nio.file.Files
           .createTempDirectory("graft-ivfpqgrown").toString + "/idx"
         graft.ext.IvfPq.save(
-          graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") < 200)), d)
+          graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") < 200)), d,
+          batchId = Some(0L)) // seed watermark vouches the build prefix
         graft.ext.IvfPq.addToSavedIndex(s, d,
           e.filter(col("vec_id") >= 200 && col("vec_id") < 350),
           batchId = Some(1L))
@@ -1045,7 +1046,8 @@ object LlmPipeline {
         val d = java.nio.file.Files
           .createTempDirectory("graft-ivfgrown").toString + "/idx"
         graft.ext.Ivf.buildSavedIndex(
-          e.filter(col("vec_id") < 200), d, nLists = 16, iters = 0)
+          e.filter(col("vec_id") < 200), d, nLists = 16, iters = 0,
+          batchId = Some(0L)) // seed watermark vouches the build prefix
         // identified batches: the batch-id fast path (no dedupe scan
         // of the live lists) must still match the one-shot build bits
         graft.ext.Ivf.addToSavedIndex(s, d,
@@ -1078,7 +1080,8 @@ object LlmPipeline {
         val d = java.nio.file.Files
           .createTempDirectory("graft-ivfrebal").toString + "/idx"
         graft.ext.Ivf.buildSavedIndex(
-          e.filter(col("vec_id") >= 350), d, nLists = 16, iters = 0)
+          e.filter(col("vec_id") >= 350), d, nLists = 16, iters = 0,
+          batchId = Some(0L))
         graft.ext.Ivf.addToSavedIndex(s, d,
           e.filter(col("vec_id") < 200), batchId = Some(1L))
         graft.ext.Ivf.addToSavedIndex(s, d,
@@ -1112,7 +1115,8 @@ object LlmPipeline {
         val d = java.nio.file.Files
           .createTempDirectory("graft-ivfpqrebal").toString + "/idx"
         graft.ext.IvfPq.save(
-          graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") >= 350)), d)
+          graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") >= 350)), d,
+          batchId = Some(0L))
         graft.ext.IvfPq.addToSavedIndex(s, d,
           e.filter(col("vec_id") < 200), batchId = Some(1L))
         graft.ext.IvfPq.addToSavedIndex(s, d,
@@ -1145,7 +1149,8 @@ object LlmPipeline {
         val d = s"$root/idx"
         // prefix build freezes the seed quantizer (first 16 by vec_id)
         graft.ext.Ivf.buildSavedIndex(
-          e.filter(col("vec_id") < 200), d, nLists = 16, iters = 0)
+          e.filter(col("vec_id") < 200), d, nLists = 16, iters = 0,
+          batchId = Some(-1L)) // seed below the engine's first id (0)
         // spool the tail as 3 files; AvailableNow + one file per
         // trigger drains it in 3 micro-batches
         e.filter(col("vec_id") >= 200).repartition(3)
@@ -1190,7 +1195,8 @@ object LlmPipeline {
         // prefix build freezes both seed sets (coarse = first 16 by
         // vec_id, PQ codebooks = first 16 residual slices)
         graft.ext.IvfPq.save(
-          graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") < 200)), d)
+          graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") < 200)), d,
+          batchId = Some(-1L)) // seed below the engine's first id (0)
         e.filter(col("vec_id") >= 200).repartition(3)
           .write.mode("overwrite").parquet(s"$root/in")
         val src = s.readStream.schema(e.schema)
@@ -1673,7 +1679,8 @@ object LlmPipeline {
         val d = java.nio.file.Files
           .createTempDirectory("graft-bm25grown").toString + "/idx"
         val corpus = docs(s, dir).select(col("doc_id"), col("text"))
-        Retrieval.buildIndex(corpus.where(col("doc_id") % 2 === 1), d)
+        Retrieval.buildIndex(corpus.where(col("doc_id") % 2 === 1), d,
+          batchId = Some(0L)) // seed watermark vouches the build half
         // identified batch: the batch-id fast path (no dedupe scan of
         // the live index) must still produce q_bm25's exact bits
         Retrieval.addToIndex(s, d, corpus.where(col("doc_id") % 2 === 0),
@@ -1703,7 +1710,8 @@ object LlmPipeline {
           .createTempDirectory("graft-bm25stream").toString
         val d = s"$root/idx"
         val corpus = docs(s, dir).select(col("doc_id"), col("text"))
-        Retrieval.buildIndex(corpus.where(col("doc_id") % 4 === 0), d)
+        Retrieval.buildIndex(corpus.where(col("doc_id") % 4 === 0), d,
+          batchId = Some(-1L)) // seed below the engine's first id (0)
         corpus.where(col("doc_id") % 4 =!= 0).repartition(3)
           .write.mode("overwrite").parquet(s"$root/in")
         val src = s.readStream.schema(corpus.schema)

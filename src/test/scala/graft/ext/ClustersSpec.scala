@@ -127,6 +127,37 @@ class ClustersSpec extends AnyFunSuite {
     assert(AtomicLanding.currentVersion(p) == v)
   }
 
+  test("maintainSaved cannot erase a concurrent append: version pinned before the fold") {
+    val p = tmp()
+    Clusters.buildSaved(df(Seq((1L, 2L), (10L, 11L))), p)
+    Clusters.addToSaved(spark, p, df(Seq((2L, 10L))), batchId = Some(1L))
+    val retries0 = Clusters.casRetries.get()
+    var fired = false
+    // the racing append lands between the maintainer's pinned read and
+    // its commit — the TOCTOU window. Because maintainSaved pins the
+    // version BEFORE reading, the fold's CAS must fail and the retry
+    // must fold the winner's state (including the appended pair),
+    // instead of publishing a stale fold that erases it
+    Clusters.maintainSaved(spark, p, beforeCommit = () => if (!fired) {
+      fired = true
+      Clusters.addToSaved(spark, p, df(Seq((50L, 51L))), batchId = Some(2L))
+    })
+    assert(fired, "the race seam must have fired")
+    assert(Clusters.casRetries.get() > retries0,
+      "the maintainer must lose the CAS to the racing append and retry")
+    assert(asMap(Clusters.snapshot(spark, p)) ==
+      oneShot(Seq((1L, 2L), (10L, 11L), (2L, 10L), (50L, 51L))))
+    assert(AtomicLanding.lastBatchId(p).contains(2L),
+      "the fold must carry the racing append's batch id, not the stale pin")
+    val raw = AtomicLanding.read(spark, p)
+    assert(raw.count() == raw.select("doc_id").distinct().count(),
+      "the retried fold must still leave one row per doc")
+    // ... and the racing batch's replay is still a pure no-op
+    val v = AtomicLanding.currentVersion(p)
+    Clusters.addToSaved(spark, p, df(Seq((50L, 51L))), batchId = Some(2L))
+    assert(AtomicLanding.currentVersion(p) == v)
+  }
+
   test("extendDeltaRaw == extendDelta on a multi-generation raw state") {
     // build a genuinely multi-gen state via the persisted path: three
     // appends, each remapping earlier rows — raw then holds stale rows

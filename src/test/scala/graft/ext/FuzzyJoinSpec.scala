@@ -103,7 +103,7 @@ class FuzzyJoinSpec extends AnyFunSuite {
     val idx = s"$dir/idx"
     val corpusA = (1 to 400).map(i => f"Customer#$i%09d").toDF("name")
     val batchB = (401 to 600).map(i => f"Customer#$i%09d").toDF("name")
-    FuzzyJoin.buildSigIndex(corpusA, "name", idx)
+    FuzzyJoin.buildSigIndex(corpusA, "name", idx, batchId = Some(0L))
 
     // a known-NEW identified batch commits WITHOUT the O(index) scan
     val scans0 = FuzzyJoin.dedupeSigScans.get()
@@ -131,6 +131,30 @@ class FuzzyJoinSpec extends AnyFunSuite {
       "an id-less append keeps the anti-join fallback")
     assert(rows(idx) === rows(s"$dir/fresh"),
       "the id-less replay must not duplicate rows")
+  }
+
+  test("a watermark-less sig index makes the first identified append pay the scan") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-signowm").toString
+    val idx = s"$dir/idx"
+    val corpusA = (1 to 200).map(i => f"Customer#$i%09d").toDF("name")
+    val batchB = (201 to 300).map(i => f"Customer#$i%09d").toDF("name")
+    FuzzyJoin.buildSigIndex(corpusA, "name", idx) // UNSEEDED: no watermark
+    FuzzyJoin.addToSigIndex(spark, idx, batchB, "name") // id-less growth
+    // replaying the id-less rows WITH an id must not duplicate them:
+    // no watermark vouches the durable rows, so the scan is paid once
+    val scans0 = FuzzyJoin.dedupeSigScans.get()
+    FuzzyJoin.addToSigIndex(spark, idx, batchB, "name", batchId = Some(1L))
+    assert(FuzzyJoin.dedupeSigScans.get() == scans0 + 1,
+      "an identified append on a watermark-less table must pay the scan")
+    val sigs = AtomicLanding.read(spark, s"$idx/sigs")
+    assert(sigs.count() == sigs.distinct().count(),
+      "the fallback anti-join must prevent the silent duplication")
+    // the watermark now exists: the next identified batch skips the scan
+    val batchC = (301 to 400).map(i => f"Customer#$i%09d").toDF("name")
+    FuzzyJoin.addToSigIndex(spark, idx, batchC, "name", batchId = Some(2L))
+    assert(FuzzyJoin.dedupeSigScans.get() == scans0 + 1,
+      "once a watermark exists, identified appends skip the scan again")
   }
 
   test("maxBucket valve: subset of exact; cap >= max bucket is exact") {

@@ -65,7 +65,8 @@ class IvfPqSpec extends AnyFunSuite {
     val idx = s"$dir/idx"
     // deterministic quantizers (iters = 0); the prefix holds both seed
     // sets (coarse first-16 vectors, PQ first-16 residual slices)
-    IvfPq.save(IvfPq.buildIndex(emb.filter(col("vec_id") < 300)), idx)
+    IvfPq.save(IvfPq.buildIndex(emb.filter(col("vec_id") < 300)), idx,
+      batchId = Some(0L)) // seed watermark vouches the build corpus
     val batch1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
     val batch2 = emb.filter(col("vec_id") >= 400)
 

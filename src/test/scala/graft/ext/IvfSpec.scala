@@ -266,7 +266,7 @@ class IvfSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfbatchid").toString
     val idx = s"$dir/idx"
     Ivf.buildSavedIndex(emb.filter(col("vec_id") < 300), idx,
-      nLists = 16, iters = 0)
+      nLists = 16, iters = 0, batchId = Some(0L)) // seed watermark
     val batch1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
     val batch2 = emb.filter(col("vec_id") >= 400)
 
@@ -317,6 +317,40 @@ class IvfSpec extends AnyFunSuite {
       "an id-less append keeps the anti-join fallback")
     assert(rows(idx) === rows(s"$dir/fresh"),
       "the id-less replay must not duplicate rows")
+  }
+
+  test("a watermark-less table makes the first identified append pay the dedupe scan") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfnowm").toString
+    val idx = s"$dir/idx"
+    // UNSEEDED build (no batchId): no watermark exists, so no id can
+    // vouch the durable rows — the monotone-id skip would be unsound
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") < 300), idx,
+      nLists = 16, iters = 0)
+    // grow id-lessly, then replay those SAME rows WITH an id — the
+    // pre-fix fast path would have skipped the anti-join and silently
+    // duplicated them (the ADVICE scenario)
+    val idless = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    Ivf.addToSavedIndex(spark, idx, idless)
+    val scans0 = Ivf.dedupeListScans.get()
+    Ivf.addToSavedIndex(spark, idx, idless, batchId = Some(1L))
+    assert(Ivf.dedupeListScans.get() == scans0 + 1,
+      "an identified append on a watermark-less table must pay the scan")
+    val lists = AtomicLanding.read(spark, s"$idx/lists")
+    assert(lists.count() == lists.select("neighbor_id").distinct().count(),
+      "the fallback anti-join must prevent the silent duplication")
+    // the scan-paying append established the watermark, so the NEXT
+    // identified batch is back on the zero-scan fast path
+    assert(AtomicLanding.lastBatchId(s"$idx/lists").contains(1L))
+    Ivf.addToSavedIndex(spark, idx, emb.filter(col("vec_id") >= 400),
+      batchId = Some(2L))
+    assert(Ivf.dedupeListScans.get() == scans0 + 1,
+      "once a watermark exists, identified appends skip the scan again")
+    // end state still == one-shot build over the full corpus
+    Ivf.buildSavedIndex(emb, s"$dir/fresh", nLists = 16, iters = 0)
+    def rows(p: String) = AtomicLanding.read(spark, s"$p/lists")
+      .select("neighbor_id", "cid").as[(Long, Int)].collect().toSet
+    assert(rows(idx) === rows(s"$dir/fresh"))
   }
 
   test("rebalanceSavedIndex: drifted seeds re-cluster to canonical bits; crash keeps the old generation") {

@@ -398,7 +398,8 @@ class RetrievalSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val base = java.nio.file.Files
       .createTempDirectory("graft-bm25batchid").toString
     val idx = s"$base/idx"
-    Retrieval.buildIndex(corpus.where($"doc_id" <= 3), idx)
+    Retrieval.buildIndex(corpus.where($"doc_id" <= 3), idx,
+      batchId = Some(0L)) // seed watermark vouches the build corpus
     val batch1 = corpus.where($"doc_id" === 4)
     val batch2 = corpus.where($"doc_id" === 5)
 
