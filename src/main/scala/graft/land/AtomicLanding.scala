@@ -241,8 +241,13 @@ object AtomicLanding {
     val recorded = liveRanges(table)
     def overlaps(r: KeyRange): Boolean = r match {
       case ("long", dlo, dhi) =>
-        val l = lo.toString.toLong; val h = hi.toString.toLong
-        dlo.toLong <= h && l <= dhi.toLong
+        // a probe that can't parse as Long proves nothing about the
+        // dir — include it conservatively (prunePlan's statless-dir
+        // posture) rather than fail the whole read
+        try {
+          val l = lo.toString.toLong; val h = hi.toString.toLong
+          dlo.toLong <= h && l <= dhi.toLong
+        } catch { case _: NumberFormatException => true }
       case ("string", dlo, dhi) =>
         utf8Lte(dlo, hi.toString) && utf8Lte(lo.toString, dhi)
       case (other, _, _) =>
@@ -284,11 +289,17 @@ object AtomicLanding {
     * watermark would make a fresh checkpointed stream silently skip its
     * early batches.
     *
-    * CAVEAT (Delta's shallow-clone trade, verbatim): the source is not
-    * told about its clones — [[vacuum]] on the SOURCE reclaims
-    * superseded dirs with no knowledge of them. Vacuum the source only
-    * when no clone still references the reclaimed generation, or
-    * [[compact]] the clone first to localize every row it owns. */
+    * Unlike Delta's shallow clone, the source IS told: the clone
+    * registers itself in a `clones/` sidecar at EVERY table whose dirs
+    * its first manifest references absolutely (its direct source, and —
+    * for a clone of a clone — the original root tables those absolute
+    * refs still point at). [[vacuum]] on a source consults its registry
+    * and SPARES any data dir a live clone's manifests still reference,
+    * so "clone, then compact+vacuum the source" can no longer tear the
+    * clone's snapshot out from under it. A registration whose clone has
+    * vanished entirely (no pointer, no manifests) is unregistered by
+    * the next vacuum — self-healing, so dropped clones don't pin
+    * source garbage forever. */
   def cloneShallow(source: String, target: String): Long = {
     require(currentVersion(source).isDefined,
       s"no committed snapshot at $source")
@@ -314,9 +325,39 @@ object AtomicLanding {
     require(reserveManifest(fs, hp(target, "manifests", manifestName(0L)),
         lines.mkString("\n")),
       s"$target version 0 is already reserved — another writer is racing the clone")
+    // register the clone at every table its manifest references
+    // absolutely BEFORE the pointer swing makes it readable: a crash
+    // in between leaves a registration for a clone with no manifests,
+    // which the next source vacuum unregisters (never the reverse
+    // window, where a readable clone is invisible to vacuum)
+    val targetAbs =
+      if (target.startsWith("/") || target.contains(":/")) target
+      else fs.makeQualified(hp(target)).toString
+    lines.filterNot(_.startsWith("#"))
+      .flatMap { d =>
+        val i = d.lastIndexOf("/data/")
+        if (i > 0) Some(d.substring(0, i)) else None
+      }.distinct.foreach { srcRoot =>
+        val reg = hp(srcRoot, ClonesDir, enc(targetAbs))
+        val rfs = fsOf(reg)
+        val out = rfs.create(reg, true)
+        try out.write(targetAbs.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
     PointerStore.forPointer(fs, hconf, hp(target, Pointer))
       .publish(manifestName(0L))
     0L
+  }
+
+  private val ClonesDir = "clones"
+
+  /** The registered live clones of `table` (absolute paths) — written
+    * by [[cloneShallow]], consulted and self-healed by [[vacuum]]. */
+  private[land] def registeredClones(table: String): Seq[String] = {
+    val d = hp(table, ClonesDir)
+    val fs = fsOf(d)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(s => readUtf8(fs, s.getPath).trim)
   }
 
   /** Upsert (MERGE-by-key): rows of `updates` replace current rows with
@@ -517,7 +558,6 @@ object AtomicLanding {
     // the rebase specs need to stage deterministically
     val spark = updates.sparkSession
     val base = currentVersion(table)
-    val dirs = liveDirs(table)
     if (!allowMissingColumns) {
       // the manifest's schema line, not a mergeSchema read: the check
       // needs column NAMES only, and a footer-merging read of every
@@ -1095,7 +1135,43 @@ object AtomicLanding {
         try parseRefs(readUtf8(fs, s.getPath))
         catch { case _: java.io.FileNotFoundException => Nil }
       }.toSet
-    val keep = referenced(keptManifests)
+    // ---- clone-aware sparing: a dir any LIVE clone's manifests still
+    // reference absolutely is not garbage here, whatever this table's
+    // own manifests say. ALL of the clone's manifests count (its
+    // retained history can time-travel into the reference); a clone
+    // that localized (compacted) and vacuumed simply stops referencing
+    // us and its pins lapse. A registration whose clone has vanished
+    // entirely (no pointer, no manifests) is unregistered, age-gated
+    // by the grace window so a clone mid-creation is never dropped.
+    val qualDataPrefix = {
+      val dp = hp(table, "data")
+      fsOf(dp).makeQualified(dp).toString + "/"
+    }
+    val clonesReg = hp(table, ClonesDir)
+    val cloneKeep: Set[String] =
+      (if (!fs.exists(clonesReg)) Nil
+       else fs.listStatus(clonesReg).toSeq).flatMap { reg =>
+        val clone = readUtf8(fs, reg.getPath).trim
+        val cfs = fsOf(hp(clone))
+        val mDirC = hp(clone, "manifests")
+        val live = cfs.exists(hp(clone, Pointer)) || cfs.exists(mDirC)
+        if (!live) {
+          if (futureGraceMs == 0L ||
+              now - reg.getModificationTime >= futureGraceMs)
+            fs.delete(reg.getPath, false)
+          Nil
+        } else if (!cfs.exists(mDirC)) Nil
+        else cfs.listStatus(mDirC).toSeq.flatMap { m =>
+          val refs = try readUtf8(cfs, m.getPath).split("\n").toSeq
+            .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          catch { case _: java.io.FileNotFoundException => Nil }
+          refs.filter(r => r.startsWith("/") || r.contains(":/"))
+            .map(r => cfs.makeQualified(hp(r)).toString)
+            .filter(_.startsWith(qualDataPrefix))
+            .map(_.stripPrefix(qualDataPrefix))
+        }
+      }.toSet
+    val keep = referenced(keptManifests) ++ cloneKeep
     val everReferenced = keep ++ referencedLenient(doomedManifests)
     // Data-dir doom rules: referenced by a kept manifest -> keep;
     // referenced only by doomed manifests -> superseded garbage, any age;

@@ -873,6 +873,11 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.planPrunedDirs(legacy, "doc_id", 0L, 1L).size == 2)
     assert(AtomicLanding.readPruned(spark, legacy, "doc_id", 0L, 1L).count() ==
       docs.filter(col("doc_id").between(0L, 1L)).count())
+    // a probe that cannot parse against a long-typed recorded range
+    // degrades conservatively (every dir included), not with a
+    // NumberFormatException — the statless-dir posture
+    assert(AtomicLanding.planPrunedDirs(table, "doc_id", "abc", "xyz")
+      .size == 4)
   }
 
   test("vacuum retainVersions keeps a time-travel window; everything older reclaims") {
@@ -964,6 +969,54 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, cln).count() == total - nVictims)
   }
 
+  test("clone-aware vacuum: source compact+vacuum spares a live clone's dirs; lapsed and vanished clones unpin") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n"))
+    val src = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") < 250), src,
+      statsKeys = Seq("doc_id"))
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 250), src,
+      append = true)
+    val cln = freshTable()
+    AtomicLanding.cloneShallow(src, cln)
+    assert(AtomicLanding.registeredClones(src) == Seq(cln),
+      "the clone must register itself at its source")
+    val before = AtomicLanding.read(spark, cln)
+      .orderBy("doc_id").collect().toSeq
+    // the trade that used to tear the clone: the source rewrites its
+    // whole body and vacuums — the clone's absolute refs must be
+    // spared, not reclaimed as superseded garbage
+    AtomicLanding.compact(spark, src, numFiles = 1)
+    AtomicLanding.vacuum(src)
+    assert(AtomicLanding.read(spark, cln)
+      .orderBy("doc_id").collect().toSeq == before,
+      "a live clone must read its snapshot bit-identically after " +
+        "source compact+vacuum")
+    // once the clone localizes (compact) and vacuums its own history,
+    // its pins lapse and the source's next vacuum reclaims the dirs
+    AtomicLanding.compact(spark, cln, numFiles = 1)
+    AtomicLanding.vacuum(cln)
+    val reclaimed = AtomicLanding.vacuum(src)
+    assert(reclaimed.nonEmpty,
+      "after the clone localizes, the spared source dirs must reclaim")
+    assert(AtomicLanding.read(spark, cln)
+      .orderBy("doc_id").collect().toSeq == before)
+    assert(AtomicLanding.read(spark, src).count() == docs.count())
+
+    // a clone that VANISHES entirely (dropped table) self-heals: the
+    // next full vacuum deletes the dangling registration
+    val cln2 = freshTable()
+    AtomicLanding.cloneShallow(src, cln2)
+    assert(AtomicLanding.registeredClones(src).contains(cln2))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cln2), true)
+    AtomicLanding.vacuum(src)
+    assert(!AtomicLanding.registeredClones(src).contains(cln2),
+      "a vanished clone's registration must self-heal away")
+  }
+
   test("a clone of a clone keeps second-hand absolute refs verbatim; string-key deletePruned prunes in byte order") {
     val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
       .select(col("doc_id"), col("source"),
@@ -986,6 +1039,12 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(c2Dirs.exists(_.startsWith(src)),
       s"c2 must reference $src directly, got $c2Dirs")
     assert(AtomicLanding.read(spark, c2).count() == docs.count())
+    // registration follows the refs: c1 registered at src; c2 — whose
+    // manifest mixes first-hand (c1-local) and second-hand (src)
+    // entries — registered at BOTH, so either ancestor's vacuum spares
+    // the dirs c2 still reads
+    assert(AtomicLanding.registeredClones(src).toSet == Set(c1, c2))
+    assert(AtomicLanding.registeredClones(c1) == Seq(c2))
 
     // string-key pruned delete: a table range-clustered on `source`
     // rewrites only the dir whose UTF-8 byte-order range covers the
