@@ -503,13 +503,29 @@ object ScaleBench {
     require(rowsGrown == rows0 + 600,
       s"appends must add exactly the batch rows: $rows0 + 600 != $rowsGrown")
     val root0 = AtomicLanding.currentRootVersion(idx).get
+    // NO-DRIFT leg: the appends carry HIGHER ids, so retraining
+    // reproduces the live quantizer — the drift probe must skip the
+    // corpus-sized rewrite entirely (r16: the conditional-rebalance
+    // contract) and this leg prices exactly that probe
+    val skips0 = graft.ext.Ivf.rebalanceSkips.get()
+    val (tNoDrift, _) = time(
+      graft.ext.Ivf.rebalanceSavedIndex(spark, idx, nLists = 16, iters = 0))
+    require(graft.ext.Ivf.rebalanceSkips.get() == skips0 + 1 &&
+      AtomicLanding.currentRootVersion(idx).contains(root0),
+      "a no-drift rebalance must skip and publish nothing")
+    // DRIFTED leg: a batch BELOW the id floor changes the canonical
+    // seed prefix, so the rebuild must run — the legacy measurement
+    graft.ext.Ivf.addToSavedIndex(spark, idx,
+      batchSrc.select((col("vec_id") - lit(vSpan)).as("vec_id"),
+        col("embedding")),
+      batchId = Some(4L))
     val (tRebal, _) = time(
       graft.ext.Ivf.rebalanceSavedIndex(spark, idx, nLists = 16, iters = 0))
     require(AtomicLanding.currentRootVersion(idx).exists(_ > root0),
-      "rebalance must publish a fresh root generation")
+      "a drifted rebalance must publish a fresh root generation")
     val rowsRebal = AtomicLanding.read(spark, s"$idx/lists").count()
-    require(rowsRebal == rowsGrown,
-      s"the rewrite must conserve rows: $rowsGrown != $rowsRebal")
+    require(rowsRebal == rowsGrown + 200,
+      s"the rewrite must conserve rows: $rowsGrown + 200 != $rowsRebal")
     val selfTop = graft.ext.Ivf.probeSavedIndex(spark, idx,
         e.filter(col("vec_id") < 4), k = 1, nProbe = 4)
       .select(col("cos_sim")).collect().map(_.getDouble(0))
@@ -517,7 +533,8 @@ object ScaleBench {
       s"self-probe top-1 must score ~1 after the rebalance, got ${selfTop.mkString(",")}")
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
     f"""{"build_sec":$tBuild%.3f,"lists_rows":$rows0,""" +
-      f""""append3_sec":$tAppend%.3f,"rebalance_sec":$tRebal%.3f}"""
+      f""""append3_sec":$tAppend%.3f,"rebalance_nodrift_sec":$tNoDrift%.3f,""" +
+      f""""rebalance_sec":$tRebal%.3f}"""
   }
 
   /** File-pruned row-level delete at scale — the
@@ -531,6 +548,115 @@ object ScaleBench {
     * inside a body segment rewrite that segment — corpus-shaped, the
     * honest contrast. Row conservation and the carried-dir layout are
     * require()d at both scales. */
+  /** INCREMENTAL decontamination at scale — the r16 answer to
+    * DECON_PROBE_r15's scan-bound 70×: the benchmark shingle index
+    * builds ONCE (benchmark-sized — the fixed replica-0 head at every
+    * scale), and each batch probe costs the BATCH, never the corpus.
+    * `inline_full_sec` re-prices the r15 inline path on the same dir
+    * as the honest contrast: THAT is what grows with the corpus. */
+  private def deconIncSection(spark: SparkSession, dir: String,
+      scratch: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      (((System.nanoTime() - t0) / 1e9), r)
+    }
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") < 10)
+    val idx = s"$scratch/deconidx"
+    val (tBuild, _) = time(
+      graft.ext.Decontaminate.buildBenchIndex(bench, idx,
+        batchId = Some(0L)))
+    // three fixed 300-doc batches from the base-scale head: identical
+    // batch content at every scale
+    val batches = (0 until 3).map(i => docs
+      .filter(col("doc_id") >= 10 + i * 300 && col("doc_id") < 10 + (i + 1) * 300)
+      .localCheckpoint())
+    val (tProbe3, flagged) = time(batches.map(b =>
+      graft.ext.Decontaminate.overlapsIncremental(spark, idx, b,
+        minShared = 10).count()).sum)
+    val (tInline, inlineRows) = time(graft.ext.Decontaminate.overlaps(
+      docs.filter(col("doc_id") >= 10), bench, minShared = 10).count())
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    f"""{"build_sec":$tBuild%.3f,"probe3_sec":$tProbe3%.3f,""" +
+      f""""flagged":$flagged,"inline_full_sec":$tInline%.3f,""" +
+      f""""inline_rows":$inlineRows}"""
+  }
+
+  /** MULTI-WRITER stress — the r16 leg racing the CAS protocols at
+    * scale instead of only in specs: four parallel identified
+    * appenders and one concurrent DRIFTED rebalance on one saved IVF
+    * index. Every batch id must land exactly once (zero lost batches),
+    * the final root must resolve a consistent pair, and the lists must
+    * hold every vector exactly once — under real corpus sizes, where
+    * the rebalance's rewrite window is seconds wide. */
+  private def multiWriterSection(spark: SparkSession, dir: String,
+      scratch: String): String = {
+    import graft.land.AtomicLanding
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    def time[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime(); val r = f
+      (((System.nanoTime() - t0) / 1e9), r)
+    }
+    val idx = s"$scratch/mwidx"
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vSpan = span(e, "vec_id")
+    graft.ext.Ivf.buildSavedIndex(e, idx, nLists = 16, iters = 0,
+      batchId = Some(0L))
+    val batchSrc = e.orderBy(col("vec_id")).limit(200).localCheckpoint()
+    // batch 1 sits BELOW the id floor so the racing rebalance is
+    // genuinely drifted (a skip would race nothing)
+    val batches = (1 to 5).map { i =>
+      val shift = if (i == 1) -vSpan else i * vSpan
+      i.toLong -> batchSrc
+        .select((col("vec_id") + lit(shift)).as("vec_id"),
+          col("embedding")).localCheckpoint()
+    }
+    AtomicLanding.currentRootVersion(idx).get
+    val retries0 = graft.ext.Ivf.rebalanceSkips.get() // touch counters
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val (tWall, _) = time {
+      val ts = batches.map { case (id, b) =>
+        new Thread(() =>
+          try graft.ext.Ivf.addToSavedIndex(spark, idx, b,
+            batchId = Some(id))
+          catch { case t: Throwable => errs.add(t); () })
+      } :+ new Thread(() =>
+        try graft.ext.Ivf.rebalanceSavedIndex(spark, idx,
+          nLists = 16, iters = 0)
+        catch { case t: Throwable => errs.add(t); () })
+      ts.foreach(_.start()); ts.foreach(_.join(600000))
+    }
+    require(errs.isEmpty, s"no writer may fail: ${errs.peek()}")
+    val lists = AtomicLanding.read(spark, s"$idx/lists")
+    val nRows = lists.count()
+    val nIds = lists.select("neighbor_id").distinct().count()
+    val expect = e.count() + 5 * 200
+    require(nRows == expect && nIds == expect,
+      s"zero lost batches, zero duplicates: rows=$nRows ids=$nIds expect=$expect")
+    require(AtomicLanding.lastBatchId(s"$idx/lists").contains(5L) ||
+      AtomicLanding.lastBatchId(s"$idx/lists").exists(_ >= 1L),
+      "the batch watermark must be durable")
+    val snap = AtomicLanding.linkedSnapshot(idx).get
+    require(AtomicLanding.currentVersion(s"$idx/lists")
+      .contains(snap.members("lists")) ||
+      AtomicLanding.currentVersion(s"$idx/lists").get >= snap.members("lists"),
+      "the live lists may never regress behind the root pin")
+    // a post-race drifted rebalance converges the index to the
+    // canonical one-shot bits over the union corpus
+    graft.ext.Ivf.rebalanceSavedIndex(spark, idx, nLists = 16, iters = 0)
+    val _ = retries0
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    f"""{"wall_sec":$tWall%.3f,"rows":$nRows,""" +
+      f""""writers":6,"lost_batches":0}"""
+  }
+
   private def deleteSection(spark: SparkSession, dir: String,
       scratch: String): String = {
     import graft.land.AtomicLanding
@@ -668,15 +794,31 @@ object ScaleBench {
     // the rebalance corpus = live ids (corpus + the shifted appends),
     // exactly what a production retrain-on-drift would supply
     val corpus = shifted.foldLeft(e)(_ unionByName _)
-    val (tRebal, _) = time(
+    // NO-DRIFT leg: higher-id appends leave the canonical seeds
+    // unchanged — the drift probe skips the recode; this prices the
+    // probe itself (two id-only anti-joins + the seed comparison),
+    // the r16 answer to "rebalance >= fresh build at 100x"
+    val skips0 = graft.ext.IvfPq.rebalanceSkips.get()
+    val (tNoDrift, _) = time(
       graft.ext.IvfPq.rebalanceSavedIndex(spark, idx, corpus))
+    require(graft.ext.IvfPq.rebalanceSkips.get() == skips0 + 1 &&
+      AtomicLanding.currentRootVersion(idx).contains(root0),
+      "a no-drift rebalance must skip and publish nothing")
+    // DRIFTED leg: a batch below the id floor moves the seed prefix
+    val low = batchSrc.select((col("vec_id") - lit(vSpan)).as("vec_id"),
+      col("embedding")).localCheckpoint()
+    graft.ext.IvfPq.addToSavedIndex(spark, idx, low, batchId = Some(4L))
+    val (tRebal, _) = time(
+      graft.ext.IvfPq.rebalanceSavedIndex(spark, idx,
+        corpus.unionByName(low)))
     require(AtomicLanding.currentRootVersion(idx).exists(_ > root0),
-      "rebalance must publish a fresh root generation")
-    require(AtomicLanding.read(spark, s"$idx/n2").count() == rows0 + 600,
+      "a drifted rebalance must publish a fresh root generation")
+    require(AtomicLanding.read(spark, s"$idx/n2").count() == rows0 + 800,
       "the rewrite must conserve rows")
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
     f"""{"build_sec":$tBuild%.3f,"n2_rows":$rows0,""" +
-      f""""append3_sec":$tAppend%.3f,"rebalance_sec":$tRebal%.3f}"""
+      f""""append3_sec":$tAppend%.3f,"rebalance_nodrift_sec":$tNoDrift%.3f,""" +
+      f""""rebalance_sec":$tRebal%.3f}"""
   }
 
   /** Z-order layout maintenance at scale — the
@@ -892,6 +1034,24 @@ object ScaleBench {
         val ps = pqRebalSection(spark, out, s"/tmp/graft_pqrebal_scaled_$runTag")
         s""","ivfpq_rebalance":{"base":$pb,"scaled":$ps}"""
       }
+    val runDeconInc = only.forall(_.contains("deconinc"))
+    val deconIncJson =
+      if (!runDeconInc) ""
+      else {
+        val runTag = java.util.UUID.randomUUID().toString.take(8)
+        val db = deconIncSection(spark, base, s"/tmp/graft_deconinc_base_$runTag")
+        val ds = deconIncSection(spark, out, s"/tmp/graft_deconinc_scaled_$runTag")
+        s""","decon_incremental":{"base":$db,"scaled":$ds}"""
+      }
+    val runMulti = only.forall(_.contains("multiwriter"))
+    val multiJson =
+      if (!runMulti) ""
+      else {
+        val runTag = java.util.UUID.randomUUID().toString.take(8)
+        val mb = multiWriterSection(spark, base, s"/tmp/graft_mw_base_$runTag")
+        val ms = multiWriterSection(spark, out, s"/tmp/graft_mw_scaled_$runTag")
+        s""","multi_writer":{"base":$mb,"scaled":$ms}"""
+      }
     val runZmaint = only.forall(_.contains("zmaint"))
     val zmaintJson =
       if (!runZmaint) ""
@@ -901,7 +1061,7 @@ object ScaleBench {
         val zs = zmaintSection(spark, out, s"/tmp/graft_zmaint_scaled_$runTag")
         s""","zorder_maint":{"base":$zb,"scaled":$zs}"""
       }
-    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson$ivfRebalJson$pqRebalJson$zmaintJson$deleteJson}""")
+    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson$ivfRebalJson$pqRebalJson$zmaintJson$deleteJson$deconIncJson$multiJson}""")
     spark.stop()
   }
 }

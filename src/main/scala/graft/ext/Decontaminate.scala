@@ -36,38 +36,115 @@ object Decontaminate {
     * contamination signal; capping them shrinks both the broadcast and
     * the pair-count shuffle. The bench side is small, so the df ranking
     * is a cheap driver-free window over the broadcastable table. */
-  def overlaps(corpus: DataFrame, bench: DataFrame,
-      minShared: Int, n: Int = 3, stopTopK: Int = 0): DataFrame = {
-    val cs = corpus.select(col("doc_id"),
+  private def corpusShingles(corpus: DataFrame, n: Int): DataFrame =
+    corpus.select(col("doc_id"),
       explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
+
+  private def benchShingles(bench: DataFrame, n: Int,
+      stopTopK: Int): DataFrame = {
     val bs0 = bench.select(col("doc_id").as("bench_id"),
       explode(shingles(col("text"), n)).as("s"))
       .select(col("bench_id"), xxhash64(col("s")).as("h"))
-    val bs =
-      if (stopTopK <= 0) bs0
-      else {
-        import org.apache.spark.sql.expressions.Window
-        val rnk = row_number().over(
-          Window.orderBy(col("df").desc, col("h").asc))
-        val stops = bs0.groupBy(col("h"))
-          .agg(count(lit(1)).as("df"))
-          .withColumn("rnk", rnk)
-          .filter(col("rnk") <= stopTopK)
-          .select(col("h"))
-        bs0.join(broadcast(stops), Seq("h"), "left_anti")
-      }
-    cs.join(broadcast(bs), "h")
+    if (stopTopK <= 0) bs0
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val rnk = row_number().over(
+        Window.orderBy(col("df").desc, col("h").asc))
+      val stops = bs0.groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("rnk", rnk)
+        .filter(col("rnk") <= stopTopK)
+        .select(col("h"))
+      bs0.join(broadcast(stops), Seq("h"), "left_anti")
+    }
+  }
+
+  def overlaps(corpus: DataFrame, bench: DataFrame,
+      minShared: Int, n: Int = 3, stopTopK: Int = 0): DataFrame =
+    corpusShingles(corpus, n)
+      .join(broadcast(benchShingles(bench, n, stopTopK)), "h")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** corpus minus every document contaminated by some benchmark doc. */
   def scrub(corpus: DataFrame, bench: DataFrame,
       minShared: Int, n: Int = 3, stopTopK: Int = 0): DataFrame =
     corpus.join(
       overlaps(corpus, bench, minShared, n, stopTopK).select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Persist the benchmark shingle index ONCE as an
+    * [[graft.land.AtomicLanding]] table of (bench_id, h) rows — the
+    * incremental-decontamination build step. The r15 scale probe
+    * (DECON_PROBE_r15) showed both inline variants scan-bound: every
+    * call re-shingles the WHOLE corpus, 70× wall at 100× data. A
+    * training pipeline decontaminates each incoming BATCH, not the
+    * standing corpus, so the benchmark side — the small, slowly-moving
+    * side — is what deserves to be an index: build it once, then
+    * [[overlapsIncremental]] costs one batch shingle pass + a
+    * broadcast join, INDEPENDENT of corpus size. `stopTopK` is frozen
+    * into the index (the df ranking is a property of the benchmark). */
+  def buildBenchIndex(bench: DataFrame, path: String, n: Int = 3,
+      stopTopK: Int = 0, batchId: Option[Long] = None): String = {
+    graft.land.AtomicLanding.commit(benchShingles(bench, n, stopTopK),
+      s"$path/bench", batchId = batchId)
+    path
+  }
+
+  /** Append NEW benchmark docs to a [[buildBenchIndex]] index — the
+    * [[FuzzyJoin.addToSigIndex]] contract verbatim: identified batches
+    * (monotone ids) replay as pure no-ops and skip the dedupe scan
+    * once a watermark exists; id-less appends anti-join against the
+    * live index at (bench_id, h) granularity. */
+  def addToBenchIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, bench: DataFrame, n: Int = 3,
+      batchId: Option[Long] = None): Unit = {
+    import graft.land.AtomicLanding
+    val benchT = s"$indexPath/bench"
+    if (batchId.exists(b => AtomicLanding.lastBatchId(benchT).exists(_ >= b)))
+      return // known-committed replay: data + id durable in one swing
+    val delta = (batchId.filter(_ =>
+        AtomicLanding.lastBatchId(benchT).isDefined) match {
+      case Some(_) => benchShingles(bench, n, 0)
+      case _ =>
+        val live = AtomicLanding.read(spark, benchT)
+          .select(col("bench_id"), col("h"))
+        benchShingles(bench, n, 0)
+          .join(live, Seq("bench_id", "h"), "left_anti")
+          .select(col("bench_id"), col("h"))
+    }).persist()
+    try if (!delta.isEmpty || batchId.isDefined) {
+      AtomicLanding.commit(delta, benchT, append = true,
+        batchId = batchId); ()
+    } finally delta.unpersist()
+  }
+
+  /** [[overlaps]] of a BATCH against a persisted [[buildBenchIndex]]
+    * benchmark index: bit-identical to `overlaps(batch, bench, ...)`
+    * (same shingle pipeline, shared code — the `q_decontaminate_
+    * incremental` hash gate), at a cost that scales with the batch and
+    * NOT with the corpus or the benchmark: the benchmark is never
+    * re-shingled, its slim (bench_id, h) table broadcasts from parquet. */
+  def overlapsIncremental(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, minShared: Int,
+      n: Int = 3): DataFrame =
+    corpusShingles(batch, n)
+      .join(broadcast(
+        graft.land.AtomicLanding.read(spark, s"$indexPath/bench")), "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+  /** The batch minus its contaminated docs — [[scrub]] against the
+    * persisted benchmark index. */
+  def scrubIncremental(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, minShared: Int,
+      n: Int = 3): DataFrame =
+    batch.join(
+      overlapsIncremental(spark, indexPath, batch, minShared, n)
+        .select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
   /** [[overlaps]] for benchmark sets TOO BIG TO BROADCAST as a join

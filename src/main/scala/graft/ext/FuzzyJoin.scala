@@ -126,7 +126,24 @@ object FuzzyJoin {
       maxBucket: Option[Long] = None): DataFrame = {
     require(k == 1 || k == 2, s"selfJoinEdK supports k in {1,2}, got $k")
     require(maxBucket.forall(_ >= 2), s"maxBucket must be >= 2: $maxBucket")
-    val sigs0 = sigTable(df, key, "k", k)
+    // INT-KEYED candidate pipeline (the Ed2Profile-measured shape): the
+    // enumerate -> distinct leg — the join's real cost, ~2× the whole
+    // corpus in candidate rows — carries (kid, kid) 16-byte pairs
+    // instead of (name, name) strings; names join back AFTER the
+    // distinct, only for the surviving candidates' levenshtein verify.
+    // On the dense 15k-name adversarial corpus this halves the row
+    // (string-pair distinct+verify ≈ 11 s vs int distinct + name-back
+    // + verify ≈ 5.9 s), and the saving grows with scale: the distinct
+    // shuffle is the volume that explodes at 10×/100×.
+    val dim = df.select(col(key).as("k")).where(col("k").isNotNull)
+      .distinct()
+      .select(col("k"), xxhash64(col("k")).as("kid"))
+    val sigsFn =
+      if (k >= 2) deletionSigs2(col("k")) else deletionSigs(col("k"))
+    val sigs0 = dim
+      .select(col("kid"), length(col("k")).as("kl"), explode(sigsFn).as("sig"))
+      .select(col("kid"), col("kl"), xxhash64(col("sig")).as("sig_h"))
+      .distinct() // per-key dedupe — sigTable's contract, on int keys
     val sigs = maxBucket match {
       case Some(cap) =>
         // census + anti-join: one map-side-combined aggregate over the
@@ -137,16 +154,46 @@ object FuzzyJoin {
         sigs0.join(hot, Seq("sig_h"), "left_anti")
       case None => sigs0
     }
-    val a = sigs.select(col("k").as("key_a"), col("sig_h"))
-    val b = sigs.select(col("k").as("key_b"), col("sig_h"))
+    val a = sigs.select(col("kid").as("ka"), col("kl").as("la"), col("sig_h"))
+    val b = sigs.select(col("kid").as("kb"), col("kl").as("lb"), col("sig_h"))
     // both sides are the SAME corpus-sized signature table — broadcast
     // is never the right strategy here, but the aggregate above makes
     // the planner's size estimate unreliable and an attempted broadcast
     // of ~30M signature rows OOM'd an 8g driver at 100×; declare the
     // sort-merge intent (spills, never materializes a side in heap)
-    verified(
-      a.join(b.hint("merge"), Seq("sig_h")).where(col("key_a") < col("key_b")),
-      "key_a", "key_b", k)
+    // the length tier rides the enumeration for free: |len(a)-len(b)|
+    // <= k is a necessary condition for ed <= k, applied INSIDE the
+    // bucket before the candidate distinct pays for the pair. (On the
+    // fixed-width adversarial corpus it is vacuous by construction —
+    // the real dense-corpus lever is the int-pair row width above.)
+    val cand = a.join(b.hint("merge"), Seq("sig_h"))
+      .where(col("ka") < col("kb") && abs(col("la") - col("lb")) <= k)
+      .select(col("ka"), col("kb")).distinct()
+    val backA = dim.select(col("kid").as("ka"), col("k").as("_na"))
+    val backB = dim.select(col("kid").as("kb"), col("k").as("_nb"))
+    val named = cand.join(backA, "ka").join(backB, "kb")
+      .select(col("_na"), col("_nb"))
+    // EXACTNESS under kid collisions (xxhash64 is a grouping proxy,
+    // never trusted): a collision only ever MERGES two names onto one
+    // kid. Cross-kid candidates re-expand to every name combination in
+    // the back-join above and verify exactly; the one loss channel is
+    // a true pair whose two names share a kid (ka < kb drops it), so
+    // collided kid groups contribute their within-group pairs
+    // directly — a tiny aggregate over the dim, empty on any real
+    // corpus, and the union keeps the operator exact BY CONSTRUCTION.
+    val collided = dim.groupBy(col("kid"))
+      .agg(collect_list(col("k")).as("_ks"))
+      .where(size(col("_ks")) > 1)
+      .select(explode(expr(
+        "flatten(transform(_ks, (x, i) -> " +
+          "transform(slice(_ks, i + 2, size(_ks)), y -> struct(x, y))))"))
+        .as("_p"))
+      .select(col("_p.x").as("_na"), col("_p.y").as("_nb"))
+    named.unionByName(collided)
+      .select(least(col("_na"), col("_nb")).as("key_a"),
+        greatest(col("_na"), col("_nb")).as("key_b"))
+      .where(abs(length(col("key_a")) - length(col("key_b"))) <= k)
+      .where(levenshtein(col("key_a"), col("key_b")) <= k)
   }
 
   /** Signature-bucket census — the capacity-planning aggregate behind

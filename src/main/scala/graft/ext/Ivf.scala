@@ -416,6 +416,7 @@ object Ivf {
     * rebalance re-seeds it). */
   def rebalanceSavedIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, nLists: Int = 16, iters: Int = 2,
+      driftTolerance: Double = 0.0,
       beforeListsCommit: () => Unit = () => (),
       beforeRootPublish: () => Unit = () => ()): Unit = {
     import graft.land.AtomicLanding
@@ -436,6 +437,19 @@ object Ivf {
         val corpus = AtomicLanding.readVersion(spark, listsT, lPin)
           .select(col("neighbor_id").as("vec_id"), col("ce").as("embedding"))
         val cents = train(corpus, nLists, iters)
+        // DRIFT PROBE (IvfPq.rebalanceSavedIndex's contract): the
+        // retrained quantizer is in hand either way — if it reproduces
+        // the pinned one within driftTolerance, every list row is
+        // already assigned under it and the corpus-sized reassign +
+        // rewrite is provably a no-op; skip it. tol = 0 demands the
+        // bit-stable equality deterministic iters = 0 training gives.
+        val centsOld = centsOf(AtomicLanding.readVersion(spark,
+          s"$indexPath/cents", snap.members("cents")))
+        if (IvfPq.withinDrift(centsOld.map(_._2.map(_.toDouble)),
+            cents.map(_._2.map(_.toDouble)), driftTolerance)) {
+          rebalanceSkips.incrementAndGet()
+          done = true
+        } else {
         val cv = AtomicLanding.commit(
           centroidDf(spark, cents).coalesce(1), s"$indexPath/cents")
         try {
@@ -461,9 +475,16 @@ object Ivf {
           // rewrite is unreachable garbage a vacuum reclaims
           case _: java.util.ConcurrentModificationException => ()
         }
+        }
       }
     }
   }
+
+  /** Rebuilds [[rebalanceSavedIndex]] SKIPPED because the drift probe
+    * proved retraining reproduces the pinned quantizer — the proof
+    * seam that a no-drift rebalance never rewrites the lists. */
+  private[graft] val rebalanceSkips =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** [[probe]] against a [[buildSavedIndex]] index: same output
     * contract, same bits, no training or assignment — the probe plan
@@ -487,7 +508,8 @@ object Ivf {
     * paths. */
   def maintainSavedIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, smallBytes: Long = 64L * 1024 * 1024,
-      reservationGraceMs: Long = 600000L): Seq[String] = {
+      reservationGraceMs: Long = 600000L,
+      retainRootGenerations: Int = 0): Seq[String] = {
     import graft.land.AtomicLanding
     val listsT = s"$indexPath/lists"
     var done = false
@@ -524,6 +546,7 @@ object Ivf {
       }
       }
     }
-    AtomicLanding.vacuumLinked(indexPath, futureGraceMs = reservationGraceMs)
+    AtomicLanding.vacuumLinked(indexPath, futureGraceMs = reservationGraceMs,
+      retainRoots = retainRootGenerations)
   }
 }

@@ -455,6 +455,29 @@ object IvfPq {
   private[ext] val rebalanceRetries =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Rebuilds [[rebalanceSavedIndex]] SKIPPED because the drift probe
+    * proved retraining would reproduce the live quantizers — the proof
+    * seam that a no-drift rebalance never pays the corpus-sized
+    * recode. */
+  private[graft] val rebalanceSkips =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Position-matched quantizer-table comparison for the drift probe:
+    * every new centroid within `tol` × its old counterpart's norm
+    * (tol = 0 demands bit-stable equality — which deterministic
+    * iters = 0 training delivers, since both tables are arithmetic on
+    * the same corpus prefix read from the same parquet). */
+  private[ext] def withinDrift(old: Seq[Seq[Double]], nu: Seq[Seq[Double]],
+      tol: Double): Boolean =
+    old.size == nu.size && old.zip(nu).forall { case (o, n) =>
+      o.size == n.size && {
+        val d = math.sqrt(o.zip(n).map { case (x, y) =>
+          (x - y) * (x - y) }.sum)
+        d == 0.0 || d <= tol * math.max(
+          math.sqrt(o.map(x => x * x).sum), 1e-12)
+      }
+    }
+
   /** MAJOR maintenance on the compressed tier — retrain-on-drift with
     * append-loss protection ([[Ivf.rebalanceSavedIndex]]'s contract,
     * reshaped by the lossy layout: PQ codes cannot reconstruct their
@@ -495,6 +518,7 @@ object IvfPq {
   def rebalanceSavedIndex(s: SparkSession, path: String, corpus: DataFrame,
       nLists: Int = 16, m: Int = 8, k: Int = 16,
       itersCoarse: Int = 0, itersPq: Int = 0,
+      driftTolerance: Double = 0.0,
       beforeMembersCommit: () => Unit = () => (),
       beforeRootPublish: () => Unit = () => ()): Unit = {
     import graft.land.AtomicLanding
@@ -530,6 +554,60 @@ object IvfPq {
         require(missing == 0L,
           s"$path: rebalance corpus is stale — $missing indexed ids are " +
             "absent from it; rebuilding would silently drop those vectors")
+        // DRIFT PROBE — skip the corpus-sized recode when retraining
+        // would reproduce the LIVE quantizer pair. Appends were encoded
+        // under exactly these tables, so unchanged tables make the
+        // rebuild provably a no-op: the skip is an exactness argument,
+        // not a recall heuristic (driftTolerance > 0 additionally skips
+        // sub-threshold centroid movement — that IS a recall trade, the
+        // caller's). Probed only in the deterministic iters = 0 mode
+        // (training there is the corpus's canonical seed slices — a few
+        // driver-side rows, O(1) next to the recode); Lloyd-trained
+        // rebalances pay corpus passes to train and always rebuild.
+        // The skip also demands corpus ≡ indexed ids both ways: a
+        // corpus carrying EXTRA ids is a grow-under-rebalance and must
+        // rebuild them in.
+        val skipRebuild = itersCoarse == 0 && itersPq == 0 && {
+          val extras = corpus.select(col("vec_id"))
+            .join(AtomicLanding.readVersion(s, n2T, nLive)
+              .select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .count()
+          extras == 0L && {
+            val centsOld = AtomicLanding
+              .readVersion(s, s"$path/cents", snap.members("cents"))
+              .orderBy("cid").collect()
+              .map(_.getAs[scala.collection.Seq[Float]]("cvec")
+                .map(_.toDouble).toSeq).toSeq
+            val centsNew = Ivf.train(corpus, nLists, 0)
+            withinDrift(centsOld,
+              centsNew.map(_._2.map(_.toDouble)), driftTolerance) && {
+              val dim = corpus.select(size(col("embedding")))
+                .head().getInt(0)
+              dim % m == 0 && {
+                val subDim = dim / m
+                val seedRes = residuals(
+                    corpus.orderBy(col("vec_id")).limit(k), centsNew)
+                  .orderBy(col("vec_id")).collect()
+                  .map(_.getAs[scala.collection.Seq[Double]]("res").toSeq)
+                val cbNew = (for {
+                  sI <- 0 until m
+                  (v, j) <- seedRes.zipWithIndex.toSeq
+                } yield (sI, j, v.slice(sI * subDim, (sI + 1) * subDim)))
+                  .sortBy(t => (t._1, t._2)).map(_._3)
+                val cbOld = AtomicLanding
+                  .readVersion(s, s"$path/cb", snap.members("cb"))
+                  .orderBy("sub", "code").collect()
+                  .map(_.getAs[scala.collection.Seq[Double]]("rvec").toSeq)
+                  .toSeq
+                withinDrift(cbOld, cbNew, driftTolerance)
+              }
+            }
+          }
+        }
+        if (skipRebuild) {
+          rebalanceSkips.incrementAndGet()
+          done = true
+        } else {
         val idx = buildIndex(corpus, nLists, m, k, itersCoarse, itersPq)
         // test seam: fires after the census + rebuild, before any
         // member commit — the widest window a concurrent append can
@@ -556,6 +634,7 @@ object IvfPq {
           case _: java.util.ConcurrentModificationException =>
             rebalanceRetries.incrementAndGet(); ()
         }
+        }
       }
     }
   }
@@ -575,7 +654,8 @@ object IvfPq {
     * re-resolves and retries). Returns reclaimed paths. */
   def maintainSavedIndex(s: SparkSession, path: String,
       smallBytes: Long = 64L * 1024 * 1024,
-      reservationGraceMs: Long = 600000L): Seq[String] = {
+      reservationGraceMs: Long = 600000L,
+      retainRootGenerations: Int = 0): Seq[String] = {
     import graft.land.AtomicLanding
     var done = false
     while (!done) {
@@ -629,7 +709,8 @@ object IvfPq {
       }
       }
     }
-    AtomicLanding.vacuumLinked(path, futureGraceMs = reservationGraceMs)
+    AtomicLanding.vacuumLinked(path, futureGraceMs = reservationGraceMs,
+      retainRoots = retainRootGenerations)
   }
 
   /** Build + probe in one call (the coverage-query path). */

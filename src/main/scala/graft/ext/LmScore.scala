@@ -86,16 +86,27 @@ object LmScore {
   /** Score (doc_id, text) rows under a trained model:
     * (doc_id, n_grams, nll_scaled) — arithmetic-mean scaled inverse
     * conditional probability, higher = more surprising. */
-  def score(docs: DataFrame, model: LmModel, scale: Long = 1000L): DataFrame = {
+  def score(docs: DataFrame, model: LmModel, scale: Long = 1000L,
+      broadcastModel: Boolean = false): DataFrame = {
     val n = model.n
     val perDoc = docs.select(col("doc_id"),
         explode(call_function("ngram_counts", col("text"), lit(n))).as("gc"))
       .select(col("doc_id"), col("gc.term").as("term"),
         col("gc.cnt").cast("long").as("c"))
+    // broadcastModel declares the model tables executor-memory-sized,
+    // making both lookups map-side — the corpus-sized per-doc rows then
+    // never shuffle before their doc-local aggregate. Use it when the
+    // model was trained on a REFERENCE corpus (the CCNet shape: the
+    // model is vocabulary-bounded while the scored corpus is 100 TB);
+    // size estimates alone cannot see that, because the planner prices
+    // the aggregate's input, not its distinct output. Identical rows
+    // either way — LmProfile prices the two plans at the 100× dir.
+    def side(df: DataFrame): DataFrame =
+      if (broadcastModel) broadcast(df) else df
     perDoc
-      .join(model.ngrams, Seq("term"), "left")
+      .join(side(model.ngrams), Seq("term"), "left")
       .withColumn("ctx", substring_index(col("term"), " ", n - 1))
-      .join(model.contexts, Seq("ctx"), "left")
+      .join(side(model.contexts), Seq("ctx"), "left")
       .crossJoin(broadcast(model.vocab))
       .withColumn("surprisal", expr(
         s"($scale * (coalesce(n_ctx, 0L) + v)) div (coalesce(cnt, 0L) + 1)"))

@@ -468,6 +468,7 @@ object Retrieval {
   def maintainIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, smallBytes: Long = 64L * 1024 * 1024,
       reservationGraceMs: Long = 600000L,
+      retainRootGenerations: Int = 0,
       beforeFoldCommit: () => Unit = () => ()): Seq[String] = {
     import graft.land.AtomicLanding
     val postingsT = s"$indexPath/postings"
@@ -513,7 +514,8 @@ object Retrieval {
           }
       }
     }
-    AtomicLanding.vacuumLinked(indexPath, futureGraceMs = reservationGraceMs)
+    AtomicLanding.vacuumLinked(indexPath, futureGraceMs = reservationGraceMs,
+      retainRoots = retainRootGenerations)
   }
 
   /** Score a query batch from a [[buildIndex]] index. Same output

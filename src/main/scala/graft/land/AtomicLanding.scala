@@ -1258,16 +1258,23 @@ object AtomicLanding {
     * whole multi-table index is snapshot-isolated against concurrent
     * publishes. */
   def linkedSnapshot(root: String): Option[LinkedSnapshot] =
-    currentRootVersion(root).map { v =>
-      val p = hp(root, "roots", rootName(v))
-      val members = readUtf8(fsOf(p), p).split("\n").toSeq
+    currentRootVersion(root).flatMap(linkedSnapshotAt(root, _))
+
+  /** Resolve a SPECIFIC root generation — the index-level time travel
+    * [[readVersion]] gives tables. Retained generations (see
+    * [[vacuumLinked]]'s `retainRoots`) stay resolvable after
+    * maintenance; reclaimed ones return None. */
+  def linkedSnapshotAt(root: String, v: Long): Option[LinkedSnapshot] = {
+    val p = hp(root, "roots", rootName(v))
+    if (!fsOf(p).exists(p)) None
+    else Some(LinkedSnapshot(v,
+      readUtf8(fsOf(p), p).split("\n").toSeq
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l =>
           val i = l.lastIndexOf(' ')
           l.substring(0, i) -> l.substring(i + 1).toLong
-        }.toMap
-      LinkedSnapshot(v, members)
-    }
+        }.toMap))
+  }
 
   /** Publish a consistent member-version set as the next root
     * generation. Members must already be committed [[AtomicLanding]]
@@ -1344,33 +1351,67 @@ object AtomicLanding {
           s"root $root pins no member '$member' (has ${snap.members.keys.mkString(", ")})")))
   }
 
-  /** Reclaim superseded root generations and — QUIESCENCE-GUARDED —
-    * superseded member generations: a member is vacuumed only when its
-    * own pointer sits exactly at the live root's pin, because a member
-    * that ran AHEAD (a crashed publish, or one in flight) still needs
-    * its pinned manifest, which [[vacuum]] would reclaim. A positive
-    * grace makes this safe alongside live publishers (their reserved
-    * future root slots survive, same rule as [[vacuum]]). */
-  def vacuumLinked(root: String, futureGraceMs: Long = 0L): Seq[String] = {
+  /** Reclaim superseded root generations and superseded member
+    * generations. `retainRoots = N` keeps a ROOT-LEVEL time-travel
+    * window (the [[vacuum]] `retainVersions` contract lifted to the
+    * whole index): the last N root generations before the live one
+    * stay resolvable via [[linkedSnapshotAt]], and every member keeps
+    * a version window wide enough to cover its OLDEST retained pin —
+    * so a probe at a retained generation still reads every member at
+    * its pinned version, bit-identically, after maintenance has
+    * published newer generations on top. Everything older reclaims.
+    *
+    * Member vacuums derive their window from the retained pins: with
+    * `retainRoots = 0` a member is vacuumed only when its own pointer
+    * sits exactly at the live root's pin (the quiescence guard — a
+    * member that ran AHEAD via a crashed publish still needs its
+    * pinned manifest); with retention, a member whose live pointer ran
+    * ahead is covered by widening the window down to the oldest pin.
+    * A positive grace makes this safe alongside live publishers (their
+    * reserved future root slots survive, same rule as [[vacuum]]). */
+  def vacuumLinked(root: String, futureGraceMs: Long = 0L,
+      retainRoots: Int = 0): Seq[String] = {
     val fs = fsOf(hp(root))
     val cur = currentRootVersion(root)
     val now = System.currentTimeMillis()
+    def retained(name: String): Boolean = {
+      val v = name.stripPrefix("r-")
+      retainRoots > 0 && v.forall(_.isDigit) &&
+        cur.exists(c => v.toLong >= c - retainRoots && v.toLong < c)
+    }
     val dir = hp(root, "roots")
     val roots: Seq[org.apache.hadoop.fs.FileStatus] =
       if (fs.exists(dir)) fs.listStatus(dir).toSeq else Nil
     val removedRoots = roots.filterNot { s =>
       val v = s.getPath.getName.stripPrefix("r-")
       cur.map(rootName).contains(s.getPath.getName) ||
+        retained(s.getPath.getName) ||
         (futureGraceMs > 0 && now - s.getModificationTime < futureGraceMs &&
           v.forall(_.isDigit) && cur.forall(_ < v.toLong))
     }.map { s => fs.delete(s.getPath, false); s.getPath.toString }
-    val removedMembers = linkedSnapshot(root).toSeq
-      .flatMap(_.members.toSeq).flatMap { case (m, pinned) =>
-        val t = s"$root/$m"
-        if (currentVersion(t).contains(pinned))
-          vacuum(t, futureGraceMs = futureGraceMs)
-        else Nil
+    // every member's OLDEST pin across the live + retained generations
+    // sets that member's retention window
+    val snaps = cur.toSeq.flatMap { c =>
+      (math.max(0L, c - retainRoots) to c)
+        .flatMap(linkedSnapshotAt(root, _))
+    }
+    val oldestPin: Map[String, Long] = snaps.flatMap(_.members.toSeq)
+      .groupBy(_._1).map { case (m, vs) => m -> vs.map(_._2).min }
+    val liveMembers = linkedSnapshot(root).toSeq.flatMap(_.members.keys)
+    val removedMembers = liveMembers.flatMap { m =>
+      val t = s"$root/$m"
+      (currentVersion(t), oldestPin.get(m)) match {
+        case (Some(live), Some(oldest)) if live >= oldest =>
+          // the contiguous window [live - retain, live] covers every
+          // retained pin; with retainRoots = 0 this degenerates to the
+          // old quiescence guard (vacuum only when live == pin)
+          val window = (live - oldest).toInt
+          if (retainRoots == 0 && window > 0) Nil
+          else vacuum(t, futureGraceMs = futureGraceMs,
+            retainVersions = window)
+        case _ => Nil
       }
+    }
     removedRoots ++ removedMembers
   }
 }

@@ -111,6 +111,7 @@ object LlmPipeline {
     * frozen quantizer; no retrain, no corpus re-scan). */
   private val ivfGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val deconIdxSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfpqGrownSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfpqStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val ivfRebalSpooled = scala.collection.concurrent.TrieMap[String, String]()
@@ -632,6 +633,36 @@ object LlmPipeline {
       val d = docs(s, dir)
       graft.ext.Decontaminate.overlapsBloom(
           d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+          minShared = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // ---- INCREMENTAL decontamination — the per-batch production
+    // shape DECON_PROBE_r15 motivated (both inline variants re-shingle
+    // the whole corpus per call, 70x wall at 100x): the benchmark's
+    // shingle index persists ONCE (buildBenchIndex), grown with a
+    // later benchmark drop through the identified-append contract, and
+    // each incoming BATCH decontaminates against it at batch-sized
+    // cost — the corpus is never scanned at all. Same shingle
+    // pipeline, shared code, so the output is bit-identical to the
+    // inline overlaps() on the same batch: the oracle IS
+    // q_decontaminate's, restricted to the batch slice ----
+    "q_decontaminate_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = deconIdxSpooled.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-deconidx").toString + "/idx"
+        // build on the benchmark's front half, grow with the rest —
+        // the index lifecycle under the same hash gate
+        graft.ext.Decontaminate.buildBenchIndex(
+          d.filter(col("doc_id") < 5), p, batchId = Some(0L))
+        graft.ext.Decontaminate.addToBenchIndex(s, p,
+          d.filter(col("doc_id") >= 5 && col("doc_id") < 10),
+          batchId = Some(1L))
+        p
+      })
+      graft.ext.Decontaminate.overlapsIncremental(s, idx,
+          d.filter(col("doc_id") >= 10 && col("doc_id") % 7 === 0),
           minShared = 10)
         .orderBy(col("doc_id"), col("bench_id"))
     }),
@@ -2282,6 +2313,20 @@ object LlmPipeline {
         |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
         |c AS (SELECT * FROM sh WHERE doc_id >= 10),
+        |b AS (SELECT doc_id bench_id, s FROM sh WHERE doc_id < 10)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM c JOIN b ON c.s = b.s
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // identical answer through the persisted-benchmark-index batch
+    // plan, restricted to the batch slice: the index carries exactly
+    // the benchmark shingles, so a batch probe equals the inline join
+    "q_decontaminate_incremental" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |c AS (SELECT * FROM sh WHERE doc_id >= 10 AND doc_id % 7 = 0),
         |b AS (SELECT doc_id bench_id, s FROM sh WHERE doc_id < 10)
         |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
         |FROM c JOIN b ON c.s = b.s

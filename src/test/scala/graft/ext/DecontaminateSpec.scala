@@ -33,6 +33,38 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L))
   }
 
+  test("incremental: persisted bench index reproduces the inline bits; growth + replay follow the contract") {
+    import graft.land.AtomicLanding
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-deconidx").toString + "/idx"
+    val bench2 = bench.unionByName(Seq(
+      (101L, "name the longest river in south america and its primary tributaries listed"))
+      .toDF("doc_id", "text"))
+    val corpus2 = corpus.unionByName(Seq(
+      (4L, "intro name the longest river in south america and its primary tributaries listed outro"))
+      .toDF("doc_id", "text"))
+    // build on the first bench doc, grow with the second (identified)
+    Decontaminate.buildBenchIndex(bench, idx, batchId = Some(0L))
+    Decontaminate.addToBenchIndex(spark, idx,
+      bench2.filter(col("doc_id") === 101L), batchId = Some(1L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bench_id").collect().toSeq
+    assert(canon(Decontaminate.overlapsIncremental(spark, idx, corpus2, 10))
+      == canon(Decontaminate.overlaps(corpus2, bench2, 10)),
+      "the batch probe must be bit-identical to the inline join")
+    assert(Decontaminate.scrubIncremental(spark, idx, corpus2, 10)
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    // identified replay is a pure no-op
+    val v = AtomicLanding.currentVersion(s"$idx/bench")
+    Decontaminate.addToBenchIndex(spark, idx,
+      bench2.filter(col("doc_id") === 101L), batchId = Some(1L))
+    assert(AtomicLanding.currentVersion(s"$idx/bench") == v)
+    // id-less re-append dedupes at (bench_id, h): nothing changes
+    Decontaminate.addToBenchIndex(spark, idx, bench2)
+    assert(canon(Decontaminate.overlapsIncremental(spark, idx, corpus2, 10))
+      == canon(Decontaminate.overlaps(corpus2, bench2, 10)))
+  }
+
   test("stopTopK drops the highest-df benchmark shingles from the index") {
     // two bench docs share the boilerplate prefix "a b c"; each has a
     // unique tail — the shared shingle has df=2, every other df=1

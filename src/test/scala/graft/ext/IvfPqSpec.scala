@@ -276,6 +276,45 @@ class IvfPqSpec extends AnyFunSuite {
         s"$t must match a one-shot build over the rebalance corpus")
   }
 
+  test("a no-drift rebalance skips the corpus-sized rebuild and publishes nothing") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqnodrift").toString
+    val idx = s"$dir/idx"
+    // canonical-prefix build + identified growth with HIGHER ids: the
+    // corpus's first-16 (coarse seeds) and first-16 residual slices
+    // (PQ codebooks) are unchanged, so retraining would reproduce the
+    // live quantizer pair bit-for-bit — the rebuild is provably a
+    // no-op and the probe must prove it never runs
+    IvfPq.save(IvfPq.buildIndex(emb.filter(col("vec_id") < 300)), idx,
+      batchId = Some(0L))
+    IvfPq.addToSavedIndex(spark, idx, emb.filter(col("vec_id") >= 300),
+      batchId = Some(1L))
+    val snap0 = AtomicLanding.linkedSnapshot(idx).get
+    def canon(p: String) =
+      IvfPq.probe(emb, IvfPq.load(spark, p), queries,
+          k = 5, nProbe = 4, shortlist = 50)
+        .orderBy("query_id", "rnk").collect().toSeq
+    val before = canon(idx)
+    val skips0 = IvfPq.rebalanceSkips.get()
+    IvfPq.rebalanceSavedIndex(spark, idx, emb)
+    assert(IvfPq.rebalanceSkips.get() == skips0 + 1,
+      "the drift probe must skip the rebuild")
+    assert(AtomicLanding.linkedSnapshot(idx).get == snap0,
+      "a skipped rebalance must not publish a new generation")
+    assert(canon(idx) == before)
+    // a corpus carrying EXTRA ids is a grow-under-rebalance, never a
+    // skip — the quantizers match but the new ids must rebuild in
+    val wider = emb.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"),
+          col("label")))
+    IvfPq.rebalanceSavedIndex(spark, idx, wider)
+    assert(IvfPq.rebalanceSkips.get() == skips0 + 1,
+      "extras must disable the skip")
+    assert(AtomicLanding.read(spark, s"$idx/n2").count() == emb.count() + 20,
+      "the extra ids must be rebuilt into the index")
+  }
+
   test("a concurrent append during rebalance is never lost: the member CAS forces a retry over the fresh state") {
     import graft.land.AtomicLanding
     val dir = java.nio.file.Files.createTempDirectory("graft-pqrebalrace").toString

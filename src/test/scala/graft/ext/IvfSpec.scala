@@ -402,6 +402,28 @@ class IvfSpec extends AnyFunSuite {
       "the rebalance rewrite must carry the batch-id watermark forward")
   }
 
+  test("a no-drift rebalance skips the lists rewrite and publishes nothing") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfnodrift").toString
+    val idx = s"$dir/idx"
+    // canonical-prefix build + identified growth with HIGHER ids: the
+    // lists corpus's first-16 seeds are unchanged, so retraining
+    // reproduces the pinned quantizer and the reassign is a no-op
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") < 300), idx,
+      nLists = 16, iters = 0, batchId = Some(0L))
+    Ivf.addToSavedIndex(spark, idx, emb.filter(col("vec_id") >= 300),
+      batchId = Some(1L))
+    val snap0 = AtomicLanding.linkedSnapshot(idx).get
+    val before = canonProbe(idx)
+    val skips0 = Ivf.rebalanceSkips.get()
+    Ivf.rebalanceSavedIndex(spark, idx, nLists = 16, iters = 0)
+    assert(Ivf.rebalanceSkips.get() == skips0 + 1,
+      "the drift probe must skip the rewrite")
+    assert(AtomicLanding.linkedSnapshot(idx).get == snap0,
+      "a skipped rebalance must not publish a new generation")
+    assert(canonProbe(idx) === before)
+  }
+
   test("rebalance racing an append retries and keeps the appended rows") {
     import graft.land.AtomicLanding
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfrebalrace").toString

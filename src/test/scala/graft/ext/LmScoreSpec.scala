@@ -109,4 +109,26 @@ class LmScoreSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       assert(bhj.isEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("broadcastModel pins both model lookups map-side, rows identical") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c a b a"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val m = LmScore.train(corpus)
+      val shuffled = LmScore.score(corpus, m)
+      val bcast = LmScore.score(corpus, m, broadcastModel = true)
+      // two hash-join broadcasts (ngrams + contexts) even with
+      // auto-broadcast off — the declared intent, not a size estimate
+      val bhj = collectWithSubqueries(bcast.queryExecution.executedPlan) {
+        case j: BroadcastHashJoinExec => j }
+      assert(bhj.size == 2,
+        s"expected ngrams + contexts broadcasts, got ${bhj.size}")
+      assert(bcast.orderBy("doc_id").collect().toSeq ==
+        shuffled.orderBy("doc_id").collect().toSeq,
+        "both plans must produce identical rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

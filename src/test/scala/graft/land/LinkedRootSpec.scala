@@ -132,4 +132,47 @@ class LinkedRootSpec extends AnyFunSuite {
     assert(AtomicLanding.vacuumLinked(root).exists(_.contains("/b/")))
     assert(AtomicLanding.readLinkedMember(spark, root, "b").count() == 3)
   }
+
+  test("vacuumLinked retainRoots: index time travel survives maintenance; older generations reclaim") {
+    import spark.implicits._
+    val root = freshRoot()
+    // four root generations, each superseding member a (b stays)
+    val b0 = AtomicLanding.commit(Seq(0L).toDF("id"), s"$root/b")
+    val pins = (0 to 3).map { g =>
+      val av = AtomicLanding.commit((0L to g.toLong).toDF("id"), s"$root/a")
+      AtomicLanding.publishLinked(root, Map("a" -> av, "b" -> b0),
+        expectedRoot = if (g == 0) None else Some(g - 1L))
+      av
+    }
+    // capture generation 2's full member state before maintenance
+    val snap2 = AtomicLanding.linkedSnapshotAt(root, 2L).get
+    val rows2 = AtomicLanding
+      .readVersion(spark, s"$root/a", snap2.members("a"))
+      .orderBy("id").collect().toSeq
+
+    val removed = AtomicLanding.vacuumLinked(root, retainRoots = 1)
+    // generation 2 (inside the window) still resolves AND reads
+    // bit-identically at its pinned member versions
+    assert(AtomicLanding.linkedSnapshotAt(root, 2L).contains(snap2))
+    assert(AtomicLanding
+      .readVersion(spark, s"$root/a", snap2.members("a"))
+      .orderBy("id").collect().toSeq == rows2,
+      "a retained generation must read bit-identically after vacuum")
+    // generations 0 and 1 (outside the window) reclaimed: roots gone,
+    // and their superseded member manifests gone with them
+    assert(removed.exists(_.contains("r-0000000000")))
+    assert(removed.exists(_.contains("r-0000000001")))
+    assert(AtomicLanding.linkedSnapshotAt(root, 0L).isEmpty)
+    assert(AtomicLanding.linkedSnapshotAt(root, 1L).isEmpty)
+    intercept[IllegalArgumentException] {
+      AtomicLanding.readVersion(spark, s"$root/a", pins(0))
+    }
+    // the live generation is untouched
+    assert(AtomicLanding.readLinkedMember(spark, root, "a").count() == 4)
+    // a later full (no-retention) vacuum collapses to the live root;
+    // the quiescence guard still applies
+    assert(AtomicLanding.vacuumLinked(root).exists(_.contains("r-0000000002")))
+    assert(AtomicLanding.linkedSnapshotAt(root, 2L).isEmpty)
+    assert(AtomicLanding.readLinkedMember(spark, root, "a").count() == 4)
+  }
 }
