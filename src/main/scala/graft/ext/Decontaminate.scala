@@ -41,23 +41,30 @@ object Decontaminate {
       explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
 
-  private def benchShingles(bench: DataFrame, n: Int,
-      stopTopK: Int): DataFrame = {
-    val bs0 = bench.select(col("doc_id").as("bench_id"),
+  private def rawBenchShingles(bench: DataFrame, n: Int): DataFrame =
+    bench.select(col("doc_id").as("bench_id"),
       explode(shingles(col("text"), n)).as("s"))
       .select(col("bench_id"), xxhash64(col("s")).as("h"))
+
+  /** The K highest-df shingle hashes of a benchmark shingle table
+    * (tie-break: df desc, hash asc) — the stop list [[benchShingles]]
+    * subtracts and [[buildBenchIndex]] freezes into the index. */
+  private def stopList(bs0: DataFrame, stopTopK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rnk = row_number().over(
+      Window.orderBy(col("df").desc, col("h").asc))
+    bs0.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rnk", rnk)
+      .filter(col("rnk") <= stopTopK)
+      .select(col("h"))
+  }
+
+  private def benchShingles(bench: DataFrame, n: Int,
+      stopTopK: Int): DataFrame = {
+    val bs0 = rawBenchShingles(bench, n)
     if (stopTopK <= 0) bs0
-    else {
-      import org.apache.spark.sql.expressions.Window
-      val rnk = row_number().over(
-        Window.orderBy(col("df").desc, col("h").asc))
-      val stops = bs0.groupBy(col("h"))
-        .agg(count(lit(1)).as("df"))
-        .withColumn("rnk", rnk)
-        .filter(col("rnk") <= stopTopK)
-        .select(col("h"))
-      bs0.join(broadcast(stops), Seq("h"), "left_anti")
-    }
+    else bs0.join(broadcast(stopList(bs0, stopTopK)), Seq("h"), "left_anti")
   }
 
   def overlaps(corpus: DataFrame, bench: DataFrame,
@@ -75,6 +82,107 @@ object Decontaminate {
       overlaps(corpus, bench, minShared, n, stopTopK).select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** The index's persisted build parameters — one `decon-params` line
+    * written at build time so appends and probes VALIDATE against the
+    * frozen configuration instead of trusting every caller to repeat
+    * it: a build/append/probe `n` mismatch silently corrupts `n_shared`
+    * counts, and a `stopTopK` mismatch mixes stop-filtered and
+    * unfiltered docs in one index. Indexes built before params existed
+    * read as None and keep their legacy (unvalidated) behavior. */
+  private[ext] final case class IndexParams(n: Int, stopTopK: Int,
+      expectedItems: Long, numBits: Long)
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeParams(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, ps: IndexParams): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/decon-params")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/.decon-params.tmp")
+    val fs = hfs(spark, p)
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"n=${ps.n} stopTopK=${ps.stopTopK} expectedItems=${ps.expectedItems} numBits=${ps.numBits}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false); fs.rename(tmp, p); ()
+  }
+
+  private[ext] def readParams(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[IndexParams] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/decon-params")
+    val fs = hfs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      try in.readFully(buf) finally in.close()
+      val kv = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\\s+").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap
+      Some(IndexParams(kv("n").toInt, kv("stopTopK").toInt,
+        kv("expectedItems").toLong, kv("numBits").toLong))
+    }
+  }
+
+  private def validateN(params: Option[IndexParams], n: Int,
+      what: String): Unit = params.foreach { ps =>
+    require(ps.n == n,
+      s"$what called with n=$n against an index frozen at n=${ps.n} — " +
+        "mismatched shingle widths silently corrupt n_shared counts")
+  }
+
+  /** Persist (or refresh) the index's Bloom sketch for the bench
+    * table's CURRENT version — the [[overlapsIncrementalBloom]]
+    * prefilter. The file is named by the snapshot version it covers
+    * (`bloom-v<version>`), so a probe never pairs a stale sketch
+    * (missing newly-appended benchmark shingles → false negatives →
+    * missed contamination) with a newer table: it pins BOTH to one
+    * version, and rebuilds the sketch from the slim persisted table
+    * when no matching file exists. Superseded sketch files are
+    * best-effort reclaimed. */
+  private def writeBloom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, ps: IndexParams): Unit = {
+    import graft.land.AtomicLanding
+    val benchT = s"$indexPath/bench"
+    AtomicLanding.currentVersion(benchT).foreach { v =>
+      val sketch = AtomicLanding.readVersion(spark, benchT, v)
+        .agg(expr(s"bloom_filter_agg(h, ${ps.expectedItems}L, ${ps.numBits}L)").as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val p = new org.apache.hadoop.fs.Path(f"$indexPath/bloom-v$v%010d")
+      val tmp = new org.apache.hadoop.fs.Path(f"$indexPath/.bloom-v$v%010d.tmp")
+      val fs = hfs(spark, p)
+      val out = fs.create(tmp, true)
+      try out.write(sketch) finally out.close()
+      fs.delete(p, false); fs.rename(tmp, p)
+      // best-effort: reclaim sketches of superseded versions
+      val dir = new org.apache.hadoop.fs.Path(indexPath)
+      try fs.listStatus(dir).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("bloom-v") &&
+            nm.stripPrefix("bloom-v").forall(_.isDigit) &&
+            nm.stripPrefix("bloom-v").toLong < v)
+          fs.delete(st.getPath, false)
+      } catch { case _: java.io.IOException => () }
+      ()
+    }
+  }
+
+  private def readBloom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, version: Long): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(f"$indexPath/bloom-v$version%010d")
+    val fs = hfs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      try in.readFully(buf) finally in.close()
+      Some(buf)
+    }
+  }
+
   /** Persist the benchmark shingle index ONCE as an
     * [[graft.land.AtomicLanding]] table of (bench_id, h) rows — the
     * incremental-decontamination build step. The r15 scale probe
@@ -85,11 +193,30 @@ object Decontaminate {
     * side — is what deserves to be an index: build it once, then
     * [[overlapsIncremental]] costs one batch shingle pass + a
     * broadcast join, INDEPENDENT of corpus size. `stopTopK` is frozen
-    * into the index (the df ranking is a property of the benchmark). */
+    * into the index LITERALLY: the df-ranked stop list is persisted as
+    * a `stops` table and [[addToBenchIndex]] re-applies it to appended
+    * docs, so a grown index keeps one filtering semantics; `(n,
+    * stopTopK)` persist in `decon-params` and every append/probe
+    * validates against them. The build also persists the Bloom sketch
+    * [[overlapsIncrementalBloom]] prefilters with. */
   def buildBenchIndex(bench: DataFrame, path: String, n: Int = 3,
-      stopTopK: Int = 0, batchId: Option[Long] = None): String = {
-    graft.land.AtomicLanding.commit(benchShingles(bench, n, stopTopK),
-      s"$path/bench", batchId = batchId)
+      stopTopK: Int = 0, batchId: Option[Long] = None,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): String = {
+    val spark = bench.sparkSession
+    val bs0 = rawBenchShingles(bench, n)
+    val stops =
+      if (stopTopK > 0) Some(stopList(bs0, stopTopK).localCheckpoint())
+      else None
+    val bs = stops.map(st => bs0.join(broadcast(st), Seq("h"), "left_anti"))
+      .getOrElse(bs0)
+    graft.land.AtomicLanding.commit(bs, s"$path/bench", batchId = batchId)
+    stops.foreach { st =>
+      graft.land.AtomicLanding.commit(st, s"$path/stops", batchId = batchId)
+      st.unpersist(); ()
+    }
+    val ps = IndexParams(n, stopTopK, expectedItems, numBits)
+    writeParams(spark, path, ps)
+    writeBloom(spark, path, ps)
     path
   }
 
@@ -97,27 +224,43 @@ object Decontaminate {
     * [[FuzzyJoin.addToSigIndex]] contract verbatim: identified batches
     * (monotone ids) replay as pure no-ops and skip the dedupe scan
     * once a watermark exists; id-less appends anti-join against the
-    * live index at (bench_id, h) granularity. */
+    * live index at (bench_id, h) granularity. `n` is validated against
+    * the index's frozen params, and an index built with `stopTopK > 0`
+    * re-applies its PERSISTED stop list to the appended shingles — a
+    * grown index filters every doc, original or appended, identically.
+    * The persisted Bloom sketch refreshes after the commit so
+    * [[overlapsIncrementalBloom]] never reads a sketch that predates
+    * the append. */
   def addToBenchIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, bench: DataFrame, n: Int = 3,
       batchId: Option[Long] = None): Unit = {
     import graft.land.AtomicLanding
     val benchT = s"$indexPath/bench"
+    val params = readParams(spark, indexPath)
+    validateN(params, n, "addToBenchIndex")
     if (batchId.exists(b => AtomicLanding.lastBatchId(benchT).exists(_ >= b)))
       return // known-committed replay: data + id durable in one swing
+    val stopsT = s"$indexPath/stops"
+    val raw =
+      if (params.exists(_.stopTopK > 0) &&
+          AtomicLanding.currentVersion(stopsT).isDefined)
+        rawBenchShingles(bench, n).join(
+          broadcast(AtomicLanding.read(spark, stopsT).select(col("h"))),
+          Seq("h"), "left_anti")
+      else rawBenchShingles(bench, n)
     val delta = (batchId.filter(_ =>
         AtomicLanding.lastBatchId(benchT).isDefined) match {
-      case Some(_) => benchShingles(bench, n, 0)
+      case Some(_) => raw
       case _ =>
         val live = AtomicLanding.read(spark, benchT)
           .select(col("bench_id"), col("h"))
-        benchShingles(bench, n, 0)
-          .join(live, Seq("bench_id", "h"), "left_anti")
+        raw.join(live, Seq("bench_id", "h"), "left_anti")
           .select(col("bench_id"), col("h"))
     }).persist()
     try if (!delta.isEmpty || batchId.isDefined) {
       AtomicLanding.commit(delta, benchT, append = true,
-        batchId = batchId); ()
+        batchId = batchId)
+      params.foreach(writeBloom(spark, indexPath, _))
     } finally delta.unpersist()
   }
 
@@ -129,13 +272,51 @@ object Decontaminate {
     * re-shingled, its slim (bench_id, h) table broadcasts from parquet. */
   def overlapsIncremental(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame, minShared: Int,
-      n: Int = 3): DataFrame =
+      n: Int = 3): DataFrame = {
+    validateN(readParams(spark, indexPath), n, "overlapsIncremental")
     corpusShingles(batch, n)
       .join(broadcast(
         graft.land.AtomicLanding.read(spark, s"$indexPath/bench")), "h")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[overlapsIncremental]] for benchmark indexes TOO BIG TO BROADCAST
+    * — the [[overlapsBloom]] plan shape against the PERSISTED index,
+    * with the sketch read from the `bloom-v<version>` file the
+    * build/append lifecycle maintains instead of re-aggregated per
+    * probe: the batch's shingles prefilter through the codegen
+    * `might_contain` (probable hits only reach the shuffle) and the
+    * exact join against the pinned snapshot removes false positives,
+    * so the result equals [[overlapsIncremental]] row for row (the
+    * `q_decontaminate_inc_bloom` hash gate). Sketch and table pin to
+    * ONE snapshot version — a concurrent append can never pair a
+    * pre-append sketch (false negatives) with a post-append table. A
+    * missing sketch file (legacy index, vacuumed version) rebuilds
+    * from the slim persisted table, benchmark-sized. */
+  def overlapsIncrementalBloom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, minShared: Int,
+      n: Int = 3): DataFrame = {
+    import graft.land.AtomicLanding
+    val benchT = s"$indexPath/bench"
+    val params = readParams(spark, indexPath)
+    validateN(params, n, "overlapsIncrementalBloom")
+    val (ei, nb) = params.map(p => (p.expectedItems, p.numBits))
+      .getOrElse((1L << 20, 1L << 23))
+    val v = AtomicLanding.currentVersion(benchT).getOrElse(
+      sys.error(s"no committed bench index at $benchT"))
+    val idx = AtomicLanding.readVersion(spark, benchT, v)
+    val sketch = readBloom(spark, indexPath, v).getOrElse(
+      idx.agg(expr(s"bloom_filter_agg(h, ${ei}L, ${nb}L)").as("bf"))
+        .head().getAs[Array[Byte]]("bf"))
+    corpusShingles(batch, n)
+      .filter(call_function("might_contain", lit(sketch), col("h")))
+      .join(idx, "h") // deliberately unhinted: the bench side shuffles
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 
   /** The batch minus its contaminated docs — [[scrub]] against the
     * persisted benchmark index. */

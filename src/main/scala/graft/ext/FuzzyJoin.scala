@@ -179,17 +179,30 @@ object FuzzyJoin {
     // the back-join above and verify exactly; the one loss channel is
     // a true pair whose two names share a kid (ka < kb drops it), so
     // collided kid groups contribute their within-group pairs
-    // directly — a tiny aggregate over the dim, empty on any real
-    // corpus, and the union keeps the operator exact BY CONSTRUCTION.
-    val collided = dim.groupBy(col("kid"))
-      .agg(collect_list(col("k")).as("_ks"))
-      .where(size(col("_ks")) > 1)
-      .select(explode(expr(
-        "flatten(transform(_ks, (x, i) -> " +
-          "transform(slice(_ks, i + 2, size(_ks)), y -> struct(x, y))))"))
-        .as("_p"))
-      .select(col("_p.x").as("_na"), col("_p.y").as("_nb"))
-    named.unionByName(collided)
+    // directly, and the union keeps the operator exact BY CONSTRUCTION.
+    // The expansion shuffles the whole name column via collect_list to
+    // cover a ~2^-64 event, so it is GATED behind one cheap int-column
+    // aggregate: |dim| = |distinct kid| ⟺ kid is injective on this
+    // corpus ⟺ the expansion is provably empty. Every real corpus
+    // takes the skip; a genuine collision flips the count inequality
+    // and pays the expansion — exactness never rests on the hash.
+    val kidCounts = dim
+      .agg(count(lit(1)).as("_n"), count_distinct(col("kid")).as("_d"))
+      .head()
+    val withCollided =
+      if (kidCounts.getLong(0) == kidCounts.getLong(1)) named
+      else {
+        val collided = dim.groupBy(col("kid"))
+          .agg(collect_list(col("k")).as("_ks"))
+          .where(size(col("_ks")) > 1)
+          .select(explode(expr(
+            "flatten(transform(_ks, (x, i) -> " +
+              "transform(slice(_ks, i + 2, size(_ks)), y -> struct(x, y))))"))
+            .as("_p"))
+          .select(col("_p.x").as("_na"), col("_p.y").as("_nb"))
+        named.unionByName(collided)
+      }
+    withCollided
       .select(least(col("_na"), col("_nb")).as("key_a"),
         greatest(col("_na"), col("_nb")).as("key_b"))
       .where(abs(length(col("key_a")) - length(col("key_b"))) <= k)

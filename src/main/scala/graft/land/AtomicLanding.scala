@@ -296,9 +296,14 @@ object AtomicLanding {
     * refs still point at). [[vacuum]] on a source consults its registry
     * and SPARES any data dir a live clone's manifests still reference,
     * so "clone, then compact+vacuum the source" can no longer tear the
-    * clone's snapshot out from under it. A registration whose clone has
-    * vanished entirely (no pointer, no manifests) is unregistered by
-    * the next vacuum — self-healing, so dropped clones don't pin
+    * clone's snapshot out from under it: any vacuum that BEGINS after
+    * the registration lands sees the pins, and a vacuum that completed
+    * inside the creation window (after the source-manifest read, before
+    * the registration) is caught by the post-registration existence
+    * fence below, which re-snapshots the moved-on source and retries
+    * before the clone ever becomes readable. A registration whose clone
+    * has vanished entirely (no pointer, no manifests) is unregistered
+    * by the next vacuum — self-healing, so dropped clones don't pin
     * source garbage forever. */
   def cloneShallow(source: String, target: String): Long = {
     require(currentVersion(source).isDefined,
@@ -310,7 +315,7 @@ object AtomicLanding {
       else fsOf(hp(source)).makeQualified(hp(source)).toString
     def absolutize(d: String): String =
       if (d.startsWith("/") || d.contains(":/")) d else s"$absRoot/$d"
-    val lines = manifestLines(source).flatMap {
+    def snapshotLines(): Seq[String] = manifestLines(source).flatMap {
       case l if l.startsWith("# batch ") => None
       case l if l.startsWith("# range ") =>
         l.stripPrefix("# range ").trim.split(" ") match {
@@ -322,9 +327,11 @@ object AtomicLanding {
       case d => Some(absolutize(d))
     }
     val fs = fsOf(hp(target))
-    require(reserveManifest(fs, hp(target, "manifests", manifestName(0L)),
-        lines.mkString("\n")),
+    val m0 = hp(target, "manifests", manifestName(0L))
+    var lines = snapshotLines()
+    require(reserveManifest(fs, m0, lines.mkString("\n")),
       s"$target version 0 is already reserved — another writer is racing the clone")
+    cloneAfterReserve() // test seam: the creation window, maximally open
     // register the clone at every table its manifest references
     // absolutely BEFORE the pointer swing makes it readable: a crash
     // in between leaves a registration for a clone with no manifests,
@@ -333,7 +340,7 @@ object AtomicLanding {
     val targetAbs =
       if (target.startsWith("/") || target.contains(":/")) target
       else fs.makeQualified(hp(target)).toString
-    lines.filterNot(_.startsWith("#"))
+    def register(ls: Seq[String]): Unit = ls.filterNot(_.startsWith("#"))
       .flatMap { d =>
         val i = d.lastIndexOf("/data/")
         if (i > 0) Some(d.substring(0, i)) else None
@@ -344,12 +351,44 @@ object AtomicLanding {
         try out.write(targetAbs.getBytes(StandardCharsets.UTF_8))
         finally out.close()
       }
+    register(lines)
+    // CREATION-WINDOW fence: a source compact+vacuum that ran between
+    // the manifest read above and the registration write could have
+    // reclaimed dirs this clone references (the registry did not yet
+    // contain it). Now that the registration and the m-0 manifest are
+    // durable — any vacuum STARTING from here reads both and spares the
+    // dirs — re-verify every referenced dir and, on a loss, re-snapshot
+    // the (moved-on) source into our still-unpublished m-0 and retry.
+    def missingDir(ls: Seq[String]): Option[String] =
+      ls.filterNot(_.startsWith("#")).find { d =>
+        val p = hp(d); !fsOf(p).exists(p)
+      }
+    var attempts = 0
+    while (missingDir(lines).isDefined) {
+      attempts += 1
+      require(attempts <= 5,
+        s"clone of $source lost ${missingDir(lines).get} to concurrent " +
+          "vacuums 5 times in a row — stop the maintenance loop and retry")
+      lines = snapshotLines()
+      // we own the m-0 reservation and the pointer has not swung, so
+      // no reader can observe this rewrite
+      val out = fs.create(m0, true)
+      try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      register(lines)
+    }
     PointerStore.forPointer(fs, hconf, hp(target, Pointer))
       .publish(manifestName(0L))
     0L
   }
 
   private val ClonesDir = "clones"
+
+  /** Test seam: runs inside [[cloneShallow]] after the m-0 reservation
+    * (source manifest already read) and BEFORE the registration write —
+    * the creation window whose loss the post-registration existence
+    * fence re-verifies. Production value is a no-op. */
+  private[land] var cloneAfterReserve: () => Unit = () => ()
 
   /** The registered live clones of `table` (absolute paths) — written
     * by [[cloneShallow]], consulted and self-healed by [[vacuum]]. */

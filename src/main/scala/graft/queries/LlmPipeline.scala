@@ -667,6 +667,28 @@ object LlmPipeline {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // ---- the same incremental probe through the PERSISTED Bloom
+    // sketch (the too-big-to-broadcast bench path): prefilter is a
+    // superset, the exact join against the pinned snapshot removes
+    // false positives — bit-identical to q_decontaminate_incremental ----
+    "q_decontaminate_inc_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = deconIdxSpooled.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-deconidx").toString + "/idx"
+        graft.ext.Decontaminate.buildBenchIndex(
+          d.filter(col("doc_id") < 5), p, batchId = Some(0L))
+        graft.ext.Decontaminate.addToBenchIndex(s, p,
+          d.filter(col("doc_id") >= 5 && col("doc_id") < 10),
+          batchId = Some(1L))
+        p
+      })
+      graft.ext.Decontaminate.overlapsIncrementalBloom(s, idx,
+          d.filter(col("doc_id") >= 10 && col("doc_id") % 7 === 0),
+          minShared = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // ---- Gopher-style repetition signals (duplicate word / 3-gram
     // fractions): template spam scores high ----
     "q_repetition" -> ((s, dir) =>
@@ -2323,6 +2345,19 @@ object LlmPipeline {
     // plan, restricted to the batch slice: the index carries exactly
     // the benchmark shingles, so a batch probe equals the inline join
     "q_decontaminate_incremental" ->
+      """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),
+        |c AS (SELECT * FROM sh WHERE doc_id >= 10 AND doc_id % 7 = 0),
+        |b AS (SELECT doc_id bench_id, s FROM sh WHERE doc_id < 10)
+        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        |FROM c JOIN b ON c.s = b.s
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    // identical answer through the persisted-sketch incremental plan:
+    // same batch slice as q_decontaminate_incremental
+    "q_decontaminate_inc_bloom" ->
       """WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents),
         |pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w)-1, 2))) i FROM words),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2],' ') s FROM pos),

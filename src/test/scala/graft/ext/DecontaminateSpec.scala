@@ -88,6 +88,99 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(ov.map(o => (o._1, o._2)) == Seq((1L, 100L)))
   }
 
+  test("index params persist at build and validate on append/probe: an n mismatch fails loudly") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-deconidx").toString + "/idx"
+    Decontaminate.buildBenchIndex(bench, idx, n = 3, batchId = Some(0L))
+    val ps = Decontaminate.readParams(spark, idx)
+    assert(ps.contains(Decontaminate.IndexParams(3, 0, 1L << 20, 1L << 23)),
+      s"build must freeze its params into the index: $ps")
+    // a mismatched shingle width would silently corrupt n_shared —
+    // every entry point must refuse it instead
+    val eAdd = intercept[IllegalArgumentException] {
+      Decontaminate.addToBenchIndex(spark, idx, bench, n = 2)
+    }
+    assert(eAdd.getMessage.contains("n=2") && eAdd.getMessage.contains("n=3"))
+    intercept[IllegalArgumentException] {
+      Decontaminate.overlapsIncremental(spark, idx, corpus, 10, n = 4).count()
+    }
+    intercept[IllegalArgumentException] {
+      Decontaminate.overlapsIncrementalBloom(spark, idx, corpus, 10, n = 4).count()
+    }
+    // the frozen n still probes fine
+    assert(Decontaminate.overlapsIncremental(spark, idx, corpus, 10, n = 3)
+      .count() == 1L)
+  }
+
+  test("stopTopK freezes LITERALLY: the persisted stop list re-applies to appended benchmark docs") {
+    import graft.land.AtomicLanding
+    // two bench docs share boilerplate "a b c" (df=2, the frozen stop);
+    // everything else df=1
+    val b2 = Seq(
+      (100L, "a b c d e"),
+      (101L, "a b c x y")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-deconidx").toString + "/idx"
+    Decontaminate.buildBenchIndex(b2, idx, stopTopK = 1, batchId = Some(0L))
+    assert(Decontaminate.readParams(spark, idx).exists(_.stopTopK == 1))
+    assert(AtomicLanding.currentVersion(s"$idx/stops").isDefined,
+      "stopTopK > 0 must persist its stop list for appends to re-apply")
+    // grow with a doc that CONTAINS the stopped shingle: the frozen
+    // stop list must filter it from the appended shingles too
+    Decontaminate.addToBenchIndex(spark, idx,
+      Seq((102L, "a b c m n")).toDF("doc_id", "text"), batchId = Some(1L))
+    // a batch overlapping ONLY via the stopped "a b c" flags nothing —
+    // for original AND appended bench docs alike (one semantics)
+    assert(Decontaminate.overlapsIncremental(spark, idx,
+      Seq((1L, "a b c q r")).toDF("doc_id", "text"), minShared = 1)
+      .count() == 0L,
+      "the stop shingle must be dead for appended docs too")
+    // the appended doc's un-stopped shingles still match
+    val hit = Decontaminate.overlapsIncremental(spark, idx,
+      Seq((2L, "z b c m n")).toDF("doc_id", "text"), minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hit == Seq((2L, 102L, 2L)),
+      s"appended doc must keep its informative shingles: $hit")
+  }
+
+  test("overlapsIncrementalBloom: bit-identical to overlapsIncremental; persisted sketch in the plan; missing sketch file rebuilds") {
+    import graft.land.AtomicLanding
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-deconidx").toString + "/idx"
+    val bench2 = bench.unionByName(Seq(
+      (101L, "name the longest river in south america and its primary tributaries listed"))
+      .toDF("doc_id", "text"))
+    val corpus2 = corpus.unionByName(Seq(
+      (4L, "intro name the longest river in south america and its primary tributaries listed outro"))
+      .toDF("doc_id", "text"))
+    Decontaminate.buildBenchIndex(bench, idx, batchId = Some(0L))
+    Decontaminate.addToBenchIndex(spark, idx,
+      bench2.filter(col("doc_id") === 101L), batchId = Some(1L))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bench_id").collect().toSeq
+    val viaBloom = Decontaminate.overlapsIncrementalBloom(spark, idx, corpus2, 10)
+    assert(canon(viaBloom)
+      == canon(Decontaminate.overlapsIncremental(spark, idx, corpus2, 10)),
+      "the sketch is a superset filter; the exact join must equalize")
+    assert(viaBloom.queryExecution.executedPlan.toString
+      .contains("might_contain"), "the prefilter must survive planning")
+    // the append refreshed the sketch to the live version: the probe
+    // reads the FILE, never re-aggregates the bench table
+    val v = AtomicLanding.currentVersion(s"$idx/bench").get
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bloomFile = new org.apache.hadoop.fs.Path(f"$idx/bloom-v$v%010d")
+    assert(fs.exists(bloomFile),
+      "append must refresh the persisted sketch to its committed version")
+    // vacuumed/legacy sketch file: the probe rebuilds from the slim
+    // persisted table and stays exact
+    fs.delete(bloomFile, false)
+    assert(canon(Decontaminate.overlapsIncrementalBloom(spark, idx, corpus2, 10))
+      == canon(Decontaminate.overlaps(corpus2, bench2, 10)),
+      "a missing sketch file must rebuild, not miss contamination")
+  }
+
   test("overlapsBloom: identical answer; the plan carries the bloom probe") {
     val df = Decontaminate.overlapsBloom(corpus, bench, minShared = 10)
     val ov = df.as[(Long, Long, Long)].collect().toSeq

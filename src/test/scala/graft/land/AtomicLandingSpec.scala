@@ -1017,6 +1017,48 @@ class AtomicLandingSpec extends AnyFunSuite {
       "a vanished clone's registration must self-heal away")
   }
 
+  test("cloneShallow creation-window race: a source compact+vacuum landing inside the window is caught by the existence fence and the clone retries onto the fresh snapshot") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n"))
+    val src = freshTable()
+    AtomicLanding.commit(docs.filter(col("doc_id") < 250), src,
+      statsKeys = Seq("doc_id"))
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 250), src,
+      append = true)
+    val expected = AtomicLanding.read(spark, src)
+      .orderBy("doc_id").collect().toSeq
+    val cln = freshTable()
+    // the adversarial interleaving: AFTER the clone has read the source
+    // manifest and reserved its m-0, but BEFORE its registration lands,
+    // the source rewrites its whole body and vacuums — every dir the
+    // reserved manifest references is reclaimed
+    var fired = 0
+    AtomicLanding.cloneAfterReserve = () => {
+      fired += 1
+      if (fired == 1) { // only the first pass races; the retry must win
+        AtomicLanding.compact(spark, src, numFiles = 1)
+        AtomicLanding.vacuum(src)
+      }
+    }
+    try {
+      assert(AtomicLanding.cloneShallow(src, cln) == 0L)
+    } finally AtomicLanding.cloneAfterReserve = () => ()
+    assert(fired >= 1, "the race seam must have fired")
+    // the clone is readable and bit-identical to the source content —
+    // served by the re-snapshotted (post-compact) dirs
+    assert(AtomicLanding.read(spark, cln)
+      .orderBy("doc_id").collect().toSeq == expected,
+      "the retried clone must read the full source content")
+    // and the retried registration pins the FRESH dirs: another source
+    // maintenance pass must not tear the published clone
+    AtomicLanding.compact(spark, src, numFiles = 2)
+    AtomicLanding.vacuum(src)
+    assert(AtomicLanding.read(spark, cln)
+      .orderBy("doc_id").collect().toSeq == expected,
+      "post-publish, the clone must survive further source maintenance")
+  }
+
   test("a clone of a clone keeps second-hand absolute refs verbatim; string-key deletePruned prunes in byte order") {
     val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
       .select(col("doc_id"), col("source"),
