@@ -621,11 +621,15 @@ object ScaleBench {
     AtomicLanding.currentRootVersion(idx).get
     val retries0 = graft.ext.Ivf.rebalanceSkips.get() // touch counters
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // each appender is an INDEPENDENT issuer (five concurrent streaming
+    // queries in production), so each writes on its own idempotence
+    // channel — on a shared channel a peer's higher id committing first
+    // would skip a slower writer's never-committed batch
     val (tWall, _) = time {
       val ts = batches.map { case (id, b) =>
         new Thread(() =>
           try graft.ext.Ivf.addToSavedIndex(spark, idx, b,
-            batchId = Some(id))
+            batchId = Some(id), writer = s"w$id")
           catch { case t: Throwable => errs.add(t); () })
       } :+ new Thread(() =>
         try graft.ext.Ivf.rebalanceSavedIndex(spark, idx,
@@ -640,14 +644,16 @@ object ScaleBench {
     val expect = e.count() + 5 * 200
     require(nRows == expect && nIds == expect,
       s"zero lost batches, zero duplicates: rows=$nRows ids=$nIds expect=$expect")
-    // the FALSIFIABLE watermark check (the final id value is
-    // race-dependent — a rebalance may republish lists — so asserting
-    // `contains(5L)` overconstrains and an `|| >= 1` disjunct is
-    // vacuous): every identified batch must REPLAY AS A NO-OP. If any
-    // batch's id escaped the durable watermark, its replay would land
-    // 200 duplicate rows and the count below moves.
+    // the FALSIFIABLE watermark check: every identified batch must
+    // REPLAY AS A NO-OP on its own channel. If any channel's mark
+    // escaped durability (or a racing rewrite erased a `# wmark` line),
+    // the replay lands 200 duplicate rows and the count below moves.
+    // (This check is what exposed the shared-channel protocol's
+    // watermark regression under out-of-id-order commits — the bug the
+    // monotone marks + writer channels now close.)
     batches.foreach { case (id, b) =>
-      graft.ext.Ivf.addToSavedIndex(spark, idx, b, batchId = Some(id))
+      graft.ext.Ivf.addToSavedIndex(spark, idx, b, batchId = Some(id),
+        writer = s"w$id")
     }
     require(AtomicLanding.read(spark, s"$idx/lists").count() == nRows,
       "every raced batch id must replay as a no-op (durable watermark)")

@@ -1,0 +1,98 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.land.AtomicLanding
+import graft.model.CatalogEntry
+
+/** Multi-table transactional ingest — landing + catalog run-record in
+  * ONE atomic publish.
+  *
+  * The reference pipeline commits these separately: the landing write
+  * completes, THEN a catalog insert records the run
+  * (`/root/reference/ingestion/dataIngestion.py:26-34`), so a crash
+  * between the two leaves landed data no run record ever describes (and
+  * its blanket exception swallowing, `dataIngestion.py:36-37`, hides
+  * exactly that state). [[graft.app.IngestionJob]] keeps the same
+  * two-commit ordering against a JDBC catalog, where nothing stronger is
+  * possible — an external RDBMS cannot join a filesystem commit
+  * protocol.
+  *
+  * When the catalog lives as an [[AtomicLanding]] table instead, the
+  * linked-root machinery CAN close the window: `landing` and `catalog`
+  * commit as member tables under one root (each commit returns a pinned
+  * version; until the root swings those versions are unreachable staging
+  * for any root-resolving reader), then ONE root-manifest publish pins
+  * the pair. A reader resolving [[snapshot]] sees the batch WITH its run
+  * record or neither — the torn state is unrepresentable, and a crash
+  * anywhere before the root swing leaves the previous generation live.
+  *
+  * Exactly-once under replay: `batchId` rides each member commit's
+  * manifest (durable in the same swing as the data), so a retried ingest
+  * skips members whose watermark already covers the id, re-publishes the
+  * root only if its pins do not already cover this attempt's versions,
+  * and converges — crash at ANY point, retry with the same id, end in
+  * the committed state with no duplicates.
+  *
+  * WRITER CARDINALITY: one ingest writer per root (the linked-root
+  * design point). The root publish carries an `expectedRoot` CAS, so a
+  * concurrent publisher fails loudly with
+  * ConcurrentModificationException instead of pinning a torn pair
+  * (landing containing a peer's data whose catalog row is still in
+  * flight). Shard roots per asset — the reference's catalog is keyed by
+  * (source, asset) anyway — rather than fanning writers into one root.
+  */
+object TransactionalIngest {
+
+  val LandingMember = "landing"
+  val CatalogMember = "catalog"
+
+  private def entryDf(spark: SparkSession, e: CatalogEntry): DataFrame = {
+    import spark.implicits._
+    Seq(e).toDS().toDF()
+  }
+
+  /** Land `data` and record `entry`, atomically. Returns the published
+    * root generation. Idempotent for a given `batchId`. `beforeRootSwing`
+    * is the crash-injection seam between the member commits and the root
+    * pointer swing — the widest window the protocol must survive. */
+  def ingest(spark: SparkSession, root: String, data: DataFrame,
+      entry: CatalogEntry, batchId: Option[Long] = None,
+      beforeRootSwing: () => Unit = () => ()): Long = {
+    val landingT = s"$root/$LandingMember"
+    val catalogT = s"$root/$CatalogMember"
+    def commitOnce(df: DataFrame, t: String): Long =
+      if (batchId.exists(b => AtomicLanding.lastBatchId(t).exists(_ >= b)))
+        AtomicLanding.currentVersion(t).get // replay: data + id durable
+      else AtomicLanding.commit(df, t,
+        append = AtomicLanding.currentVersion(t).isDefined,
+        batchId = batchId)
+    // catalog first: the only state a crash between the member commits
+    // can leave is a run record whose root never swung — invisible to
+    // root-resolving readers, retried into the same versions. (Order is
+    // for the replay bookkeeping only; neither member is reachable
+    // through the root until the publish below.)
+    val catV = commitOnce(entryDf(spark, entry), catalogT)
+    val landV = commitOnce(data, landingT)
+    AtomicLanding.linkedSnapshot(root) match {
+      case Some(s) if s.members.get(LandingMember).exists(_ >= landV) &&
+          s.members.get(CatalogMember).exists(_ >= catV) =>
+        s.rootVersion // replayed AFTER a completed publish: no-op
+      case s =>
+        AtomicLanding.publishLinked(root,
+          Map(LandingMember -> landV, CatalogMember -> catV),
+          expectedRoot = s.map(_.rootVersion),
+          beforePublish = beforeRootSwing)
+    }
+  }
+
+  /** One consistent (landing, catalog) pair — both members read AT the
+    * same root generation's pins, so the pair can never be torn by a
+    * concurrent [[ingest]]. None until the first publish completes. */
+  def snapshot(spark: SparkSession, root: String): Option[(DataFrame, DataFrame)] =
+    AtomicLanding.linkedSnapshot(root).map { s =>
+      (AtomicLanding.readVersion(spark, s"$root/$LandingMember",
+          s.members(LandingMember)),
+        AtomicLanding.readVersion(spark, s"$root/$CatalogMember",
+          s.members(CatalogMember)))
+    }
+}

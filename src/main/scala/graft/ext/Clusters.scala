@@ -201,11 +201,13 @@ object Clusters {
   def addToSaved(s: SparkSession, path: String, newPairs: DataFrame,
       batchId: Option[Long] = None,
       maxRounds: Int = 50, localSolveMax: Long = 1000000L,
-      beforeCommit: () => Unit = () => ()): Unit = {
+      beforeCommit: () => Unit = () => (),
+      writer: String = ""): Unit = {
     import graft.land.AtomicLanding
     var done = false
     while (!done) {
-      if (batchId.exists(b => AtomicLanding.lastBatchId(path).exists(_ >= b)))
+      if (batchId.exists(b =>
+          AtomicLanding.lastBatchId(path, writer).exists(_ >= b)))
         return // known-committed replay: data + id durable in one swing
       val base = AtomicLanding.currentVersion(path)
       val delta = extendDeltaRaw(AtomicLanding.read(s, path), newPairs,
@@ -221,7 +223,8 @@ object Clusters {
               // whole contraction): an empty append is O(metadata)
               try {
                 AtomicLanding.commit(delta, path, append = true,
-                  batchId = batchId, expectedVersion = base); done = true
+                  batchId = batchId, expectedVersion = base,
+                  writer = writer); done = true
               } catch {
                 case _: java.util.ConcurrentModificationException =>
                   casRetries.incrementAndGet()
@@ -231,7 +234,7 @@ object Clusters {
         } else {
           try {
             AtomicLanding.commit(delta, path, append = true,
-              batchId = batchId, expectedVersion = base)
+              batchId = batchId, expectedVersion = base, writer = writer)
             done = true
           } catch {
             case _: java.util.ConcurrentModificationException =>

@@ -233,12 +233,13 @@ object Decontaminate {
     * the append. */
   def addToBenchIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, bench: DataFrame, n: Int = 3,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, writer: String = ""): Unit = {
     import graft.land.AtomicLanding
     val benchT = s"$indexPath/bench"
     val params = readParams(spark, indexPath)
     validateN(params, n, "addToBenchIndex")
-    if (batchId.exists(b => AtomicLanding.lastBatchId(benchT).exists(_ >= b)))
+    if (batchId.exists(b =>
+        AtomicLanding.lastBatchId(benchT, writer).exists(_ >= b)))
       return // known-committed replay: data + id durable in one swing
     val stopsT = s"$indexPath/stops"
     val raw =
@@ -249,7 +250,7 @@ object Decontaminate {
           Seq("h"), "left_anti")
       else rawBenchShingles(bench, n)
     val delta = (batchId.filter(_ =>
-        AtomicLanding.lastBatchId(benchT).isDefined) match {
+        AtomicLanding.lastBatchId(benchT, writer).isDefined) match {
       case Some(_) => raw
       case _ =>
         val live = AtomicLanding.read(spark, benchT)
@@ -259,7 +260,7 @@ object Decontaminate {
     }).persist()
     try if (!delta.isEmpty || batchId.isDefined) {
       AtomicLanding.commit(delta, benchT, append = true,
-        batchId = batchId)
+        batchId = batchId, writer = writer)
       params.foreach(writeBloom(spark, indexPath, _))
     } finally delta.unpersist()
   }

@@ -209,6 +209,52 @@ object FuzzyJoin {
       .where(levenshtein(col("key_a"), col("key_b")) <= k)
   }
 
+  /** The EXACT recall loss of a `maxBucket` cap — the valve's
+    * adjudication probe. A true ed ≤ k pair survives the cap iff AT
+    * LEAST ONE of its shared signatures sits in a sub-cap bucket, so
+    * the lost set is characterized exactly: verified pairs whose MIN
+    * shared-bucket size exceeds the cap ("eclipsed" pairs). This
+    * computes that set directly (per-candidate min bucket size over the
+    * UNCAPPED signature join), so by construction
+    * `selfJoinEdK(cap) ∪ valveLoss(cap) == selfJoinEdK(exact)`,
+    * disjointly — FuzzyJoinSpec asserts the identity.
+    *
+    * COST: the uncapped candidate enumeration — the exact join's
+    * shuffle, including the hot buckets the cap exists to avoid. That
+    * is inherent: certifying what a cap dropped requires looking inside
+    * the dropped buckets. This is an ADJUDICATION tool (run once per
+    * corpus shape to decide whether the engaged cap is lossless there),
+    * never a production operator; production either trusts the
+    * documented trade or runs exact.
+    *
+    * When is an ENGAGED cap lossless? Exactly when valveLoss is empty.
+    * Structurally: a hot bucket of SAME-LENGTH keys groups keys equal
+    * after ≤ k deletions, whose aligned-substitution pairs are true
+    * ed ≤ k pairs sharing ONLY that bucket — so an engaged cap on a
+    * uniform dense corpus should be PRESUMED lossy (the measured
+    * q_fuzzy_names_ed2_auto trade). Hot buckets whose members sit at
+    * pairwise ed > k (e.g. a shared residue reached from DIFFERENT
+    * insertion positions) drop free — the lossless engaged regime the
+    * q_fuzzy_ed2_auto_lossless gate pins against the brute-force
+    * oracle. */
+  def valveLoss(df: DataFrame, key: String, k: Int, cap: Long): DataFrame = {
+    require(k == 1 || k == 2, s"valveLoss supports k in {1,2}, got $k")
+    val sigs = sigTable(df, key, "k", k)
+    val bc = sigs.groupBy(col("sig_h")).agg(count(lit(1)).as("_bc"))
+    val s2 = sigs.join(bc, "sig_h")
+    val a = s2.select(col("k").as("ka"), col("sig_h"), col("_bc"))
+    val b = s2.select(col("k").as("kb"), col("sig_h"))
+    val pairs = a.join(b.hint("merge"), Seq("sig_h"))
+      .where(col("ka") < col("kb") &&
+        abs(length(col("ka")) - length(col("kb"))) <= k)
+      .groupBy(col("ka"), col("kb"))
+      .agg(min(col("_bc")).as("_minBc"))
+    pairs.where(col("_minBc") > cap)
+      .where(levenshtein(col("ka"), col("kb")) <= k)
+      .select(least(col("ka"), col("kb")).as("key_a"),
+        greatest(col("ka"), col("kb")).as("key_b"))
+  }
+
   /** Signature-bucket census — the capacity-planning aggregate behind
     * the ed ≤ k growth argument: over the deduped k-deletion signature
     * table, (n_sig_rows, n_buckets, max_bucket, cand_pairs = Σ C(b, 2))
@@ -440,13 +486,15 @@ object FuzzyJoin {
   def addToSigIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame, key: String,
       batchId: Option[Long] = None,
-      beforePublish: () => Unit = () => ()): Unit = {
+      beforePublish: () => Unit = () => (),
+      writer: String = ""): Unit = {
     import graft.land.AtomicLanding
     val sigsT = s"$indexPath/sigs"
-    if (batchId.exists(b => AtomicLanding.lastBatchId(sigsT).exists(_ >= b)))
+    if (batchId.exists(b =>
+        AtomicLanding.lastBatchId(sigsT, writer).exists(_ >= b)))
       return // known-committed replay: data + id durable in one swing
     val delta = (batchId.filter(_ =>
-        AtomicLanding.lastBatchId(sigsT).isDefined) match {
+        AtomicLanding.lastBatchId(sigsT, writer).isDefined) match {
       case Some(_) =>
         // identified and known-new: monotone ids mean nothing of this
         // batch is in the index — skip the O(index) scan. Only sound
@@ -464,7 +512,8 @@ object FuzzyJoin {
     // its id (O(metadata) empty append), making the watermark durable
     try if (!delta.isEmpty || batchId.isDefined) {
       AtomicLanding.commit(delta, sigsT, append = true,
-        beforePublish = beforePublish, batchId = batchId); ()
+        beforePublish = beforePublish, batchId = batchId,
+        writer = writer); ()
     } finally delta.unpersist()
   }
 

@@ -258,19 +258,31 @@ object Ivf {
     * assign job; a known-new id skips the O(index) dedupe anti-join
     * (exactly-once comes from the id). Id-less appends keep the
     * anti-join fallback — exact but O(index) read per append, so a
-    * 100 TB streaming ingest should always carry its micro-batch id. */
+    * 100 TB streaming ingest should always carry its micro-batch id.
+    *
+    * CONCURRENT INGESTS: batch ids are only monotone within ONE
+    * issuer's sequence, so several independent streaming queries
+    * appending to one index must each pass a distinct `writer` — the
+    * [[graft.land.AtomicLanding.lastBatchId(table:String,writer:String)*]]
+    * channel. On a shared channel, a racing peer's higher id would
+    * skip a slower writer's never-committed batch (lost data); each
+    * channel's mark is monotone and judged against its own history
+    * only, and a fresh channel pays the dedupe scan once to establish
+    * its watermark. */
   def addToSavedIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame,
       batchId: Option[Long] = None,
       beforePublish: () => Unit = () => (),
-      beforeRootPublish: () => Unit = () => ()): Unit = {
+      beforeRootPublish: () => Unit = () => (),
+      writer: String = ""): Unit = {
     import graft.land.AtomicLanding
     val listsT = s"$indexPath/lists"
     var done = false
     while (!done) {
       val snap = AtomicLanding.linkedSnapshot(indexPath).getOrElse(
         throw new IllegalStateException(s"no saved IVF index at $indexPath"))
-      if (batchId.exists(b => AtomicLanding.lastBatchId(listsT).exists(_ >= b))) {
+      if (batchId.exists(b =>
+          AtomicLanding.lastBatchId(listsT, writer).exists(_ >= b))) {
         // known-committed replay: data + id became durable in one
         // pointer swing — no scan, no assign; just heal the root over
         // any committed-but-unpublished predecessor generation
@@ -289,7 +301,7 @@ object Ivf {
         val cents = centsOf(AtomicLanding.readVersion(spark,
           s"$indexPath/cents", snap.members("cents")))
         val fresh = (batchId.filter(_ =>
-            AtomicLanding.lastBatchId(listsT).isDefined) match {
+            AtomicLanding.lastBatchId(listsT, writer).isDefined) match {
           case Some(_) =>
             // identified and known-new: ids are monotone, so nothing of
             // this batch can be in the lists — skip the O(index) scan.
@@ -321,7 +333,7 @@ object Ivf {
                   .select(col("vec_id").as("neighbor_id"), col("cid"),
                     col("embedding").as("ce")),
                 listsT, append = true, beforePublish = beforePublish,
-                batchId = batchId)
+                batchId = batchId, writer = writer)
             else AtomicLanding.currentVersion(listsT).get
           if (lNew == snap.members("lists")) done = true // true replay no-op
           else done = casRoot(indexPath, snap, lNew, beforeRootPublish)

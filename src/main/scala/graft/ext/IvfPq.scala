@@ -334,12 +334,13 @@ object IvfPq {
   def addToSavedIndex(s: SparkSession, path: String, batch: DataFrame,
       batchId: Option[Long] = None,
       beforePublish: () => Unit = () => (),
-      beforeRootPublish: () => Unit = () => ()): Unit = {
+      beforeRootPublish: () => Unit = () => (),
+      writer: String = ""): Unit = {
     import graft.land.AtomicLanding
     val codesT = s"$path/codes"
     val n2T = s"$path/n2"
     def committed(t: String): Boolean =
-      batchId.exists(b => AtomicLanding.lastBatchId(t).exists(_ >= b))
+      batchId.exists(b => AtomicLanding.lastBatchId(t, writer).exists(_ >= b))
     // a member whose LIVE version is a committed-but-unpublished
     // REWRITE (dir lineage disjoint from the pin — a [[save]] re-save
     // that crashed before its root swing), as opposed to an append
@@ -380,7 +381,8 @@ object IvfPq {
             "the intended index to heal before appending")
       } else {
       def freshFor(t: String, keyCol: String): DataFrame =
-        if (batchId.isDefined && AtomicLanding.lastBatchId(t).isDefined) {
+        if (batchId.isDefined &&
+            AtomicLanding.lastBatchId(t, writer).isDefined) {
           // identified: monotone ids mean a batch below the recorded id
           // is fully in THIS member, one above it not at all — no scan.
           // Only sound when the member HAS a watermark: after id-less
@@ -401,7 +403,7 @@ object IvfPq {
         val nNew =
           if (!freshN2.isEmpty || (batchId.isDefined && !committed(n2T)))
             AtomicLanding.commit(norms(freshN2), n2T, append = true,
-              batchId = batchId)
+              batchId = batchId, writer = writer)
           else AtomicLanding.currentVersion(n2T).get
         val cNew =
           if (!freshCodes.isEmpty ||
@@ -421,7 +423,7 @@ object IvfPq {
                   cb.map(_._1).max + 1, cb.head._3.size)
                 .withColumnRenamed("vec_id", "neighbor_id"),
               codesT, append = true, beforePublish = beforePublish,
-              batchId = batchId)
+              batchId = batchId, writer = writer)
           } else AtomicLanding.currentVersion(codesT).get
         if (cNew == snap.members("codes") && nNew == snap.members("n2"))
           done = true // true replay no-op

@@ -382,10 +382,12 @@ object Retrieval {
       indexPath: String, docs: DataFrame,
       batchId: Option[Long] = None,
       beforePublish: () => Unit = () => (),
-      beforeRootPublish: () => Unit = () => ()): String = {
+      beforeRootPublish: () => Unit = () => (),
+      writer: String = ""): String = {
     import graft.land.AtomicLanding
     val postingsT = s"$indexPath/postings"
-    if (batchId.exists(b => AtomicLanding.lastBatchId(postingsT).exists(_ >= b))) {
+    if (batchId.exists(b =>
+        AtomicLanding.lastBatchId(postingsT, writer).exists(_ >= b))) {
       // known-committed replay: the batch's data and its id became
       // durable in one pointer swing — nothing to dedupe, nothing to
       // commit; just heal the root over any orphaned predecessor dirs
@@ -393,7 +395,7 @@ object Retrieval {
       return indexPath
     }
     val batch = (batchId.filter(_ =>
-        AtomicLanding.lastBatchId(postingsT).isDefined) match {
+        AtomicLanding.lastBatchId(postingsT, writer).isDefined) match {
       case Some(_) =>
         // identified and known-new: ids are monotone, so no prefix of
         // this batch can be in the index — commit without the dedupe
@@ -423,7 +425,8 @@ object Retrieval {
       // appends regain the zero-scan fast path
       if (!batch.isEmpty || batchId.isDefined) {
         AtomicLanding.commit(batch, postingsT, append = true,
-          beforePublish = beforePublish, batchId = batchId)
+          beforePublish = beforePublish, batchId = batchId,
+          writer = writer)
         ()
       }
       // fold our dir (and any crashed predecessor's) into derived and

@@ -217,14 +217,15 @@ object Zorder {
     * at-least-once contract. */
   def appendUnordered(batch: DataFrame, table: String,
       clusterCols: Seq[String], bits: Int,
-      batchId: Option[Long] = None): Long = {
+      batchId: Option[Long] = None, writer: String = ""): Long = {
     import graft.land.AtomicLanding
-    if (batchId.exists(b => AtomicLanding.lastBatchId(table).exists(_ >= b)))
+    if (batchId.exists(b =>
+        AtomicLanding.lastBatchId(table, writer).exists(_ >= b)))
       AtomicLanding.currentVersion(table).get
     else
       AtomicLanding.commit(
         withKey(batch, domainsOf(batch, clusterCols), bits),
-        table, append = true, batchId = batchId)
+        table, append = true, batchId = batchId, writer = writer)
   }
 
   /** Layout MAINTENANCE — the engine's OPTIMIZE ZORDER: fold the

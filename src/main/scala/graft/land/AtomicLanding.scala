@@ -156,14 +156,43 @@ object AtomicLanding {
   private[land] def resolveDir(table: String, d: String): String =
     if (d.startsWith("/") || d.contains(":/")) d else s"$table/$d"
 
-  /** The streaming batch id recorded by the last published commit, if
-    * that commit carried one. Lives INSIDE the manifest, so it becomes
-    * durable in the same atomic pointer swing as the data it describes —
-    * there is no window where data is committed but its batch id is not. */
+  /** The batch-id HIGH-WATER MARK of the live snapshot. Lives INSIDE
+    * the manifest, so it becomes durable in the same atomic pointer
+    * swing as the data it describes — there is no window where data is
+    * committed but its batch id is not. Every commit carries it forward
+    * as `max(previous mark, this commit's id)`: commits that land out
+    * of id order (two identified appenders racing) and maintenance
+    * rewrites that pass a stale id can never REGRESS it — a regressed
+    * mark would make an already-committed batch's replay re-append
+    * (duplicates), the exactly-once hole the monotone max closes. */
   def lastBatchId(table: String): Option[Long] =
     manifestLines(table).collectFirst {
       case l if l.startsWith("# batch ") => l.stripPrefix("# batch ").trim.toLong
     }
+
+  /** [[lastBatchId]] for a named WRITER CHANNEL — the Delta
+    * transaction-appId analogue. Batch ids are only comparable within
+    * ONE issuer's monotone sequence (a checkpointed streaming query, a
+    * retrying job): with several INDEPENDENT appenders on one table, a
+    * shared mark makes writer B's id 4 silently skip writer A's
+    * not-yet-committed id 2 (lost batch) or lets A's replay slip past a
+    * mark B regressed (duplicate). Each channel keeps its own monotone
+    * mark in the manifest (`# wmark <writer> <id>` lines, carried
+    * forward by every commit — appends AND maintenance rewrites), so
+    * replay idempotence is judged against the issuer's own history
+    * only. `writer = ""` is the default shared channel (`# batch`). */
+  def lastBatchId(table: String, writer: String): Option[Long] =
+    if (writer.isEmpty) lastBatchId(table)
+    else writerMarks(table).get(writer)
+
+  /** Every named writer channel's high-water mark in the live manifest. */
+  private[land] def writerMarks(table: String): Map[String, Long] =
+    manifestLines(table).collect {
+      case l if l.startsWith("# wmark ") =>
+        l.stripPrefix("# wmark ").trim.split(" ") match {
+          case Array(w, id) => dec(w) -> id.toLong
+        }
+    }.toMap
 
   /** The published snapshot's schema, recorded in the manifest at commit
     * time — schema enforcement reads one small manifest line instead of
@@ -317,6 +346,7 @@ object AtomicLanding {
       if (d.startsWith("/") || d.contains(":/")) d else s"$absRoot/$d"
     def snapshotLines(): Seq[String] = manifestLines(source).flatMap {
       case l if l.startsWith("# batch ") => None
+      case l if l.startsWith("# wmark ") => None // fresh sink: no channel carries
       case l if l.startsWith("# range ") =>
         l.stripPrefix("# range ").trim.split(" ") match {
           case Array(d, k, t, lo, hi) =>
@@ -791,10 +821,11 @@ object AtomicLanding {
       expectedVersion: Option[Long] = None,
       statsKeys: Seq[String] = Nil,
       knownRanges: Map[(String, String), (String, String, String)] = Map.empty,
-      rebaseAppends: Seq[String] => Boolean = _ => false): Long =
+      rebaseAppends: Seq[String] => Boolean = _ => false,
+      writer: String = ""): Long =
     commitCore(df, table, append, beforePublish, batchId, maxConflictWaitMs,
       keepDirs, evolveSchema, expectedVersion, statsKeys, knownRanges,
-      rebaseAppends)._1
+      rebaseAppends, writer)._1
 
   /** [[commit]] plus the manifest-relative name of the dir this commit
     * wrote — what [[compactSmallFrom]] needs to tell its fold output
@@ -808,7 +839,8 @@ object AtomicLanding {
       expectedVersion: Option[Long] = None,
       statsKeys: Seq[String] = Nil,
       knownRanges: Map[(String, String), (String, String, String)] = Map.empty,
-      rebaseAppends: Seq[String] => Boolean = _ => false): (Long, String) = {
+      rebaseAppends: Seq[String] => Boolean = _ => false,
+      writer: String = ""): (Long, String) = {
     val fs = fsOf(hp(table))
 
     // schema enforcement (Delta's rule): an append may never silently
@@ -924,8 +956,21 @@ object AtomicLanding {
         r <- recorded.get((d, k)).orElse(knownRanges.get((d, k)))
           .orElse(if (d == s"data/$dirName") newDirRange(k) else None)
       } yield rangeLine(d, k, r)
-      val lines = batchId.orElse(lastBatchId(table))
-        .map(b => s"# batch $b").toSeq ++
+      // watermark lines are MONOTONE, per channel: the default `# batch`
+      // mark is max(this commit's id, live mark) — never regressed by an
+      // out-of-id-order commit or a maintenance rewrite passing a stale
+      // id; named `# wmark` channels all carry forward (a rewrite must
+      // not erase any writer's replay history), with this commit's
+      // channel folded in by max
+      val defaultMark =
+        (if (writer.isEmpty) batchId.toSeq else Nil) ++ lastBatchId(table).toSeq
+      val marks0 = writerMarks(table)
+      val marks =
+        if (writer.isEmpty || batchId.isEmpty) marks0
+        else marks0.updated(writer,
+          marks0.get(writer).fold(batchId.get)(math.max(_, batchId.get)))
+      val lines = defaultMark.maxOption.map(b => s"# batch $b").toSeq ++
+        marks.toSeq.sortBy(_._1).map { case (w, b) => s"# wmark ${enc(w)} $b" } ++
         Seq(s"# schema ${enforcedSchema(carried).json}") ++ rangeLs ++ dirs
       reserved = reserveManifest(fs,
         hp(table, "manifests", manifestName(next)), lines.mkString("\n"))

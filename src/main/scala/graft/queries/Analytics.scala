@@ -21,6 +21,14 @@ object Analytics {
     * harness run leaves one orphan tree per (jvm, sf dir) behind. */
   private val fuzzyIdx = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** 60 DISTINCT chars (no lowercase 'm'): the q_fuzzy_ed2_auto_lossless
+    * planted-core constant, duplicated literally in its oracle SQL.
+    * Distinctness matters — a repeated substring could put two 'mm'
+    * insertion positions within ed 2 of each other and break the
+    * pairwise-ed-4 construction the lossless gate relies on. */
+  private[graft] val LosslessCore =
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklnopqrstuvwxy"
+
   private def tempIndexDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -55,6 +63,31 @@ object Analytics {
       FuzzyJoin.selfJoinEdK(t(s, dir, "customer"), "c_name", k = 2)
         .select(col("key_a").as("name_a"), col("key_b").as("name_b"))
         .orderBy(col("name_a"), col("name_b"))),
+
+    // ---- the Auto valve's LOSSLESS ENGAGED regime under the gate: a
+    // deterministic corpus whose one hot signature bucket groups keys
+    // at pairwise ed 4 (the same 'mm' pair inserted at 20 DIFFERENT
+    // positions of a 60-distinct-char core — all equal after deleting
+    // it, none within ed 2), floating on 400 sparse hash keys. The
+    // census engages and drops that bucket (FuzzyJoinSpec asserts
+    // engagement + emptiness of valveLoss), and because every true
+    // pair keeps a sub-cap shared signature the capped output must
+    // STILL equal the brute-force ed<=2 oracle — an engaged-Auto run
+    // gated at full exactness, which is precisely the lossless
+    // regime's contract ----
+    "q_fuzzy_ed2_auto_lossless" -> ((s, dir) => {
+      import s.implicits._
+      val sparse = s.range(1, 401).select(
+        concat(lit("K#"),
+          substring(md5(col("id").cast("string")), 1, 9)).as("name"))
+      val planted = (0 until 60 by 3)
+        .map(p => LosslessCore.substring(0, p) + "mm" + LosslessCore.substring(p))
+        .toDF("name")
+      FuzzyJoin.selfJoinEdK(sparse.unionByName(planted), "name", k = 2,
+          FuzzyJoin.Valve.Auto())
+        .select(col("key_a").as("name_a"), col("key_b").as("name_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
 
     // ---- incremental fuzzy join: a simulated new batch (custkey % 10
     // = 0) matched against the remaining corpus — candidates from
@@ -324,6 +357,24 @@ object Analytics {
         |WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
         |  AND levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // the engaged-Auto lossless gate brute-forces the SAME deterministic
+    // corpus: 400 md5-hash keys + the 'mm'-insertion hot bucket
+    "q_fuzzy_ed2_auto_lossless" ->
+      (s"""WITH core AS (SELECT '$LosslessCore' AS c),
+        |k AS (
+        |  SELECT 'K#' || substr(md5(cast(i as varchar)), 1, 9) AS name
+        |  FROM range(1, 401) t(i)
+        |  UNION ALL
+        |  SELECT substr(c, 1, cast(p as int)) || 'mm' ||
+        |         substr(c, cast(p as int) + 1) AS name
+        |  FROM core, range(0, 60, 3) t(p)),
+        |d AS (SELECT DISTINCT name FROM k)
+        |SELECT a.name AS name_a, b.name AS name_b
+        |FROM d a JOIN d b ON a.name < b.name
+        |WHERE abs(length(a.name) - length(b.name)) <= 2
+        |  AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""").stripMargin,
 
     // p = fuzzy ed<=1 pairs PLUS ed=0 same-key pairs (the engine's
     // per-key star edges; all-pairs here because the oracle may

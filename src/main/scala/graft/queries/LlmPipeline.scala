@@ -50,6 +50,7 @@ object LlmPipeline {
   private val deletePrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val cloneSpooled = scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val retentionSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val txnRootSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val readPrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val cdfDeleteSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -400,6 +401,44 @@ object LlmPipeline {
         .withColumn("n_src_rows",
           lit(graft.land.AtomicLanding.read(s, src).count()))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- MULTI-TABLE transactional ingest under the gate
+    // (app/TransactionalIngest): three batches land data + catalog
+    // run-record in one linked-root swing each; the result re-derives
+    // per-run row counts from the SNAPSHOT pair (landing grouped by
+    // batch class, joined to the catalog's run records), so a publish
+    // that tore the pair — data without its record or vice versa —
+    // loses the join row and hash-fails ----
+    "q_txn_ingest" -> ((s, dir) => {
+      val root = txnRootSpooled.getOrElseUpdate(dir, {
+        val r = java.nio.file.Files
+          .createTempDirectory("graft-txnroot").toString + "/root"
+        val base = docs(s, dir).select(col("doc_id"), col("source"))
+        (0 to 2).foreach { i =>
+          graft.app.TransactionalIngest.ingest(s, r,
+            base.filter(col("doc_id") % 3 === i),
+            graft.model.CatalogEntry(
+              execId = s"e$i", srcSysId = 1, assetId = 100 + i,
+              dqValidation = graft.model.CatalogEntry.StatusNotStarted,
+              dataPublish = graft.model.CatalogEntry.StatusNotStarted,
+              dataMasking = graft.model.CatalogEntry.StatusNotStarted,
+              srcFilePath = s"raw/e$i", s3LogPath = s"logs/e$i",
+              procStartTs = new java.sql.Timestamp(1700000000000L),
+              createdTs = new java.sql.Timestamp(1700000000000L),
+              lastExtTime = None),
+            batchId = Some(i.toLong))
+        }
+        r
+      })
+      val (land, cat) = graft.app.TransactionalIngest.snapshot(s, root).get
+      land.groupBy((col("doc_id") % 3).as("m"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(concat(lit("e"), col("m")).as("exec_id"), col("n_rows"))
+        .join(cat.select(col("execId").as("exec_id"),
+          col("assetId").as("asset_id")), "exec_id")
+        .select(col("exec_id"), col("asset_id"), col("n_rows"))
+        .orderBy(col("exec_id"))
     }),
 
     // ---- retention-window vacuum under the gate (vacuum
@@ -2297,6 +2336,17 @@ object LlmPipeline {
         |  (SELECT count(*) FROM documents WHERE doc_id % 4 IN (0, 1, 2)) AS n_v2,
         |  (SELECT count(*) FROM documents WHERE doc_id % 4 IN (0, 1, 2)) AS n_v3,
         |  true AS v0_reclaimed""".stripMargin,
+
+    // per-run row counts re-derived from the transactional snapshot:
+    // each batch i ingested documents with doc_id % 3 = i under
+    // exec_id 'e<i>' / asset_id 100+i
+    "q_txn_ingest" ->
+      """SELECT 'e' || (doc_id % 3) AS exec_id,
+        |       cast(100 + (doc_id % 3) as int) AS asset_id,
+        |       count(*) AS n_rows
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY exec_id""".stripMargin,
 
     "q_acid_read_pruned" ->
       """SELECT doc_id, length(text) AS n, cast(1 as bigint) AS n_planned_dirs

@@ -256,6 +256,65 @@ class FuzzyJoinSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSet))
   }
 
+  test("valveLoss characterizes the engaged cap's recall EXACTLY: capped ∪ loss == exact, disjointly") {
+    // the dense sequential corpus where the advised cap genuinely
+    // trades recall — the q_fuzzy_names_ed2_auto shape
+    val dense = spark.range(1, 2001)
+      .select(format_string("Customer#%09d", col("id")).as("name"))
+    val advice = FuzzyJoin.recommendMaxBucket(dense, "name", 2)
+    assert(advice.engages)
+    val exact = FuzzyJoin.selfJoinEdK(dense, "name", 2)
+      .as[(String, String)].collect().toSet
+    val capped = FuzzyJoin.selfJoinEdK(dense, "name", 2, Some(advice.cap))
+      .as[(String, String)].collect().toSet
+    val lost = FuzzyJoin.valveLoss(dense, "name", 2, advice.cap)
+      .as[(String, String)].collect().toSet
+    assert(lost.nonEmpty,
+      "the dense corpus's engaged cap must genuinely lose pairs — " +
+        "otherwise this test proves nothing")
+    assert((capped & lost).isEmpty,
+      "a pair cannot be both kept and eclipsed")
+    assert((capped | lost) === exact,
+      "capped ∪ valveLoss must reconstruct the exact pair set — the " +
+        "eclipse characterization (every shared signature hot) is exact")
+  }
+
+  test("the LOSSLESS engaged regime: a hot bucket of pairwise-ed-4 keys drops free; Auto == exact under an engaged cap") {
+    // the q_fuzzy_ed2_auto_lossless gate corpus: 400 sparse hash keys
+    // + one hot bucket ('mm' inserted at 20 different positions of a
+    // 60-distinct-char core — all equal after deleting it)
+    val core = graft.queries.Analytics.LosslessCore
+    assert(core.length == 60 && core.toSet.size == 60,
+      "the construction needs all-distinct core chars")
+    val plantedKeys = (0 until 60 by 3)
+      .map(p => core.substring(0, p) + "mm" + core.substring(p))
+    // construction check, not assumption: no two insertion positions
+    // are within ed 2 (a repeat-free core keeps them at ed 4)
+    val worst = (for {
+      a <- plantedKeys; b <- plantedKeys if a < b
+    } yield { // driver-side levenshtein via Spark's expression
+      spark.sql(s"SELECT levenshtein('$a', '$b')").head().getInt(0)
+    }).min
+    assert(worst > 2, s"planted keys must be pairwise ed > 2, got $worst")
+    val corpus = spark.range(1, 401)
+      .select(concat(lit("K#"),
+        substring(md5(col("id").cast("string")), 1, 9)).as("name"))
+      .unionByName(plantedKeys.toDF("name"))
+    val advice = FuzzyJoin.recommendMaxBucket(corpus, "name", 2)
+    assert(advice.engages && advice.cap < 20,
+      s"the 20-key hot bucket must engage the census: $advice")
+    // the engaged cap drops the hot bucket, loses NOTHING — certified
+    // by the adjudication probe and by bit-equality with exact
+    assert(FuzzyJoin.valveLoss(corpus, "name", 2, advice.cap)
+      .as[(String, String)].collect().isEmpty,
+      "no true pair may be eclipsed on this corpus")
+    val exact = FuzzyJoin.selfJoinEdK(corpus, "name", 2)
+      .as[(String, String)].collect().toSet
+    assert(FuzzyJoin.selfJoinEdK(corpus, "name", 2, FuzzyJoin.Valve.Auto())
+      .as[(String, String)].collect().toSet === exact,
+      "the engaged Auto run must be EXACT in the lossless regime")
+  }
+
   test("addToSigIndex: a crashed append publishes NOTHING; the retry lands the whole batch") {
     // the ACID commit replaces the old torn-append hazard: a crash
     // mid-append (before the pointer swing) leaves the index snapshot

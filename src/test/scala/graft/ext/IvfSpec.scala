@@ -452,4 +452,48 @@ class IvfSpec extends AnyFunSuite {
     assert(rows(idx) === rows(s"$dir/fresh"),
       "the retried rebalance must include the concurrently appended rows")
   }
+
+  test("independent ingest writers: per-channel ids never cross-skip; replays no-op per channel; a rebalance carries every channel's mark") {
+    import graft.land.AtomicLanding
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfwriters").toString
+    val idx = s"$dir/idx"
+    Ivf.buildSavedIndex(emb.filter(col("vec_id") < 300), idx,
+      nLists = 16, iters = 0, batchId = Some(0L))
+    val bA = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val bB = emb.filter(col("vec_id") >= 400)
+    val listsT = s"$idx/lists"
+    // writer B commits id 4 FIRST; writer A's id 2 arrives later. On a
+    // shared channel the >= skip would silently drop A's batch (ids are
+    // only monotone within one issuer); on channels both land.
+    // Fresh channels pay the dedupe scan once to establish their mark.
+    Ivf.addToSavedIndex(spark, idx, bB, batchId = Some(4L), writer = "qB")
+    Ivf.addToSavedIndex(spark, idx, bA, batchId = Some(2L), writer = "qA")
+    val expect = emb.count()
+    assert(AtomicLanding.read(spark, listsT).count() == expect,
+      "a later-arriving lower id on ANOTHER channel must still land")
+    assert(AtomicLanding.lastBatchId(listsT, "qA").contains(2L))
+    assert(AtomicLanding.lastBatchId(listsT, "qB").contains(4L))
+    // replay each on its own channel: pure no-ops, counted by the scan
+    // seam (channel marks exist now — the zero-scan fast path)
+    val scans0 = Ivf.dedupeListScans.get()
+    val v0 = AtomicLanding.currentVersion(listsT)
+    Ivf.addToSavedIndex(spark, idx, bB, batchId = Some(4L), writer = "qB")
+    Ivf.addToSavedIndex(spark, idx, bA, batchId = Some(2L), writer = "qA")
+    assert(AtomicLanding.currentVersion(listsT) == v0 &&
+      Ivf.dedupeListScans.get() == scans0,
+      "channel replays must publish nothing and scan nothing")
+    // a maintenance rewrite must carry every channel's mark — losing
+    // one would let that writer's replay duplicate its batch
+    Ivf.rebalanceSavedIndex(spark, idx, nLists = 16, iters = 0)
+    assert(AtomicLanding.lastBatchId(listsT, "qA").contains(2L) &&
+      AtomicLanding.lastBatchId(listsT, "qB").contains(4L),
+      "a rebalance must not erase writer channels")
+    Ivf.addToSavedIndex(spark, idx, bA, batchId = Some(2L), writer = "qA")
+    Ivf.addToSavedIndex(spark, idx, bB, batchId = Some(4L), writer = "qB")
+    assert(AtomicLanding.read(spark, listsT).count() == expect,
+      "post-rebalance channel replays must still be no-ops")
+    // channeled growth converges to the canonical one-shot bits
+    Ivf.buildSavedIndex(emb, s"$dir/fresh", nLists = 16, iters = 0)
+    assert(canonProbe(idx) === canonProbe(s"$dir/fresh"))
+  }
 }

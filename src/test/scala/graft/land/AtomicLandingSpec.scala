@@ -908,6 +908,47 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(AtomicLanding.read(spark, table).count() == counts(3))
   }
 
+  test("the batch watermark is a MONOTONE high-water mark; writer channels are independent and survive rewrites") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("source"))
+    val t = freshTable()
+    // out-of-id-order commits never REGRESS the shared mark: a
+    // regressed mark would make an already-committed batch's replay
+    // re-append (the duplicate hole the multi-writer race exposed)
+    AtomicLanding.commit(docs.filter(col("doc_id") < 50), t,
+      batchId = Some(5L))
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 50 && col("doc_id") < 80),
+      t, append = true, batchId = Some(3L))
+    assert(AtomicLanding.lastBatchId(t).contains(5L),
+      "a lower id landing later must not regress the high-water mark")
+
+    // named channels: each writer's mark is its own monotone sequence,
+    // invisible to the default channel and to other writers
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 80 && col("doc_id") < 90),
+      t, append = true, batchId = Some(2L), writer = "a")
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 90 && col("doc_id") < 95),
+      t, append = true, batchId = Some(7L), writer = "b")
+    assert(AtomicLanding.lastBatchId(t).contains(5L),
+      "named-channel commits must not advance the default mark")
+    assert(AtomicLanding.lastBatchId(t, "a").contains(2L))
+    assert(AtomicLanding.lastBatchId(t, "b").contains(7L))
+    assert(AtomicLanding.lastBatchId(t, "never").isEmpty)
+    // writer "a" regression attempt: monotone per channel too
+    AtomicLanding.commit(docs.filter(col("doc_id") >= 95 && col("doc_id") < 97),
+      t, append = true, batchId = Some(1L), writer = "a")
+    assert(AtomicLanding.lastBatchId(t, "a").contains(2L))
+
+    // a maintenance REWRITE (compaction) must carry every channel's
+    // mark — erasing one would reopen the replay-duplicate hole for
+    // that writer
+    val rows = AtomicLanding.read(spark, t).count()
+    AtomicLanding.compact(spark, t, numFiles = 1)
+    assert(AtomicLanding.read(spark, t).count() == rows)
+    assert(AtomicLanding.lastBatchId(t).contains(5L))
+    assert(AtomicLanding.lastBatchId(t, "a").contains(2L))
+    assert(AtomicLanding.lastBatchId(t, "b").contains(7L))
+  }
+
   test("cloneShallow: zero-copy snapshot; clone and source diverge independently; pruned planning carries") {
     val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
       .select(col("doc_id"), col("source"),
