@@ -83,6 +83,24 @@ object LmScore {
     LmModel(n, ngrams, contexts, vocab)
   }
 
+  /** Pin a trained model for REUSE (and for `broadcastModel` scoring):
+    * materialize the ngram table ONCE, derive the context table from
+    * the PINNED ngrams (it is a tiny re-aggregation of the model, not
+    * of the corpus — deriving it from the lazy plan would re-pay the
+    * corpus aggregate a second time), and pin the one-row vocab (else
+    * every score() run re-scans the corpus for it). After freeze, a
+    * score pass reads only pinned blocks plus the corpus being scored
+    * — the CCNet production shape, where one reference-trained model
+    * scores many incoming batches. */
+  def freeze(m: LmModel): LmModel = {
+    val ng = m.ngrams.localCheckpoint(true)
+    val ctx = ng
+      .groupBy(substring_index(col("term"), " ", m.n - 1).as("ctx"))
+      .agg(sum(col("cnt")).as("n_ctx"))
+      .localCheckpoint(true)
+    LmModel(m.n, ng, ctx, m.vocab.localCheckpoint(true))
+  }
+
   /** Score (doc_id, text) rows under a trained model:
     * (doc_id, n_grams, nll_scaled) — arithmetic-mean scaled inverse
     * conditional probability, higher = more surprising. */

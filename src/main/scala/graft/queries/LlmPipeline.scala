@@ -1851,10 +1851,19 @@ object LlmPipeline {
 
     // ---- bigram-LM quality scoring (CCNet-style filter): train on the
     // corpus, score every doc by integer-scaled mean inverse conditional
-    // probability (the log-free perplexity stand-in) ----
+    // probability (the log-free perplexity stand-in). The trained model
+    // is PINNED and the score joins run map-side (broadcastModel): the
+    // model is vocabulary-bounded (Heaps) while the scored side is the
+    // corpus, and LM_PROFILE_r17 measured the shuffled lookups costing
+    // 27.6 s vs 16.7 s broadcast at 100x with identical rows. The
+    // production contract this mirrors is CCNet's: the model is
+    // REFERENCE-corpus-bounded (you train on Wikipedia, score the
+    // 100 TB crawl) — a caller whose self-trained model may outgrow
+    // executor memory keeps the default shuffled path ----
     "q_lm_score" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      LmScore.score(d, LmScore.train(d)).orderBy(col("doc_id"))
+      val pinned = LmScore.freeze(LmScore.train(d))
+      LmScore.score(d, pinned, broadcastModel = true).orderBy(col("doc_id"))
     }),
 
     // ---- Count-Min sketch: one-pass bounded-memory frequency
