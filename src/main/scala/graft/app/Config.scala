@@ -27,7 +27,14 @@ final case class EngineConfig(
       * its live snapshot exceeds this many data dirs (streaming
       * micro-batch appends) and vacuums unreachable files. 0 disables
       * maintenance. */
-    landingCompactThreshold: Int = 0) {
+    landingCompactThreshold: Int = 0,
+    /** Database-pattern runs commit landing + catalog run-record (and
+      * with it the extraction watermark) in ONE linked-root swing —
+      * [[TransactionalIngest]] — closing the reference's
+      * crash-between-write-and-catalog window. Requires atomicLanding;
+      * incremental-extraction assets only (full extracts are
+      * overwrite-per-run, a different commit shape). */
+    transactionalCatalog: Boolean = false) {
 
   def paths: graft.model.PathConvention =
     graft.model.PathConvention(fmPrefix, region)
@@ -49,7 +56,9 @@ object EngineConfig {
       controlSecretName = p.getProperty("control.secret.name", "control-db"),
       atomicLanding = p.getProperty("landing.atomic", "false").toBoolean,
       landingCompactThreshold =
-        p.getProperty("landing.compact.threshold", "0").toInt)
+        p.getProperty("landing.compact.threshold", "0").toInt,
+      transactionalCatalog =
+        p.getProperty("landing.transactional", "false").toBoolean)
   }
 
   def load(path: String): EngineConfig = {

@@ -74,6 +74,47 @@ object IngestionJob {
     val logPath = paths.logPath(bucket, args.assetId, args.execId)
 
     src.ingestionPattern match {
+      case IngestionPattern.Database if env.config.transactionalCatalog =>
+        // ONE-SWING mode: landing + run record + watermark publish in a
+        // single linked-root commit ([[TransactionalIngest]]). The
+        // reference's write-then-record ordering (dataIngestion.py:26-34)
+        // has a crash window where data is landed but no run record (or
+        // watermark) describes it; here the watermark of record lives
+        // inside the root's catalog member, so extraction intervals are
+        // derived from exactly what was durably published. The control
+        // store still receives the entry as a best-effort MIRROR for the
+        // RDBMS query surface — replayable from the catalog member, never
+        // the commit point.
+        log.timed(s"database ingest (transactional) asset=${args.assetId}") {
+          require(env.config.atomicLanding,
+            "landing.transactional requires landing.atomic")
+          require(asset.extMethod == ExtractionMethod.Incremental,
+            "landing.transactional covers incremental-extraction assets; " +
+              "full extracts are overwrite-per-run, a different commit shape")
+          val source = env.sourceFactory(env.spark, src, asset, env.creds, env.config)
+          val root = args.sourcePath
+          val ext = IncrementalExtractor.extract(source, asset.extMethod,
+            asset.extCol,
+            TransactionalIngest.highestWatermark(env.spark, root)
+              .orElse(env.store.highestWatermark(args.assetId)))
+          val entry = CatalogEntry(
+            execId = args.execId, srcSysId = src.srcSysId, assetId = args.assetId,
+            dqValidation = CatalogEntry.StatusNotStarted,
+            dataPublish = CatalogEntry.StatusNotStarted,
+            dataMasking = CatalogEntry.StatusNotStarted,
+            srcFilePath = root, s3LogPath = logPath,
+            procStartTs = startTs,
+            createdTs = new Timestamp(System.currentTimeMillis()),
+            lastExtTime = ext.newWatermark)
+          // batch id = the interval's upper bound: monotone per asset,
+          // and a replay of the same interval carries the same id — the
+          // exactly-once contract end-to-end
+          TransactionalIngest.ingest(env.spark, root, ext.data, entry,
+            batchId = ext.newWatermark.map(_.getTime))
+          env.store.insertCatalogEntry(entry)
+          entry
+        }
+
       case IngestionPattern.Database =>
         log.timed(s"database ingest asset=${args.assetId}") {
           val source = env.sourceFactory(env.spark, src, asset, env.creds, env.config)

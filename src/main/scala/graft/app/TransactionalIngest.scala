@@ -85,6 +85,19 @@ object TransactionalIngest {
     }
   }
 
+  /** The highest extraction watermark recorded in the root's catalog
+    * member — for [[IngestionJob]]'s transactional mode the watermark
+    * OF RECORD: it became durable in the same root swing as the data
+    * it describes, so a crash can never leave landed data whose
+    * interval the next run would re-extract (the separate-store
+    * ordering's residual window). None until a publish completes or if
+    * every recorded run was a full extract. */
+  def highestWatermark(spark: SparkSession, root: String): Option[java.sql.Timestamp] =
+    snapshot(spark, root).flatMap { case (_, cat) =>
+      Option(cat.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("lastExtTime"))).head().getTimestamp(0))
+    }
+
   /** One consistent (landing, catalog) pair — both members read AT the
     * same root generation's pins, so the pair can never be torn by a
     * concurrent [[ingest]]. None until the first publish completes. */

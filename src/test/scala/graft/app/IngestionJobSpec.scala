@@ -62,6 +62,45 @@ class IngestionJobSpec extends AnyFunSuite {
     assert(entry.lastExtTime.isDefined) // run record written after publish
   }
 
+  test("transactional catalog mode: landing + run record + watermark publish in ONE swing; the watermark of record lives in the root") {
+    val root = java.nio.file.Files.createTempDirectory("graft-app-txn").toString
+    def freshStore() = new InMemoryMetadataStore(
+      sources = Seq(srcSys(1, IngestionPattern.Database, s"$root/inbound")),
+      assets = Seq(DataAsset(7, "events", None, TriggerMechanism.TimeDriven,
+        ExtractionMethod.Incremental, Some("ts"))))
+    val txnCfg = cfg.copy(atomicLanding = true, transactionalCatalog = true)
+    val dest = s"$root/raw/7/init/20240110120000"
+    val nEvents = graft.Tables.t(spark, TestSpark.Sf0001, "events").count()
+
+    val entry = IngestionJob.run(newEnv(freshStore(), root).copy(config = txnCfg),
+      IngestionJob.Args(dest, 1, 7, "1_7_20240110120000"))
+    // one consistent pair through the root: the data AND its run record
+    val (land, cat) = TransactionalIngest.snapshot(spark, dest).get
+    assert(land.count() == nEvents)
+    assert(cat.count() == 1)
+    assert(entry.lastExtTime.isDefined)
+
+    // the sharp replay test: a SECOND run with a FRESH control store (no
+    // mirrored watermark anywhere outside the root) must read the
+    // watermark from the root's catalog member and extract an EMPTY
+    // interval — falling back to a full re-extract would double the rows
+    IngestionJob.run(newEnv(freshStore(), root).copy(config = txnCfg),
+      IngestionJob.Args(dest, 1, 7, "1_7_20240110130000"))
+    val (land2, cat2) = TransactionalIngest.snapshot(spark, dest).get
+    assert(land2.count() == nEvents,
+      "the replay must re-extract NOTHING: the watermark travels in the root")
+    assert(cat2.count() == 1,
+      "an interval replay carries the same batch id — no duplicate run record")
+
+    // config guards
+    val e1 = intercept[IllegalArgumentException] {
+      IngestionJob.run(newEnv(freshStore(), root)
+        .copy(config = cfg.copy(transactionalCatalog = true)),
+        IngestionJob.Args(dest, 1, 7, "x"))
+    }
+    assert(e1.getMessage.contains("landing.atomic"))
+  }
+
   test("maintain compacts a many-batch streaming table and keeps replay-skip") {
     import graft.land.AtomicLanding
     val table = java.nio.file.Files.createTempDirectory("graft-app-mnt").toString + "/t"
