@@ -37,11 +37,33 @@ object Ivf {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("dot"), (-col("cid")).as("nc"))).as("cid"))
 
+  /** The rows holding the `n` smallest vec_ids, found WITHOUT a
+    * corpus-wide scan of the wide embedding column: a narrow id-only
+    * top-n (one column shuffles nothing past n rows per partition)
+    * yields the n-th smallest id, then a `vec_id <=` predicate — pushed
+    * to the parquet scan, where row-group min/max stats prune every
+    * group past the id prefix — bounds the wide read. Equivalent to
+    * feeding the whole frame to `orderBy(vec_id).limit(n)` (the filter
+    * keeps a superset of the top-n rows; callers re-sort and re-limit),
+    * so seed selection is bit-identical. Falls back to the unpruned
+    * frame when ids can be null (a null sorts first under Spark's
+    * ascending order and a `<=` filter would drop it). */
+  private[graft] def seedPrefix(emb: DataFrame, n: Int): DataFrame = {
+    val top = emb.select(col("vec_id"))
+      .orderBy(col("vec_id")).limit(n).collect()
+    if (top.isEmpty || top.exists(_.isNullAt(0))) emb
+    else emb.filter(col("vec_id") <= lit(top.last.get(0)))
+  }
+
   /** Lloyd iterations: seed with the first `nLists` vectors (by vec_id —
-    * deterministic), then alternate assign / per-dimension mean. */
+    * deterministic), then alternate assign / per-dimension mean. The
+    * seed fetch goes through [[seedPrefix]]: with iters = 0 (the
+    * deterministic rebalance-probe mode) that makes the whole train
+    * call id-scan-priced instead of a wide-column corpus pass. */
   def train(emb: DataFrame, nLists: Int, iters: Int = 2): Seq[(Int, Seq[Float])] = {
     var cents: Seq[(Int, Seq[Float])] =
-      emb.orderBy(col("vec_id")).limit(nLists).collect().toSeq
+      seedPrefix(emb, nLists).orderBy(col("vec_id")).limit(nLists)
+        .collect().toSeq
         .zipWithIndex.map { case (r, i) =>
           i -> r.getAs[scala.collection.Seq[Float]]("embedding").toSeq
         }

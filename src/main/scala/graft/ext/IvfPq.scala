@@ -497,8 +497,10 @@ object IvfPq {
     * a quadruple built from a corpus that never held it. Here three
     * fences close it:
     * (a) CENSUS — every id durably committed to the LIVE norms table
-    *     must appear in `corpus` (one id-only anti-join over two
-    *     pruned columns, before any rebuild work); a stale corpus
+    *     must appear in `corpus` (one id-only pass over two pruned
+    *     columns before any rebuild work — a full-outer join in the
+    *     deterministic probe mode, where the same pass also counts the
+    *     not-yet-indexed extras that disable the skip); a stale corpus
     *     fails loudly instead of dropping vectors — this also covers
     *     a CRASHED append's committed-but-unpublished ids, because
     *     the census reads the member's live version, not the root pin;
@@ -549,10 +551,30 @@ object IvfPq {
           expectedRoot = Some(snap.rootVersion))
         catch { case _: java.util.ConcurrentModificationException => () }
       } else {
-        val missing = AtomicLanding.readVersion(s, n2T, nLive)
-          .select(col("vec_id"))
-          .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
-          .count()
+        // CENSUS — one id-only pass serves both fences: `missing`
+        // (indexed ids absent from the corpus — always fatal) and, in
+        // the deterministic probe mode, `extras` (corpus ids not yet
+        // indexed — a grow-under-rebalance that disables the skip).
+        // A full-outer join over the two pruned id columns replaces
+        // the former missing anti-join + extras anti-join pair, so the
+        // probe pays ONE corpus-shaped shuffle of ids, not two.
+        val probeMode = itersCoarse == 0 && itersPq == 0
+        val n2ids = AtomicLanding.readVersion(s, n2T, nLive)
+          .select(col("vec_id")).withColumn("_idx", lit(1))
+        val (missing, extras) =
+          if (probeMode) {
+            val r = n2ids
+              .join(corpus.select(col("vec_id")).withColumn("_cor", lit(1)),
+                Seq("vec_id"), "full_outer")
+              .agg(
+                coalesce(sum(when(col("_cor").isNull, 1L)), lit(0L)),
+                coalesce(sum(when(col("_idx").isNull, 1L)), lit(0L)))
+              .head()
+            (r.getLong(0), r.getLong(1))
+          } else
+            (n2ids.drop("_idx")
+              .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              .count(), -1L)
         require(missing == 0L,
           s"$path: rebalance corpus is stale — $missing indexed ids are " +
             "absent from it; rebuilding would silently drop those vectors")
@@ -569,40 +591,40 @@ object IvfPq {
         // The skip also demands corpus ≡ indexed ids both ways: a
         // corpus carrying EXTRA ids is a grow-under-rebalance and must
         // rebuild them in.
-        val skipRebuild = itersCoarse == 0 && itersPq == 0 && {
-          val extras = corpus.select(col("vec_id"))
-            .join(AtomicLanding.readVersion(s, n2T, nLive)
-              .select(col("vec_id")), Seq("vec_id"), "left_anti")
-            .count()
-          extras == 0L && {
-            val centsOld = AtomicLanding
-              .readVersion(s, s"$path/cents", snap.members("cents"))
-              .orderBy("cid").collect()
-              .map(_.getAs[scala.collection.Seq[Float]]("cvec")
-                .map(_.toDouble).toSeq).toSeq
-            val centsNew = Ivf.train(corpus, nLists, 0)
-            withinDrift(centsOld,
-              centsNew.map(_._2.map(_.toDouble)), driftTolerance) && {
-              val dim = corpus.select(size(col("embedding")))
-                .head().getInt(0)
-              dim % m == 0 && {
-                val subDim = dim / m
-                val seedRes = residuals(
-                    corpus.orderBy(col("vec_id")).limit(k), centsNew)
-                  .orderBy(col("vec_id")).collect()
-                  .map(_.getAs[scala.collection.Seq[Double]]("res").toSeq)
-                val cbNew = (for {
-                  sI <- 0 until m
-                  (v, j) <- seedRes.zipWithIndex.toSeq
-                } yield (sI, j, v.slice(sI * subDim, (sI + 1) * subDim)))
-                  .sortBy(t => (t._1, t._2)).map(_._3)
-                val cbOld = AtomicLanding
-                  .readVersion(s, s"$path/cb", snap.members("cb"))
-                  .orderBy("sub", "code").collect()
-                  .map(_.getAs[scala.collection.Seq[Double]]("rvec").toSeq)
-                  .toSeq
-                withinDrift(cbOld, cbNew, driftTolerance)
-              }
+        val skipRebuild = probeMode && extras == 0L && {
+          val centsOld = AtomicLanding
+            .readVersion(s, s"$path/cents", snap.members("cents"))
+            .orderBy("cid").collect()
+            .map(_.getAs[scala.collection.Seq[Float]]("cvec")
+              .map(_.toDouble).toSeq).toSeq
+          // both seed fetches below are id-prefix-bounded (Ivf.seedPrefix
+          // inside train; explicit here for the PQ seed rows), so the
+          // probe's wide-column reads are row-group-pruned to the seed
+          // prefix — the probe's only corpus-shaped work is the single
+          // id census above
+          val centsNew = Ivf.train(corpus, nLists, 0)
+          withinDrift(centsOld,
+            centsNew.map(_._2.map(_.toDouble)), driftTolerance) && {
+            val dim = corpus.select(size(col("embedding")))
+              .head().getInt(0)
+            dim % m == 0 && {
+              val subDim = dim / m
+              val seedRes = residuals(
+                  Ivf.seedPrefix(corpus, k).orderBy(col("vec_id")).limit(k),
+                  centsNew)
+                .orderBy(col("vec_id")).collect()
+                .map(_.getAs[scala.collection.Seq[Double]]("res").toSeq)
+              val cbNew = (for {
+                sI <- 0 until m
+                (v, j) <- seedRes.zipWithIndex.toSeq
+              } yield (sI, j, v.slice(sI * subDim, (sI + 1) * subDim)))
+                .sortBy(t => (t._1, t._2)).map(_._3)
+              val cbOld = AtomicLanding
+                .readVersion(s, s"$path/cb", snap.members("cb"))
+                .orderBy("sub", "code").collect()
+                .map(_.getAs[scala.collection.Seq[Double]]("rvec").toSeq)
+                .toSeq
+              withinDrift(cbOld, cbNew, driftTolerance)
             }
           }
         }

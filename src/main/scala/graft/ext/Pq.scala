@@ -60,7 +60,8 @@ object Pq {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val seeds = emb.orderBy(col("vec_id")).limit(k).collect()
+    val seeds = Ivf.seedPrefix(emb, k).orderBy(col("vec_id")).limit(k)
+      .collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
     var cb = Codebooks(m, subDim, for {
       s <- 0 until m

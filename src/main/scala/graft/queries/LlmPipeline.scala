@@ -728,6 +728,52 @@ object LlmPipeline {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // ---- STREAMING benchmark-index ingest — the decontamination
+    // analogue of q_stream_{bm25,ivf,ivfpq,fuzzy,cluster}_ingest,
+    // closing the sixth persisted index's lifecycle: seed the index on
+    // the benchmark's front half, then grow it from a file stream
+    // (foreachBatch → addToBenchIndex with the engine's micro-batch id,
+    // every append under the at-least-once replay contract and the
+    // Bloom-sketch/version-pin lifecycle), and probe at the live index
+    // after the drain. Stream-grown ≡ one-shot bits, so the
+    // q_decontaminate_incremental oracle gates the whole streaming
+    // lifecycle — a dropped batch, a double-applied replay, or a sketch
+    // torn from its table version hash-fails here ----
+    "q_stream_decon_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = deconIdxSpooled.getOrElseUpdate(dir + "#stream", {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-deconstream").toString
+        val p = s"$root/idx"
+        graft.ext.Decontaminate.buildBenchIndex(
+          d.filter(col("doc_id") < 5), p,
+          batchId = Some(-1L)) // seed below the engine's first id (0)
+        d.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+          .select(col("doc_id"), col("text")).repartition(3)
+          .write.mode("overwrite").parquet(s"$root/in")
+        val src = s.readStream
+          .schema(d.select(col("doc_id"), col("text")).schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = src.writeStream
+            .foreachBatch((df: DataFrame, b: Long) =>
+              { graft.ext.Decontaminate.addToBenchIndex(s, p, df,
+                  batchId = Some(b)); () })
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        p
+      })
+      graft.ext.Decontaminate.overlapsIncremental(s, idx,
+          d.filter(col("doc_id") >= 10 && col("doc_id") % 7 === 0),
+          minShared = 10)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // ---- Gopher-style repetition signals (duplicate word / 3-gram
     // fractions): template spam scores high ----
     "q_repetition" -> ((s, dir) =>
@@ -2137,7 +2183,11 @@ object LlmPipeline {
       "q_bm25_grown" -> staticOracles("q_bm25"),
       // ...and so does the stream-grown index (micro-batched appends
       // with batch ids, probed at the live LinkedRoot)
-      "q_stream_bm25_ingest" -> staticOracles("q_bm25")) ++
+      "q_stream_bm25_ingest" -> staticOracles("q_bm25"),
+      // the stream-grown benchmark index must reproduce the one-shot
+      // incremental index's bits on the same probe batch
+      "q_stream_decon_ingest" ->
+        staticOracles("q_decontaminate_incremental")) ++
     // single-dir contract: the trained oracle replays the LAST dir's
     // learned merges — pairing one dir's dump with another dir's merges
     // is only possible if a caller interleaves dirs before dumping,

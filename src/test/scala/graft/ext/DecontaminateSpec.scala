@@ -65,6 +65,58 @@ class DecontaminateSpec extends AnyFunSuite {
       == canon(Decontaminate.overlaps(corpus2, bench2, 10)))
   }
 
+  test("streaming ingest: micro-batched foreachBatch appends reproduce the one-shot index bits, replay-safe") {
+    import graft.land.AtomicLanding
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-deconstream").toString
+    val idx = s"$root/idx"
+    val bench2 = bench.unionByName(Seq(
+      (101L, "name the longest river in south america and its primary tributaries listed"),
+      (102L, "which planet in the solar system has the most moons orbiting it today"))
+      .toDF("doc_id", "text"))
+    val corpus2 = corpus.unionByName(Seq(
+      (4L, "intro name the longest river in south america and its primary tributaries listed outro"),
+      (5L, "prefix which planet in the solar system has the most moons orbiting it today suffix"))
+      .toDF("doc_id", "text"))
+    // seed on the first bench doc, then stream the other two in
+    // one-file micro-batches through the engine's batch ids
+    Decontaminate.buildBenchIndex(bench, idx, batchId = Some(-1L))
+    bench2.filter(col("doc_id") > 100L).repartition(2)
+      .write.mode("overwrite").parquet(s"$root/in")
+    val q = spark.readStream.schema(bench2.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, b: Long) =>
+        { Decontaminate.addToBenchIndex(spark, idx, df,
+            batchId = Some(b)); () })
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bench_id").collect().toSeq
+    assert(canon(Decontaminate.overlapsIncremental(spark, idx, corpus2, 10))
+      == canon(Decontaminate.overlaps(corpus2, bench2, 10)),
+      "stream-grown index must be bit-identical to the inline join " +
+        "over the full benchmark")
+    // a REPLAYED drain (fresh checkpoint, same files, same engine ids
+    // 0..n) must leave the index untouched: every append judged by the
+    // default channel's high-water mark
+    val v = AtomicLanding.currentVersion(s"$idx/bench")
+    val q2 = spark.readStream.schema(bench2.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, b: Long) =>
+        { Decontaminate.addToBenchIndex(spark, idx, df,
+            batchId = Some(b)); () })
+      .option("checkpointLocation", s"$root/ckpt2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(AtomicLanding.currentVersion(s"$idx/bench") == v,
+      "replaying the drained stream must be a version-level no-op")
+  }
+
   test("stopTopK drops the highest-df benchmark shingles from the index") {
     // two bench docs share the boilerplate prefix "a b c"; each has a
     // unique tail — the shared shingle has df=2, every other df=1
