@@ -1024,6 +1024,20 @@ object AtomicLanding {
         commit(df, table, append = true, batchId = Some(batchId)); ()
       }
 
+  /** [[streamSink]] pinned to a NAMED writer channel: when several
+    * checkpointed queries append to ONE table, each must judge replays
+    * against its OWN monotone id sequence (batch ids are not comparable
+    * across issuers — the shared default mark would silently skip a
+    * slower writer's never-committed batch). One sink per query, each
+    * with a distinct `writer`, is the multi-writer exactly-once
+    * topology. */
+  def streamSink(table: String, writer: String): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      if (!lastBatchId(table, writer).exists(_ >= batchId)) {
+        commit(df, table, append = true, batchId = Some(batchId),
+          writer = writer); ()
+      }
+
   /** Data dirs in the live snapshot — the maintenance trigger metric: a
     * long-appending stream grows this by one per micro-batch. */
   def liveDirCount(table: String): Int = liveDirs(table).size
