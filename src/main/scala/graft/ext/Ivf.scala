@@ -47,8 +47,19 @@ object Ivf {
     * keeps a superset of the top-n rows; callers re-sort and re-limit),
     * so seed selection is bit-identical. Falls back to the unpruned
     * frame when ids can be null (a null sorts first under Spark's
-    * ascending order and a `<=` filter would drop it). */
+    * ascending order and a `<=` filter would drop it).
+    *
+    * SIZE-GATED: the prefix route costs one extra narrow job, which
+    * only pays for itself once the wide column is the dominant bytes —
+    * below 8 MB of COMPRESSED input (Catalyst plan statistics, free: no
+    * job; the threshold is deliberately low because parquet compression
+    * understates scan cost, especially on repetitive fixtures) the
+    * single TakeOrdered is strictly cheaper, so small corpora keep the
+    * old one-pass path. Unknown sizes report huge and take the prefix
+    * route, the safe direction. */
   private[graft] def seedPrefix(emb: DataFrame, n: Int): DataFrame = {
+    if (emb.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 20))
+      return emb
     val top = emb.select(col("vec_id"))
       .orderBy(col("vec_id")).limit(n).collect()
     if (top.isEmpty || top.exists(_.isNullAt(0))) emb
