@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import TextOps.shingles
+
 
 /** Benchmark decontamination — the training-data operator that removes
   * corpus documents overlapping an evaluation set, so test questions
@@ -38,13 +38,11 @@ object Decontaminate {
     * is a cheap driver-free window over the broadcastable table. */
   private def corpusShingles(corpus: DataFrame, n: Int): DataFrame =
     corpus.select(col("doc_id"),
-      explode(shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      explode(call_function("shingle_hash", col("text"), lit(n))).as("h"))
 
   private def rawBenchShingles(bench: DataFrame, n: Int): DataFrame =
     bench.select(col("doc_id").as("bench_id"),
-      explode(shingles(col("text"), n)).as("s"))
-      .select(col("bench_id"), xxhash64(col("s")).as("h"))
+      explode(call_function("shingle_hash", col("text"), lit(n))).as("h"))
 
   /** The K highest-df shingle hashes of a benchmark shingle table
     * (tie-break: df desc, hash asc) — the stop list [[benchShingles]]
@@ -353,16 +351,11 @@ object Decontaminate {
   def overlapsBloom(corpus: DataFrame, bench: DataFrame, minShared: Int,
       n: Int = 3, expectedItems: Long = 1L << 20,
       numBits: Long = 1L << 23): DataFrame = {
-    val cs = corpus.select(col("doc_id"),
-      explode(shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val cs = corpusShingles(corpus, n)
     // materialized once: both the sketch action and the exact join scan
     // the bench shingles, and this path exists precisely because the
     // bench side is big
-    val bs = bench.select(col("doc_id").as("bench_id"),
-      explode(shingles(col("text"), n)).as("s"))
-      .select(col("bench_id"), xxhash64(col("s")).as("h"))
-      .localCheckpoint(true)
+    val bs = rawBenchShingles(bench, n).localCheckpoint(true)
     val sketch = bs.agg(
       expr(s"bloom_filter_agg(h, ${expectedItems}L, ${numBits}L)").as("bf"))
       .head().getAs[Array[Byte]]("bf")
