@@ -38,11 +38,11 @@ object Decontaminate {
     * is a cheap driver-free window over the broadcastable table. */
   private def corpusShingles(corpus: DataFrame, n: Int): DataFrame =
     corpus.select(col("doc_id"),
-      explode(call_function("shingle_hash", col("text"), lit(n))).as("h"))
+      explode(call_function("shingle_hash64", col("text"), lit(n))).as("h"))
 
   private def rawBenchShingles(bench: DataFrame, n: Int): DataFrame =
     bench.select(col("doc_id").as("bench_id"),
-      explode(call_function("shingle_hash", col("text"), lit(n))).as("h"))
+      explode(call_function("shingle_hash64", col("text"), lit(n))).as("h"))
 
   /** The K highest-df shingle hashes of a benchmark shingle table
     * (tie-break: df desc, hash asc) — the stop list [[benchShingles]]

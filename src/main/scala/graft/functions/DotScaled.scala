@@ -152,6 +152,21 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHash(children.head, n)
       }))
     e.injectFunction((
+      new FunctionIdentifier("shingle_hash64"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "shingle_hash64 takes (text, n) with n an int literal")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hash64 n must be an int literal, got $other")
+        }
+        // raw 64-bit xxhash64 — the join-key domain (decontamination);
+        // the 2-arg shingle_hash keeps the MinHash pmod-P domain
+        ShingleHash(children.head, n, raw = true)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (children: Seq[Expression]) => {

@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * allocated one transient UTF8String per shingle per document — the
   * dominant cost of the MinHash dedup stack at the 100x scale point.
   */
-case class ShingleHash(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHash(child: Expression, n: Int, raw: Boolean = false)
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle_hash needs n >= 1, got $n")
 
@@ -49,11 +50,11 @@ case class ShingleHash(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(tv: Any): Any =
-    ShingleHash.compute(tv.asInstanceOf[UTF8String], n)
+    ShingleHash.compute(tv.asInstanceOf[UTF8String], n, raw)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t =>
-      s"${ev.value} = graft.functions.ShingleHash$$.MODULE$$.compute($t, $n);")
+      s"${ev.value} = graft.functions.ShingleHash$$.MODULE$$.compute($t, $n, $raw);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
@@ -63,7 +64,15 @@ object ShingleHash {
   /** Spark's `xxhash64` default seed. */
   val Seed = 42L
 
-  def compute(s: UTF8String, n: Int): ArrayData = {
+  /** `raw = false`: MinHash domain — `pmod(xxhash64(shingle), P)` with
+    * `P = TextOps.P` (2^31 − 1), the permutation modulus the signature
+    * math runs in. `raw = true` (the `shingle_hash64` registration):
+    * the UNREDUCED 64-bit xxhash64, bit-identical to
+    * `xxhash64(shingle)` on the materialized string — the join-key
+    * domain decontamination uses, where a 31-bit space would make
+    * cross-document birthday collisions routine at benchmark-index
+    * scale. */
+  def compute(s: UTF8String, n: Int, raw: Boolean = false): ArrayData = {
     val bytes = s.numBytes()
     val base = s.getBaseObject
     val off = s.getBaseOffset
@@ -99,8 +108,10 @@ object ShingleHash {
       val last = math.min(w + n - 1, m - 1) // slice clamps short docs
       val e = ends(last)
       val h = XXH64.hashUnsafeBytes(base, off + s0, e - s0, Seed)
-      val r = h % graft.ext.TextOps.P
-      val hp = if (r < 0) r + graft.ext.TextOps.P else r // pmod
+      val hp = if (raw) h else {
+        val r = h % graft.ext.TextOps.P
+        if (r < 0) r + graft.ext.TextOps.P else r // pmod
+      }
       var idx = java.lang.Long.hashCode(hp) & (cap - 1)
       var dup = false
       while (usedF(idx) && !dup) {

@@ -1019,10 +1019,7 @@ object AtomicLanding {
     * (batch ids are monotonically increasing per checkpointed query,
     * and only the most recent batch is ever replayed). */
   def streamSink(table: String): (DataFrame, Long) => Unit =
-    (df, batchId) =>
-      if (!lastBatchId(table).exists(_ >= batchId)) {
-        commit(df, table, append = true, batchId = Some(batchId)); ()
-      }
+    streamSink(table, "")
 
   /** [[streamSink]] pinned to a NAMED writer channel: when several
     * checkpointed queries append to ONE table, each must judge replays
