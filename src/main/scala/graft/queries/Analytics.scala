@@ -167,22 +167,11 @@ object Analytics {
         FuzzyJoin.buildSigIndex(
           corpus.where(col("c_custkey") % 2 === 1), "c_name", d,
           batchId = Some(-1L)) // seed below the engine's first id (0)
-        val tail = corpus.where(col("c_custkey") % 2 === 0)
-          .select(col("c_custkey"), col("c_name"))
-        tail.repartition(3).write.mode("overwrite").parquet(s"$root/in")
-        val src = s.readStream.schema(tail.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = src.writeStream
-            .foreachBatch((df: DataFrame, b: Long) =>
-              FuzzyJoin.addToSigIndex(s, d, df, "c_name", batchId = Some(b)))
-            .option("checkpointLocation", s"$root/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        LlmPipeline.drainStream(s, root,
+          corpus.where(col("c_custkey") % 2 === 0)
+            .select(col("c_custkey"), col("c_name")),
+          (df, b) => FuzzyJoin.addToSigIndex(s, d, df, "c_name",
+            batchId = Some(b)))
         d
       })
       FuzzyJoin.againstIndexEd1(s, idx,

@@ -99,6 +99,33 @@ object LlmPipeline {
     * corpus df + stats) — the build-once/probe-many retrieval split. */
   private val bm25IdxSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Drain `data` through a file-source micro-batch stream into `sink` —
+    * the shared scaffold of the six `q_stream_*_ingest` gates: spool as
+    * `nFiles` parquet files under `root/in`, read them back one file per
+    * trigger (so the drain is exactly `nFiles` identified micro-batches
+    * with engine ids 0..nFiles-1), run each batch through `sink` with
+    * its batch id, and block until AvailableNow drains. The stream
+    * schema is the SPOOLED file's (nullability as parquet recorded it —
+    * what a real file-source topology would see), shuffle partitions
+    * drop to 4 inside the drain (micro-batches are file-sized), and the
+    * previous setting restores even when `start()` itself throws. */
+  private[queries] def drainStream(s: SparkSession, root: String, data: DataFrame,
+      sink: (DataFrame, Long) => Unit, nFiles: Int = 3): Unit = {
+    data.repartition(nFiles).write.mode("overwrite").parquet(s"$root/in")
+    val src = s.readStream.schema(s.read.parquet(s"$root/in").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = src.writeStream
+        .foreachBatch((df: DataFrame, b: Long) => { sink(df, b); () })
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Once-per-(jvm, sf dir) persisted IVF-PQ index — the production
     * split: the corpus pass builds + saves once, every probe loads the
     * parquet index (so the gate row exercises save/load, and the bench
@@ -748,24 +775,11 @@ object LlmPipeline {
         graft.ext.Decontaminate.buildBenchIndex(
           d.filter(col("doc_id") < 5), p,
           batchId = Some(-1L)) // seed below the engine's first id (0)
-        d.filter(col("doc_id") >= 5 && col("doc_id") < 10)
-          .select(col("doc_id"), col("text")).repartition(3)
-          .write.mode("overwrite").parquet(s"$root/in")
-        val src = s.readStream
-          .schema(d.select(col("doc_id"), col("text")).schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = src.writeStream
-            .foreachBatch((df: DataFrame, b: Long) =>
-              { graft.ext.Decontaminate.addToBenchIndex(s, p, df,
-                  batchId = Some(b)); () })
-            .option("checkpointLocation", s"$root/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        drainStream(s, root,
+          d.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+            .select(col("doc_id"), col("text")),
+          (df, b) => graft.ext.Decontaminate.addToBenchIndex(s, p, df,
+            batchId = Some(b)))
         p
       })
       graft.ext.Decontaminate.overlapsIncremental(s, idx,
@@ -998,20 +1012,9 @@ object LlmPipeline {
           .select(col("corpus_id").as("doc_a"), col("batch_id").as("doc_b"))
           .unionByName(Similarity.embedNearDupPairs(batch, threshold = 0.9)
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-        newEdges.repartition(3).write.mode("overwrite").parquet(s"$root/in")
-        val src = s.readStream.schema(s.read.parquet(s"$root/in").schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = src.writeStream
-            .foreachBatch((df: DataFrame, b: Long) =>
-              graft.ext.Clusters.addToSaved(s, d, df, batchId = Some(b)))
-            .option("checkpointLocation", s"$root/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        drainStream(s, root, newEdges,
+          (df, b) => graft.ext.Clusters.addToSaved(s, d, df,
+            batchId = Some(b)))
         d
       })
       graft.ext.Clusters.snapshot(s, path)
@@ -1291,21 +1294,9 @@ object LlmPipeline {
           batchId = Some(-1L)) // seed below the engine's first id (0)
         // spool the tail as 3 files; AvailableNow + one file per
         // trigger drains it in 3 micro-batches
-        e.filter(col("vec_id") >= 200).repartition(3)
-          .write.mode("overwrite").parquet(s"$root/in")
-        val src = s.readStream.schema(e.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = src.writeStream
-            .foreachBatch((df: DataFrame, b: Long) =>
-              graft.ext.Ivf.addToSavedIndex(s, d, df, batchId = Some(b)))
-            .option("checkpointLocation", s"$root/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        drainStream(s, root, e.filter(col("vec_id") >= 200),
+          (df, b) => graft.ext.Ivf.addToSavedIndex(s, d, df,
+            batchId = Some(b)))
         d
       })
       graft.ext.Ivf.probeSavedIndex(s, idx,
@@ -1335,21 +1326,9 @@ object LlmPipeline {
         graft.ext.IvfPq.save(
           graft.ext.IvfPq.buildIndex(e.filter(col("vec_id") < 200)), d,
           batchId = Some(-1L)) // seed below the engine's first id (0)
-        e.filter(col("vec_id") >= 200).repartition(3)
-          .write.mode("overwrite").parquet(s"$root/in")
-        val src = s.readStream.schema(e.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = src.writeStream
-            .foreachBatch((df: DataFrame, b: Long) =>
-              graft.ext.IvfPq.addToSavedIndex(s, d, df, batchId = Some(b)))
-            .option("checkpointLocation", s"$root/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        drainStream(s, root, e.filter(col("vec_id") >= 200),
+          (df, b) => graft.ext.IvfPq.addToSavedIndex(s, d, df,
+            batchId = Some(b)))
         d
       })
       graft.ext.IvfPq.probe(e, graft.ext.IvfPq.load(s, p),
@@ -1850,21 +1829,9 @@ object LlmPipeline {
         val corpus = docs(s, dir).select(col("doc_id"), col("text"))
         Retrieval.buildIndex(corpus.where(col("doc_id") % 4 === 0), d,
           batchId = Some(-1L)) // seed below the engine's first id (0)
-        corpus.where(col("doc_id") % 4 =!= 0).repartition(3)
-          .write.mode("overwrite").parquet(s"$root/in")
-        val src = s.readStream.schema(corpus.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
-          val q = src.writeStream
-            .foreachBatch((df: DataFrame, b: Long) =>
-              { Retrieval.addToIndex(s, d, df, batchId = Some(b)); () })
-            .option("checkpointLocation", s"$root/ckpt")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        drainStream(s, root, corpus.where(col("doc_id") % 4 =!= 0),
+          (df, b) => { Retrieval.addToIndex(s, d, df,
+            batchId = Some(b)); () })
         d
       })
       val qs = Seq(
