@@ -34,4 +34,26 @@ object Chunking {
       .withColumn("n_tok",
         length(col("chunk_text"))
           - length(translate(col("chunk_text"), " ", "")) + lit(1))
+
+  /** The SPAN MANIFEST: (doc_id, chunk_id, start_tok, n_tok, start_byte,
+    * len_bytes) — the same windows as [[chunk]], emitted as byte-offset
+    * spans instead of materialized text. This is the form a training
+    * loader actually consumes (slice the source at load time), and the
+    * scale-path default: [[chunk]]'s output is ~(chunk/stride)× the
+    * corpus BYTES (every overlapped window re-emits its text — the r17
+    * scale curve priced that at 79× wall at 100× data), while the
+    * manifest is 16 bytes per window — METADATA-sized, invariant in
+    * document length. Rebuild identity: slicing the document's UTF-8
+    * bytes at [start_byte, start_byte+len_bytes) reproduces [[chunk]]'s
+    * chunk_text bit-for-bit (ChunkingSpec proves it, multi-byte
+    * included). Same no-shuffle plan shape: one codegen byte scan, one
+    * generator. */
+  def spans(docs: DataFrame, chunk: Int, stride: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(call_function("word_chunk_spans", col("text"),
+          lit(chunk), lit(stride))).as(Seq("chunk_id", "sp")))
+      .select(col("doc_id"), col("chunk_id"),
+        col("sp.start_tok").as("start_tok"), col("sp.n_tok").as("n_tok"),
+        col("sp.start_byte").as("start_byte"),
+        col("sp.len_bytes").as("len_bytes"))
 }

@@ -194,6 +194,20 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(2), "stride"))
       }))
     e.injectFunction((
+      new FunctionIdentifier("word_chunk_spans"),
+      new ExpressionInfo(classOf[WordChunkSpans].getName, "word_chunk_spans"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "word_chunk_spans takes (text, chunk, stride) with chunk/stride int literals")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_chunk_spans $what must be an int literal, got $other")
+        }
+        WordChunkSpans(children.head, intLit(children(1), "chunk"),
+          intLit(children(2), "stride"))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("word_profile"),
       new ExpressionInfo(classOf[WordProfile].getName, "word_profile"),
       (children: Seq[Expression]) => {

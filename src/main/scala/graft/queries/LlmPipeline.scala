@@ -1746,6 +1746,19 @@ object LlmPipeline {
       graft.ext.Chunking.chunk(docs(s, dir), chunk = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // ---- the chunk SPAN MANIFEST (the scale-path dual of q_chunk):
+    // identical windows as byte-offset spans — 16 bytes per window
+    // instead of a verbatim text copy, so the output is metadata-sized
+    // while q_chunk's is ~(chunk/stride)x the corpus bytes (79x wall at
+    // 100x on the r17 curve, adjudicated output-bound). The oracle
+    // replays the window arithmetic AND the byte offsets (strlen over
+    // the token prefix), so a one-byte drift in either kernel
+    // hash-fails; ChunkingSpec pins the rebuild identity (slices at
+    // the spans == q_chunk's text, bit-for-bit) ----
+    "q_chunk_spans" -> ((s, dir) =>
+      graft.ext.Chunking.spans(docs(s, dir), chunk = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // ---- BM25 top-k retrieval: integer-scaled odds-ratio idf (same
     // log-free trade as q_top_terms), bounded query batch broadcast,
     // bounded-heap per-query top-k ----
@@ -2925,6 +2938,28 @@ object LlmPipeline {
         |SELECT doc_id, cast(k as int) AS chunk_id,
         |  array_to_string(w[k*48 + 1 : least(k*48 + 64, m)], ' ') AS chunk_text,
         |  cast(least(k*48 + 64, m) - k*48 as int) AS n_tok
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // byte offsets replayed with strlen (BYTE length, so the gate is
+    // multi-byte-exact): start_byte of token f = bytes of the joined
+    // f-token prefix + 1 separator (0 when f = 0); len_bytes = bytes of
+    // the joined window, which by the rebuild identity IS the slice
+    // length
+    "q_chunk_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |n AS (SELECT doc_id, w, len(w) m FROM t),
+        |c AS (SELECT doc_id, w, m,
+        |    CASE WHEN m <= 64 THEN 1 ELSE (m - 64 + 47) // 48 + 1 END nch
+        |  FROM n),
+        |e AS (SELECT doc_id, w, m, unnest(range(0, nch)) k FROM c)
+        |SELECT doc_id, cast(k as int) AS chunk_id,
+        |  cast(k*48 as int) AS start_tok,
+        |  cast(least(k*48 + 64, m) - k*48 as int) AS n_tok,
+        |  cast(CASE WHEN k = 0 THEN 0
+        |       ELSE strlen(array_to_string(w[1 : k*48], ' ')) + 1 END as int)
+        |    AS start_byte,
+        |  cast(strlen(array_to_string(w[k*48 + 1 : least(k*48 + 64, m)], ' '))
+        |    as int) AS len_bytes
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_format_roundtrip" ->

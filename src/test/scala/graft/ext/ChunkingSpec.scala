@@ -82,6 +82,54 @@ class ChunkingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("t1 t2", "t5 t6", "t9 t10"))
   }
 
+  test("span manifest rebuild identity: byte slices at spans == chunk text, bit-for-bit") {
+    val f = fixture
+    val chunks = Chunking.chunk(f, 64, 48)
+      .select(col("doc_id"), col("chunk_id"),
+        col("chunk_text"), col("n_tok").as("n_tok_text"))
+    // FULL join: a window present on one side but not the other (count
+    // drift between the two kernels) surfaces as a null and fails below
+    val rows = Chunking.spans(f, 64, 48)
+      .join(chunks, Seq("doc_id", "chunk_id"), "full")
+      .join(f, "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val chunkText = r.getAs[String]("chunk_text")
+      assert(chunkText != null && !r.isNullAt(r.fieldIndex("start_byte")),
+        s"window-count drift between spans and chunks at ${r.get(0)}")
+      assert(r.getAs[Int]("n_tok") == r.getAs[Int]("n_tok_text"))
+      val bytes = r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val start = r.getAs[Int]("start_byte")
+      val len = r.getAs[Int]("len_bytes")
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(bytes, start, start + len),
+        chunkText.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+        s"doc ${r.get(0)} chunk ${r.get(1)}: slice [$start,+$len) != chunk text")
+    }
+  }
+
+  test("spans: explicit offsets on a separator-run doc") {
+    // "a  b   c" tokens: a | "" | b | "" | "" | c at byte starts 0,2,3,5,6,7
+    val got = Chunking.spans(Seq((1L, "a  b   c")).toDF("doc_id", "text"),
+        chunk = 2, stride = 2)
+      .orderBy(col("chunk_id"))
+      .select(col("start_tok"), col("n_tok"), col("start_byte"), col("len_bytes"))
+      .as[(Int, Int, Int, Int)].collect()
+    // windows: "a "+empty [0,2), "b "+empty [3,5), empty+" c" -> [6,8)
+    assert(got.toSeq == Seq((0, 2, 0, 2), (2, 2, 3, 2), (4, 2, 6, 2)))
+  }
+
+  test("span manifest is map-side only and metadata-sized") {
+    val spans = Chunking.spans(
+      spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet"), 64, 48)
+    import org.apache.spark.sql.execution.exchange.Exchange
+    assert(spans.queryExecution.executedPlan
+      .collect { case e: Exchange => e }.isEmpty)
+    // no string column survives into the manifest output
+    assert(spans.schema.fields.forall(_.dataType != org.apache.spark.sql.types.StringType))
+  }
+
   test("chunking is map-side only: no exchange in the plan") {
     val plan = Chunking.chunk(
         spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet"), 64, 48)
