@@ -35,7 +35,11 @@ object IvfProbeProfile {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val dir = s"/tmp/graft_ivfprobe_${reps}x"
+    // spool keyed by BASE too: a rerun with a different baseDir but the
+    // same replica count must not silently reuse the old base's spool
+    val baseTag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(base).toLong & 0xffffffffL)
+    val dir = s"/tmp/graft_ivfprobe_${reps}x_$baseTag"
     val emb = s"$dir/embeddings.parquet"
     val ids = s"$dir/n2ids.parquet"
     if (!new java.io.File(emb).exists()) {

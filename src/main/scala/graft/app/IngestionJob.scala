@@ -133,6 +133,39 @@ object IngestionJob {
             now = () => startTs)
         }
 
+      case IngestionPattern.File if env.config.transactionalCatalog =>
+        // ONE-SWING file ingest: inbound objects land as rows WITH the
+        // run record ([[TransactionalIngest.ingestFiles]] — closes the
+        // same dataIngestion.py:26-34 window the database branch closes;
+        // batch id = the run's exec-timestamp token, monotone per asset
+        // and stable across retries of the same run)
+        log.timed(s"file ingest (transactional) asset=${args.assetId}") {
+          require(env.config.atomicLanding,
+            "landing.transactional requires landing.atomic")
+          val inbound = s"$bucket/${paths.inboundPrefix(src.srcSysId, args.assetId)}"
+          val entry = entryOf(args, src, startTs, logPath, lastExt = None)
+          TransactionalIngest.ingestFiles(env.spark, args.sourcePath, inbound,
+            env.relay, s"$bucket/${paths.processedPrefix(src.srcSysId, args.assetId)}",
+            entry, batchId = Some(startTs.getTime))
+          env.store.insertCatalogEntry(entry) // best-effort RDBMS mirror
+          entry
+        }
+
+      case IngestionPattern.Stream if env.config.transactionalCatalog =>
+        // ONE-SWING stream ingest: merged events land as rows WITH the
+        // run record ([[TransactionalIngest.ingestStream]])
+        log.timed(s"stream ingest (transactional) asset=${args.assetId}") {
+          require(env.config.atomicLanding,
+            "landing.transactional requires landing.atomic")
+          val inbound = s"$bucket/${paths.inboundPrefix(src.srcSysId, args.assetId)}"
+          val entry = entryOf(args, src, startTs, logPath, lastExt = None)
+          TransactionalIngest.ingestStream(env.spark, args.sourcePath, inbound,
+            env.relay, s"$bucket/${paths.processedPrefix(src.srcSysId, args.assetId)}",
+            entry, batchId = Some(startTs.getTime))
+          env.store.insertCatalogEntry(entry) // best-effort RDBMS mirror
+          entry
+        }
+
       case IngestionPattern.File =>
         log.timed(s"file relay asset=${args.assetId}") {
           // copy inbound -> raw zone, then archive inbound -> processed
@@ -189,9 +222,9 @@ object IngestionJob {
     else Nil
   }
 
-  private def record(env: JobEnv, args: Args, src: SourceSystem,
-      startTs: Timestamp, logPath: String, lastExt: Option[Timestamp]): CatalogEntry = {
-    val e = CatalogEntry(
+  private def entryOf(args: Args, src: SourceSystem, startTs: Timestamp,
+      logPath: String, lastExt: Option[Timestamp]): CatalogEntry =
+    CatalogEntry(
       execId = args.execId, srcSysId = src.srcSysId, assetId = args.assetId,
       dqValidation = CatalogEntry.StatusNotStarted,
       dataPublish = CatalogEntry.StatusNotStarted,
@@ -200,6 +233,10 @@ object IngestionJob {
       procStartTs = startTs,
       createdTs = new Timestamp(System.currentTimeMillis()),
       lastExtTime = lastExt)
+
+  private def record(env: JobEnv, args: Args, src: SourceSystem,
+      startTs: Timestamp, logPath: String, lastExt: Option[Timestamp]): CatalogEntry = {
+    val e = entryOf(args, src, startTs, logPath, lastExt)
     env.store.insertCatalogEntry(e)
     e
   }

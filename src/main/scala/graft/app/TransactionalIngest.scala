@@ -85,6 +85,80 @@ object TransactionalIngest {
     }
   }
 
+  /** File-pattern transactional ingest — C1's file pattern under the
+    * same one-swing contract as [[ingest]]. The non-transactional relay
+    * ([[graft.files.FileRelay.copyAll]] then a catalog insert,
+    * `IngestionJob` file branch) has the reference's crash window
+    * (`dataIngestion.py:26-34`): objects copied to the raw zone, no run
+    * record. An object-store byte copy cannot join a commit protocol, so
+    * the transactional mode RE-REPRESENTS the batch: inbound objects
+    * become `(obj_name, length, content)` rows in the landing member —
+    * byte-fidelity preserved (spec'd), schema fixed — committed with the
+    * run record in ONE root publish. Only AFTER the publish does the
+    * inbound prefix archive to `processedPrefix`, so every crash point
+    * replays: before the swing, nothing is visible and inbound is
+    * intact (retry re-reads it); after the swing but before the move,
+    * the identified retry skips the member commits (watermark covers
+    * `batchId`) and re-runs the idempotent move; after the move, inbound
+    * is empty and everything short-circuits. Returns the published root
+    * generation. */
+  def ingestFiles(spark: SparkSession, root: String, inbound: String,
+      relay: graft.files.FileRelay, processedPrefix: String,
+      entry: CatalogEntry, batchId: Option[Long] = None,
+      beforeRootSwing: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("obj_name", StringType), StructField("length", LongType),
+      StructField("content", BinaryType)))
+    // list through the relay, not a read-time glob: a replay arriving
+    // AFTER the archive move finds inbound empty, and the landing data
+    // must then be an empty frame, not a path error (commitOnce never
+    // evaluates it — the watermark already covers the id)
+    val data =
+      if (relay.list(inbound).isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.format("binaryFile").load(inbound)
+        .select(substring_index(col("path"), "/", -1).as("obj_name"),
+          col("length"), col("content"))
+    val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing)
+    relay.moveAll(inbound, processedPrefix)
+    gen
+  }
+
+  /** Stream-pattern transactional ingest — C1's stream pattern under the
+    * one-swing contract. The non-transactional path
+    * ([[graft.stream.StreamMerger.mergeCompat]] then a catalog insert)
+    * merges inbound concatenated-JSON objects into one array file and
+    * archives inputs BEFORE the run record exists — a crash there loses
+    * the record AND the inputs' inbound copies. Here each event lands as
+    * an `event_json` row in the landing member (split on the executors
+    * by the same depth-counter splitter as the streaming path — never
+    * O(total bytes) on the driver like the reference,
+    * `dataIngestionUtils.py:256-261`), one swing with the run record,
+    * archive after. Same replay ladder as [[ingestFiles]]. */
+  def ingestStream(spark: SparkSession, root: String, inbound: String,
+      relay: graft.files.FileRelay, processedPrefix: String,
+      entry: CatalogEntry, batchId: Option[Long] = None,
+      beforeRootSwing: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.functions._
+    val parts = relay.list(inbound)
+    val data =
+      if (parts.isEmpty) {
+        import spark.implicits._
+        spark.emptyDataset[String].toDF("event_json")
+      } else {
+        val split = udf((s: String) =>
+          graft.stream.StreamMerger.splitConcatenated(s))
+        spark.read.option("wholetext", "true")
+          .text(parts.map(_.toString): _*)
+          .select(explode(split(col("value"))).as("event_json"))
+      }
+    val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing)
+    relay.moveAll(inbound, processedPrefix)
+    gen
+  }
+
   /** The highest extraction watermark recorded in the root's catalog
     * member — for [[IngestionJob]]'s transactional mode the watermark
     * OF RECORD: it became durable in the same root swing as the data

@@ -56,7 +56,18 @@ object Ivf {
     * understates scan cost, especially on repetitive fixtures) the
     * single TakeOrdered is strictly cheaper, so small corpora keep the
     * old one-pass path. Unknown sizes report huge and take the prefix
-    * route, the safe direction. */
+    * route, the safe direction.
+    *
+    * STABLE-SNAPSHOT ASSUMPTION: the prefix route reads the source
+    * twice (narrow top-n job, then the filtered wide scan), so its
+    * equivalence to a single TakeOrdered holds only if the data is
+    * stable between the two jobs. Every in-engine caller satisfies
+    * this — train() runs inside build/rebalance over a version-pinned
+    * [[graft.land.AtomicLanding]] member read (a concurrent append
+    * publishes a NEW version; the pinned frame never changes). Callers
+    * handing in an unversioned, concurrently-overwritten path would
+    * lose that guarantee — pass a pinned frame, as the saved-index
+    * paths do. */
   private[graft] def seedPrefix(emb: DataFrame, n: Int): DataFrame = {
     if (emb.queryExecution.optimizedPlan.stats.sizeInBytes < (8L << 20))
       return emb

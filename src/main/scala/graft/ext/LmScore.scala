@@ -101,6 +101,41 @@ object LmScore {
     LmModel(m.n, ng, ctx, m.vocab.localCheckpoint(true))
   }
 
+  /** Persist a model for reuse across sessions — the CCNet production
+    * shape's missing half: [[freeze]] pins a model for THIS session;
+    * save/load make it an artifact a scoring fleet loads without ever
+    * seeing the reference corpus. All four tables (ngrams, contexts,
+    * vocab, and the one-row `n` params sidecar) commit as member tables
+    * under ONE [[graft.land.AtomicLanding]] root publish, so a reader
+    * can never load ngrams from one training run and contexts from
+    * another (the torn-pair discipline every persisted index in this
+    * engine follows — same protocol as [[Retrieval.buildIndex]]). */
+  def save(m: LmModel, path: String): String = {
+    import graft.land.AtomicLanding
+    val s = m.ngrams.sparkSession
+    import s.implicits._
+    val nv = AtomicLanding.commit(m.ngrams, s"$path/ngrams")
+    val cv = AtomicLanding.commit(m.contexts, s"$path/contexts")
+    val vv = AtomicLanding.commit(m.vocab, s"$path/vocab")
+    val pv = AtomicLanding.commit(Seq(m.n).toDF("n"), s"$path/params")
+    AtomicLanding.publishLinked(path,
+      Map("ngrams" -> nv, "contexts" -> cv, "vocab" -> vv, "params" -> pv),
+      expectedRoot = AtomicLanding.currentRootVersion(path))
+    path
+  }
+
+  /** Load a [[save]]d model at the root's current generation — one
+    * consistent snapshot of all four members. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): LmModel = {
+    import graft.land.AtomicLanding
+    val snap = AtomicLanding.linkedSnapshot(path).getOrElse(
+      throw new NoSuchElementException(s"no published LM model at $path"))
+    def rd(m: String): DataFrame =
+      AtomicLanding.readVersion(spark, s"$path/$m", snap.members(m))
+    LmModel(rd("params").head().getInt(0),
+      rd("ngrams"), rd("contexts"), rd("vocab"))
+  }
+
   /** Score (doc_id, text) rows under a trained model:
     * (doc_id, n_grams, nll_scaled) — arithmetic-mean scaled inverse
     * conditional probability, higher = more surprising. */

@@ -1892,6 +1892,26 @@ object LlmPipeline {
       LmScore.score(d, pinned, broadcastModel = true).orderBy(col("doc_id"))
     }),
 
+    // ---- the FROZEN-MODEL production shape (the CCNet deployment
+    // contract): train on a REFERENCE subset (every 10th doc), PERSIST
+    // the model (LmScore.save — ngrams/contexts/vocab/params under one
+    // linked-root publish), then score the whole corpus with the LOADED
+    // model, joins map-side. Unlike q_lm_score (model == corpus, every
+    // lookup hits), this row exercises the OOV path for real: 9/10 of
+    // the corpus contributes unseen n-grams (cnt -> 0) and unseen
+    // contexts (ctx -> 0), so the left-join + coalesce semantics and
+    // the save/load round trip are both under the hash gate ----
+    "q_lm_score_frozen" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val path = bm25IdxSpooled.getOrElseUpdate(dir + "#lmfrozen", {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-lmmodel").toString + "/model"
+        LmScore.save(LmScore.train(d.where(col("doc_id") % 10 === 0)), p)
+      })
+      LmScore.score(d, LmScore.load(s, path), broadcastModel = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- Count-Min sketch: one-pass bounded-memory frequency
     // estimation (ext/Sketch.scala scaladoc for the scale contract —
     // d×w longs per partition, merge = element sums, NO vocab shuffle).
@@ -3225,6 +3245,33 @@ object LlmPipeline {
         |  FROM dbc
         |  JOIN big USING (b)
         |  JOIN ctx ON split_part(dbc.b, ' ', 1) = ctx.cx
+        |  CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT doc_id, n_grams, tot // n_grams AS nll_scaled
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // model CTEs filtered to the reference subset (doc_id % 10 = 0);
+    // LEFT joins + coalesce replay the OOV semantics (unseen n-gram ->
+    // cnt 0, unseen context -> ctx 0); V counts the TRAINING vocabulary
+    "q_lm_score_frozen" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |pos AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b, t[i] AS w1
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) i FROM w)),
+        |dbc AS (SELECT doc_id, b, cast(count(*) as bigint) c
+        |  FROM pos GROUP BY 1, 2),
+        |big AS (SELECT b, cast(count(*) as bigint) cnt
+        |  FROM pos WHERE doc_id % 10 = 0 GROUP BY 1),
+        |ctx AS (SELECT w1 AS cx, cast(count(*) as bigint) n_ctx
+        |  FROM pos WHERE doc_id % 10 = 0 GROUP BY 1),
+        |v AS (SELECT cast(count(DISTINCT tok) as bigint) v
+        |  FROM (SELECT unnest(t) tok FROM w WHERE doc_id % 10 = 0)),
+        |sc AS (SELECT dbc.doc_id,
+        |    cast(sum(dbc.c) as bigint) n_grams,
+        |    cast(sum(dbc.c * ((1000 * (coalesce(ctx.n_ctx, 0) + v.v))
+        |      // (coalesce(big.cnt, 0) + 1))) as bigint) tot
+        |  FROM dbc
+        |  LEFT JOIN big USING (b)
+        |  LEFT JOIN ctx ON split_part(dbc.b, ' ', 1) = ctx.cx
         |  CROSS JOIN v
         |  GROUP BY 1)
         |SELECT doc_id, n_grams, tot // n_grams AS nll_scaled

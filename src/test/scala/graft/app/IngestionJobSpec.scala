@@ -180,6 +180,53 @@ class IngestionJobSpec extends AnyFunSuite {
     assert(store.catalogEntries(9).size == 1)
   }
 
+  test("file pattern in transactional mode: objects land as rows WITH the run record in one swing, then archive") {
+    val root = java.nio.file.Files.createTempDirectory("graft-app-ftxn").toString
+    val relay = new FileRelay()
+    val bucket = s"$root/inbound"
+    relay.writeUtf8(new Path(s"$bucket/init/2/8/a.csv"), "x,y\n1,2")
+    relay.writeUtf8(new Path(s"$bucket/init/2/8/b.csv"), "x,y\n3,4")
+    val store = new InMemoryMetadataStore(
+      sources = Seq(srcSys(2, IngestionPattern.File, bucket)),
+      assets = Seq(DataAsset(8, "files", None, TriggerMechanism.TimeDriven,
+        ExtractionMethod.Full, None)))
+    val dest = s"$root/raw/8/init/20240110120000"
+    val entry = IngestionJob.run(
+      newEnv(store, root).copy(config =
+        cfg.copy(atomicLanding = true, transactionalCatalog = true)),
+      IngestionJob.Args(dest, 2, 8, "2_8_20240110120000"))
+    val (land, cat) = TransactionalIngest.snapshot(spark, dest).get
+    assert(land.select("obj_name").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a.csv", "b.csv"))
+    assert(cat.count() == 1)
+    assert(relay.list(s"$bucket/init/2/8").isEmpty)            // archived
+    assert(relay.list(s"$bucket/processed/2/8").size == 2)
+    assert(store.catalogEntries(8).map(_.execId) == Seq(entry.execId))
+  }
+
+  test("stream pattern in transactional mode: merged events land as rows WITH the run record in one swing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-app-stxn").toString
+    val relay = new FileRelay()
+    val bucket = s"$root/inbound"
+    relay.writeUtf8(new Path(s"$bucket/init/3/9/e1.json"), """{"a":1}{"a":2}""")
+    relay.writeUtf8(new Path(s"$bucket/init/3/9/e2.json"), """{"a":3}""")
+    val store = new InMemoryMetadataStore(
+      sources = Seq(srcSys(3, IngestionPattern.Stream, bucket)),
+      assets = Seq(DataAsset(9, "stream", None, TriggerMechanism.EventDriven,
+        ExtractionMethod.Full, None)))
+    val dest = s"$root/raw/9/init/20240110120000"
+    IngestionJob.run(
+      newEnv(store, root).copy(config =
+        cfg.copy(atomicLanding = true, transactionalCatalog = true)),
+      IngestionJob.Args(dest, 3, 9, "3_9_20240110120000"))
+    val (land, cat) = TransactionalIngest.snapshot(spark, dest).get
+    assert(land.select("event_json").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("""{"a":1}""", """{"a":2}""", """{"a":3}"""))
+    assert(cat.count() == 1)
+    assert(relay.list(s"$bucket/init/3/9").isEmpty)
+    assert(store.catalogEntries(9).size == 1)
+  }
+
   test("unknown ids fail loudly (no reference-style exception swallowing)") {
     val root = java.nio.file.Files.createTempDirectory("graft-app-x").toString
     val store = new InMemoryMetadataStore()

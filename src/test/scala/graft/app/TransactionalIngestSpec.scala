@@ -76,6 +76,106 @@ class TransactionalIngestSpec extends AnyFunSuite {
     assert(cat3.count() == 2)
   }
 
+  test("file pattern one-swing: crash before the swing exposes nothing and keeps inbound; the retry converges with byte fidelity") {
+    val root = freshRoot()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txn-f").toString
+    val inbound = s"$tmp/inbound"; val processed = s"$tmp/processed"
+    val relay = new graft.files.FileRelay()
+    import org.apache.hadoop.fs.Path
+    relay.writeUtf8(new Path(s"$inbound/a.csv"), "x,y\n1,2\n")
+    relay.writeUtf8(new Path(s"$inbound/b.txt"), "héllo 😀") // multibyte bytes
+
+    val boom = intercept[RuntimeException] {
+      TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+        entry("f1"), batchId = Some(10L),
+        beforeRootSwing = () => throw new RuntimeException("crash pre-swing"))
+    }
+    assert(boom.getMessage.contains("crash pre-swing"))
+    assert(TransactionalIngest.snapshot(spark, root).isEmpty,
+      "members committed but root never swung: a reader sees NOTHING")
+    assert(relay.list(inbound).size == 2, "inbound must survive the crash")
+    assert(relay.list(processed).isEmpty, "no archive before the swing")
+
+    // identified retry: lands once, archives, byte-exact content rows
+    TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+      entry("f1"), batchId = Some(10L))
+    val Some((land, cat)) = TransactionalIngest.snapshot(spark, root)
+    assert(cat.count() == 1)
+    val rows = land.orderBy("obj_name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a.csv", "b.txt"))
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    assert(new String(rows(1).getAs[Array[Byte]]("content"), utf8)
+      == "héllo 😀", "content must round-trip byte-for-byte")
+    assert(rows.forall(r =>
+      r.getAs[Long]("length") == r.getAs[Array[Byte]]("content").length))
+    assert(relay.list(inbound).isEmpty && relay.list(processed).size == 2)
+
+    // replay after the archive (inbound empty): pure no-op, no duplicates
+    TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+      entry("f1"), batchId = Some(10L))
+    val Some((land2, cat2)) = TransactionalIngest.snapshot(spark, root)
+    assert(land2.count() == 2 && cat2.count() == 1)
+  }
+
+  test("file pattern: crash AFTER the swing but before the archive — retry skips the land (no duplicates) and finishes the move") {
+    val root = freshRoot()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txn-f2").toString
+    val inbound = s"$tmp/inbound"; val processed = s"$tmp/processed"
+    var failMove = true
+    val relay = new graft.files.FileRelay() {
+      override def moveAll(s: String, d: String): Seq[org.apache.hadoop.fs.Path] =
+        if (failMove) { failMove = false
+          throw new RuntimeException("crash post-swing") }
+        else super.moveAll(s, d)
+    }
+    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/a.csv"), "x\n1\n")
+    intercept[RuntimeException] {
+      TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+        entry("f1"), batchId = Some(10L))
+    }
+    // published but not archived — the window the batch id must cover
+    assert(TransactionalIngest.snapshot(spark, root).isDefined)
+    assert(relay.list(inbound).size == 1)
+    TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+      entry("f1"), batchId = Some(10L))
+    val Some((land, cat)) = TransactionalIngest.snapshot(spark, root)
+    assert(land.count() == 1 && cat.count() == 1,
+      "inbound still present at retry must NOT re-land: the id covers it")
+    assert(relay.list(inbound).isEmpty && relay.list(processed).size == 1)
+  }
+
+  test("stream pattern one-swing: events land as rows with the record; crash/retry ladder converges") {
+    val root = freshRoot()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txn-s").toString
+    val inbound = s"$tmp/inbound"; val processed = s"$tmp/processed"
+    val relay = new graft.files.FileRelay()
+    import org.apache.hadoop.fs.Path
+    // brace-inside-string event: the reference's }{ splice would corrupt it
+    relay.writeUtf8(new Path(s"$inbound/e1.json"), """{"a":1}{"a":2,"s":"}{"}""")
+    relay.writeUtf8(new Path(s"$inbound/e2.json"), """{"a":3}""")
+
+    intercept[RuntimeException] {
+      TransactionalIngest.ingestStream(spark, root, inbound, relay, processed,
+        entry("s1"), batchId = Some(20L),
+        beforeRootSwing = () => throw new RuntimeException("crash pre-swing"))
+    }
+    assert(TransactionalIngest.snapshot(spark, root).isEmpty)
+    assert(relay.list(inbound).size == 2 && relay.list(processed).isEmpty)
+
+    TransactionalIngest.ingestStream(spark, root, inbound, relay, processed,
+      entry("s1"), batchId = Some(20L))
+    val Some((land, cat)) = TransactionalIngest.snapshot(spark, root)
+    assert(cat.select("execId").as[String].collect().toSeq == Seq("s1"))
+    assert(land.select("event_json").as[String].collect().sorted.toSeq ==
+      Seq("""{"a":1}""", """{"a":2,"s":"}{"}""", """{"a":3}"""))
+    assert(relay.list(inbound).isEmpty && relay.list(processed).size == 2)
+
+    // replay after archive: no-op
+    TransactionalIngest.ingestStream(spark, root, inbound, relay, processed,
+      entry("s1"), batchId = Some(20L))
+    assert(TransactionalIngest.snapshot(spark, root).get._1.count() == 3)
+  }
+
   test("snapshot pairs are torn-proof: a reader resolving mid-publish sees all-old or all-new, never landing without its record") {
     val root = freshRoot()
     TransactionalIngest.ingest(spark, root,

@@ -45,9 +45,12 @@ class IvfLifecyclePropertySpec extends AnyFunSuite {
       // 1..3 consecutive id-range batches
       val c0 = 100 + rnd.nextInt((nEmb / 2).toInt - 100)
       val nBatches = 1 + rnd.nextInt(3)
-      val cuts = (c0.toLong +: Seq.fill(nBatches - 1)(
-        c0 + 1 + rnd.nextInt((nEmb - c0).toInt)).map(_.toLong)
-        .sorted) :+ nEmb
+      // cuts drawn from [c0+1, nEmb-1] and deduped so EVERY batch is
+      // non-empty (ids are dense): an empty final batch would make the
+      // replay-publishes-nothing assertion below pass vacuously
+      val cuts = ((c0.toLong +: Seq.fill(nBatches - 1)(
+        c0 + 1 + rnd.nextInt((nEmb - c0 - 1).toInt)).map(_.toLong))
+        .distinct.sorted) :+ nEmb
       val batches = cuts.zip(cuts.tail).zipWithIndex.map {
         case ((lo, hi), i) =>
           (i + 1L, emb.filter(col("vec_id") >= lo && col("vec_id") < hi))

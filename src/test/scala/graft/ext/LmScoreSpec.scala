@@ -131,4 +131,27 @@ class LmScoreSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
         "both plans must produce identical rows")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("save/load round-trips the model: scores identical, snapshot consistent") {
+    val ref = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val scored = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z q a b"))
+      .toDF("doc_id", "text") // doc 3 brings OOV n-grams AND contexts
+    val m = LmScore.train(ref)
+    val dir = java.nio.file.Files.createTempDirectory("lmsave").toString + "/m"
+    LmScore.save(m, dir)
+    val loaded = LmScore.load(spark, dir)
+    assert(loaded.n == m.n)
+    assert(LmScore.score(scored, loaded, broadcastModel = true)
+        .orderBy("doc_id").collect().toSeq ==
+      LmScore.score(scored, m).orderBy("doc_id").collect().toSeq,
+      "the persisted model must reproduce the in-session model's scores")
+    // a second save at the same root supersedes atomically: load still
+    // yields ONE generation's members (no ngrams-from-run-1 with
+    // contexts-from-run-2)
+    LmScore.save(LmScore.train(scored), dir)
+    val m2 = LmScore.load(spark, dir)
+    assert(m2.vocab.head().getLong(0) == 5L) // a b c z q
+    assert(m2.ngrams.count() ==
+      LmScore.train(scored).ngrams.count())
+  }
 }
