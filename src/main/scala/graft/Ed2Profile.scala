@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   * residue VERDICT r15 item 1 targets is cut where it actually is,
   * not where it is guessed to be.
   *
-  * Usage: runMain graft.Ed2Profile [nNames]  (default 15000 = sf0.1)
+  * Usage: runMain graft.Ed2Profile [nNames] [k]  (default 15000 = sf0.1,
+  * k = 2). k = 1 runs the census + production-pipeline legs only — the
+  * counted-output-bound adjudication for the ed ≤ 1 family (the stage
+  * decomposition below is the ed ≤ 2 pipeline's anatomy).
   */
 object Ed2Profile {
   def main(a: Array[String]): Unit = {
     val n = a.headOption.map(_.toLong).getOrElse(15000L)
+    val k = if (a.length > 1) a(1).toInt else 2
     val spark = Sessions.build(Sessions.cpusFromEnv, "ed2-profile")
     spark.sparkContext.setLogLevel("ERROR")
     val names = spark.range(1L, n + 1L)
@@ -30,18 +34,19 @@ object Ed2Profile {
     import graft.ext.FuzzyJoin
     // census: exact enumeration volume, no join
     val (sigRows, nBuckets, maxB, candPairs) =
-      t("census")(FuzzyJoin.sigCensus(names, "name", 2))
+      t("census")(FuzzyJoin.sigCensus(names, "name", k))
     println(s"PROF sig_rows=$sigRows buckets=$nBuckets max_bucket=$maxB " +
       s"cand_pairs=$candPairs")
 
     // the production pipeline, cold, twice (jit/cache warmth check)
     t("selfJoinEdK_cold") {
       println("PROF n_pairs " +
-        FuzzyJoin.selfJoinEdK(names, "name", 2).count())
+        FuzzyJoin.selfJoinEdK(names, "name", k).count())
     }
     t("selfJoinEdK_warm") {
-      FuzzyJoin.selfJoinEdK(names, "name", 2).count()
+      FuzzyJoin.selfJoinEdK(names, "name", k).count()
     }
+    if (k != 2) { spark.stop(); sys.exit(0) }
 
     // ---- stage decomposition of the current shape ----
     val sigs = FuzzyJoin.sigTable(names, "name", "k", 2).persist()

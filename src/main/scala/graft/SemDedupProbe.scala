@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Scale-curve probe for [[graft.ext.SemDedup]] — adjudicates the
+  * operator's documented cost model before it is trusted at scale.
+  *
+  * SemDeDup's two terms are assignment O(n · L · d) and within-cluster
+  * pairwise O(n²/L · d); balancing them gives L = sqrt(n) and total
+  * O(n^1.5 · d) — the paper's own trade (at web scale the assignment
+  * term moves onto an ANN index like [[graft.ext.Ivf]]; the verdict
+  * pass stays the same). This probe times the operator at n and 10n
+  * under sqrt sizing and reports the wall ratio against the n^1.5
+  * model (10× data → ≤ ~31.6× kernel bound; fixed overheads pull the
+  * measured ratio below it at these sizes).
+  *
+  * Replication decorrelates: each replica's vectors get a deterministic
+  * per-(replica, dim) SIGN FLIP (xxhash64 parity), so replicas are
+  * near-orthogonal instead of planted duplicates — identical copies
+  * would pile every replica into one cluster and measure the wrong
+  * workload (the same reason ScaleBench word-tags replicated text).
+  * Each replica then plants 1% true scaled copies so the dup yield
+  * stays non-trivial and is ASSERTED (yield must scale with n).
+  *
+  * Usage: runMain graft.SemDedupProbe [baseDir] [reps]  (default
+  * /root/testdata/sf0.1, 10)
+  */
+object SemDedupProbe {
+  def main(a: Array[String]): Unit = {
+    val base = a.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (a.length > 1) a(1).toInt else 10
+    val spark = Sessions.build(Sessions.cpusFromEnv, "semdedup-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e0 = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n0 = e0.count()
+
+    def corpus(r: Int): org.apache.spark.sql.DataFrame = {
+      val rep = spark.range(r).toDF("rep")
+      val flipped = rep.crossJoin(e0)
+        .select((col("vec_id") + col("rep") * n0).as("vec_id"),
+          // per-(rep, dim) deterministic sign: replicas decorrelate
+          expr("""transform(embedding, (x, i) ->
+                   CASE WHEN pmod(xxhash64(rep * 64 + i), 2) = 0
+                        THEN x ELSE -x END)""").as("embedding"))
+      val pert = flipped.where(pmod(col("vec_id"), lit(100)) === 0)
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      flipped.unionByName(pert)
+    }
+
+    def t(f: => Long): (Double, Long) = {
+      val s = System.nanoTime; val r = f
+      ((System.nanoTime - s) / 1e9, r)
+    }
+
+    val legs = Seq(1, reps).map { r =>
+      // spool so generation cost never rides the timed pass
+      val dir = s"/tmp/graft_semdedup_${r}x_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(base).toLong & 0xffffffffL)
+      if (!new java.io.File(dir).exists())
+        corpus(r).write.mode(SaveMode.Overwrite).parquet(dir)
+      val c = spark.read.parquet(dir)
+      val n = c.count()
+      val nLists = math.max(16, math.sqrt(n.toDouble).toInt)
+      val (wCold, _) = t(graft.ext.SemDedup.dedup(c, nLists, 0.9).count())
+      val (wall, rows) = t(graft.ext.SemDedup.dedup(c, nLists, 0.9).count())
+      val dups = graft.ext.SemDedup.dedup(c, nLists, 0.9)
+        .where(!col("kept")).count()
+      require(dups >= n / 101 / 2,
+        s"dup yield must scale with the corpus: $dups dups at n=$n")
+      println(f"""LEG {"scale":$r,"n":$n,"n_lists":$nLists,""" +
+        f""""cold_sec":$wCold%.2f,"warm_sec":$wall%.2f,""" +
+        f""""rows":$rows,"n_dups":$dups}""")
+      (r, n, nLists, wall, dups)
+    }
+    val (r1, r2) = (legs.head, legs.last)
+    val ratio = r2._4 / r1._4
+    val bound = math.pow(r2._2.toDouble / r1._2, 1.5)
+    println(f"""SUMMARY {"wall_ratio":$ratio%.2f,""" +
+      f""""n_pow_1_5_bound":$bound%.2f,""" +
+      f""""within_model":${ratio <= bound}}""")
+    spark.stop(); sys.exit(0)
+  }
+}

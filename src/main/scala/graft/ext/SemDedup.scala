@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication over quantized embeddings — the SemDeDup
+  * recipe (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication", arXiv:2303.09540): cluster the
+  * embedding corpus, compare vectors pairwise ONLY within their cluster,
+  * and drop every vector that sits within a cosine ball of an
+  * earlier-kept one. Unlike the surface-form tiers ([[Dedup]] MinHash /
+  * SimHash over text), this removes documents that SAY the same thing in
+  * different words — the dedup layer that fires after embedding, not
+  * after shingling.
+  *
+  * Departures from the paper, both in the engine's established
+  * determinism discipline:
+  *  - similarity runs over int8-QUANTIZED codes ([[Quantize.int8Codes]],
+  *    the frozen IEEE chain) rather than raw floats: integer dot
+  *    products are exact cross-engine (no float-sum order hazard), and
+  *    at 100 TB the 4×-smaller codes are what actually fits through the
+  *    within-cluster self-join's shuffle.
+  *  - the keep policy is deterministic: a vector is a duplicate iff SOME
+  *    same-cluster vector with a SMALLER vec_id is within `tau` — the
+  *    paper keeps one random member per ε-ball; min-id is the
+  *    replayable choice, and `dup_of` records the smallest such witness.
+  *
+  * Cluster assignment follows the IVF tier's gated discipline
+  * ([[Ivf]], iters = 0): centroids are the code vectors of the first
+  * `nLists` ids, each vector joins the centroid of max quantized cosine
+  * (tie → smaller cid). Zero-norm codes rank with sentinel -2 (below
+  * any true cosine), never divide by zero.
+  *
+  * Shuffle census at 100 TB: one bounded centroid broadcast (nLists
+  * rows) into the corpus scan, one exchange for the per-vector argmax
+  * window (key: vec_id, perfectly distributed), one self-join exchange
+  * on cid for the within-cluster pairs. The pairwise term is the
+  * paper's own quadratic-in-cluster-size trade: size nLists so clusters
+  * stay bounded (they grow O(corpus/nLists)); a skewed cluster shows up
+  * as one straggling partition, the signal to retrain with more lists.
+  */
+object SemDedup {
+
+  /** Exact integer dot of two code arrays — order-independent BIGINT
+    * accumulation, the cross-engine-safe kernel. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Quantized cosine with the zero-norm sentinel (-2: below any true
+    * cosine, so zero vectors are never duplicates and never win an
+    * assignment tie they shouldn't). */
+  private def qcos(dot: Column, n2a: Column, n2b: Column): Column =
+    when(n2a === 0L || n2b === 0L, lit(-2.0d))
+      .otherwise(dot.cast("double") /
+        sqrt(n2a.cast("double") * n2b.cast("double")))
+
+  /** Per-vector verdicts: (vec_id, cid, dup_of, kept). `kept` is false
+    * iff a same-cluster vector with a smaller id has quantized cosine
+    * >= `tau`; `dup_of` is the smallest such witness (-1 when kept). */
+  def dedup(emb: DataFrame, nLists: Int, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codes = Quantize.int8Codes(emb).localCheckpoint(true)
+    val withN2 = codes.select(col("vec_id"), col("codes"),
+      intDot(col("codes"), col("codes")).as("n2"))
+    // centroids: first nLists code vectors by vec_id — bounded collect
+    // (nLists rows), broadcast into the corpus
+    val cents = withN2.orderBy(col("vec_id")).limit(nLists).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getAs[scala.collection.Seq[Long]]("codes").toSeq,
+          r.getAs[Long]("n2"))
+      }.toSeq.toDF("cid", "cvec", "cn2")
+    val byBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("qc").desc, col("cid").asc)
+    val asn = withN2.crossJoin(broadcast(cents))
+      .withColumn("qc",
+        qcos(intDot(col("codes"), col("cvec")), col("n2"), col("cn2")))
+      .withColumn("rn", row_number().over(byBest))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("codes"), col("n2"))
+    val a = asn.select(col("cid"), col("vec_id").as("va"),
+      col("codes").as("ca"), col("n2").as("na"))
+    val b = asn.select(col("cid"), col("vec_id").as("vb"),
+      col("codes").as("cb"), col("n2").as("nb"))
+    val dup = a.join(b, Seq("cid"))
+      .where(col("va") < col("vb"))
+      .where(qcos(intDot(col("ca"), col("cb")), col("na"), col("nb"))
+        >= lit(tau))
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("dup_witness"))
+    asn.select(col("vec_id"), col("cid"))
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup_witness"), lit(-1L)).as("dup_of"),
+        col("dup_witness").isNull.as("kept"))
+  }
+}

@@ -920,6 +920,28 @@ object LlmPipeline {
         .orderBy(col("corpus_id"), col("batch_id"))
     }),
 
+    // ---- SemDeDup (semantic dedup over QUANTIZED embeddings at the
+    // IVF tier, arXiv:2303.09540): int8-quantize the corpus, assign
+    // each code vector to its max-quantized-cosine centroid (first-16
+    // seeds, the IVF iters=0 discipline), pairwise-compare ONLY within
+    // clusters, drop every vector within tau of a smaller-id neighbor.
+    // The fixture plants 50 float-rounded 1.01x copies; the gate pins
+    // per-vector verdicts (cid, the min-id witness, kept), so cluster
+    // assignment, the integer dot kernel, and the keep policy all
+    // hash-fail independently. Differs from q_embed_neardup by design:
+    // cluster-bounded candidates instead of hyperplane bands, quantized
+    // instead of exact similarity, per-vector verdict instead of pair
+    // list ----
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      graft.ext.SemDedup.dedup(e.unionByName(pert), nLists = 16, tau = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- embedding dedup end-to-end: banded candidate pairs -> exact
     // verify -> connected-components clustering -> cluster census. The
     // embedding mirror of q_curation_funnel_cc's doc-side closure ----
@@ -2695,6 +2717,64 @@ object LlmPipeline {
         |SELECT corpus_id, batch_id, cos_sim FROM s
         |WHERE cos_sim >= cast(0.9 as double)
         |ORDER BY corpus_id, batch_id""".stripMargin,
+
+    // full SemDeDup replay: int8 quantization (the q_embed_quantize
+    // chain), first-16-seed assignment by quantized cosine (integer
+    // dots — exact cross-engine), within-cluster pairs, min-id witness
+    "q_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
+        |  FROM embeddings WHERE vec_id < 50),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |stats AS (
+        |  SELECT d, min(cast(embedding[d] as double)) AS mn,
+        |         max(cast(embedding[d] as double)) AS mx
+        |  FROM base CROSS JOIN dims GROUP BY d),
+        |codes AS (
+        |  SELECT b.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE cast(floor((cast(b.embedding[s.d] as double) - s.mn)
+        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127
+        |    END AS code
+        |  FROM base b CROSS JOIN stats s),
+        |cv AS (SELECT vec_id, list(code ORDER BY d) AS c FROM codes GROUP BY vec_id),
+        |n2 AS (SELECT vec_id, cast(list_sum(list_transform(c, x -> x*x)) as bigint) AS n2 FROM cv),
+        |cent AS (
+        |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,
+        |         c AS cvec
+        |  FROM (SELECT vec_id, c FROM cv ORDER BY vec_id LIMIT 16)),
+        |cn AS (SELECT cid, cast(list_sum(list_transform(cvec, x -> x*x)) as bigint) AS cn2 FROM cent),
+        |ad AS (
+        |  SELECT cv.vec_id, cent.cid,
+        |    cast(list_sum(list_transform(range(1,65), i -> cv.c[i] * cent.cvec[i])) as bigint) AS dot
+        |  FROM cv CROSS JOIN cent),
+        |asn AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ad.vec_id, ad.cid,
+        |      row_number() OVER (PARTITION BY ad.vec_id ORDER BY
+        |        CASE WHEN n2.n2 = 0 OR cn.cn2 = 0 THEN cast(-2 as double)
+        |             ELSE cast(ad.dot as double)/sqrt(cast(n2.n2 as double)*cast(cn.cn2 as double)) END DESC,
+        |        ad.cid ASC) rn
+        |    FROM ad JOIN n2 ON n2.vec_id = ad.vec_id JOIN cn ON cn.cid = ad.cid) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id va, b.vec_id vb,
+        |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN cast(-2 as double)
+        |         ELSE cast(list_sum(list_transform(range(1,65), i -> ca.c[i]*cb.c[i])) as double)
+        |              / sqrt(cast(na.n2 as double)*cast(nb.n2 as double)) END AS qcos
+        |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN cv ca ON ca.vec_id = a.vec_id JOIN cv cb ON cb.vec_id = b.vec_id
+        |  JOIN n2 na ON na.vec_id = a.vec_id JOIN n2 nb ON nb.vec_id = b.vec_id),
+        |dup AS (SELECT vb AS vec_id, min(va) AS dup_witness FROM p
+        |        WHERE qcos >= cast(0.9 as double) GROUP BY vb)
+        |SELECT asn.vec_id, asn.cid,
+        |  cast(coalesce(dup.dup_witness, -1) as bigint) AS dup_of,
+        |  dup.dup_witness IS NULL AS kept
+        |FROM asn LEFT JOIN dup USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_binary_objects" ->
       """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes
