@@ -75,6 +75,9 @@ object ScaleBench {
     "q_chunk_unsorted" -> ((s: SparkSession, dir: String) =>
       graft.ext.Chunking.chunk(Tables.t(s, dir, "documents"),
         chunk = 64, stride = 48)),
+    "q_chunk_spans_unsorted" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Chunking.spans(Tables.t(s, dir, "documents"),
+        chunk = 64, stride = 48)),
     // the q_fuzzy_join gate row reads c_name, which replication copies
     // verbatim (replica keys shift, name strings don't) — distinct()
     // would collapse the 100× input back to the base 1,500 names. This
