@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class RerankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ordered-bigram proximity outranks scattered terms at equal coverage") {
+    // both docs contain both query terms once (same matched, same
+    // capped_tf, same length); only doc 2 has them ADJACENT in order
+    val docs = Seq(
+      (1L, "spark x y z engine pad pad pad"),
+      (2L, "spark engine x y z pad pad pad")).toDF("doc_id", "text")
+    val qs = Seq((0L, "spark engine")).toDF("query_id", "qtext")
+    val shortlist = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "doc_id")
+    val got = Rerank.rerank(shortlist, docs, qs, k = 2)
+      .orderBy("rnk").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
+    // exactly one bigram hit's worth of score separates them:
+    // 1000*(4*2 + 2*2 + 8*1) div 28  vs  1000*(4*2 + 2*2) div 28
+    assert(got(0).getAs[Long]("rr_score") == 20000L / 28)
+    assert(got(1).getAs[Long]("rr_score") == 12000L / 28)
+  }
+
+  test("zero-hit shortlist pairs are scored 0 and kept, never dropped") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val qs = Seq((0L, "omega psi")).toDF("query_id", "qtext")
+    val shortlist = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "doc_id")
+    val got = Rerank.rerank(shortlist, docs, qs, k = 5).collect()
+    assert(got.length == 2, "an ANN-style no-term-overlap shortlist must survive")
+    assert(got.forall(_.getAs[Long]("rr_score") == 0L))
+    // deterministic tie: doc_id ascending
+    assert(got.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("doc_id")).toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("saturated tf: the 4th occurrence of a term adds nothing") {
+    val docs = Seq(
+      (1L, "w w w pad pad pad pad pad"),
+      (2L, "w w w w pad pad pad pad")).toDF("doc_id", "text")
+    val qs = Seq((0L, "w")).toDF("query_id", "qtext")
+    val shortlist = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "doc_id")
+    val scores = Rerank.rerank(shortlist, docs, qs, k = 2)
+      .orderBy("doc_id").select("rr_score").as[Long].collect()
+    assert(scores(0) == scores(1), "tf is capped at 3: equal scores")
+  }
+
+  test("end-to-end over the corpus: reranks the BM25 shortlist, k bound holds, feature signals live") {
+    val d = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qs = d.where(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " ", -1), 1, 6)).as("qtext"))
+    val short = Retrieval.bm25TopK(d, qs, k = 10)
+    val got = Rerank.rerank(short, d, qs, k = 5)
+    val rows = got.collect()
+    assert(rows.groupBy(_.getAs[Long]("query_id")).forall(_._2.length <= 5))
+    // every reranked pair came from the shortlist
+    assert(got.join(short.select("query_id", "doc_id"),
+      Seq("query_id", "doc_id"), "left_anti").count() == 0)
+    // feature signal is live on the corpus: every query's winner has a
+    // positive score (its prefix terms exist verbatim in its own doc,
+    // so SOME candidate must score; the winner may legitimately be a
+    // shorter doc than the source — the length saturation's intent)
+    val top1 = rows.filter(_.getAs[Long]("rnk") == 1L)
+    assert(top1.length == 4)
+    top1.foreach(r => assert(r.getAs[Long]("rr_score") > 0L,
+      s"query ${r.get(0)}: dead feature signal"))
+    assert(rows.forall(_.getAs[Long]("rr_score") >= 0L))
+  }
+}
