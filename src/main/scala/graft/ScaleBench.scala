@@ -37,8 +37,8 @@ object ScaleBench {
     "q_tpch_local_supplier", "q_tpch_small_qty", "q_salted_agg",
     "q_window_running", "q_dedup_exact", "q_dedup_minhash",
     "q_text_stats", "q_top_terms", "q_collocations", "q_pack",
-    "q_bm25", "q_bm25_indexed", "q_lm_score", "q_chunk", "q_chunk_spans",
-    "q_bm25_selfjoin",
+    "q_bm25", "q_bm25_indexed", "q_lm_score", "q_lm_score_frozen",
+    "q_chunk", "q_chunk_spans", "q_bm25_selfjoin", "q_rerank",
     "q_cms", "q_heavy_hitters",
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq",
     "q_pagerank", "q_retention", "q_funnel",
