@@ -55,30 +55,17 @@ object SemDedup {
       .otherwise(dot.cast("double") /
         sqrt(n2a.cast("double") * n2b.cast("double")))
 
-  /** Per-vector verdicts: (vec_id, cid, dup_of, kept). `kept` is false
-    * iff a same-cluster vector with a smaller id has quantized cosine
-    * >= `tau`; `dup_of` is the smallest such witness (-1 when kept). */
-  def dedup(emb: DataFrame, nLists: Int, tau: Double): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val codes = Quantize.int8Codes(emb).localCheckpoint(true)
-    val withN2 = codes.select(col("vec_id"), col("codes"),
-      intDot(col("codes"), col("codes")).as("n2"))
-    // centroids: first nLists code vectors by vec_id — bounded collect
-    // (nLists rows), broadcast into the corpus
-    val cents = withN2.orderBy(col("vec_id")).limit(nLists).collect()
-      .zipWithIndex.map { case (r, i) =>
-        (i, r.getAs[scala.collection.Seq[Long]]("codes").toSeq,
-          r.getAs[Long]("n2"))
-      }.toSeq.toDF("cid", "cvec", "cn2")
-    val byBest = Window.partitionBy(col("vec_id"))
-      .orderBy(col("qc").desc, col("cid").asc)
-    val asn = withN2.crossJoin(broadcast(cents))
-      .withColumn("qc",
-        qcos(intDot(col("codes"), col("cvec")), col("n2"), col("cn2")))
-      .withColumn("rn", row_number().over(byBest))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("codes"), col("n2"))
+  /** The verdict stage alone, over ANY cluster assignment: `asn` is
+    * (vec_id, cid, codes, n2) — one row per vector with its cluster and
+    * its int8 code vector. This is the composition seam the scale story
+    * rests on: at web scale the assignment does NOT come from the
+    * [[dedup]] cross join but from the PERSISTED IVF index the ingest
+    * pipeline already maintains ([[dedupWithIndex]] reads it straight
+    * from the index's lists member), so semantic dedup pays only the
+    * within-cluster pairwise term. Verdict: a vector is a duplicate iff
+    * a same-cluster vector with a smaller id has quantized cosine >=
+    * `tau`; `dup_of` records the smallest witness (-1 when kept). */
+  def verdicts(asn: DataFrame, tau: Double): DataFrame = {
     val a = asn.select(col("cid"), col("vec_id").as("va"),
       col("codes").as("ca"), col("n2").as("na"))
     val b = asn.select(col("cid"), col("vec_id").as("vb"),
@@ -94,5 +81,55 @@ object SemDedup {
       .select(col("vec_id"), col("cid"),
         coalesce(col("dup_witness"), lit(-1L)).as("dup_of"),
         col("dup_witness").isNull.as("kept"))
+  }
+
+  /** int8 codes + integer self-norms for `emb` — the verdict stage's
+    * input columns. */
+  private def codesWithN2(emb: DataFrame): DataFrame =
+    Quantize.int8Codes(emb).localCheckpoint(true)
+      .select(col("vec_id"), col("codes"),
+        intDot(col("codes"), col("codes")).as("n2"))
+
+  /** [[verdicts]] over the cluster assignment of a PERSISTED IVF index
+    * ([[Ivf.buildSavedIndex]]'s `lists` member, read at the current
+    * root generation): the web-scale shape — the ANN index the
+    * pipeline already maintains provides the clusters (its float-dot
+    * assignment; positive scaling preserves a dot argmax, so a scaled
+    * near-copy still shares its original's cluster), and this pass
+    * pays only the quantization scan plus the within-cluster pairwise
+    * term. Vectors absent from the index are not scored — dedup what
+    * is indexed. */
+  def dedupWithIndex(emb: DataFrame, indexPath: String,
+      tau: Double): DataFrame = {
+    val lists = graft.land.AtomicLanding
+      .read(emb.sparkSession, s"$indexPath/lists")
+      .select(col("neighbor_id").as("vec_id"), col("cid"))
+    verdicts(codesWithN2(emb).join(lists, Seq("vec_id")), tau)
+  }
+
+  /** Per-vector verdicts: (vec_id, cid, dup_of, kept) — self-contained
+    * form: quantize, assign by quantized cosine against the first
+    * `nLists` code vectors (the IVF iters = 0 seeding discipline), then
+    * [[verdicts]]. */
+  def dedup(emb: DataFrame, nLists: Int, tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withN2 = codesWithN2(emb)
+    // centroids: first nLists code vectors by vec_id — bounded collect
+    // (nLists rows), broadcast into the corpus
+    val cents = withN2.orderBy(col("vec_id")).limit(nLists).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getAs[scala.collection.Seq[Long]]("codes").toSeq,
+          r.getAs[Long]("n2"))
+      }.toSeq.toDF("cid", "cvec", "cn2")
+    val byBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("qc").desc, col("cid").asc)
+    val asn = withN2.crossJoin(broadcast(cents))
+      .withColumn("qc",
+        qcos(intDot(col("codes"), col("cvec")), col("n2"), col("cn2")))
+      .withColumn("rn", row_number().over(byBest))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("codes"), col("n2"))
+    verdicts(asn, tau)
   }
 }

@@ -942,6 +942,32 @@ object LlmPipeline {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- SemDeDup at the PERSISTED-IVF tier (the web-scale shape the
+    // SemDedup scaladoc promises): the cluster assignment comes from a
+    // saved Ivf index's lists member — the ANN index the ingest
+    // pipeline already maintains — so this pass pays only the
+    // quantization scan + the within-cluster pairwise term, no
+    // assignment pass. With iters = 0 the index assignment is exact
+    // scaled-integer float-dot math (q_cosine_ivf's replay recipe), and
+    // a positive-scaled copy shares its original's argmax cluster, so
+    // the whole composition replays in SQL: float-dot assignment +
+    // quantized-cosine pairwise + min-id witness ----
+    "q_semantic_dedup_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      val base = e.unionByName(pert)
+      val idx = bm25IdxSpooled.getOrElseUpdate(dir + "#semivf", {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-semivf").toString + "/idx"
+        graft.ext.Ivf.buildSavedIndex(base, d, nLists = 16, iters = 0)
+      })
+      graft.ext.SemDedup.dedupWithIndex(base, idx, tau = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- embedding dedup end-to-end: banded candidate pairs -> exact
     // verify -> connected-components clustering -> cluster census. The
     // embedding mirror of q_curation_funnel_cc's doc-side closure ----
@@ -2803,6 +2829,62 @@ object LlmPipeline {
         |             ELSE cast(ad.dot as double)/sqrt(cast(n2.n2 as double)*cast(cn.cn2 as double)) END DESC,
         |        ad.cid ASC) rn
         |    FROM ad JOIN n2 ON n2.vec_id = ad.vec_id JOIN cn ON cn.cid = ad.cid) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id va, b.vec_id vb,
+        |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN cast(-2 as double)
+        |         ELSE cast(list_sum(list_transform(range(1,65), i -> ca.c[i]*cb.c[i])) as double)
+        |              / sqrt(cast(na.n2 as double)*cast(nb.n2 as double)) END AS qcos
+        |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN cv ca ON ca.vec_id = a.vec_id JOIN cv cb ON cb.vec_id = b.vec_id
+        |  JOIN n2 na ON na.vec_id = a.vec_id JOIN n2 nb ON nb.vec_id = b.vec_id),
+        |dup AS (SELECT vb AS vec_id, min(va) AS dup_witness FROM p
+        |        WHERE qcos >= cast(0.9 as double) GROUP BY vb)
+        |SELECT asn.vec_id, asn.cid,
+        |  cast(coalesce(dup.dup_witness, -1) as bigint) AS dup_of,
+        |  dup.dup_witness IS NULL AS kept
+        |FROM asn LEFT JOIN dup USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // the IVF-assigned composition: assignment = exact scaled-integer
+    // FLOAT dot against the first-16 raw seed vectors (the persisted
+    // index's iters=0 recipe, tie -> smaller cid), pairwise tail
+    // identical to q_semantic_dedup
+    "q_semantic_dedup_ivf" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
+        |  FROM embeddings WHERE vec_id < 50),
+        |cent AS (
+        |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,
+        |         embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 16)),
+        |fd AS (
+        |  SELECT b.vec_id, cent.cid,
+        |    list_sum(list_transform(list_zip(b.embedding, cent.cvec),
+        |      p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) AS dot
+        |  FROM base b CROSS JOIN cent),
+        |asn AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) rn
+        |    FROM fd) WHERE rn = 1),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |stats AS (
+        |  SELECT d, min(cast(embedding[d] as double)) AS mn,
+        |         max(cast(embedding[d] as double)) AS mx
+        |  FROM base CROSS JOIN dims GROUP BY d),
+        |codes AS (
+        |  SELECT b.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE cast(floor((cast(b.embedding[s.d] as double) - s.mn)
+        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127
+        |    END AS code
+        |  FROM base b CROSS JOIN stats s),
+        |cv AS (SELECT vec_id, list(code ORDER BY d) AS c FROM codes GROUP BY vec_id),
+        |n2 AS (SELECT vec_id, cast(list_sum(list_transform(c, x -> x*x)) as bigint) AS n2 FROM cv),
         |p AS (
         |  SELECT a.vec_id va, b.vec_id vb,
         |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN cast(-2 as double)

@@ -68,6 +68,26 @@ class SemDedupSpec extends AnyFunSuite
       d1.queryExecution.executedPlan)
   }
 
+  test("dedupWithIndex: a persisted IVF index's lists drive the verdicts; planted copies still drop") {
+    val (e, base) = fixture
+    val dir = java.nio.file.Files
+      .createTempDirectory("semivf").toString + "/idx"
+    Ivf.buildSavedIndex(base, dir, nLists = 8, iters = 0)
+    val out = SemDedup.dedupWithIndex(base, dir, tau = 0.9).collect()
+    assert(out.length == base.count(), "every indexed vector gets a verdict")
+    // positive scaling preserves a float-dot argmax: each copy shares
+    // its original's index cluster, so the copies still drop
+    assert(out.filter(!_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).sorted.toSeq ==
+      (0L until 20L).map(_ + 10000))
+    // the clusters really are the INDEX's, not a re-assignment
+    val listCid = graft.land.AtomicLanding.read(spark, s"$dir/lists")
+      .select(col("neighbor_id").as("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach(r => assert(
+      listCid(r.getAs[Long]("vec_id")) == r.getAs[Int]("cid")))
+  }
+
   test("tau = 1.0 keeps everything except exact code collisions; tau <= -1 drops all but cluster minima") {
     val (e, _) = fixture
     // no planted copies: nothing should cross tau = 0.9 (fixture max
