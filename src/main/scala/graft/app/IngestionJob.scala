@@ -111,7 +111,7 @@ object IngestionJob {
           // exactly-once contract end-to-end
           TransactionalIngest.ingest(env.spark, root, ext.data, entry,
             batchId = ext.newWatermark.map(_.getTime))
-          env.store.insertCatalogEntry(entry)
+          mirrorCatalogEntry(env, entry)
           entry
         }
 
@@ -147,7 +147,7 @@ object IngestionJob {
           TransactionalIngest.ingestFiles(env.spark, args.sourcePath, inbound,
             env.relay, s"$bucket/${paths.processedPrefix(src.srcSysId, args.assetId)}",
             entry, batchId = Some(startTs.getTime))
-          env.store.insertCatalogEntry(entry) // best-effort RDBMS mirror
+          mirrorCatalogEntry(env, entry)
           entry
         }
 
@@ -162,7 +162,7 @@ object IngestionJob {
           TransactionalIngest.ingestStream(env.spark, args.sourcePath, inbound,
             env.relay, s"$bucket/${paths.processedPrefix(src.srcSysId, args.assetId)}",
             entry, batchId = Some(startTs.getTime))
-          env.store.insertCatalogEntry(entry) // best-effort RDBMS mirror
+          mirrorCatalogEntry(env, entry)
           entry
         }
 
@@ -221,6 +221,24 @@ object IngestionJob {
       AtomicLanding.vacuum(table, futureGraceMs = reservationGraceMs)
     else Nil
   }
+
+  /** Best-effort RDBMS mirror of a run record whose commit point is the
+    * transactional root (the catalog MEMBER — durable in the same swing
+    * as the data). Idempotent and non-fatal BY CONTRACT: a retry of a
+    * published run must not insert a duplicate mirror row (the member
+    * commit already short-circuited, the JDBC insert would not), and a
+    * mirror failure must not fail a job whose durable publish already
+    * succeeded — the mirror is replayable from the catalog member. */
+  private def mirrorCatalogEntry(env: JobEnv, entry: CatalogEntry): Unit =
+    try {
+      if (!env.store.catalogEntries(entry.assetId).exists(_.execId == entry.execId))
+        env.store.insertCatalogEntry(entry)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        env.logger.info(s"catalog mirror insert failed for " +
+          s"exec_id=${entry.execId} (non-fatal: the catalog member is the " +
+          s"record of truth; re-mirror from it): ${e.getMessage}")
+    }
 
   private def entryOf(args: Args, src: SourceSystem, startTs: Timestamp,
       logPath: String, lastExt: Option[Timestamp]): CatalogEntry =

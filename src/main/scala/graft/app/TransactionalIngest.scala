@@ -92,37 +92,65 @@ object TransactionalIngest {
     * (`dataIngestion.py:26-34`): objects copied to the raw zone, no run
     * record. An object-store byte copy cannot join a commit protocol, so
     * the transactional mode RE-REPRESENTS the batch: inbound objects
-    * become `(obj_name, length, content)` rows in the landing member —
-    * byte-fidelity preserved (spec'd), schema fixed — committed with the
-    * run record in ONE root publish. Only AFTER the publish does the
-    * inbound prefix archive to `processedPrefix`, so every crash point
-    * replays: before the swing, nothing is visible and inbound is
-    * intact (retry re-reads it); after the swing but before the move,
-    * the identified retry skips the member commits (watermark covers
-    * `batchId`) and re-runs the idempotent move; after the move, inbound
-    * is empty and everything short-circuits. Returns the published root
-    * generation. */
+    * become `(obj_name, length, content, batch_id)` rows in the landing
+    * member — byte-fidelity preserved (spec'd), schema fixed — committed
+    * with the run record in ONE root publish.
+    *
+    * ONE listing drives the whole run: the relay listing captured at
+    * entry is read EXACTLY (explicit paths — no read-time directory
+    * glob, so a nested object a recursive discovery would find but the
+    * archive would never move cannot re-land every batch), landed
+    * exactly, and archived exactly ([[graft.files.FileRelay.moveExact]]).
+    * An object arriving in inbound after the listing stays for the next
+    * run — it is NEVER archived unlanded (the silent-loss window a
+    * fresh listing at archive time would open).
+    *
+    * Replay ladder (crash anywhere, retry with the same `batchId`):
+    * before the swing, nothing is visible and inbound is intact — the
+    * retry re-lists and re-lands (late arrivals simply join the batch;
+    * the member commit is all-or-nothing, so no object can have landed
+    * twice); after the swing but before the archive, the watermark
+    * covers the id, the member commits short-circuit, and the retry
+    * archives ONLY the objects this batch durably landed — their names
+    * ride the landing rows (`batch_id` column), so a late arrival
+    * sitting next to the batch's leftovers stays in inbound for its own
+    * batch; after the archive, the filtered listing is empty and
+    * everything short-circuits. Returns the published root generation. */
   def ingestFiles(spark: SparkSession, root: String, inbound: String,
       relay: graft.files.FileRelay, processedPrefix: String,
       entry: CatalogEntry, batchId: Option[Long] = None,
       beforeRootSwing: () => Unit = () => ()): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
+    val landingT = s"$root/$LandingMember"
     val schema = StructType(Seq(
       StructField("obj_name", StringType), StructField("length", LongType),
-      StructField("content", BinaryType)))
-    // list through the relay, not a read-time glob: a replay arriving
-    // AFTER the archive move finds inbound empty, and the landing data
-    // must then be an empty frame, not a path error (commitOnce never
-    // evaluates it — the watermark already covers the id)
+      StructField("content", BinaryType), StructField("batch_id", LongType)))
+    val listed = relay.list(inbound)
+    val covered = batchId.exists(b =>
+      AtomicLanding.lastBatchId(landingT).exists(_ >= b))
+    val bid = batchId.getOrElse(-1L)
     val data =
-      if (relay.list(inbound).isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.format("binaryFile").load(inbound)
+      if (covered || listed.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.format("binaryFile").load(listed.map(_.toString): _*)
         .select(substring_index(col("path"), "/", -1).as("obj_name"),
-          col("length"), col("content"))
+          col("length"), col("content"), lit(bid).as("batch_id"))
     val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing)
-    relay.moveAll(inbound, processedPrefix)
+    val toArchive =
+      if (!covered) listed
+      else {
+        // covered retry: the batch's own durable landing rows say what
+        // to archive; anything else under inbound arrived after the
+        // crashed attempt's listing and belongs to a future batch
+        val names = AtomicLanding.read(spark, landingT)
+          .where(col("batch_id") === lit(bid))
+          .select(col("obj_name")).distinct()
+          .collect().map(_.getString(0)).toSet
+        listed.filter(p => names.contains(p.getName))
+      }
+    relay.moveExact(toArchive, processedPrefix)
     gen
   }
 
@@ -132,30 +160,55 @@ object TransactionalIngest {
     * merges inbound concatenated-JSON objects into one array file and
     * archives inputs BEFORE the run record exists — a crash there loses
     * the record AND the inputs' inbound copies. Here each event lands as
-    * an `event_json` row in the landing member (split on the executors
-    * by the same depth-counter splitter as the streaming path — never
-    * O(total bytes) on the driver like the reference,
-    * `dataIngestionUtils.py:256-261`), one swing with the run record,
-    * archive after. Same replay ladder as [[ingestFiles]]. */
+    * a `(src_obj, event_json, batch_id)` row in the landing member
+    * (split on the executors by the same depth-counter splitter as the
+    * streaming path — never O(total bytes) on the driver like the
+    * reference, `dataIngestionUtils.py:256-261`), one swing with the run
+    * record, archive after. Same one-listing rule and replay ladder as
+    * [[ingestFiles]]: the entry listing is read exactly, landed exactly
+    * (each event carries its source object's name), and archived
+    * exactly; a covered retry archives only objects whose events this
+    * batch durably landed. One residue the file pattern does not have: a
+    * listed object whose content splits to ZERO events leaves no landing
+    * row, so a covered retry cannot prove it was part of the batch and
+    * leaves it in inbound — it re-lands zero rows under the NEXT batch
+    * and archives with that batch's exact listing (convergent, never
+    * lossy). */
   def ingestStream(spark: SparkSession, root: String, inbound: String,
       relay: graft.files.FileRelay, processedPrefix: String,
       entry: CatalogEntry, batchId: Option[Long] = None,
       beforeRootSwing: () => Unit = () => ()): Long = {
     import org.apache.spark.sql.functions._
-    val parts = relay.list(inbound)
+    val landingT = s"$root/$LandingMember"
+    val listed = relay.list(inbound)
+    val covered = batchId.exists(b =>
+      AtomicLanding.lastBatchId(landingT).exists(_ >= b))
+    val bid = batchId.getOrElse(-1L)
     val data =
-      if (parts.isEmpty) {
+      if (covered || listed.isEmpty) {
         import spark.implicits._
-        spark.emptyDataset[String].toDF("event_json")
+        spark.emptyDataset[(String, String, Long)]
+          .toDF("src_obj", "event_json", "batch_id")
       } else {
         val split = udf((s: String) =>
           graft.stream.StreamMerger.splitConcatenated(s))
         spark.read.option("wholetext", "true")
-          .text(parts.map(_.toString): _*)
-          .select(explode(split(col("value"))).as("event_json"))
+          .text(listed.map(_.toString): _*)
+          .select(substring_index(input_file_name(), "/", -1).as("src_obj"),
+            explode(split(col("value"))).as("event_json"),
+            lit(bid).as("batch_id"))
       }
     val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing)
-    relay.moveAll(inbound, processedPrefix)
+    val toArchive =
+      if (!covered) listed
+      else {
+        val names = AtomicLanding.read(spark, landingT)
+          .where(col("batch_id") === lit(bid))
+          .select(col("src_obj")).distinct()
+          .collect().map(_.getString(0)).toSet
+        listed.filter(p => names.contains(p.getName))
+      }
+    relay.moveExact(toArchive, processedPrefix)
     gen
   }
 

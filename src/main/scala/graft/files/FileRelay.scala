@@ -56,6 +56,26 @@ class FileRelay(conf: Configuration = new Configuration()) {
     pairs.map(_._2)
   }
 
+  /** Archive EXACTLY the given objects — the listing is the CALLER's,
+    * captured before whatever work the archive concludes, so an object
+    * arriving under the same prefix after that snapshot is never swept
+    * in ([[moveAll]]'s no-fresh-listing rule, pushed all the way to the
+    * caller: a transactional ingest lists once, lands exactly that set,
+    * and archives exactly that set). A source already absent is skipped,
+    * and a copy that crashed before its delete re-copies (overwrite) —
+    * so a retried partial move converges. */
+  def moveExact(paths: Seq[Path], destPrefix: String): Seq[Path] = {
+    val destDir = new Path(destPrefix)
+    val dfs = fs(destDir)
+    dfs.mkdirs(destDir)
+    paths.filter(p => fs(p).exists(p)).map { src =>
+      val dest = new Path(destDir, src.getName)
+      FileUtil.copy(fs(src), src, dfs, dest, false, true, conf)
+      fs(src).delete(src, false)
+      dest
+    }
+  }
+
   def readUtf8(p: Path): String = {
     val in = fs(p).open(p)
     try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),

@@ -18,7 +18,7 @@ class IngestionJobSpec extends AnyFunSuite {
     fmPrefix = "dl-fw", region = "us-east-2",
     controlDbUrl = "unused", controlDbUser = "", controlSecretName = "control-db")
 
-  private def newEnv(store: InMemoryMetadataStore, root: String) = IngestionJob.JobEnv(
+  private def newEnv(store: graft.catalog.MetadataStore, root: String) = IngestionJob.JobEnv(
     spark = spark, store = store, relay = new FileRelay(),
     creds = new InMemoryCredentialProvider(Map.empty),
     config = cfg, logger = RunLogger.console(),
@@ -225,6 +225,46 @@ class IngestionJobSpec extends AnyFunSuite {
     assert(cat.count() == 1)
     assert(relay.list(s"$bucket/init/3/9").isEmpty)
     assert(store.catalogEntries(9).size == 1)
+  }
+
+  test("transactional mode's RDBMS mirror is best-effort and idempotent: a mirror failure does not fail a published run; a retry does not duplicate the row (ADVICE r18)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-app-mirror").toString
+    val relay = new FileRelay()
+    val bucket = s"$root/inbound"
+    relay.writeUtf8(new Path(s"$bucket/init/2/8/a.csv"), "x,y\n1,2")
+    var failMirror = true
+    val inner = new InMemoryMetadataStore(
+      sources = Seq(srcSys(2, IngestionPattern.File, bucket)),
+      assets = Seq(DataAsset(8, "files", None, TriggerMechanism.TimeDriven,
+        ExtractionMethod.Full, None)))
+    val store = new graft.catalog.MetadataStore {
+      def sourceSystem(id: Int) = inner.sourceSystem(id)
+      def dataAsset(id: Int) = inner.dataAsset(id)
+      def highestWatermark(assetId: Int) = inner.highestWatermark(assetId)
+      def updateCatalogStatus(execId: String, c: String, v: String) =
+        inner.updateCatalogStatus(execId, c, v)
+      def catalogEntries(assetId: Int) = inner.catalogEntries(assetId)
+      def insertCatalogEntry(e: graft.model.CatalogEntry): Unit = {
+        if (failMirror) { failMirror = false
+          throw new RuntimeException("mirror store down") }
+        inner.insertCatalogEntry(e)
+      }
+    }
+    val dest = s"$root/raw/8/init/20240110120000"
+    val env = newEnv(store, root).copy(config =
+      cfg.copy(atomicLanding = true, transactionalCatalog = true))
+    val args = IngestionJob.Args(dest, 2, 8, "2_8_20240110120000")
+    // mirror down: the run must still SUCCEED — the member commit is the
+    // record of truth, the mirror is not the commit point
+    IngestionJob.run(env, args)
+    assert(TransactionalIngest.snapshot(spark, dest).isDefined)
+    assert(inner.catalogEntries(8).isEmpty, "mirror insert failed, run survived")
+    // retry of the published run: the member commits short-circuit and
+    // the mirror heals — exactly ONE row, not one per retry
+    IngestionJob.run(env, args)
+    IngestionJob.run(env, args)
+    assert(inner.catalogEntries(8).map(_.execId) == Seq("2_8_20240110120000"),
+      "the healed mirror must hold exactly one row across retries")
   }
 
   test("unknown ids fail loudly (no reference-style exception swallowing)") {

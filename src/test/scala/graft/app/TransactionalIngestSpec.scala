@@ -123,10 +123,11 @@ class TransactionalIngestSpec extends AnyFunSuite {
     val inbound = s"$tmp/inbound"; val processed = s"$tmp/processed"
     var failMove = true
     val relay = new graft.files.FileRelay() {
-      override def moveAll(s: String, d: String): Seq[org.apache.hadoop.fs.Path] =
+      override def moveExact(ps: Seq[org.apache.hadoop.fs.Path],
+          d: String): Seq[org.apache.hadoop.fs.Path] =
         if (failMove) { failMove = false
           throw new RuntimeException("crash post-swing") }
-        else super.moveAll(s, d)
+        else super.moveExact(ps, d)
     }
     relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/a.csv"), "x\n1\n")
     intercept[RuntimeException] {
@@ -142,6 +143,110 @@ class TransactionalIngestSpec extends AnyFunSuite {
     assert(land.count() == 1 && cat.count() == 1,
       "inbound still present at retry must NOT re-land: the id covers it")
     assert(relay.list(inbound).isEmpty && relay.list(processed).size == 1)
+  }
+
+  test("file pattern: an object arriving AFTER the run's listing is never archived unlanded — it stays for the next batch (ADVICE r18 high)") {
+    val root = freshRoot()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txn-late").toString
+    val inbound = s"$tmp/inbound"; val processed = s"$tmp/processed"
+    // inject: late.csv lands immediately after the run's ONE listing —
+    // the window where the old fresh-listing archive swept it to
+    // processed without ever landing it (silent loss)
+    val relay = new graft.files.FileRelay() {
+      private var first = true
+      override def list(prefix: String): Seq[org.apache.hadoop.fs.Path] = {
+        val r = super.list(prefix)
+        if (first && prefix == inbound) { first = false
+          writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/late.csv"), "late")
+        }
+        r
+      }
+    }
+    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/a.csv"), "x\n1\n")
+    TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+      entry("f1"), batchId = Some(10L))
+    val Some((land, _)) = TransactionalIngest.snapshot(spark, root)
+    assert(land.select("obj_name").as[String].collect().toSeq == Seq("a.csv"),
+      "the run lands exactly its listing")
+    assert(relay.list(processed).map(_.getName) == Seq("a.csv"),
+      "the run archives exactly its listing")
+    assert(relay.list(inbound).map(_.getName) == Seq("late.csv"),
+      "the late arrival must stay in inbound — never archived unlanded")
+    // the next batch picks it up: landed AND archived, exactly once
+    TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+      entry("f2"), batchId = Some(11L))
+    val Some((land2, _)) = TransactionalIngest.snapshot(spark, root)
+    assert(land2.select("obj_name").as[String].collect().sorted.toSeq
+      == Seq("a.csv", "late.csv"))
+    assert(relay.list(inbound).isEmpty && relay.list(processed).size == 2)
+  }
+
+  test("file pattern: covered-batchId retry archives ONLY the batch's landed objects; a post-crash arrival survives for its own batch") {
+    val root = freshRoot()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txn-cret").toString
+    val inbound = s"$tmp/inbound"; val processed = s"$tmp/processed"
+    var failMove = true
+    val relay = new graft.files.FileRelay() {
+      override def moveExact(ps: Seq[org.apache.hadoop.fs.Path],
+          d: String): Seq[org.apache.hadoop.fs.Path] =
+        if (failMove) { failMove = false
+          throw new RuntimeException("crash post-swing") }
+        else super.moveExact(ps, d)
+    }
+    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/a.csv"), "x\n1\n")
+    intercept[RuntimeException] {
+      TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+        entry("f1"), batchId = Some(10L))
+    }
+    // between the crash and the retry, a NEW object accumulates in
+    // inbound — the r18 advice's worst case: the covered retry skips the
+    // member commits, so a prefix-wide archive would move it unlanded
+    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/late.csv"), "late")
+    TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+      entry("f1"), batchId = Some(10L))
+    val Some((land, _)) = TransactionalIngest.snapshot(spark, root)
+    assert(land.select("obj_name").as[String].collect().toSeq == Seq("a.csv"),
+      "the covered retry must not re-land (the id covers the batch)")
+    assert(relay.list(processed).map(_.getName) == Seq("a.csv"),
+      "the retry archives exactly the batch's durable landing set")
+    assert(relay.list(inbound).map(_.getName) == Seq("late.csv"),
+      "the post-crash arrival must stay in inbound")
+  }
+
+  test("stream pattern: covered-batchId retry archives only objects whose events landed; a post-crash arrival survives") {
+    val root = freshRoot()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txn-scret").toString
+    val inbound = s"$tmp/inbound"; val processed = s"$tmp/processed"
+    var failMove = true
+    val relay = new graft.files.FileRelay() {
+      override def moveExact(ps: Seq[org.apache.hadoop.fs.Path],
+          d: String): Seq[org.apache.hadoop.fs.Path] =
+        if (failMove) { failMove = false
+          throw new RuntimeException("crash post-swing") }
+        else super.moveExact(ps, d)
+    }
+    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/e1.json"),
+      """{"a":1}{"a":2}""")
+    intercept[RuntimeException] {
+      TransactionalIngest.ingestStream(spark, root, inbound, relay, processed,
+        entry("s1"), batchId = Some(20L))
+    }
+    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/e2.json"),
+      """{"a":3}""")
+    TransactionalIngest.ingestStream(spark, root, inbound, relay, processed,
+      entry("s1"), batchId = Some(20L))
+    val Some((land, _)) = TransactionalIngest.snapshot(spark, root)
+    assert(land.select("event_json").as[String].collect().sorted.toSeq
+      == Seq("""{"a":1}""", """{"a":2}"""),
+      "the covered retry must not land the post-crash object under the old id")
+    assert(relay.list(processed).map(_.getName) == Seq("e1.json"))
+    assert(relay.list(inbound).map(_.getName) == Seq("e2.json"),
+      "the post-crash arrival stays for its own batch")
+    // and its own batch lands it exactly once
+    TransactionalIngest.ingestStream(spark, root, inbound, relay, processed,
+      entry("s2"), batchId = Some(21L))
+    assert(TransactionalIngest.snapshot(spark, root).get._1.count() == 3)
+    assert(relay.list(inbound).isEmpty)
   }
 
   test("stream pattern one-swing: events land as rows with the record; crash/retry ladder converges") {
