@@ -31,11 +31,22 @@ object Quantize {
     * scanned once, exploded to (vec, pos) pairs, coded against the
     * broadcast per-dimension stats, and re-assembled in position order.
     * A constant dimension (mx == mn) codes to 0. */
-  def int8Codes(emb: DataFrame): DataFrame = {
-    val stats = dimStats(emb)
+  def int8Codes(emb: DataFrame): DataFrame =
+    int8CodesWith(emb, dimStats(emb))
+
+  /** [[int8Codes]] against FROZEN stats — the production quantizer
+    * contract every persisted index in the engine follows: stats are
+    * trained once (on the seed corpus) and later batches code against
+    * them without retraining, so codes are append-order-independent and
+    * a grown state is bit-identical to a one-shot build with the same
+    * seed. A batch value outside the frozen envelope clamps to the int8
+    * boundary (for a seed-covering corpus the clamp is a no-op — the
+    * affine map lands in [-127, 127] by construction). */
+  def int8CodesWith(emb: DataFrame, stats: DataFrame): DataFrame = {
     val code = when(col("mx") === col("mn"), lit(0L)).otherwise(
-      floor((col("v").cast("double") - col("mn")) * lit(254.0d) /
-        (col("mx") - col("mn"))).cast("long") - 127L)
+      greatest(lit(-127L), least(lit(127L),
+        floor((col("v").cast("double") - col("mn")) * lit(254.0d) /
+          (col("mx") - col("mn"))).cast("long") - 127L)))
     emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .join(broadcast(stats), "pos")
       .select(col("vec_id"), col("pos"), code.as("code"))

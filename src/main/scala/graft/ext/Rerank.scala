@@ -41,16 +41,43 @@ object Rerank {
     *                  first-stage retriever
     * @param docs      (doc_id, text) corpus
     * @param queries   (query_id, qtext) query batch
-    * @param k         results per query after reranking */
+    * @param k         results per query after reranking
+    * @param docVecs   optional (doc_id, embedding) — with `queryVecs`,
+    *                  adds a SEMANTIC feature to the scorer: the
+    *                  int8-quantized cosine ([[Quantize]] codes,
+    *                  [[SemDedup]]'s exact integer-dot kernel) of the
+    *                  pair's embeddings, folded in as
+    *                  `vecWeight * greatest(0, floor(qcos * 1000))` —
+    *                  so a vector-nominated candidate sharing NO query
+    *                  term (which the text features can only score 0)
+    *                  orders by how much it MEANS the same thing: the
+    *                  half of the hybrid story the LTR stage was
+    *                  missing. Quantization stats are trained on the
+    *                  doc corpus and FROZEN for the query side (clamped
+    *                  out-of-envelope — the engine's standard frozen-
+    *                  quantizer contract; persist them via
+    *                  [[SemDedupState]] to amortize the stats pass),
+    *                  and only CANDIDATE doc vectors are coded — the
+    *                  feature tail stays shortlist-sized.
+    * @param queryVecs optional (query_id, embedding) query embeddings
+    * @param vecWeight integer weight of the semantic feature (the text
+    *                  features keep their BIGINT log-free discipline) */
   def rerank(shortlist: DataFrame, docs: DataFrame, queries: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, docVecs: Option[DataFrame] = None,
+      queryVecs: Option[DataFrame] = None, vecWeight: Long = 2L): DataFrame = {
     // the shortlist is <= k0·|queries| rows and is referenced FOUR
     // times below (candidate filter, both feature probes, the final
     // pair spine) — pin it once or every reference re-runs the entire
     // first-stage retrieval plan (measured: 4x the BM25 stage without
-    // the pin, the dominant cost of the unpinned operator at sf0.1)
+    // the pin, the dominant cost of the unpinned operator at sf0.1).
+    // distinct(): "any first-stage retriever" includes fused stages
+    // that can nominate the same (query, doc) pair twice — a duplicate
+    // spine row would double-count every feature (the pair-expanded
+    // broadcasts join once per duplicate before the groupBys count)
+    // and emit duplicate ranked rows; the dedup is free on a bounded
+    // pinned frame
     val pairs = shortlist.select(col("query_id"), col("doc_id"))
-      .localCheckpoint(true)
+      .distinct().localCheckpoint(true)
     // feature extraction touches ONLY the nominated docs — fetched
     // ONCE (the slice is bounded, and the three feature projections
     // below would otherwise each re-scan the corpus)
@@ -80,15 +107,48 @@ object Rerank {
       .join(broadcast(pairs.join(qB, Seq("query_id"))), Seq("doc_id", "bigram"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("bigram_hits"))
+    // semantic feature: quantized-cosine points per shortlist pair —
+    // corpus-frozen stats, CANDIDATE vectors only (one semi-join against
+    // the bounded pair spine), exact integer dots, floor to BIGINT
+    val vecF = (docVecs, queryVecs) match {
+      case (Some(dv), Some(qv)) =>
+        val stats = Quantize.dimStats(
+          dv.select(col("doc_id").as("vec_id"), col("embedding")))
+          .localCheckpoint(true)
+        def codesOf(src: DataFrame): DataFrame =
+          Quantize.int8CodesWith(src, stats)
+            .select(col("vec_id"), col("codes"),
+              SemDedup.intDot(col("codes"), col("codes")).as("n2"))
+        val dc = codesOf(dv
+            .select(col("doc_id").as("vec_id"), col("embedding"))
+            .join(broadcast(pairs.select(col("doc_id").as("vec_id")).distinct()),
+              Seq("vec_id"), "left_semi"))
+          .select(col("vec_id").as("doc_id"), col("codes").as("d_codes"),
+            col("n2").as("d_n2"))
+        val qc = codesOf(qv.select(col("query_id").as("vec_id"), col("embedding")))
+          .select(col("vec_id").as("query_id"), col("codes").as("q_codes"),
+            col("n2").as("q_n2"))
+        Some(pairs.join(dc, Seq("doc_id")).join(broadcast(qc), Seq("query_id"))
+          .select(col("query_id"), col("doc_id"),
+            greatest(lit(0L), floor(
+              SemDedup.qcos(SemDedup.intDot(col("d_codes"), col("q_codes")),
+                col("d_n2"), col("q_n2")) * lit(1000.0d)).cast("long"))
+              .as("vec_pts")))
+      case _ => None
+    }
     val byScore = Window.partitionBy(col("query_id"))
       .orderBy(col("rr_score").desc, col("doc_id").asc)
-    pairs
+    val textScored = pairs
       .join(termF, Seq("query_id", "doc_id"), "left")
       .join(bgF, Seq("query_id", "doc_id"), "left")
       .join(dLen, Seq("doc_id"))
-      .withColumn("rr_score", expr(
+      .withColumn("txt_score", expr(
         "(1000 * (4 * coalesce(matched, 0L) + 2 * coalesce(capped_tf, 0L)" +
           " + 8 * coalesce(bigram_hits, 0L))) div (20 + dl)"))
+    vecF.fold(textScored.withColumn("rr_score", col("txt_score")))(vf =>
+        textScored.join(vf, Seq("query_id", "doc_id"), "left")
+          .withColumn("rr_score", col("txt_score") +
+            lit(vecWeight) * coalesce(col("vec_pts"), lit(0L))))
       .withColumn("rnk", row_number().over(byScore))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),

@@ -44,16 +44,33 @@ object SemDedup {
 
   /** Exact integer dot of two code arrays — order-independent BIGINT
     * accumulation, the cross-engine-safe kernel. */
-  private def intDot(a: Column, b: Column): Column =
+  private[ext] def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Quantized cosine with the zero-norm sentinel (-2: below any true
     * cosine, so zero vectors are never duplicates and never win an
     * assignment tie they shouldn't). */
-  private def qcos(dot: Column, n2a: Column, n2b: Column): Column =
+  private[ext] def qcos(dot: Column, n2a: Column, n2b: Column): Column =
     when(n2a === 0L || n2b === 0L, lit(-2.0d))
       .otherwise(dot.cast("double") /
         sqrt(n2a.cast("double") * n2b.cast("double")))
+
+  /** Assign each (vec_id, codes, n2) row to its max-quantized-cosine
+    * centroid (tie → smaller cid): the shared kernel of [[dedup]]'s
+    * self-seeding path and [[SemDedupState]]'s frozen-centroid path.
+    * `cents` is (cid, cvec, cn2) — nLists rows, broadcast into the
+    * corpus scan; one exchange for the per-vector argmax window. */
+  private[ext] def assignToCodeCents(withN2: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val byBest = Window.partitionBy(col("vec_id"))
+      .orderBy(col("qc").desc, col("cid").asc)
+    withN2.crossJoin(broadcast(cents))
+      .withColumn("qc",
+        qcos(intDot(col("codes"), col("cvec")), col("n2"), col("cn2")))
+      .withColumn("rn", row_number().over(byBest))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("codes"), col("n2"))
+  }
 
   /** The verdict stage alone, over ANY cluster assignment: `asn` is
     * (vec_id, cid, codes, n2) — one row per vector with its cluster and
@@ -85,7 +102,7 @@ object SemDedup {
 
   /** int8 codes + integer self-norms for `emb` — the verdict stage's
     * input columns. */
-  private def codesWithN2(emb: DataFrame): DataFrame =
+  private[ext] def codesWithN2(emb: DataFrame): DataFrame =
     Quantize.int8Codes(emb).localCheckpoint(true)
       .select(col("vec_id"), col("codes"),
         intDot(col("codes"), col("codes")).as("n2"))
@@ -112,24 +129,19 @@ object SemDedup {
     * `nLists` code vectors (the IVF iters = 0 seeding discipline), then
     * [[verdicts]]. */
   def dedup(emb: DataFrame, nLists: Int, tau: Double): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val withN2 = codesWithN2(emb)
-    // centroids: first nLists code vectors by vec_id — bounded collect
-    // (nLists rows), broadcast into the corpus
-    val cents = withN2.orderBy(col("vec_id")).limit(nLists).collect()
+    verdicts(assignToCodeCents(withN2, seedCents(withN2, nLists)), tau)
+  }
+
+  /** First `nLists` code vectors by vec_id as (cid, cvec, cn2) — the
+    * iters = 0 seeding discipline; bounded collect (nLists rows). */
+  private[ext] def seedCents(withN2: DataFrame, nLists: Int): DataFrame = {
+    val spark = withN2.sparkSession
+    import spark.implicits._
+    withN2.orderBy(col("vec_id")).limit(nLists).collect()
       .zipWithIndex.map { case (r, i) =>
         (i, r.getAs[scala.collection.Seq[Long]]("codes").toSeq,
           r.getAs[Long]("n2"))
       }.toSeq.toDF("cid", "cvec", "cn2")
-    val byBest = Window.partitionBy(col("vec_id"))
-      .orderBy(col("qc").desc, col("cid").asc)
-    val asn = withN2.crossJoin(broadcast(cents))
-      .withColumn("qc",
-        qcos(intDot(col("codes"), col("cvec")), col("n2"), col("cn2")))
-      .withColumn("rn", row_number().over(byBest))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("codes"), col("n2"))
-    verdicts(asn, tau)
   }
 }

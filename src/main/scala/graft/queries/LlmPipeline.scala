@@ -51,6 +51,11 @@ object LlmPipeline {
   private val cloneSpooled = scala.collection.concurrent.TrieMap[String, (String, String)]()
   private val retentionSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val txnRootSpooled = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Once-per-(jvm, sf dir) persisted semantic-dedup state (batch build
+    * for the incremental gate / seed-plus-stream for the ingest gate). */
+  private val semStateSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val semStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val readPrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val cdfDeleteSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -968,6 +973,74 @@ object LlmPipeline {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- INCREMENTAL semantic dedup through the PERSISTED state
+    // (SemDedupState — the daily-pipeline shape the other dedup tiers
+    // gate as q_dedup_incremental / q_embed_neardup_incremental /
+    // q_decontaminate_incremental): the standing corpus's quantized
+    // codes + cluster assignment live as ACID members with stats/cents
+    // FROZEN at build; the arriving batch quantizes with the frozen
+    // stats (out-of-envelope values clamp to the int8 boundary),
+    // assigns against the frozen centroids, and pairwise-compares ONLY
+    // its clusters' standing members — the corpus never self-joins and
+    // standing verdicts are untouched (the pass is read-only). The
+    // batch plants both verdicts: 1.01x float-rounded copies (dups,
+    // witness = the original) and sign-flipped vectors (novel) ----
+    "q_semantic_dedup_incremental" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val st = semStateSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-semstate").toString + "/state"
+        graft.ext.SemDedupState.buildSaved(e, d, nLists = 16)
+      })
+      val batch = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+        .unionByName(e.filter(col("vec_id") >= 50 && col("vec_id") < 80)
+          .select((col("vec_id") + 20000).as("vec_id"),
+            transform(col("embedding"),
+              x => (-x.cast("double")).cast("float")).as("embedding")))
+      graft.ext.SemDedupState.dedupBatch(s, st, batch, tau = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- STREAMING ingest into the SEMANTIC-DEDUP state — the seventh
+    // persisted index lifecycle under a q_stream_*_ingest gate (after
+    // ivf/ivfpq/bm25/fuzzy/cluster/decon): the seed build freezes the
+    // quantizer stats + centroids (seed watermark -1), a file-source
+    // stream drains the corpus tail (plus planted 1.01x near-copies) in
+    // identified micro-batches through SemDedupState.addToSaved — each
+    // append quantizes ONLY its batch against the frozen stats, assigns
+    // against the frozen centroids, and commits under the batch-id
+    // replay channel — and the full verdict sweep runs at the live root
+    // AFTER the drain. Frozen stats + frozen cents make growth
+    // order-independent, so the oracle replays the whole lifecycle as
+    // ONE-SHOT SQL: seed-sliced stats, first-16-seed centroids,
+    // within-cluster pairs, min-id witness ----
+    "q_stream_semdedup_ingest" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val st = semStreamSpooled.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-semstream").toString
+        val d = s"$root/state"
+        graft.ext.SemDedupState.buildSaved(
+          e.filter(col("vec_id") < 200), d, nLists = 16,
+          batchId = Some(-1L)) // seed below the engine's first id (0)
+        val tail = e.filter(col("vec_id") >= 200).unionByName(
+          e.filter(col("vec_id") < 50)
+            .select((col("vec_id") + 10000).as("vec_id"),
+              transform(col("embedding"),
+                x => (x.cast("double") * lit(1.01d)).cast("float"))
+                .as("embedding")))
+        drainStream(s, root, tail,
+          (df, b) => graft.ext.SemDedupState.addToSaved(s, d, df,
+            batchId = Some(b)))
+        d
+      })
+      graft.ext.SemDedupState.verdictsSaved(s, st, tau = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- embedding dedup end-to-end: banded candidate pairs -> exact
     // verify -> connected-components clustering -> cluster census. The
     // embedding mirror of q_curation_funnel_cc's doc-side closure ----
@@ -1728,6 +1801,38 @@ object LlmPipeline {
       val shortlist = Retrieval.rrfFuse(Seq(textRank, vecRank), k = 10)
         .select(col("query_id"), col("id").as("doc_id"))
       graft.ext.Rerank.rerank(shortlist, d, qs, k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- the hybrid rerank with the SEMANTIC feature switched on
+    // (VERDICT r18 item 5): same fused BM25 + brute-cosine + RRF
+    // shortlist as q_rerank_hybrid, but the LTR scorer now folds in a
+    // quantized-embedding integer-dot feature — vecWeight *
+    // greatest(0, floor(qcos * 1000)) — so a vector-nominated candidate
+    // sharing NO query term (rr_score 0 in q_rerank_hybrid, ordered
+    // only by doc_id) now ORDERS by how much it means the same thing.
+    // Quantization stats train on the doc-embedding corpus (the frozen-
+    // quantizer contract), queries are corpus members 0-3 so their
+    // codes replay from the same chain; the oracle replays retrieval,
+    // fusion, text features AND the vec feature end-to-end ----
+    "q_rerank_vec" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (0L, "spark query engine"), (1L, "join filter window"),
+        (2L, "customer order stream"), (3L, "table scan merge sort"))
+        .toDF("query_id", "qtext")
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val textRank = Retrieval.bm25TopK(d, qs, k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rnk"))
+      val e = emb(s, dir)
+      val vecRank = Similarity.topKBrute(e, e.filter(col("vec_id") < 4), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rnk"))
+      val shortlist = Retrieval.rrfFuse(Seq(textRank, vecRank), k = 10)
+        .select(col("query_id"), col("id").as("doc_id"))
+      graft.ext.Rerank.rerank(shortlist, d, qs, k = 10,
+          docVecs = Some(e.select(col("vec_id").as("doc_id"), col("embedding"))),
+          queryVecs = Some(e.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("query_id"), col("embedding"))))
         .orderBy(col("query_id"), col("rnk"))
     }),
 
@@ -2901,6 +3006,156 @@ object LlmPipeline {
         |FROM asn LEFT JOIN dup USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
 
+    // incremental semantic dedup through the persisted state: stats +
+    // first-16 centroids FROZEN from the corpus build, batch coded with
+    // the frozen stats (CLAMPED to the int8 envelope — 1.01x-scaled and
+    // sign-flipped values can leave it), assigned by quantized cosine
+    // against the frozen centroids, pairwise batch x same-cluster
+    // CORPUS members only, min corpus witness
+    "q_semantic_dedup_incremental" ->
+      """WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+        |batch AS (
+        |  SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(1.01 as double) as float)) AS embedding
+        |  FROM embeddings WHERE vec_id < 50
+        |  UNION ALL
+        |  SELECT vec_id + 20000,
+        |    list_transform(embedding, x -> cast(-cast(x as double) as float))
+        |  FROM embeddings WHERE vec_id >= 50 AND vec_id < 80),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |stats AS (
+        |  SELECT d, min(cast(embedding[d] as double)) AS mn,
+        |         max(cast(embedding[d] as double)) AS mx
+        |  FROM corpus CROSS JOIN dims GROUP BY d),
+        |cc AS (
+        |  SELECT c.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE greatest(-127, least(127,
+        |           cast(floor((cast(c.embedding[s.d] as double) - s.mn)
+        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127))
+        |    END AS code
+        |  FROM corpus c CROSS JOIN stats s),
+        |cv AS (SELECT vec_id, list(code ORDER BY d) AS c FROM cc GROUP BY vec_id),
+        |cn2 AS (SELECT vec_id, cast(list_sum(list_transform(c, x -> x*x)) as bigint) AS n2 FROM cv),
+        |bc AS (
+        |  SELECT b.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE greatest(-127, least(127,
+        |           cast(floor((cast(b.embedding[s.d] as double) - s.mn)
+        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127))
+        |    END AS code
+        |  FROM batch b CROSS JOIN stats s),
+        |bv AS (SELECT vec_id, list(code ORDER BY d) AS c FROM bc GROUP BY vec_id),
+        |bn2 AS (SELECT vec_id, cast(list_sum(list_transform(c, x -> x*x)) as bigint) AS n2 FROM bv),
+        |cent AS (
+        |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,
+        |         c AS cvec
+        |  FROM (SELECT vec_id, c FROM cv ORDER BY vec_id LIMIT 16)),
+        |cn AS (SELECT cid, cast(list_sum(list_transform(cvec, x -> x*x)) as bigint) AS cn2 FROM cent),
+        |ca AS (
+        |  SELECT cv.vec_id, cent.cid,
+        |    cast(list_sum(list_transform(range(1,65), i -> cv.c[i] * cent.cvec[i])) as bigint) AS dot
+        |  FROM cv CROSS JOIN cent),
+        |casn AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ca.vec_id, ca.cid,
+        |      row_number() OVER (PARTITION BY ca.vec_id ORDER BY
+        |        CASE WHEN n2.n2 = 0 OR cn.cn2 = 0 THEN cast(-2 as double)
+        |             ELSE cast(ca.dot as double)/sqrt(cast(n2.n2 as double)*cast(cn.cn2 as double)) END DESC,
+        |        ca.cid ASC) rn
+        |    FROM ca JOIN cn2 n2 ON n2.vec_id = ca.vec_id JOIN cn ON cn.cid = ca.cid) WHERE rn = 1),
+        |ba AS (
+        |  SELECT bv.vec_id, cent.cid,
+        |    cast(list_sum(list_transform(range(1,65), i -> bv.c[i] * cent.cvec[i])) as bigint) AS dot
+        |  FROM bv CROSS JOIN cent),
+        |basn AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ba.vec_id, ba.cid,
+        |      row_number() OVER (PARTITION BY ba.vec_id ORDER BY
+        |        CASE WHEN n2.n2 = 0 OR cn.cn2 = 0 THEN cast(-2 as double)
+        |             ELSE cast(ba.dot as double)/sqrt(cast(n2.n2 as double)*cast(cn.cn2 as double)) END DESC,
+        |        ba.cid ASC) rn
+        |    FROM ba JOIN bn2 n2 ON n2.vec_id = ba.vec_id JOIN cn ON cn.cid = ba.cid) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id va, b.vec_id vb,
+        |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN cast(-2 as double)
+        |         ELSE cast(list_sum(list_transform(range(1,65), i -> ca2.c[i]*cb2.c[i])) as double)
+        |              / sqrt(cast(na.n2 as double)*cast(nb.n2 as double)) END AS qcos
+        |  FROM basn b JOIN casn a ON a.cid = b.cid
+        |  JOIN cv ca2 ON ca2.vec_id = a.vec_id JOIN bv cb2 ON cb2.vec_id = b.vec_id
+        |  JOIN cn2 na ON na.vec_id = a.vec_id JOIN bn2 nb ON nb.vec_id = b.vec_id),
+        |dup AS (SELECT vb AS vec_id, min(va) AS dup_witness FROM p
+        |        WHERE qcos >= cast(0.9 as double) GROUP BY vb)
+        |SELECT basn.vec_id, basn.cid,
+        |  cast(coalesce(dup.dup_witness, -1) as bigint) AS dup_of,
+        |  dup.dup_witness IS NULL AS kept
+        |FROM basn LEFT JOIN dup USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // streaming semantic-dedup ingest replayed as one-shot SQL: stats
+    // frozen on the SEED slice (vec_id < 200), centroids = the seed's
+    // first 16 code vectors, every vector (seed + streamed tail +
+    // planted 1.01x copies) coded with the frozen stats (clamped),
+    // within-cluster pairs, min-id witness — growth under frozen
+    // stats/cents is order-independent, so the drained state must
+    // reproduce these bits exactly
+    "q_stream_semdedup_ingest" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
+        |  FROM embeddings WHERE vec_id < 50),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |stats AS (
+        |  SELECT d, min(cast(embedding[d] as double)) AS mn,
+        |         max(cast(embedding[d] as double)) AS mx
+        |  FROM embeddings CROSS JOIN dims WHERE vec_id < 200 GROUP BY d),
+        |codes AS (
+        |  SELECT b.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE greatest(-127, least(127,
+        |           cast(floor((cast(b.embedding[s.d] as double) - s.mn)
+        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127))
+        |    END AS code
+        |  FROM base b CROSS JOIN stats s),
+        |cv AS (SELECT vec_id, list(code ORDER BY d) AS c FROM codes GROUP BY vec_id),
+        |n2 AS (SELECT vec_id, cast(list_sum(list_transform(c, x -> x*x)) as bigint) AS n2 FROM cv),
+        |cent AS (
+        |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,
+        |         c AS cvec
+        |  FROM (SELECT vec_id, c FROM cv WHERE vec_id < 200 ORDER BY vec_id LIMIT 16)),
+        |cn AS (SELECT cid, cast(list_sum(list_transform(cvec, x -> x*x)) as bigint) AS cn2 FROM cent),
+        |ad AS (
+        |  SELECT cv.vec_id, cent.cid,
+        |    cast(list_sum(list_transform(range(1,65), i -> cv.c[i] * cent.cvec[i])) as bigint) AS dot
+        |  FROM cv CROSS JOIN cent),
+        |asn AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ad.vec_id, ad.cid,
+        |      row_number() OVER (PARTITION BY ad.vec_id ORDER BY
+        |        CASE WHEN n2.n2 = 0 OR cn.cn2 = 0 THEN cast(-2 as double)
+        |             ELSE cast(ad.dot as double)/sqrt(cast(n2.n2 as double)*cast(cn.cn2 as double)) END DESC,
+        |        ad.cid ASC) rn
+        |    FROM ad JOIN n2 ON n2.vec_id = ad.vec_id JOIN cn ON cn.cid = ad.cid) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id va, b.vec_id vb,
+        |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN cast(-2 as double)
+        |         ELSE cast(list_sum(list_transform(range(1,65), i -> ca.c[i]*cb.c[i])) as double)
+        |              / sqrt(cast(na.n2 as double)*cast(nb.n2 as double)) END AS qcos
+        |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN cv ca ON ca.vec_id = a.vec_id JOIN cv cb ON cb.vec_id = b.vec_id
+        |  JOIN n2 na ON na.vec_id = a.vec_id JOIN n2 nb ON nb.vec_id = b.vec_id),
+        |dup AS (SELECT vb AS vec_id, min(va) AS dup_witness FROM p
+        |        WHERE qcos >= cast(0.9 as double) GROUP BY vb)
+        |SELECT asn.vec_id, asn.cid,
+        |  cast(coalesce(dup.dup_witness, -1) as bigint) AS dup_of,
+        |  dup.dup_witness IS NULL AS kept
+        |FROM asn LEFT JOIN dup USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
     "q_binary_objects" ->
       """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
@@ -3831,6 +4086,135 @@ object LlmPipeline {
         |  FROM short s
         |  LEFT JOIN tfeat USING (query_id, doc_id)
         |  LEFT JOIN bfeat USING (query_id, doc_id)
+        |  JOIN dln ON dln.doc_id = s.doc_id)
+        |SELECT query_id, rnk, doc_id, rr_score FROM (
+        |  SELECT query_id, doc_id, rr_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rr_score DESC, doc_id) rnk
+        |  FROM rr) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // q_rerank_hybrid's full retrieval + fusion + text-feature replay,
+    // PLUS the semantic feature: int8 codes over the embedding corpus
+    // (the q_embed_quantize chain, clamped), exact integer pair dots,
+    // vec_pts = greatest(0, floor(qcos * 1000)), rr_score = text score
+    // + 2 * vec_pts
+    "q_rerank_vec" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (0, 'spark query engine'), (1, 'join filter window'),
+        |    (2, 'customer order stream'), (3, 'table scan merge sort')),
+        |qt AS (SELECT cast(query_id as bigint) query_id, term,
+        |    cast(count(*) as bigint) qtf
+        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dln AS (SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) dl
+        |  FROM documents),
+        |a AS (SELECT cast(count(*) as bigint) n_docs,
+        |    cast(sum(len(string_split(text, ' '))) as bigint)
+        |      // cast(count(*) as bigint) AS avgdl
+        |  FROM documents),
+        |cand AS (SELECT tf.doc_id, tf.term, tf.tf, dln.dl
+        |  FROM tf JOIN dln USING (doc_id)
+        |  JOIN (SELECT DISTINCT term FROM qt) v USING (term)),
+        |dft AS (SELECT term, cast(count(*) as bigint) df FROM cand GROUP BY 1),
+        |sc AS (SELECT qt.query_id, c.doc_id,
+        |    cast(sum(qt.qtf * ((((1000 * (2*a.n_docs - 2*dft.df + 1))
+        |                     // (2*dft.df + 1)) * 44 * c.tf * a.avgdl)
+        |        // (20*c.tf*a.avgdl + 6*a.avgdl + 18*c.dl))) as bigint)
+        |      score_scaled
+        |  FROM cand c JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN a
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT query_id, doc_id AS id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_scaled DESC, doc_id) rnk
+        |  FROM sc),
+        |nrm AS (
+        |  SELECT vec_id, list_sum(list_transform(embedding,
+        |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q2.vec_id qid, e.vec_id cid,
+        |         list_sum(list_transform(list_zip(q2.embedding, e.embedding),
+        |           p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+        |  FROM embeddings q2 JOIN embeddings e ON e.vec_id <> q2.vec_id
+        |  WHERE q2.vec_id < 4),
+        |cs AS (
+        |  SELECT qid, cid,
+        |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+        |  FROM dots JOIN nrm nq ON nq.vec_id = dots.qid
+        |  JOIN nrm nc ON nc.vec_id = dots.cid),
+        |vr AS (SELECT qid AS query_id, cid AS id,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, cid ASC) rnk
+        |  FROM cs),
+        |contrib AS (
+        |  SELECT cast(query_id as bigint) query_id, cast(id as bigint) id,
+        |    1000000000000 // (60 + rnk) c FROM tr WHERE rnk <= 20
+        |  UNION ALL
+        |  SELECT cast(query_id as bigint), cast(id as bigint),
+        |    1000000000000 // (60 + rnk) FROM vr WHERE rnk <= 20),
+        |f AS (SELECT query_id, id, cast(sum(c) as bigint) rrf_score
+        |  FROM contrib GROUP BY 1, 2),
+        |short AS (SELECT query_id, id AS doc_id FROM (
+        |  SELECT query_id, id, rrf_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf_score DESC, id) rnk
+        |  FROM f) WHERE rnk <= 10),
+        |qterm AS (SELECT DISTINCT cast(query_id as bigint) query_id, term
+        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)),
+        |w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |dbg AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) i FROM w)),
+        |qbg AS (SELECT DISTINCT cast(query_id as bigint) query_id,
+        |    t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT query_id, string_split(qtext, ' ') t, unnest(range(1,
+        |          len(string_split(qtext, ' ')))) i FROM q)),
+        |tfeat AS (SELECT s.query_id, s.doc_id,
+        |    cast(count(*) as bigint) matched,
+        |    cast(sum(least(tf.tf, 3)) as bigint) capped_tf
+        |  FROM short s JOIN qterm USING (query_id)
+        |  JOIN tf ON tf.doc_id = s.doc_id AND tf.term = qterm.term
+        |  GROUP BY 1, 2),
+        |bfeat AS (SELECT s.query_id, s.doc_id, cast(count(*) as bigint) hits
+        |  FROM short s JOIN qbg USING (query_id)
+        |  JOIN dbg ON dbg.doc_id = s.doc_id AND dbg.b = qbg.b
+        |  GROUP BY 1, 2),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |qstats AS (
+        |  SELECT d, min(cast(embedding[d] as double)) AS mn,
+        |         max(cast(embedding[d] as double)) AS mx
+        |  FROM embeddings CROSS JOIN dims GROUP BY d),
+        |qcodes AS (
+        |  SELECT e.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE greatest(-127, least(127,
+        |           cast(floor((cast(e.embedding[s.d] as double) - s.mn)
+        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127))
+        |    END AS code
+        |  FROM embeddings e CROSS JOIN qstats s),
+        |qv2 AS (SELECT vec_id, list(code ORDER BY d) AS c FROM qcodes GROUP BY vec_id),
+        |qn2 AS (SELECT vec_id, cast(list_sum(list_transform(c, x -> x*x)) as bigint) AS n2 FROM qv2),
+        |vecf AS (SELECT s.query_id, s.doc_id,
+        |    greatest(0, cast(floor(
+        |      CASE WHEN nq.n2 = 0 OR nd.n2 = 0 THEN cast(-2 as double)
+        |           ELSE cast(list_sum(list_transform(range(1,65), i -> cq.c[i]*cd.c[i])) as double)
+        |                / sqrt(cast(nq.n2 as double)*cast(nd.n2 as double)) END
+        |      * cast(1000 as double)) as bigint)) AS vec_pts
+        |  FROM short s
+        |  JOIN qv2 cq ON cq.vec_id = s.query_id JOIN qv2 cd ON cd.vec_id = s.doc_id
+        |  JOIN qn2 nq ON nq.vec_id = s.query_id JOIN qn2 nd ON nd.vec_id = s.doc_id),
+        |rr AS (SELECT s.query_id, s.doc_id,
+        |    cast((1000 * (4*coalesce(tfeat.matched, 0)
+        |                  + 2*coalesce(tfeat.capped_tf, 0)
+        |                  + 8*coalesce(bfeat.hits, 0))) // (20 + dln.dl)
+        |      + 2 * coalesce(vecf.vec_pts, 0) as bigint) AS rr_score
+        |  FROM short s
+        |  LEFT JOIN tfeat USING (query_id, doc_id)
+        |  LEFT JOIN bfeat USING (query_id, doc_id)
+        |  LEFT JOIN vecf USING (query_id, doc_id)
         |  JOIN dln ON dln.doc_id = s.doc_id)
         |SELECT query_id, rnk, doc_id, rr_score FROM (
         |  SELECT query_id, doc_id, rr_score,

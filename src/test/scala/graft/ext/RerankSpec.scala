@@ -71,4 +71,48 @@ class RerankSpec extends AnyFunSuite {
       s"query ${r.get(0)}: dead feature signal"))
     assert(rows.forall(_.getAs[Long]("rr_score") >= 0L))
   }
+
+  test("duplicate shortlist pairs neither double-count features nor emit twice (ADVICE r18)") {
+    val docs = Seq((1L, "spark engine pad pad")).toDF("doc_id", "text")
+    val qs = Seq((0L, "spark engine")).toDF("query_id", "qtext")
+    val once = Seq((0L, 1L)).toDF("query_id", "doc_id")
+    val twice = Seq((0L, 1L), (0L, 1L)).toDF("query_id", "doc_id")
+    val a = Rerank.rerank(once, docs, qs, k = 5).collect()
+    val b = Rerank.rerank(twice, docs, qs, k = 5).collect()
+    assert(b.length == 1, "a duplicated pair must emit one ranked row")
+    assert(a.head.getAs[Long]("rr_score") == b.head.getAs[Long]("rr_score"),
+      "a duplicated pair must not double-count matched/tf/bigram features")
+  }
+
+  test("semantic feature: a planted paraphrase (high cosine, zero term overlap) outranks a term-spam doc (VERDICT r18 item 5)") {
+    // doc 1 = term spam: repeats the query's words, embedding opposite
+    // the query's; doc 2 = paraphrase: shares NO term, embedding equal
+    // to the query's. Quantization stats train on the doc corpus; the
+    // 4-dim fixture quantizes q ≡ doc2 and q ⟂(=-1) doc1 exactly.
+    val docs = Seq(
+      (1L, "red fox red fox red fox"),
+      (2L, "blue bird")).toDF("doc_id", "text")
+    val qs = Seq((0L, "red fox")).toDF("query_id", "qtext")
+    val shortlist = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "doc_id")
+    val dv = Seq(
+      (1L, Seq(-1.0f, 0.5f, -0.5f, 1.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("doc_id", "embedding")
+    val qv = Seq((0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "embedding")
+    // without the feature the spam doc wins on text features alone
+    val textOnly = Rerank.rerank(shortlist, docs, qs, k = 2)
+      .orderBy("rnk").collect()
+    assert(textOnly.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    // with it, the paraphrase's quantized cosine (= 1 → 1000 pts × 2)
+    // clears the spam doc's text score; the spam doc's cosine (= -1)
+    // floors at 0 — no penalty below zero, just no lift
+    val got = Rerank.rerank(shortlist, docs, qs, k = 2,
+      docVecs = Some(dv), queryVecs = Some(qv)).orderBy("rnk").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L),
+      "the paraphrase must outrank the term-spam doc")
+    // exact scores: spam = 1000*(4*2+2*6+8*1) div (20+6) + 0;
+    // paraphrase = 0 text + 2*1000
+    assert(got(0).getAs[Long]("rr_score") == 2000L)
+    assert(got(1).getAs[Long]("rr_score") == 28000L / 26)
+  }
 }
