@@ -136,9 +136,12 @@ object SemDedupProbe {
           graft.ext.SemDedupState.buildSaved(c, stDir, nLists = nLists)
         0L
       }
-      // fixed batch at BOTH scales: 1.02x-scaled copies of the base
-      // corpus's first n0/10 vectors (present in every replica set)
-      val batch = e0.where(col("vec_id") < n0 / 10)
+      // fixed batch at BOTH scales: 1.02x-scaled copies of the CORPUS's
+      // first n0/10 vectors (rep 0's rows, identical in every replica
+      // set — scaling must start from the spooled corpus, whose rep-0
+      // vectors carry the decorrelating sign flip, or the batch matches
+      // nothing and the dup-yield assertion below is vacuous)
+      val batch = c.where(col("vec_id") < n0 / 10)
         .select((col("vec_id") + 2000000000L).as("vec_id"),
           transform(col("embedding"),
             x => (x.cast("double") * lit(1.02d)).cast("float")).as("embedding"))
@@ -149,6 +152,7 @@ object SemDedupProbe {
         graft.ext.SemDedupState.dedupBatch(spark, stDir, batch, 0.9).count())
       val dups = graft.ext.SemDedupState.dedupBatch(spark, stDir, batch, 0.9)
         .where(!col("kept")).count()
+      require(dups > 0, s"batch dups must witness against the corpus: $dups")
       println(f"""LEG_INCR {"scale":$r,"n_corpus":$n,"n_batch":${batch.count()},""" +
         f""""n_lists":$nLists,"state_build_sec":$tBuild%.2f,""" +
         f""""cold_sec":$wCold%.2f,"warm_sec":$wall%.2f,""" +
