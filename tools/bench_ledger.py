@@ -62,22 +62,46 @@ def main():
             "sentinel_last_sec": d.get("sentinel_last_sec"),
             "queries": qs,
         }
+    # sentinel mean per round: the host-speed yardstick (a fixed trivial
+    # job timed by Bench before warm-up and after the last pass). Two
+    # rounds of uniform host drift (r17 +8.6%, r18 +25% geomean on rows
+    # whose source never changed, with 1.5-5.4% hypervisor STEAL
+    # profiled) made RAW cross-round ratios stop detecting real
+    # regressions — so every round also records its queries divided by
+    # its own sentinel mean, and the regression view below quotes the
+    # NORMALIZED geomean first (VERDICT r18 item 4).
+    for rec in rounds.values():
+        sf_, sl_ = rec.get("sentinel_first_sec"), rec.get("sentinel_last_sec")
+        sm = None
+        if sf_ and sl_:
+            sm = (sf_ + sl_) / 2.0
+        elif sf_ or sl_:
+            sm = sf_ or sl_
+        rec["sentinel_mean_sec"] = sm
+
     # per-query minimum over valid sf0.1 rounds — the drift reference.
-    # Raw minima are host-speed-entangled; normalizing by each round's
-    # sentinel mean would overcorrect small boards, so keep BOTH the raw
-    # min and the round's sentinels and let the reader judge.
-    minima = {}
+    # Raw minima are host-speed-entangled; the normalized minima divide
+    # by each round's sentinel mean (sentinel-relative cost — stable
+    # across host drift, noisier on sub-sentinel rows).
+    minima, minima_norm = {}, {}
     for rn, rec in rounds.items():
         if rec["rc"] != 0:
             continue
+        sm = rec.get("sentinel_mean_sec")
         for q, sec in rec["queries"].items():
             cur = minima.get(q)
             if cur is None or sec < cur["sec"]:
                 minima[q] = {"sec": sec, "round": rn,
                              "sentinel_first_sec": rec.get("sentinel_first_sec"),
                              "sentinel_last_sec": rec.get("sentinel_last_sec")}
+            if sm:
+                curn = minima_norm.get(q)
+                if curn is None or sec / sm < curn["x_sentinel"]:
+                    minima_norm[q] = {"x_sentinel": round(sec / sm, 3),
+                                      "round": rn}
     out = {"rounds": {str(k): rounds[k] for k in sorted(rounds)},
-           "per_query_min": dict(sorted(minima.items()))}
+           "per_query_min": dict(sorted(minima.items())),
+           "per_query_min_x_sentinel": dict(sorted(minima_norm.items()))}
     with open("BENCH_LEDGER.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
     print(f"ledger: {len(rounds)} rounds, {len(minima)} queries with minima")
@@ -95,6 +119,35 @@ def main():
                   f"{m:.2f}s (r{rn})")
         if not worst:
             print(f"  r{last}: no query >1.5x its ledger minimum")
+    # round-over-round view, NORMALIZED first: geomean over common
+    # queries of (sec/sentinel) ratios between the last two complete
+    # boards, then the raw geomean for comparison; every row >1.3x
+    # sentinel-normalized is listed — the build log owes each a
+    # profiled cause.
+    import math
+    full = [rn for rn in sorted(rounds) if rounds[rn].get("complete")
+            and rounds[rn].get("sentinel_mean_sec")]
+    if len(full) >= 2:
+        a, b = full[-2], full[-1]
+        ra, rb = rounds[a], rounds[b]
+        sma, smb = ra["sentinel_mean_sec"], rb["sentinel_mean_sec"]
+        common = sorted(set(ra["queries"]) & set(rb["queries"]))
+        if common:
+            raw = [rb["queries"][q] / ra["queries"][q] for q in common]
+            nrm = [(rb["queries"][q] / smb) / (ra["queries"][q] / sma)
+                   for q in common]
+            gm = lambda xs: math.exp(sum(math.log(x) for x in xs) / len(xs))
+            print(f"  r{a}->r{b} ({len(common)} common rows): "
+                  f"sentinel-normalized geomean {gm(nrm):.3f}x "
+                  f"(raw {gm(raw):.3f}x; sentinel mean "
+                  f"{sma:.3f}s -> {smb:.3f}s)")
+            hot = [(r, q) for r, q in zip(nrm, common)
+                   if r > 1.3 and ra["queries"][q] > 0.05]
+            for r, q in sorted(hot, reverse=True)[:15]:
+                print(f"    NORM>1.3x {q}: {r:.2f}x "
+                      f"({ra['queries'][q]:.2f}s -> {rb['queries'][q]:.2f}s)")
+            if not hot:
+                print(f"    no row >1.3x sentinel-normalized")
 
 
 if __name__ == "__main__":
