@@ -39,6 +39,11 @@ object ScaleBench {
     "q_text_stats", "q_top_terms", "q_collocations", "q_pack",
     "q_bm25", "q_bm25_indexed", "q_lm_score", "q_lm_score_frozen",
     "q_chunk", "q_chunk_spans", "q_bm25_selfjoin", "q_rerank",
+    // the fused rerank stack (BM25 + brute cosine + RRF + LTR) and its
+    // vec-featured variant: both first stages are corpus-linear scans,
+    // the rerank tail is shortlist-bounded, and the vec variant adds
+    // one quantization-stats pass over the embedding corpus
+    "q_rerank_hybrid", "q_rerank_vec",
     "q_cms", "q_heavy_hitters",
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq",
     "q_pagerank", "q_retention", "q_funnel",

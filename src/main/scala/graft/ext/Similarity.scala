@@ -134,6 +134,36 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Hard-negative mining — the contrastive-training data shape: for
+    * each anchor, the k most-similar corpus vectors BELOW the
+    * near-duplicate band. A contrastive batch wants negatives the model
+    * almost confuses with the anchor (high cosine: random negatives are
+    * too easy and teach nothing), but a near-duplicate of the anchor is
+    * a FALSE negative that actively corrupts the loss — so the mined
+    * pair sits in the band `cos_sim < dupThreshold`, ranked (cos desc,
+    * id asc), self excluded. Exact scaled-integer cosine
+    * ([[cosinePairs]]) so the band edge replays cross-engine.
+    *
+    * Scale path: the predicate composes with every shortlist-based ANN
+    * tier — probe [[Ivf]]/[[IvfPq]] with k + headroom, filter the
+    * re-ranked shortlist at `dupThreshold`, keep k — so mining never
+    * needs the brute corpus scan this baseline performs; and the dedup
+    * tiers ([[graft.ext.SemDedup]]) supply the threshold that separates
+    * "hard negative" from "undetected duplicate" on the same quantized
+    * geometry. */
+  def hardNegatives(emb: DataFrame, anchors: DataFrame, k: Int,
+      dupThreshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cosinePairs(emb, anchors)
+      .where(col("cos_sim") < lit(dupThreshold))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id").as("anchor_id"), col("rnk"),
+        col("neighbor_id"), col("cos_sim"))
+  }
+
   // ------------------------------------------------- bounded-heap top-k UDAF
 
   final case class Scored(cid: Long, cos: Double)

@@ -897,6 +897,24 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- hard-negative mining for contrastive training: per anchor,
+    // the top-k most-similar vectors BELOW the near-dup band (a planted
+    // 1.01x copy of each anchor sits at cos ~1 and MUST be excluded —
+    // an undetected duplicate mined as a negative is a false negative
+    // that corrupts the loss; without the band filter every anchor's
+    // rank-1 would be its own copy). Exact scaled-integer cosine, band
+    // edge and ordering replayed in SQL ----
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      Similarity.hardNegatives(e.unionByName(pert),
+          e.filter(col("vec_id") < 10), k = 5, dupThreshold = 0.95)
+        .orderBy(col("anchor_id"), col("rnk"))
+    }),
+
     // ---- embedding-cosine near-dup: the fixture has no planted vector
     // near-dups (max pairwise cos 0.51), so the query derives scaled
     // copies (vec * 1.01, float-rounded identically in both engines) and
@@ -2748,6 +2766,36 @@ object LlmPipeline {
 
     "q_cosine_topk" -> CosineTopkOracle,
     "q_cosine_topk_agg" -> CosineTopkOracle,
+
+    // hard-negative mining: exact cosine ranking over corpus + planted
+    // 1.01x anchor copies, band-filtered below the dup threshold
+    "q_hard_negatives" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
+        |  FROM embeddings WHERE vec_id < 10),
+        |n AS (
+        |  SELECT vec_id, list_sum(list_transform(embedding,
+        |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+        |  FROM base),
+        |t AS (
+        |  SELECT q.vec_id qid, e.vec_id cid,
+        |         list_sum(list_transform(list_zip(q.embedding, e.embedding),
+        |           p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+        |  FROM base q JOIN base e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |s AS (
+        |  SELECT qid, cid,
+        |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+        |  FROM t JOIN n nq ON nq.vec_id = t.qid JOIN n nc ON nc.vec_id = t.cid),
+        |r AS (SELECT qid AS anchor_id, cid AS neighbor_id, cos_sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) rnk
+        |      FROM s WHERE cos_sim < cast(0.95 as double))
+        |SELECT anchor_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
+        |ORDER BY anchor_id, rnk""".stripMargin,
     "q_cosine_ivf_exact" -> CosineTopkOracle,
     "q_cosine_ann_exact" -> CosineTopkOracle,
     "q_cosine_ann" -> CosineAnnOracle,

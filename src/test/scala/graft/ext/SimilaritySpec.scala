@@ -67,4 +67,32 @@ class SimilaritySpec extends AnyFunSuite {
     val c = self.filter(col("neighbor_id") === 1000).select("cos_sim").as[Double].head()
     assert(c == 1.0) // dot == norm product exactly at integer scale
   }
+
+  test("hardNegatives: planted near-dups are excluded from the mined band; threshold 1.0 degenerates to brute top-k") {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val pert = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+    val base = e.unionByName(pert)
+    val anchors = e.filter(col("vec_id") < 5)
+    // without the band, every anchor's rank-1 is its own planted copy
+    val unbanded = Similarity.topKBrute(base, anchors, 1).collect()
+    unbanded.foreach(r => assert(
+      r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") + 10000,
+      "fixture sanity: the copy must dominate the unbanded ranking"))
+    // with the band, no mined negative is a near-dup and no copy appears
+    val mined = Similarity.hardNegatives(base, anchors, 5, 0.95).collect()
+    assert(mined.length == 25)
+    assert(mined.forall(_.getAs[Double]("cos_sim") < 0.95))
+    assert(mined.forall(_.getAs[Long]("neighbor_id") < 10000),
+      "planted copies must never be mined as negatives")
+    // threshold 1.0 on the raw corpus (max pairwise cos 0.51) = topKBrute
+    val atOne = Similarity.hardNegatives(e, anchors, 5, 1.0)
+      .withColumnRenamed("anchor_id", "query_id")
+      .orderBy("query_id", "rnk").collect().toSeq
+    val brute = Similarity.topKBrute(e, anchors, 5)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(atOne == brute)
+  }
 }
