@@ -152,11 +152,23 @@ object Similarity {
     * "hard negative" from "undetected duplicate" on the same quantized
     * geometry. */
   def hardNegatives(emb: DataFrame, anchors: DataFrame, k: Int,
+      dupThreshold: Double): DataFrame =
+    hardNegativesFrom(cosinePairs(emb, anchors), k, dupThreshold)
+
+  /** [[hardNegatives]] over ANY precomputed candidate ranking — the
+    * composed scale path the baseline's scaladoc promises: probe an ANN
+    * tier with k + headroom ([[graft.ext.Ivf.topKIvf]],
+    * [[graft.ext.IvfPq.probe]], or [[topKBrute]] — anything emitting
+    * (query_id, neighbor_id, cos_sim)), band-filter below the dup
+    * threshold, keep k. The filter is per-row, so it never widens the
+    * shortlist's cost; size the headroom to cover the anchors' expected
+    * duplicate count (each excluded near-dup frees one slot). */
+  def hardNegativesFrom(ranked: DataFrame, k: Int,
       dupThreshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    cosinePairs(emb, anchors)
+    ranked.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
       .where(col("cos_sim") < lit(dupThreshold))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

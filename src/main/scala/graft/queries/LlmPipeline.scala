@@ -915,6 +915,26 @@ object LlmPipeline {
         .orderBy(col("anchor_id"), col("rnk"))
     }),
 
+    // ---- the same mining through the IVF shortlist — the composed
+    // scale path under its own gate: probe with headroom (k0 = 10 so
+    // each anchor's one excluded copy cannot starve the final k = 5),
+    // band-filter, keep k. With iters = 0 the whole composition replays
+    // in SQL: float-dot assignment + probe (q_cosine_ivf's recipe) +
+    // shortlist re-rank + band edge ----
+    "q_hard_negatives_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val pert = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.01d)).cast("float")).as("embedding"))
+      Similarity.hardNegativesFrom(
+          graft.ext.Ivf.topKIvf(e.unionByName(pert),
+            e.filter(col("vec_id") < 10), k = 10,
+            nLists = 16, nProbe = 4, iters = 0),
+          k = 5, dupThreshold = 0.95)
+        .orderBy(col("anchor_id"), col("rnk"))
+    }),
+
     // ---- embedding-cosine near-dup: the fixture has no planted vector
     // near-dups (max pairwise cos 0.51), so the query derives scaled
     // copies (vec * 1.01, float-rounded identically in both engines) and
@@ -2796,6 +2816,58 @@ object LlmPipeline {
         |      FROM s WHERE cos_sim < cast(0.95 as double))
         |SELECT anchor_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
         |ORDER BY anchor_id, rnk""".stripMargin,
+
+    // the composed path: IVF probe (float-dot assignment + nProbe=4
+    // routing, q_cosine_ivf's replay recipe) with k0=10 headroom, then
+    // the band filter + re-rank
+    "q_hard_negatives_ivf" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000,
+         |    list_transform(embedding,
+         |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (
+         |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,
+         |         embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM base ORDER BY vec_id LIMIT 16)),
+         |ad AS (
+         |  SELECT e.vec_id, c.cid, ${sqlDot("e.embedding", "c.cvec")} dot
+         |  FROM base e CROSS JOIN c),
+         |asn AS (
+         |  SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) rn
+         |    FROM ad) WHERE rn = 1),
+         |pr AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT vec_id AS query_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) rn
+         |    FROM ad WHERE vec_id < 10) WHERE rn <= 4),
+         |n AS (
+         |  SELECT vec_id, list_sum(list_transform(embedding,
+         |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+         |  FROM base),
+         |t AS (
+         |  SELECT pr.query_id qid, asn.neighbor_id cid,
+         |         ${sqlDot("q.embedding", "e.embedding")} dots
+         |  FROM pr JOIN asn ON asn.cid = pr.cid AND asn.neighbor_id <> pr.query_id
+         |          JOIN base q ON q.vec_id = pr.query_id
+         |          JOIN base e ON e.vec_id = asn.neighbor_id),
+         |s AS (
+         |  SELECT qid, cid,
+         |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+         |  FROM t JOIN n nq ON nq.vec_id = t.qid JOIN n nc ON nc.vec_id = t.cid),
+         |short AS (SELECT qid, cid, cos_sim FROM (
+         |    SELECT qid, cid, cos_sim,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) rnk
+         |    FROM s) WHERE rnk <= 10),
+         |r AS (SELECT qid AS anchor_id, cid AS neighbor_id, cos_sim,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) rnk
+         |      FROM short WHERE cos_sim < cast(0.95 as double))
+         |SELECT anchor_id, rnk, neighbor_id, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY anchor_id, rnk""".stripMargin,
     "q_cosine_ivf_exact" -> CosineTopkOracle,
     "q_cosine_ann_exact" -> CosineTopkOracle,
     "q_cosine_ann" -> CosineAnnOracle,
