@@ -44,6 +44,10 @@ object ScaleBench {
     // the rerank tail is shortlist-bounded, and the vec variant adds
     // one quantization-stats pass over the embedding corpus
     "q_rerank_hybrid", "q_rerank_vec",
+    // hard-negative mining: the brute baseline is corpus-linear per
+    // anchor; the IVF-composed row must absorb the corpus growth in
+    // its probed clusters
+    "q_hard_negatives", "q_hard_negatives_ivf",
     "q_cms", "q_heavy_hitters",
     "q_cosine_topk", "q_cosine_ivf", "q_cosine_ivfpq",
     "q_pagerank", "q_retention", "q_funnel",
