@@ -231,7 +231,7 @@ object IngestionJob {
     * succeeded — the mirror is replayable from the catalog member. */
   private def mirrorCatalogEntry(env: JobEnv, entry: CatalogEntry): Unit =
     try {
-      if (!env.store.catalogEntries(entry.assetId).exists(_.execId == entry.execId))
+      if (!env.store.hasCatalogEntry(entry.execId, entry.assetId))
         env.store.insertCatalogEntry(entry)
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -57,7 +57,8 @@ object TransactionalIngest {
     * pointer swing — the widest window the protocol must survive. */
   def ingest(spark: SparkSession, root: String, data: DataFrame,
       entry: CatalogEntry, batchId: Option[Long] = None,
-      beforeRootSwing: () => Unit = () => ()): Long = {
+      beforeRootSwing: () => Unit = () => (),
+      evolveLanding: Boolean = false): Long = {
     val landingT = s"$root/$LandingMember"
     val catalogT = s"$root/$CatalogMember"
     def commitOnce(df: DataFrame, t: String): Long =
@@ -65,7 +66,14 @@ object TransactionalIngest {
         AtomicLanding.currentVersion(t).get // replay: data + id durable
       else AtomicLanding.commit(df, t,
         append = AtomicLanding.currentVersion(t).isDefined,
-        batchId = batchId)
+        batchId = batchId,
+        // the file/stream patterns own their landing schema and may add
+        // columns across engine releases (batch_id/src_obj arrived after
+        // roots already existed in the wild); opting their appends into
+        // evolution keeps an upgraded engine from bricking a standing
+        // root on its first post-upgrade batch (schema enforcement
+        // would throw on EVERY retry — a ladder that never converges)
+        evolveSchema = evolveLanding && t == landingT)
     // catalog first: the only state a crash between the member commits
     // can leave is a run record whose root never swung — invisible to
     // root-resolving readers, retried into the same versions. (Order is
@@ -115,7 +123,16 @@ object TransactionalIngest {
     * ride the landing rows (`batch_id` column), so a late arrival
     * sitting next to the batch's leftovers stays in inbound for its own
     * batch; after the archive, the filtered listing is empty and
-    * everything short-circuits. Returns the published root generation. */
+    * everything short-circuits. Returns the published root generation.
+    *
+    * NAMING CONTRACT (the residue a name-keyed object store cannot
+    * close): the covered retry identifies the batch's objects by NAME,
+    * so a producer that OVERWRITES an inbound object in the crash
+    * window (same name, new bytes) would see the new bytes archived
+    * unlanded. Inbound object names must be unique per delivery — the
+    * reference's convention already timestamps them
+    * (`dataIngestionUtils.py:245`); re-delivering under a fresh name is
+    * always safe. */
   def ingestFiles(spark: SparkSession, root: String, inbound: String,
       relay: graft.files.FileRelay, processedPrefix: String,
       entry: CatalogEntry, batchId: Option[Long] = None,
@@ -130,14 +147,24 @@ object TransactionalIngest {
     val covered = batchId.exists(b =>
       AtomicLanding.lastBatchId(landingT).exists(_ >= b))
     val bid = batchId.getOrElse(-1L)
+    // per-object reads with the DRIVER's name as a literal: deriving
+    // obj_name from the scan's `path` column would record the
+    // URL-ENCODED URI form ("my%20file.csv"), which can never match the
+    // relay listing's decoded Path.getName at archive time — a covered
+    // retry would then skip the object forever. The listing is bounded
+    // (one batch's direct children), so the union is plan-sized, not
+    // data-sized.
     val data =
       if (covered || listed.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.format("binaryFile").load(listed.map(_.toString): _*)
-        .select(substring_index(col("path"), "/", -1).as("obj_name"),
-          col("length"), col("content"), lit(bid).as("batch_id"))
-    val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing)
+      else listed.map { p =>
+        spark.read.format("binaryFile").load(p.toString)
+          .select(lit(p.getName).as("obj_name"),
+            col("length"), col("content"), lit(bid).as("batch_id"))
+      }.reduce(_ unionByName _)
+    val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing,
+      evolveLanding = true)
     val toArchive =
       if (!covered) listed
       else {
@@ -192,13 +219,19 @@ object TransactionalIngest {
       } else {
         val split = udf((s: String) =>
           graft.stream.StreamMerger.splitConcatenated(s))
-        spark.read.option("wholetext", "true")
-          .text(listed.map(_.toString): _*)
-          .select(substring_index(input_file_name(), "/", -1).as("src_obj"),
-            explode(split(col("value"))).as("event_json"),
-            lit(bid).as("batch_id"))
+        // per-object reads with the driver's decoded name as a literal
+        // (input_file_name() returns the URL-ENCODED URI, which cannot
+        // match the relay listing at archive time — see ingestFiles);
+        // the split still runs on the executors
+        listed.map { p =>
+          spark.read.option("wholetext", "true").text(p.toString)
+            .select(lit(p.getName).as("src_obj"),
+              explode(split(col("value"))).as("event_json"),
+              lit(bid).as("batch_id"))
+        }.reduce(_ unionByName _)
       }
-    val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing)
+    val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing,
+      evolveLanding = true)
     val toArchive =
       if (!covered) listed
       else {

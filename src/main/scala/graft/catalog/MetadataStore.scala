@@ -33,6 +33,14 @@ trait MetadataStore {
   def updateCatalogStatus(execId: String, column: String, value: String): Unit
 
   def catalogEntries(assetId: Int): Seq[CatalogEntry]
+
+  /** Does a run record for `execId` exist? The idempotence probe the
+    * transactional mirror uses before its best-effort insert. Default
+    * scans the asset's rows; JDBC-backed stores override with a
+    * targeted one-row query — an O(run-history) fetch per ingest would
+    * grow without bound. */
+  def hasCatalogEntry(execId: String, assetId: Int): Boolean =
+    catalogEntries(assetId).exists(_.execId == execId)
 }
 
 /** Thread-safe in-memory store for tests and local runs. */
@@ -213,6 +221,15 @@ final class JdbcMetadataStore(url: String, props: java.util.Properties)
     bindCatalogEntry(st, e)
     st.executeUpdate()
   }
+
+  override def hasCatalogEntry(execId: String, assetId: Int): Boolean =
+    withConn { c =>
+      val st = c.prepareStatement(
+        """select 1 from data_asset_catalogs
+          |where exec_id = ? fetch first 1 rows only""".stripMargin)
+      st.setString(1, execId)
+      st.executeQuery().next()
+    }
 
   def updateCatalogStatus(execId: String, column: String, value: String): Unit = {
     require(Set("dq_validation", "data_masking", "data_publish")(column),

@@ -62,9 +62,15 @@ object Rerank {
     * @param queryVecs optional (query_id, embedding) query embeddings
     * @param vecWeight integer weight of the semantic feature (the text
     *                  features keep their BIGINT log-free discipline) */
+  /** @param vecStats  optional frozen (pos, mn, mx) quantization stats
+    *                   — e.g. a [[SemDedupState]] `stats` member. When
+    *                   absent they are trained from `docVecs` per call,
+    *                   which is a corpus-linear scan a warm serving path
+    *                   should amortize away by passing them in. */
   def rerank(shortlist: DataFrame, docs: DataFrame, queries: DataFrame,
       k: Int, docVecs: Option[DataFrame] = None,
-      queryVecs: Option[DataFrame] = None, vecWeight: Long = 2L): DataFrame = {
+      queryVecs: Option[DataFrame] = None, vecWeight: Long = 2L,
+      vecStats: Option[DataFrame] = None): DataFrame = {
     // the shortlist is <= k0·|queries| rows and is referenced FOUR
     // times below (candidate filter, both feature probes, the final
     // pair spine) — pin it once or every reference re-runs the entire
@@ -112,9 +118,9 @@ object Rerank {
     // the bounded pair spine), exact integer dots, floor to BIGINT
     val vecF = (docVecs, queryVecs) match {
       case (Some(dv), Some(qv)) =>
-        val stats = Quantize.dimStats(
-          dv.select(col("doc_id").as("vec_id"), col("embedding")))
-          .localCheckpoint(true)
+        val stats = vecStats.getOrElse(Quantize.dimStats(
+            dv.select(col("doc_id").as("vec_id"), col("embedding")))
+          .localCheckpoint(true))
         def codesOf(src: DataFrame): DataFrame =
           Quantize.int8CodesWith(src, stats)
             .select(col("vec_id"), col("codes"),

@@ -178,7 +178,11 @@ object SemDedupState {
   def dedupBatch(spark: SparkSession, path: String, batch: DataFrame,
       tau: Double): DataFrame = {
     val snap = snapOf(path)
-    val asn = assignBatch(spark, path, snap, batch)
+    // the batch assignment is referenced twice below (the dup join and
+    // the final spine) — pin it once or the cents read, broadcast and
+    // per-vector argmax window run twice per call (the Rerank pairs-pin
+    // discipline; the batch is bounded by contract)
+    val asn = assignBatch(spark, path, snap, batch).localCheckpoint(true)
     val standing = member(spark, path, snap, "codes")
       .select(col("cid"), col("vec_id").as("va"),
         col("codes").as("ca"), col("n2").as("na"))

@@ -193,7 +193,11 @@ class TransactionalIngestSpec extends AnyFunSuite {
           throw new RuntimeException("crash post-swing") }
         else super.moveExact(ps, d)
     }
-    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/a.csv"), "x\n1\n")
+    // a name that URL-encodes differently than it lists: the landed
+    // obj_name must be the relay's DECODED name or the covered retry
+    // can never match it (input_file_name()/path-column forms encode
+    // the space as %20 and the literal % as %25)
+    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/a 100% file.csv"), "x\n1\n")
     intercept[RuntimeException] {
       TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
         entry("f1"), batchId = Some(10L))
@@ -205,9 +209,10 @@ class TransactionalIngestSpec extends AnyFunSuite {
     TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
       entry("f1"), batchId = Some(10L))
     val Some((land, _)) = TransactionalIngest.snapshot(spark, root)
-    assert(land.select("obj_name").as[String].collect().toSeq == Seq("a.csv"),
+    assert(land.select("obj_name").as[String].collect().toSeq
+      == Seq("a 100% file.csv"),
       "the covered retry must not re-land (the id covers the batch)")
-    assert(relay.list(processed).map(_.getName) == Seq("a.csv"),
+    assert(relay.list(processed).map(_.getName) == Seq("a 100% file.csv"),
       "the retry archives exactly the batch's durable landing set")
     assert(relay.list(inbound).map(_.getName) == Seq("late.csv"),
       "the post-crash arrival must stay in inbound")
@@ -225,7 +230,7 @@ class TransactionalIngestSpec extends AnyFunSuite {
           throw new RuntimeException("crash post-swing") }
         else super.moveExact(ps, d)
     }
-    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/e1.json"),
+    relay.writeUtf8(new org.apache.hadoop.fs.Path(s"$inbound/e 1.json"),
       """{"a":1}{"a":2}""")
     intercept[RuntimeException] {
       TransactionalIngest.ingestStream(spark, root, inbound, relay, processed,
@@ -239,7 +244,8 @@ class TransactionalIngestSpec extends AnyFunSuite {
     assert(land.select("event_json").as[String].collect().sorted.toSeq
       == Seq("""{"a":1}""", """{"a":2}"""),
       "the covered retry must not land the post-crash object under the old id")
-    assert(relay.list(processed).map(_.getName) == Seq("e1.json"))
+    assert(relay.list(processed).map(_.getName) == Seq("e 1.json"),
+      "the covered retry must match the DECODED src_obj name")
     assert(relay.list(inbound).map(_.getName) == Seq("e2.json"),
       "the post-crash arrival stays for its own batch")
     // and its own batch lands it exactly once

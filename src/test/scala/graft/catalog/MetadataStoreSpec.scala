@@ -79,5 +79,9 @@ class MetadataStoreSpec extends AnyFunSuite {
     derby.updateCatalogStatus("j1", "data_publish", "done")
     val e = derby.catalogEntries(7).find(_.execId == "j1").get
     assert(e.dataPublish == "done" && e.dqValidation == CatalogEntry.StatusNotStarted)
+    // the targeted existence probe (the mirror's idempotence check —
+    // one-row JDBC query, never an O(run-history) fetch)
+    assert(derby.hasCatalogEntry("j1", 7))
+    assert(!derby.hasCatalogEntry("j-missing", 7))
   }
 }
