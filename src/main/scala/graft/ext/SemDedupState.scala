@@ -151,6 +151,49 @@ object SemDedupState {
       case _: java.util.ConcurrentModificationException => false
     }
 
+  /** State MAINTENANCE — the physical tail fold every persisted tier
+    * carries ([[graft.ext.Ivf.maintainSavedIndex]]'s shape, simpler
+    * because this state never rewrites: stats/cents are frozen for
+    * life, so the live codes generation is always an append chain and
+    * the heal is the plain forward CAS): a streaming ingest leaves one
+    * small dir per micro-batch; fold the sub-`smallBytes` tail into one
+    * dir ([[AtomicLanding.compactSmall]] — never rewrites the body),
+    * re-pin the root, and vacuum superseded generations
+    * (quiescence-guarded). The batch-id watermark survives the fold, so
+    * replay-skip keeps working. One maintainer at a time; concurrent
+    * reads and appends are safe. Returns reclaimed paths.
+    *
+    * DRIFT: when the corpus outgrows the seed distribution (the frozen
+    * quantizer's routing decays), rebuild with [[buildSaved]] AT THE
+    * SAME PATH — each member commits a fresh version and ONE root CAS
+    * flips readers from the old generation to the new atomically
+    * (spec'd); a crash mid-rebuild leaves the old generation live. */
+  def maintainSaved(spark: SparkSession, path: String,
+      smallBytes: Long = 64L * 1024 * 1024,
+      reservationGraceMs: Long = 600000L,
+      retainRootGenerations: Int = 0): Seq[String] = {
+    val codesT = s"$path/codes"
+    var done = false
+    while (!done) {
+      val snap = snapOf(path)
+      val kLive = AtomicLanding.currentVersion(codesT).get
+      if (kLive != snap.members("codes")) {
+        casRoot(path, snap, kLive); ()
+      } else {
+        val folded =
+          try AtomicLanding.compactSmall(spark, codesT, smallBytes)
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              AtomicLanding.currentVersion(codesT).get
+          }
+        if (folded == snap.members("codes")) done = true
+        else done = casRoot(path, snap, folded)
+      }
+    }
+    AtomicLanding.vacuumLinked(path, futureGraceMs = reservationGraceMs,
+      retainRoots = retainRootGenerations)
+  }
+
   /** Full-corpus verdicts at the current root — [[SemDedup.verdicts]]
     * over the PERSISTED assignment: no quantization, no assignment,
     * only the within-cluster pairwise term. With the frozen quantizer

@@ -125,4 +125,47 @@ class SemDedupStateSpec extends AnyFunSuite {
     assert(SemDedupState.verdictsSaved(spark, p, 0.9)
       .orderBy("vec_id").collect().toSeq == before)
   }
+
+  test("maintainSaved folds the micro-batch tail, keeps verdicts and replay-skip, and vacuums superseded generations") {
+    import graft.land.AtomicLanding
+    val p = freshPath()
+    SemDedupState.buildSaved(e.filter(col("vec_id") < 30), p, nLists = 8,
+      batchId = Some(-1L))
+    (0 to 4).foreach { i =>
+      SemDedupState.addToSaved(spark, p,
+        e.filter(col("vec_id") >= 30 + i * 10 && col("vec_id") < 40 + i * 10),
+        batchId = Some(i.toLong))
+    }
+    val codesT = s"$p/codes"
+    assert(AtomicLanding.liveDirCount(codesT) == 6)
+    val before = SemDedupState.verdictsSaved(spark, p, 0.9)
+      .orderBy("vec_id").collect().toSeq
+    val reclaimed = SemDedupState.maintainSaved(spark, p)
+    assert(AtomicLanding.liveDirCount(codesT) == 1, "tail folded to one dir")
+    assert(reclaimed.nonEmpty, "superseded generations reclaimed")
+    assert(SemDedupState.verdictsSaved(spark, p, 0.9)
+      .orderBy("vec_id").collect().toSeq == before,
+      "the fold must not change a single verdict")
+    // the batch-id watermark survived the fold: a replay still no-ops
+    SemDedupState.addToSaved(spark, p,
+      e.filter(col("vec_id") >= 70 && col("vec_id") < 80), batchId = Some(4L))
+    assert(SemDedupState.verdictsSaved(spark, p, 0.9).count() == 80)
+  }
+
+  test("drift rebuild: buildSaved at the SAME path flips readers atomically from the old generation to the new") {
+    import graft.land.AtomicLanding
+    val p = freshPath()
+    SemDedupState.buildSaved(e.filter(col("vec_id") < 30), p, nLists = 8)
+    val rootBefore = AtomicLanding.currentRootVersion(p).get
+    // a reader resolves the OLD generation before the rebuild
+    val oldVerdicts = SemDedupState.verdictsSaved(spark, p, 0.9)
+    val nOld = oldVerdicts.count()
+    // rebuild over a bigger corpus (fresh stats, fresh cents) in place
+    SemDedupState.buildSaved(e, p, nLists = 8)
+    assert(AtomicLanding.currentRootVersion(p).get > rootBefore)
+    assert(SemDedupState.verdictsSaved(spark, p, 0.9).count() == e.count(),
+      "a post-rebuild resolve sees the NEW generation")
+    assert(oldVerdicts.count() == nOld,
+      "the pre-rebuild resolve still serves the old pinned pair")
+  }
 }
