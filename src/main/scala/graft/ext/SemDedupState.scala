@@ -194,6 +194,14 @@ object SemDedupState {
       retainRoots = retainRootGenerations)
   }
 
+  /** The frozen quantizer stats at the current root — (pos, mn, mx),
+    * the member a warm serving path passes into consumers that would
+    * otherwise re-train per call ([[Rerank.rerank]]'s `vecStats`). */
+  def statsSaved(spark: SparkSession, path: String): DataFrame = {
+    val snap = snapOf(path)
+    member(spark, path, snap, "stats")
+  }
+
   /** Full-corpus verdicts at the current root — [[SemDedup.verdicts]]
     * over the PERSISTED assignment: no quantization, no assignment,
     * only the within-cluster pairwise term. With the frozen quantizer

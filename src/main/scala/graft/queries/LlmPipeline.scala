@@ -1874,6 +1874,42 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- the same stack with the quantization stats FROZEN from a
+    // persisted SemDedupState (the serving shape: the per-call corpus
+    // stats scan amortized into the state the dedup pipeline already
+    // maintains). The state's stats member is dimStats over the same
+    // corpus, so this row must reproduce q_rerank_vec's bits exactly —
+    // its oracle IS q_rerank_vec's; any drift in the stats round-trip
+    // or the vecStats plumbing hash-fails here ----
+    "q_rerank_vec_frozen" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val st = semStateSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-semstate").toString + "/state"
+        graft.ext.SemDedupState.buildSaved(
+          e.select(col("vec_id"), col("embedding")), d, nLists = 16)
+      })
+      val stats = graft.ext.SemDedupState.statsSaved(s, st)
+      val qs = Seq(
+        (0L, "spark query engine"), (1L, "join filter window"),
+        (2L, "customer order stream"), (3L, "table scan merge sort"))
+        .toDF("query_id", "qtext")
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val textRank = Retrieval.bm25TopK(d, qs, k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rnk"))
+      val vecRank = Similarity.topKBrute(e, e.filter(col("vec_id") < 4), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rnk"))
+      val shortlist = Retrieval.rrfFuse(Seq(textRank, vecRank), k = 10)
+        .select(col("query_id"), col("id").as("doc_id"))
+      graft.ext.Rerank.rerank(shortlist, d, qs, k = 10,
+          docVecs = Some(e.select(col("vec_id").as("doc_id"), col("embedding"))),
+          queryVecs = Some(e.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("query_id"), col("embedding"))),
+          vecStats = Some(stats))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- int8 scalar quantization of the embedding corpus; the gate
     // projects order-sensitive integer scalars of each code vector
     // (weighted sum + min/max) since the driver's sorter can't hash
@@ -4217,130 +4253,12 @@ object LlmPipeline {
     // PLUS the semantic feature: int8 codes over the embedding corpus
     // (the q_embed_quantize chain, clamped), exact integer pair dots,
     // vec_pts = greatest(0, floor(qcos * 1000)), rr_score = text score
-    // + 2 * vec_pts
-    "q_rerank_vec" ->
-      """WITH q(query_id, qtext) AS (VALUES
-        |    (0, 'spark query engine'), (1, 'join filter window'),
-        |    (2, 'customer order stream'), (3, 'table scan merge sort')),
-        |qt AS (SELECT cast(query_id as bigint) query_id, term,
-        |    cast(count(*) as bigint) qtf
-        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)
-        |  GROUP BY 1, 2),
-        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
-        |        FROM documents)
-        |  GROUP BY 1, 2),
-        |dln AS (SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) dl
-        |  FROM documents),
-        |a AS (SELECT cast(count(*) as bigint) n_docs,
-        |    cast(sum(len(string_split(text, ' '))) as bigint)
-        |      // cast(count(*) as bigint) AS avgdl
-        |  FROM documents),
-        |cand AS (SELECT tf.doc_id, tf.term, tf.tf, dln.dl
-        |  FROM tf JOIN dln USING (doc_id)
-        |  JOIN (SELECT DISTINCT term FROM qt) v USING (term)),
-        |dft AS (SELECT term, cast(count(*) as bigint) df FROM cand GROUP BY 1),
-        |sc AS (SELECT qt.query_id, c.doc_id,
-        |    cast(sum(qt.qtf * ((((1000 * (2*a.n_docs - 2*dft.df + 1))
-        |                     // (2*dft.df + 1)) * 44 * c.tf * a.avgdl)
-        |        // (20*c.tf*a.avgdl + 6*a.avgdl + 18*c.dl))) as bigint)
-        |      score_scaled
-        |  FROM cand c JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN a
-        |  GROUP BY 1, 2),
-        |tr AS (SELECT query_id, doc_id AS id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY score_scaled DESC, doc_id) rnk
-        |  FROM sc),
-        |nrm AS (
-        |  SELECT vec_id, list_sum(list_transform(embedding,
-        |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
-        |  FROM embeddings),
-        |dots AS (
-        |  SELECT q2.vec_id qid, e.vec_id cid,
-        |         list_sum(list_transform(list_zip(q2.embedding, e.embedding),
-        |           p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
-        |  FROM embeddings q2 JOIN embeddings e ON e.vec_id <> q2.vec_id
-        |  WHERE q2.vec_id < 4),
-        |cs AS (
-        |  SELECT qid, cid,
-        |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
-        |  FROM dots JOIN nrm nq ON nq.vec_id = dots.qid
-        |  JOIN nrm nc ON nc.vec_id = dots.cid),
-        |vr AS (SELECT qid AS query_id, cid AS id,
-        |    row_number() OVER (PARTITION BY qid
-        |                       ORDER BY cos_sim DESC, cid ASC) rnk
-        |  FROM cs),
-        |contrib AS (
-        |  SELECT cast(query_id as bigint) query_id, cast(id as bigint) id,
-        |    1000000000000 // (60 + rnk) c FROM tr WHERE rnk <= 20
-        |  UNION ALL
-        |  SELECT cast(query_id as bigint), cast(id as bigint),
-        |    1000000000000 // (60 + rnk) FROM vr WHERE rnk <= 20),
-        |f AS (SELECT query_id, id, cast(sum(c) as bigint) rrf_score
-        |  FROM contrib GROUP BY 1, 2),
-        |short AS (SELECT query_id, id AS doc_id FROM (
-        |  SELECT query_id, id, rrf_score,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY rrf_score DESC, id) rnk
-        |  FROM f) WHERE rnk <= 10),
-        |qterm AS (SELECT DISTINCT cast(query_id as bigint) query_id, term
-        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)),
-        |w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
-        |dbg AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS b
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) i FROM w)),
-        |qbg AS (SELECT DISTINCT cast(query_id as bigint) query_id,
-        |    t[i] || ' ' || t[i+1] AS b
-        |  FROM (SELECT query_id, string_split(qtext, ' ') t, unnest(range(1,
-        |          len(string_split(qtext, ' ')))) i FROM q)),
-        |tfeat AS (SELECT s.query_id, s.doc_id,
-        |    cast(count(*) as bigint) matched,
-        |    cast(sum(least(tf.tf, 3)) as bigint) capped_tf
-        |  FROM short s JOIN qterm USING (query_id)
-        |  JOIN tf ON tf.doc_id = s.doc_id AND tf.term = qterm.term
-        |  GROUP BY 1, 2),
-        |bfeat AS (SELECT s.query_id, s.doc_id, cast(count(*) as bigint) hits
-        |  FROM short s JOIN qbg USING (query_id)
-        |  JOIN dbg ON dbg.doc_id = s.doc_id AND dbg.b = qbg.b
-        |  GROUP BY 1, 2),
-        |dims AS (SELECT unnest(range(1, 65)) AS d),
-        |qstats AS (
-        |  SELECT d, min(cast(embedding[d] as double)) AS mn,
-        |         max(cast(embedding[d] as double)) AS mx
-        |  FROM embeddings CROSS JOIN dims GROUP BY d),
-        |qcodes AS (
-        |  SELECT e.vec_id, s.d,
-        |    CASE WHEN s.mx = s.mn THEN 0
-        |         ELSE greatest(-127, least(127,
-        |           cast(floor((cast(e.embedding[s.d] as double) - s.mn)
-        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127))
-        |    END AS code
-        |  FROM embeddings e CROSS JOIN qstats s),
-        |qv2 AS (SELECT vec_id, list(code ORDER BY d) AS c FROM qcodes GROUP BY vec_id),
-        |qn2 AS (SELECT vec_id, cast(list_sum(list_transform(c, x -> x*x)) as bigint) AS n2 FROM qv2),
-        |vecf AS (SELECT s.query_id, s.doc_id,
-        |    greatest(0, cast(floor(
-        |      CASE WHEN nq.n2 = 0 OR nd.n2 = 0 THEN cast(-2 as double)
-        |           ELSE cast(list_sum(list_transform(range(1,65), i -> cq.c[i]*cd.c[i])) as double)
-        |                / sqrt(cast(nq.n2 as double)*cast(nd.n2 as double)) END
-        |      * cast(1000 as double)) as bigint)) AS vec_pts
-        |  FROM short s
-        |  JOIN qv2 cq ON cq.vec_id = s.query_id JOIN qv2 cd ON cd.vec_id = s.doc_id
-        |  JOIN qn2 nq ON nq.vec_id = s.query_id JOIN qn2 nd ON nd.vec_id = s.doc_id),
-        |rr AS (SELECT s.query_id, s.doc_id,
-        |    cast((1000 * (4*coalesce(tfeat.matched, 0)
-        |                  + 2*coalesce(tfeat.capped_tf, 0)
-        |                  + 8*coalesce(bfeat.hits, 0))) // (20 + dln.dl)
-        |      + 2 * coalesce(vecf.vec_pts, 0) as bigint) AS rr_score
-        |  FROM short s
-        |  LEFT JOIN tfeat USING (query_id, doc_id)
-        |  LEFT JOIN bfeat USING (query_id, doc_id)
-        |  LEFT JOIN vecf USING (query_id, doc_id)
-        |  JOIN dln ON dln.doc_id = s.doc_id)
-        |SELECT query_id, rnk, doc_id, rr_score FROM (
-        |  SELECT query_id, doc_id, rr_score,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY rr_score DESC, doc_id) rnk
-        |  FROM rr) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // + 2 * vec_pts. The _frozen row passes the SemDedupState stats
+    // member instead of training per call; the member is dimStats over
+    // the same corpus, so both rows share this oracle bit-for-bit
+    "q_rerank_vec" -> RerankVecOracle,
+    "q_rerank_vec_frozen" -> RerankVecOracle,
+
 
     // per-dimension min/max "training" + the fixed IEEE chain
     // floor((x-mn)*254/(mx-mn)) - 127, weighted-summed per vector with
@@ -4534,6 +4452,131 @@ object LlmPipeline {
   /** The exact scaled-integer dot between two float-list SQL expressions —
     * DuckDB's replay of [[graft.functions.DotScaled]]: floor(double ·
     * double · 1e15) per element, integer sum (order-independent). */
+
+  private lazy val RerankVecOracle: String =
+    """WITH q(query_id, qtext) AS (VALUES
+        |    (0, 'spark query engine'), (1, 'join filter window'),
+        |    (2, 'customer order stream'), (3, 'table scan merge sort')),
+        |qt AS (SELECT cast(query_id as bigint) query_id, term,
+        |    cast(count(*) as bigint) qtf
+        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dln AS (SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) dl
+        |  FROM documents),
+        |a AS (SELECT cast(count(*) as bigint) n_docs,
+        |    cast(sum(len(string_split(text, ' '))) as bigint)
+        |      // cast(count(*) as bigint) AS avgdl
+        |  FROM documents),
+        |cand AS (SELECT tf.doc_id, tf.term, tf.tf, dln.dl
+        |  FROM tf JOIN dln USING (doc_id)
+        |  JOIN (SELECT DISTINCT term FROM qt) v USING (term)),
+        |dft AS (SELECT term, cast(count(*) as bigint) df FROM cand GROUP BY 1),
+        |sc AS (SELECT qt.query_id, c.doc_id,
+        |    cast(sum(qt.qtf * ((((1000 * (2*a.n_docs - 2*dft.df + 1))
+        |                     // (2*dft.df + 1)) * 44 * c.tf * a.avgdl)
+        |        // (20*c.tf*a.avgdl + 6*a.avgdl + 18*c.dl))) as bigint)
+        |      score_scaled
+        |  FROM cand c JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN a
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT query_id, doc_id AS id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_scaled DESC, doc_id) rnk
+        |  FROM sc),
+        |nrm AS (
+        |  SELECT vec_id, list_sum(list_transform(embedding,
+        |           x -> cast(floor(cast(x as double)*cast(x as double)*1e15) as bigint))) n2
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT q2.vec_id qid, e.vec_id cid,
+        |         list_sum(list_transform(list_zip(q2.embedding, e.embedding),
+        |           p -> cast(floor(cast(p[1] as double)*cast(p[2] as double)*1e15) as bigint))) dots
+        |  FROM embeddings q2 JOIN embeddings e ON e.vec_id <> q2.vec_id
+        |  WHERE q2.vec_id < 4),
+        |cs AS (
+        |  SELECT qid, cid,
+        |    cast(dots as double)/sqrt(cast(nq.n2 as double)*cast(nc.n2 as double)) cos_sim
+        |  FROM dots JOIN nrm nq ON nq.vec_id = dots.qid
+        |  JOIN nrm nc ON nc.vec_id = dots.cid),
+        |vr AS (SELECT qid AS query_id, cid AS id,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY cos_sim DESC, cid ASC) rnk
+        |  FROM cs),
+        |contrib AS (
+        |  SELECT cast(query_id as bigint) query_id, cast(id as bigint) id,
+        |    1000000000000 // (60 + rnk) c FROM tr WHERE rnk <= 20
+        |  UNION ALL
+        |  SELECT cast(query_id as bigint), cast(id as bigint),
+        |    1000000000000 // (60 + rnk) FROM vr WHERE rnk <= 20),
+        |f AS (SELECT query_id, id, cast(sum(c) as bigint) rrf_score
+        |  FROM contrib GROUP BY 1, 2),
+        |short AS (SELECT query_id, id AS doc_id FROM (
+        |  SELECT query_id, id, rrf_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf_score DESC, id) rnk
+        |  FROM f) WHERE rnk <= 10),
+        |qterm AS (SELECT DISTINCT cast(query_id as bigint) query_id, term
+        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)),
+        |w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |dbg AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) i FROM w)),
+        |qbg AS (SELECT DISTINCT cast(query_id as bigint) query_id,
+        |    t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT query_id, string_split(qtext, ' ') t, unnest(range(1,
+        |          len(string_split(qtext, ' ')))) i FROM q)),
+        |tfeat AS (SELECT s.query_id, s.doc_id,
+        |    cast(count(*) as bigint) matched,
+        |    cast(sum(least(tf.tf, 3)) as bigint) capped_tf
+        |  FROM short s JOIN qterm USING (query_id)
+        |  JOIN tf ON tf.doc_id = s.doc_id AND tf.term = qterm.term
+        |  GROUP BY 1, 2),
+        |bfeat AS (SELECT s.query_id, s.doc_id, cast(count(*) as bigint) hits
+        |  FROM short s JOIN qbg USING (query_id)
+        |  JOIN dbg ON dbg.doc_id = s.doc_id AND dbg.b = qbg.b
+        |  GROUP BY 1, 2),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |qstats AS (
+        |  SELECT d, min(cast(embedding[d] as double)) AS mn,
+        |         max(cast(embedding[d] as double)) AS mx
+        |  FROM embeddings CROSS JOIN dims GROUP BY d),
+        |qcodes AS (
+        |  SELECT e.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE greatest(-127, least(127,
+        |           cast(floor((cast(e.embedding[s.d] as double) - s.mn)
+        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127))
+        |    END AS code
+        |  FROM embeddings e CROSS JOIN qstats s),
+        |qv2 AS (SELECT vec_id, list(code ORDER BY d) AS c FROM qcodes GROUP BY vec_id),
+        |qn2 AS (SELECT vec_id, cast(list_sum(list_transform(c, x -> x*x)) as bigint) AS n2 FROM qv2),
+        |vecf AS (SELECT s.query_id, s.doc_id,
+        |    greatest(0, cast(floor(
+        |      CASE WHEN nq.n2 = 0 OR nd.n2 = 0 THEN cast(-2 as double)
+        |           ELSE cast(list_sum(list_transform(range(1,65), i -> cq.c[i]*cd.c[i])) as double)
+        |                / sqrt(cast(nq.n2 as double)*cast(nd.n2 as double)) END
+        |      * cast(1000 as double)) as bigint)) AS vec_pts
+        |  FROM short s
+        |  JOIN qv2 cq ON cq.vec_id = s.query_id JOIN qv2 cd ON cd.vec_id = s.doc_id
+        |  JOIN qn2 nq ON nq.vec_id = s.query_id JOIN qn2 nd ON nd.vec_id = s.doc_id),
+        |rr AS (SELECT s.query_id, s.doc_id,
+        |    cast((1000 * (4*coalesce(tfeat.matched, 0)
+        |                  + 2*coalesce(tfeat.capped_tf, 0)
+        |                  + 8*coalesce(bfeat.hits, 0))) // (20 + dln.dl)
+        |      + 2 * coalesce(vecf.vec_pts, 0) as bigint) AS rr_score
+        |  FROM short s
+        |  LEFT JOIN tfeat USING (query_id, doc_id)
+        |  LEFT JOIN bfeat USING (query_id, doc_id)
+        |  LEFT JOIN vecf USING (query_id, doc_id)
+        |  JOIN dln ON dln.doc_id = s.doc_id)
+        |SELECT query_id, rnk, doc_id, rr_score FROM (
+        |  SELECT query_id, doc_id, rr_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rr_score DESC, doc_id) rnk
+        |  FROM rr) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   private def sqlDot(a: String, b: String): String =
     s"""cast(list_sum(list_transform(list_zip($a, $b),
        |      x -> cast(floor(cast(x[1] as double)*cast(x[2] as double)*1e15) as bigint))) as bigint)""".stripMargin
