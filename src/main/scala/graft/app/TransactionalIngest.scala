@@ -51,6 +51,15 @@ object TransactionalIngest {
     Seq(e).toDS().toDF()
   }
 
+  /** Spark's load() glob-expands its paths, so an inbound object named
+    * with glob metacharacters ("data[1].csv") would either match a
+    * DIFFERENT file (its bytes landing mislabeled while the real object
+    * archives unlanded) or nothing (wedging the batch on every retry).
+    * Escape every Hadoop glob metacharacter so the listed name loads
+    * LITERALLY — the name-fidelity contract end to end. */
+  private def globEscape(path: String): String =
+    path.replaceAll("""([\\\[\]{}*?])""", """\\$1""")
+
   /** Land `data` and record `entry`, atomically. Returns the published
     * root generation. Idempotent for a given `batchId`. `beforeRootSwing`
     * is the crash-injection seam between the member commits and the root
@@ -159,7 +168,7 @@ object TransactionalIngest {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else listed.map { p =>
-        spark.read.format("binaryFile").load(p.toString)
+        spark.read.format("binaryFile").load(globEscape(p.toString))
           .select(lit(p.getName).as("obj_name"),
             col("length"), col("content"), lit(bid).as("batch_id"))
       }.reduce(_ unionByName _)
@@ -171,7 +180,11 @@ object TransactionalIngest {
         // covered retry: the batch's own durable landing rows say what
         // to archive; anything else under inbound arrived after the
         // crashed attempt's listing and belongs to a future batch
-        val names = AtomicLanding.read(spark, landingT)
+        // mergeSchema: a standing root from an older engine may have
+        // pre-evolution dirs without batch_id — a single-footer read
+        // could fail to resolve the column on EVERY retry (the
+        // non-converging ladder evolveLanding exists to prevent)
+        val names = AtomicLanding.read(spark, landingT, mergeSchema = true)
           .where(col("batch_id") === lit(bid))
           .select(col("obj_name")).distinct()
           .collect().map(_.getString(0)).toSet
@@ -224,7 +237,7 @@ object TransactionalIngest {
         // match the relay listing at archive time — see ingestFiles);
         // the split still runs on the executors
         listed.map { p =>
-          spark.read.option("wholetext", "true").text(p.toString)
+          spark.read.option("wholetext", "true").text(globEscape(p.toString))
             .select(lit(p.getName).as("src_obj"),
               explode(split(col("value"))).as("event_json"),
               lit(bid).as("batch_id"))
@@ -235,7 +248,7 @@ object TransactionalIngest {
     val toArchive =
       if (!covered) listed
       else {
-        val names = AtomicLanding.read(spark, landingT)
+        val names = AtomicLanding.read(spark, landingT, mergeSchema = true)
           .where(col("batch_id") === lit(bid))
           .select(col("src_obj")).distinct()
           .collect().map(_.getString(0)).toSet
@@ -264,7 +277,7 @@ object TransactionalIngest {
   def snapshot(spark: SparkSession, root: String): Option[(DataFrame, DataFrame)] =
     AtomicLanding.linkedSnapshot(root).map { s =>
       (AtomicLanding.readVersion(spark, s"$root/$LandingMember",
-          s.members(LandingMember)),
+          s.members(LandingMember), mergeSchema = true),
         AtomicLanding.readVersion(spark, s"$root/$CatalogMember",
           s.members(CatalogMember)))
     }

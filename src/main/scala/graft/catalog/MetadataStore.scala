@@ -224,10 +224,17 @@ final class JdbcMetadataStore(url: String, props: java.util.Properties)
 
   override def hasCatalogEntry(execId: String, assetId: Int): Boolean =
     withConn { c =>
+      // scope to the asset like the trait default: exec_id uniqueness
+      // across assets is not enforced anywhere (an orchestrator may
+      // reuse one run id across a multi-asset run), and an unscoped
+      // probe would silently skip asset B's mirror because asset A
+      // already recorded the id
       val st = c.prepareStatement(
         """select 1 from data_asset_catalogs
-          |where exec_id = ? fetch first 1 rows only""".stripMargin)
+          |where exec_id = ? and asset_id = ?
+          |fetch first 1 rows only""".stripMargin)
       st.setString(1, execId)
+      st.setInt(2, assetId)
       st.executeQuery().next()
     }
 

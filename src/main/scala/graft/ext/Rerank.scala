@@ -61,12 +61,12 @@ object Rerank {
     *                  feature tail stays shortlist-sized.
     * @param queryVecs optional (query_id, embedding) query embeddings
     * @param vecWeight integer weight of the semantic feature (the text
-    *                  features keep their BIGINT log-free discipline) */
-  /** @param vecStats  optional frozen (pos, mn, mx) quantization stats
-    *                   — e.g. a [[SemDedupState]] `stats` member. When
-    *                   absent they are trained from `docVecs` per call,
-    *                   which is a corpus-linear scan a warm serving path
-    *                   should amortize away by passing them in. */
+    *                  features keep their BIGINT log-free discipline)
+    * @param vecStats  optional frozen (pos, mn, mx) quantization stats
+    *                  — e.g. a [[SemDedupState]] `stats` member. When
+    *                  absent they are trained from `docVecs` per call,
+    *                  which is a corpus-linear scan a warm serving path
+    *                  should amortize away by passing them in. */
   def rerank(shortlist: DataFrame, docs: DataFrame, queries: DataFrame,
       k: Int, docVecs: Option[DataFrame] = None,
       queryVecs: Option[DataFrame] = None, vecWeight: Long = 2L,

@@ -48,7 +48,8 @@ object SemDedupState {
     * is the seed watermark ([[graft.ext.Ivf.buildSavedIndex]] note): a
     * streaming ingest whose engine ids start at 0 seeds with -1. */
   def buildSaved(emb: DataFrame, path: String, nLists: Int,
-      batchId: Option[Long] = None): String = {
+      batchId: Option[Long] = None,
+      beforeRootSwing: () => Unit = () => ()): String = {
     val stats = Quantize.dimStats(emb).localCheckpoint(true)
     val withN2 = coded(emb, stats)
     val cents = SemDedup.seedCents(withN2, nLists)
@@ -59,7 +60,8 @@ object SemDedupState {
       batchId = batchId)
     AtomicLanding.publishLinked(path,
       Map("stats" -> sv, "cents" -> cv, "codes" -> kv),
-      expectedRoot = AtomicLanding.currentRootVersion(path))
+      expectedRoot = AtomicLanding.currentRootVersion(path),
+      beforePublish = beforeRootSwing)
     path
   }
 
@@ -106,15 +108,14 @@ object SemDedupState {
           AtomicLanding.lastBatchId(codesT, writer).exists(_ >= b))) {
         val kLive = AtomicLanding.currentVersion(codesT).get
         if (kLive == snap.members("codes")) done = true
-        else done = casRoot(path, snap, kLive, beforeRootPublish)
+        else done = healForward(path, snap, beforeRootPublish)
       } else if (AtomicLanding.currentVersion(codesT).get
           != snap.members("codes")) {
-        // a predecessor crashed between its codes commit and the root
-        // swing: the state never rewrites codes (stats/cents are frozen
-        // for life), so the live version is always an append chain over
-        // the pin — heal it forward, then land on top
-        casRoot(path, snap,
-          AtomicLanding.currentVersion(codesT).get, beforeRootPublish); ()
+        // a predecessor crashed between its commits and the root swing
+        // — an append OR a drift rebuild ([[buildSaved]] at this path);
+        // heal to a CONSISTENT generation first ([[healForward]] tells
+        // the two apart by dir lineage), then land on top
+        healForward(path, snap, beforeRootPublish); ()
       } else {
         val fresh = (batchId.filter(_ =>
             AtomicLanding.lastBatchId(codesT, writer).isDefined) match {
@@ -151,6 +152,46 @@ object SemDedupState {
       case _: java.util.ConcurrentModificationException => false
     }
 
+  /** Heal a committed-but-unpublished LIVE codes generation forward —
+    * the [[graft.ext.Ivf]] healLive discipline, because the state has
+    * TWO crash shapes to tell apart since [[buildSaved]]-at-path became
+    * the documented drift rebuild:
+    *  - an APPEND chain (live dirs ⊇ pinned dirs — a crashed
+    *    [[addToSaved]] or a [[maintainSaved]] fold, rows coded under
+    *    the PINNED stats/cents): publish live codes under the pinned
+    *    quantizer — the plain [[casRoot]];
+    *  - a REWRITE generation (disjoint dirs — a drift rebuild that
+    *    crashed between its codes commit and the root swing, rows coded
+    *    under NEW stats/cents): publish the live codes WITH the live
+    *    stats/cents versions (under the one-maintainer contract only
+    *    the same crashed rebuild can have advanced them). Publishing
+    *    pinned stats over rebuilt codes would quantize batches with the
+    *    old envelope and join them into the new chain — silently wrong
+    *    verdicts and permanent corruption, the mixed generation the
+    *    root protocol exists to prevent. */
+  private def healForward(path: String, snap: AtomicLanding.LinkedSnapshot,
+      beforeRootPublish: () => Unit = () => ()): Boolean = {
+    val codesT = s"$path/codes"
+    val kLive = AtomicLanding.currentVersion(codesT).get
+    val pinnedDirs =
+      AtomicLanding.dirsOfVersion(codesT, snap.members("codes")).toSet
+    val liveDirs = AtomicLanding.dirsOfVersion(codesT, kLive).toSet
+    if (pinnedDirs.subsetOf(liveDirs))
+      casRoot(path, snap, kLive, beforeRootPublish)
+    else
+      try {
+        AtomicLanding.publishLinked(path,
+          Map("stats" -> AtomicLanding.currentVersion(s"$path/stats").get,
+            "cents" -> AtomicLanding.currentVersion(s"$path/cents").get,
+            "codes" -> kLive),
+          expectedRoot = Some(snap.rootVersion),
+          beforePublish = beforeRootPublish)
+        true
+      } catch {
+        case _: java.util.ConcurrentModificationException => false
+      }
+  }
+
   /** State MAINTENANCE — the physical tail fold every persisted tier
     * carries ([[graft.ext.Ivf.maintainSavedIndex]]'s shape, simpler
     * because this state never rewrites: stats/cents are frozen for
@@ -178,7 +219,7 @@ object SemDedupState {
       val snap = snapOf(path)
       val kLive = AtomicLanding.currentVersion(codesT).get
       if (kLive != snap.members("codes")) {
-        casRoot(path, snap, kLive); ()
+        healForward(path, snap); ()
       } else {
         val folded =
           try AtomicLanding.compactSmall(spark, codesT, smallBytes)

@@ -226,8 +226,10 @@ object AtomicLanding {
     * the published pointer are readable: a crash between manifest write
     * and pointer swing leaves an orphaned FUTURE manifest on disk, and
     * that snapshot was never committed. */
-  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
-    spark.read.parquet(dirsOfVersion(table, version).map(d => resolveDir(table, d)): _*)
+  def readVersion(spark: SparkSession, table: String, version: Long,
+      mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(dirsOfVersion(table, version).map(d => resolveDir(table, d)): _*)
 
   /** The data dirs a committed version references (relative to `table`)
     * — the manifest-level delta primitive [[ChangeFeed]] diffs to serve

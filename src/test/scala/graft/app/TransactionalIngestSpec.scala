@@ -255,6 +255,28 @@ class TransactionalIngestSpec extends AnyFunSuite {
     assert(relay.list(inbound).isEmpty)
   }
 
+  test("file pattern: glob metacharacters in object names load LITERALLY — never a different file's bytes, never a wedged batch") {
+    val root = freshRoot()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-txn-glob").toString
+    val inbound = s"$tmp/inbound"; val processed = s"$tmp/processed"
+    val relay = new graft.files.FileRelay()
+    import org.apache.hadoop.fs.Path
+    // the glob trap: an unescaped load of "data[1].csv" would match
+    // data1.csv instead — landing the WRONG bytes under obj_name
+    // "data[1].csv" while the real object archives unlanded
+    relay.writeUtf8(new Path(s"$inbound/data[1].csv"), "bracketed")
+    relay.writeUtf8(new Path(s"$inbound/data1.csv"), "plain")
+    TransactionalIngest.ingestFiles(spark, root, inbound, relay, processed,
+      entry("g1"), batchId = Some(10L))
+    val Some((land, _)) = TransactionalIngest.snapshot(spark, root)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val byName = land.collect().map(r => r.getAs[String]("obj_name") ->
+      new String(r.getAs[Array[Byte]]("content"), utf8)).toMap
+    assert(byName == Map("data[1].csv" -> "bracketed", "data1.csv" -> "plain"),
+      "each object's own bytes must land under its own name")
+    assert(relay.list(inbound).isEmpty && relay.list(processed).size == 2)
+  }
+
   test("stream pattern one-swing: events land as rows with the record; crash/retry ladder converges") {
     val root = freshRoot()
     val tmp = java.nio.file.Files.createTempDirectory("graft-txn-s").toString

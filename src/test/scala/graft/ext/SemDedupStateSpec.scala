@@ -168,4 +168,34 @@ class SemDedupStateSpec extends AnyFunSuite {
     assert(oldVerdicts.count() == nOld,
       "the pre-rebuild resolve still serves the old pinned pair")
   }
+
+  test("a drift rebuild that crashes before its root swing never heals into a MIXED generation: the next append publishes the new stats/cents WITH the new codes") {
+    import graft.land.AtomicLanding
+    val p = freshPath()
+    SemDedupState.buildSaved(e.filter(col("vec_id") < 30), p, nLists = 8)
+    // drift rebuild over the full corpus CRASHES between its member
+    // commits and the root swing — live stats/cents/codes all ran ahead
+    intercept[RuntimeException] {
+      SemDedupState.buildSaved(e, p, nLists = 8,
+        beforeRootSwing = () => throw new RuntimeException("crash pre-swing"))
+    }
+    assert(SemDedupState.verdictsSaved(spark, p, 0.9).count() == 30,
+      "readers stay on the OLD generation after the crashed rebuild")
+    // the next append must NOT publish old stats/cents over the rebuilt
+    // codes (rows coded under the new envelope joined to the old
+    // quantizer — silent corruption); it heals to the NEW generation
+    // and lands on top of it
+    val batch = pert(e.filter(col("vec_id") < 10), 10000, 1.01)
+    SemDedupState.addToSaved(spark, p, batch)
+    val n = e.count()
+    val out = SemDedupState.verdictsSaved(spark, p, 0.9)
+    assert(out.count() == n + 10,
+      "healed to the rebuilt corpus plus the appended batch")
+    // the planted copies dup against their originals — only true if the
+    // batch was quantized with the HEALED (new) stats/cents
+    val dups = out.where(!col("kept") && col("vec_id") >= 10000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dups == (0L until 10L).map(_ + 10000).toSet,
+      s"batch copies must witness under the healed generation (got $dups)")
+  }
 }
