@@ -226,13 +226,16 @@ object IngestionJob {
     * transactional root (the catalog MEMBER — durable in the same swing
     * as the data). Idempotent and non-fatal BY CONTRACT: a retry of a
     * published run must not insert a duplicate mirror row (the member
-    * commit already short-circuited, the JDBC insert would not), and a
-    * mirror failure must not fail a job whose durable publish already
-    * succeeded — the mirror is replayable from the catalog member. */
+    * commit already short-circuited, the JDBC insert would not) — held
+    * even under CONCURRENT retries via the store's atomic
+    * insert-if-absent (the JDBC store resolves the probe race at the
+    * control store's unique key, treating duplicate-key as success) —
+    * and a mirror failure must not fail a job whose durable publish
+    * already succeeded: the mirror is replayable from the catalog
+    * member. */
   private def mirrorCatalogEntry(env: JobEnv, entry: CatalogEntry): Unit =
     try {
-      if (!env.store.hasCatalogEntry(entry.execId, entry.assetId))
-        env.store.insertCatalogEntry(entry)
+      env.store.insertCatalogEntryIfAbsent(entry); ()
     } catch {
       case scala.util.control.NonFatal(e) =>
         env.logger.info(s"catalog mirror insert failed for " +

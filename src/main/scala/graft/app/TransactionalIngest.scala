@@ -60,6 +60,23 @@ object TransactionalIngest {
   private def globEscape(path: String): String =
     path.replaceAll("""([\\\[\]{}*?])""", """\\$1""")
 
+  /** The relay listing's object name from binaryFile's `path` column,
+    * which carries the RAW `Path.toString` form (space and glob chars
+    * literal, NOT URL-encoded — URI-parsing it would throw on a space
+    * and silently mis-decode a literal "%20" in a name): the last
+    * segment verbatim is exactly what `Path.getName` yields on the
+    * driver's listing, so landed names match the archive listing
+    * bit-for-bit. */
+  private val rawPathName = org.apache.spark.sql.functions.udf(
+    (p: String) => p.substring(p.lastIndexOf('/') + 1))
+
+  /** The relay listing's DECODED object name from `input_file_name()`,
+    * which (unlike binaryFile's `path` column) carries the URL-ENCODED
+    * URI form ("my%20file.csv"): parse as a URI and take the decoded
+    * last segment — `Path.getName`'s value on the driver's listing. */
+  private val decodedName = org.apache.spark.sql.functions.udf(
+    (p: String) => new org.apache.hadoop.fs.Path(new java.net.URI(p)).getName)
+
   /** Land `data` and record `entry`, atomically. Returns the published
     * root generation. Idempotent for a given `batchId`. `beforeRootSwing`
     * is the crash-injection seam between the member commits and the root
@@ -156,22 +173,21 @@ object TransactionalIngest {
     val covered = batchId.exists(b =>
       AtomicLanding.lastBatchId(landingT).exists(_ >= b))
     val bid = batchId.getOrElse(-1L)
-    // per-object reads with the DRIVER's name as a literal: deriving
-    // obj_name from the scan's `path` column would record the
-    // URL-ENCODED URI form ("my%20file.csv"), which can never match the
-    // relay listing's decoded Path.getName at archive time — a covered
-    // retry would then skip the object forever. The listing is bounded
-    // (one batch's direct children), so the union is plan-sized, not
-    // data-sized.
+    // ONE reader call over every escaped path — a per-object
+    // scan-per-union would make analysis O(listing) relations deep
+    // (slow planning, StackOverflow risk on a thousand-object batch).
+    // obj_name derives from the scan's `path` column via
+    // [[rawPathName]] — the name must match the relay listing's
+    // Path.getName at archive time or a covered retry would skip the
+    // object forever.
     val data =
       if (covered || listed.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else listed.map { p =>
-        spark.read.format("binaryFile").load(globEscape(p.toString))
-          .select(lit(p.getName).as("obj_name"),
-            col("length"), col("content"), lit(bid).as("batch_id"))
-      }.reduce(_ unionByName _)
+      else spark.read.format("binaryFile")
+        .load(listed.map(p => globEscape(p.toString)): _*)
+        .select(rawPathName(col("path")).as("obj_name"),
+          col("length"), col("content"), lit(bid).as("batch_id"))
     val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing,
       evolveLanding = true)
     val toArchive =
@@ -232,16 +248,16 @@ object TransactionalIngest {
       } else {
         val split = udf((s: String) =>
           graft.stream.StreamMerger.splitConcatenated(s))
-        // per-object reads with the driver's decoded name as a literal
-        // (input_file_name() returns the URL-ENCODED URI, which cannot
-        // match the relay listing at archive time — see ingestFiles);
-        // the split still runs on the executors
-        listed.map { p =>
-          spark.read.option("wholetext", "true").text(globEscape(p.toString))
-            .select(lit(p.getName).as("src_obj"),
-              explode(split(col("value"))).as("event_json"),
-              lit(bid).as("batch_id"))
-        }.reduce(_ unionByName _)
+        // ONE reader call over every escaped path (see ingestFiles —
+        // never a per-object union); input_file_name() returns the
+        // URL-ENCODED URI, which cannot match the relay listing at
+        // archive time, so [[decodedName]] replays the decoding; the
+        // split still runs on the executors
+        spark.read.option("wholetext", "true")
+          .text(listed.map(p => globEscape(p.toString)): _*)
+          .select(decodedName(input_file_name()).as("src_obj"),
+            explode(split(col("value"))).as("event_json"),
+            lit(bid).as("batch_id"))
       }
     val gen = ingest(spark, root, data, entry, batchId, beforeRootSwing,
       evolveLanding = true)

@@ -41,6 +41,17 @@ trait MetadataStore {
     * grow without bound. */
   def hasCatalogEntry(execId: String, assetId: Int): Boolean =
     catalogEntries(assetId).exists(_.execId == execId)
+
+  /** Insert `e` unless a run record for (exec_id, asset_id) already
+    * exists — the mirror's probe+insert made ATOMIC, because two
+    * concurrent retries of one published run can both pass a separate
+    * probe and double-insert. Returns true iff this call inserted.
+    * Single-process stores synchronize the pair; the JDBC store backs
+    * it with the control store's unique key on (exec_id, asset_id) and
+    * treats a duplicate-key rejection as already-present. */
+  def insertCatalogEntryIfAbsent(e: CatalogEntry): Boolean =
+    if (hasCatalogEntry(e.execId, e.assetId)) false
+    else { insertCatalogEntry(e); true }
 }
 
 /** Thread-safe in-memory store for tests and local runs. */
@@ -60,6 +71,13 @@ final class InMemoryMetadataStore(
   }
 
   def insertCatalogEntry(e: CatalogEntry): Unit = synchronized { entries += e }
+
+  override def insertCatalogEntryIfAbsent(e: CatalogEntry): Boolean =
+    synchronized {
+      if (entries.exists(x => x.execId == e.execId && x.assetId == e.assetId))
+        false
+      else { entries += e; true }
+    }
 
   def updateCatalogStatus(execId: String, column: String, value: String): Unit =
     synchronized {
@@ -221,6 +239,29 @@ final class JdbcMetadataStore(url: String, props: java.util.Properties)
     bindCatalogEntry(st, e)
     st.executeUpdate()
   }
+
+  /** The probe backed by the control store's UNIQUE KEY on
+    * (exec_id, asset_id): the probe stays as the cheap fast path, and
+    * the race two concurrent retries can still win together resolves at
+    * the constraint — a duplicate-key rejection (SQLState 23xxx / the
+    * JDBC integrity subclass) IS the already-present verdict, never an
+    * error. Deployments add the key once:
+    * `alter table data_asset_catalogs add constraint
+    * data_asset_catalogs_run_uq unique (exec_id, asset_id)`. Without
+    * it this degrades to the probe-then-insert default — same rows
+    * under sequential retries, unprotected only against the concurrent
+    * double-insert the constraint exists to close. */
+  override def insertCatalogEntryIfAbsent(e: CatalogEntry): Boolean =
+    if (hasCatalogEntry(e.execId, e.assetId)) false
+    else
+      try { insertCatalogEntry(e); true }
+      catch {
+        case ex: java.sql.SQLException if isDuplicateKey(ex) => false
+      }
+
+  private def isDuplicateKey(ex: java.sql.SQLException): Boolean =
+    ex.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(ex.getSQLState).exists(_.startsWith("23"))
 
   override def hasCatalogEntry(execId: String, assetId: Int): Boolean =
     withConn { c =>

@@ -43,21 +43,32 @@ import graft.land.AtomicLanding
   */
 object SemDedupState {
 
+  /** Reserved writer channel on the codes member stamping the QUANTIZER
+    * GENERATION (the stats version) its chain was last (re)built under.
+    * [[buildSaved]] stamps it atomically with its codes commit; appends
+    * and folds carry it forward untouched ([[AtomicLanding]]'s wmark
+    * carry-forward), so [[healForward]] can tell a crashed rebuild's
+    * codes (mark == live stats version) from old-chain codes standing
+    * next to ORPHANED stats a crashed-earlier rebuild left behind. */
+  private val GenWriter = "__gen__"
+
   /** Freeze stats + centroids from `emb` (the seed corpus), code and
     * assign it, and publish the three members under one root. `batchId`
     * is the seed watermark ([[graft.ext.Ivf.buildSavedIndex]] note): a
     * streaming ingest whose engine ids start at 0 seeds with -1. */
   def buildSaved(emb: DataFrame, path: String, nLists: Int,
       batchId: Option[Long] = None,
-      beforeRootSwing: () => Unit = () => ()): String = {
+      beforeRootSwing: () => Unit = () => (),
+      beforeCodesCommit: () => Unit = () => ()): String = {
     val stats = Quantize.dimStats(emb).localCheckpoint(true)
     val withN2 = coded(emb, stats)
     val cents = SemDedup.seedCents(withN2, nLists)
     val sv = AtomicLanding.commit(stats.coalesce(1), s"$path/stats")
     val cv = AtomicLanding.commit(cents.coalesce(1), s"$path/cents")
+    beforeCodesCommit()
     val kv = AtomicLanding.commit(
       SemDedup.assignToCodeCents(withN2, cents), s"$path/codes",
-      batchId = batchId)
+      batchId = batchId, extraMarks = Map(GenWriter -> sv))
     AtomicLanding.publishLinked(path,
       Map("stats" -> sv, "cents" -> cv, "codes" -> kv),
       expectedRoot = AtomicLanding.currentRootVersion(path),
@@ -112,9 +123,9 @@ object SemDedupState {
       } else if (AtomicLanding.currentVersion(codesT).get
           != snap.members("codes")) {
         // a predecessor crashed between its commits and the root swing
-        // — an append OR a drift rebuild ([[buildSaved]] at this path);
-        // heal to a CONSISTENT generation first ([[healForward]] tells
-        // the two apart by dir lineage), then land on top
+        // — an append/fold OR a drift rebuild ([[buildSaved]] at this
+        // path); heal to a CONSISTENT generation first ([[healForward]]
+        // tells the two apart by the generation mark), then land on top
         healForward(path, snap, beforeRootPublish); ()
       } else {
         val fresh = (batchId.filter(_ =>
@@ -156,34 +167,48 @@ object SemDedupState {
     * the [[graft.ext.Ivf]] healLive discipline, because the state has
     * TWO crash shapes to tell apart since [[buildSaved]]-at-path became
     * the documented drift rebuild:
-    *  - an APPEND chain (live dirs ⊇ pinned dirs — a crashed
-    *    [[addToSaved]] or a [[maintainSaved]] fold, rows coded under
-    *    the PINNED stats/cents): publish live codes under the pinned
+    *  - an APPEND-FAMILY generation (a crashed [[addToSaved]] append or
+    *    a crashed [[maintainSaved]] fold — rows coded under the PINNED
+    *    stats/cents; a fold REPLACES tail dirs, so dir lineage cannot
+    *    tell it from a rewrite): publish live codes under the pinned
     *    quantizer — the plain [[casRoot]];
-    *  - a REWRITE generation (disjoint dirs — a drift rebuild that
-    *    crashed between its codes commit and the root swing, rows coded
-    *    under NEW stats/cents): publish the live codes WITH the live
-    *    stats/cents versions (under the one-maintainer contract only
-    *    the same crashed rebuild can have advanced them). Publishing
-    *    pinned stats over rebuilt codes would quantize batches with the
-    *    old envelope and join them into the new chain — silently wrong
-    *    verdicts and permanent corruption, the mixed generation the
-    *    root protocol exists to prevent. */
+    *  - a REWRITE generation (a drift rebuild that crashed between its
+    *    codes commit and the root swing — rows coded under NEW
+    *    stats/cents): publish the live codes WITH the live stats/cents
+    *    versions.
+    * The shapes are told apart by QUANTIZER ADVANCEMENT, not dir
+    * lineage: the live codes belong to a rebuild iff their chain's
+    * [[GenWriter]] mark — stamped atomically by [[buildSaved]]'s codes
+    * commit, carried forward untouched by appends and folds — equals
+    * the LIVE stats version AND the quantizer moved past the pinned
+    * one (under the one-maintainer contract only a rebuild advances
+    * stats/cents). Appends and folds never touch stats/cents, so their
+    * heal always re-pins the pinned quantizer. This also heals the
+    * orphaned-stats interleaving correctly: if a rebuild crashes after
+    * committing new stats/cents but BEFORE its codes commit and is
+    * abandoned, a later crashed fold's codes still carry the OLD
+    * generation mark (≠ the orphaned live stats version), so they heal
+    * under the PINNED quantizer (the fold's rows were coded with it) —
+    * publishing the orphaned new stats over old-envelope codes would
+    * quantize future batches with the new envelope and join them into
+    * the old chain, the mixed generation the root protocol exists to
+    * prevent. */
   private def healForward(path: String, snap: AtomicLanding.LinkedSnapshot,
       beforeRootPublish: () => Unit = () => ()): Boolean = {
     val codesT = s"$path/codes"
     val kLive = AtomicLanding.currentVersion(codesT).get
-    val pinnedDirs =
-      AtomicLanding.dirsOfVersion(codesT, snap.members("codes")).toSet
-    val liveDirs = AtomicLanding.dirsOfVersion(codesT, kLive).toSet
-    if (pinnedDirs.subsetOf(liveDirs))
+    val sLive = AtomicLanding.currentVersion(s"$path/stats").get
+    val cLive = AtomicLanding.currentVersion(s"$path/cents").get
+    val quantizerMoved = sLive != snap.members("stats") ||
+      cLive != snap.members("cents")
+    val rebuilt = quantizerMoved &&
+      AtomicLanding.lastBatchId(codesT, GenWriter).contains(sLive)
+    if (!rebuilt)
       casRoot(path, snap, kLive, beforeRootPublish)
     else
       try {
         AtomicLanding.publishLinked(path,
-          Map("stats" -> AtomicLanding.currentVersion(s"$path/stats").get,
-            "cents" -> AtomicLanding.currentVersion(s"$path/cents").get,
-            "codes" -> kLive),
+          Map("stats" -> sLive, "cents" -> cLive, "codes" -> kLive),
           expectedRoot = Some(snap.rootVersion),
           beforePublish = beforeRootPublish)
         true
@@ -193,10 +218,12 @@ object SemDedupState {
   }
 
   /** State MAINTENANCE — the physical tail fold every persisted tier
-    * carries ([[graft.ext.Ivf.maintainSavedIndex]]'s shape, simpler
-    * because this state never rewrites: stats/cents are frozen for
-    * life, so the live codes generation is always an append chain and
-    * the heal is the plain forward CAS): a streaming ingest leaves one
+    * carries ([[graft.ext.Ivf.maintainSavedIndex]]'s shape). Note a
+    * fold REPLACES tail dirs (it is NOT an append-chain superset), and
+    * stats/cents are not frozen for life — a drift rebuild advances
+    * them — so a crashed fold's heal goes through [[healForward]]'s
+    * generation-mark discrimination, never dir lineage: a streaming
+    * ingest leaves one
     * small dir per micro-batch; fold the sub-`smallBytes` tail into one
     * dir ([[AtomicLanding.compactSmall]] — never rewrites the body),
     * re-pin the root, and vacuum superseded generations
@@ -234,6 +261,87 @@ object SemDedupState {
     AtomicLanding.vacuumLinked(path, futureGraceMs = reservationGraceMs,
       retainRoots = retainRootGenerations)
   }
+
+  /** What the drift detector measured — both statistics estimate how
+    * far the standing corpus has outgrown the FROZEN seed quantizer:
+    *  - `clampRate`: fraction of sampled code values sitting AT the
+    *    int8 boundary (±127). In-envelope data codes interior (a seed
+    *    dim attains its own min/max on ~2 rows, so the seed's rate is
+    *    ~2·dims/rows ≈ 0); out-of-envelope values CLAMP to the
+    *    boundary, losing resolution — cosine quality decays exactly
+    *    there, so the rate IS the damage estimate.
+    *  - `occSkew`: nLists × the hottest cluster's share of the sampled
+    *    rows (1.0 = uniform routing). Frozen centroids route drifted
+    *    data into ever-fewer clusters; the within-cluster pairwise
+    *    term is quadratic in cluster size, so a hot cluster is the
+    *    cost blow-up signal even when values stay in-envelope. */
+  final case class DriftStats(clampRate: Double, occSkew: Double,
+      probedRows: Long, probedDirs: Int, totalDirs: Int)
+
+  /** BOUNDED-COST drift detector over the persisted codes — never a
+    * corpus scan: reads the NEWEST `maxDirs` dirs of the pinned codes
+    * snapshot (drift lives in recent appends; each append dir is
+    * batch-sized), at most `rowsPerDir` rows from each (a dir folded
+    * from the whole tail samples its prefix — an estimate, which is
+    * the contract), aggregates one bounded (≤ nLists rows) census on
+    * the executors. Cost is flat in the corpus: O(maxDirs · rowsPerDir)
+    * rows whatever the standing size. */
+  def driftProbe(spark: SparkSession, path: String, maxDirs: Int = 8,
+      rowsPerDir: Int = 65536): DriftStats = {
+    val snap = snapOf(path)
+    val dirPaths = AtomicLanding.dirPathsOfVersion(
+      s"$path/codes", snap.members("codes"))
+    val probed = dirPaths.takeRight(maxDirs)
+    val nLists = member(spark, path, snap, "cents").count().toInt
+    val perCid = probed.map(d => spark.read.parquet(d)
+        .select(col("cid"), col("codes")).limit(rowsPerDir))
+      .reduce(_ unionByName _)
+      .select(col("cid"),
+        aggregate(col("codes"), lit(0L),
+          (acc, v) => acc + when(abs(v) === lit(127L), lit(1L))
+            .otherwise(lit(0L))).as("clamped"),
+        size(col("codes")).cast("long").as("dims"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("clamped")).as("clamped"),
+        sum(col("dims")).as("vals"))
+      .collect() // bounded: ≤ nLists rows, the audited-census shape
+    val rows = perCid.map(_.getAs[Long]("n")).sum
+    val clamped = perCid.map(_.getAs[Long]("clamped")).sum
+    val vals = perCid.map(_.getAs[Long]("vals")).sum
+    DriftStats(
+      clampRate = if (vals == 0L) 0.0 else clamped.toDouble / vals,
+      occSkew = if (rows == 0L) 0.0
+        else perCid.map(_.getAs[Long]("n")).max.toDouble / rows * nLists,
+      probedRows = rows, probedDirs = probed.size,
+      totalDirs = dirPaths.size)
+  }
+
+  /** The GATED drift rebuild — the decision seam [[maintainSaved]]'s
+    * DRIFT note promises ([[graft.ext.Ivf.rebalanceSavedIndex]]'s
+    * contract, with the probe SUB-LINEAR instead of a retrain):
+    * [[driftProbe]] the standing state, and only when the clamp rate
+    * or the occupancy skew crosses its threshold, [[buildSaved]] at
+    * the same path over `corpus` (the caller supplies the RAW
+    * embeddings — the codes member deliberately stores 4×-compressed
+    * int8 codes, so the pipeline's embedding store is the rebuild
+    * source). One root CAS flips readers to the new generation;
+    * replay watermarks carry forward through the rebuild's commits.
+    * Returns true iff it rebuilt; a skip bumps [[rebuildSkips]]. */
+  def rebuildIfDrifted(spark: SparkSession, path: String,
+      corpus: DataFrame, nLists: Int,
+      clampThreshold: Double = 0.05, skewThreshold: Double = 4.0,
+      maxDirs: Int = 8, rowsPerDir: Int = 65536): Boolean = {
+    val ds = driftProbe(spark, path, maxDirs, rowsPerDir)
+    if (ds.clampRate < clampThreshold && ds.occSkew < skewThreshold) {
+      rebuildSkips.incrementAndGet(); false
+    } else { buildSaved(corpus, path, nLists); true }
+  }
+
+  /** Rebuilds [[rebuildIfDrifted]] SKIPPED because the drift probe
+    * stayed under both thresholds — the proof seam that an undrifted
+    * state never pays a corpus-sized rebuild. */
+  private[graft] val rebuildSkips =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** The frozen quantizer stats at the current root — (pos, mn, mx),
     * the member a warm serving path passes into consumers that would

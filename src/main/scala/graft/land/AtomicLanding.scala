@@ -247,6 +247,13 @@ object AtomicLanding {
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
+  /** [[dirsOfVersion]] resolved to ABSOLUTE paths, in manifest order
+    * (body first, newest append last) — for bounded maintenance probes
+    * that read a FEW dirs of a snapshot directly (a drift detector
+    * sampling the newest appends) instead of the whole version. */
+  def dirPathsOfVersion(table: String, version: Long): Seq[String] =
+    dirsOfVersion(table, version).map(d => resolveDir(table, d))
+
   /** UTF-8 byte-order <= — the same unsigned order parquet BINARY
     * stats and Spark's UTF8String comparisons use, so driver-side
     * range overlap tests agree with the recorded string ranges. */
@@ -824,14 +831,32 @@ object AtomicLanding {
       statsKeys: Seq[String] = Nil,
       knownRanges: Map[(String, String), (String, String, String)] = Map.empty,
       rebaseAppends: Seq[String] => Boolean = _ => false,
-      writer: String = ""): Long =
+      writer: String = "",
+      extraMarks: Map[String, Long] = Map.empty): Long =
     commitCore(df, table, append, beforePublish, batchId, maxConflictWaitMs,
       keepDirs, evolveSchema, expectedVersion, statsKeys, knownRanges,
-      rebaseAppends, writer)._1
+      rebaseAppends, writer, extraMarks)._1
 
   /** [[commit]] plus the manifest-relative name of the dir this commit
     * wrote — what [[compactSmallFrom]] needs to tell its fold output
     * apart from concurrently-appended dirs that rode the rebase. */
+  /** The fully-nullable rendering of a type — the append retype check
+    * compares against it to accept nullability NARROWING only: incoming
+    * == deepNullable(incoming) rendered over the live type means the
+    * live column is the relaxed version of what arrives. */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(deepNullable(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+      org.apache.spark.sql.types.MapType(
+        deepNullable(kt), deepNullable(vt), valueContainsNull = true)
+    case org.apache.spark.sql.types.StructType(fields) =>
+      org.apache.spark.sql.types.StructType(fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case other => other
+  }
+
   private def commitCore(df: DataFrame, table: String, append: Boolean = false,
       beforePublish: () => Unit = () => (),
       batchId: Option[Long] = None,
@@ -842,7 +867,8 @@ object AtomicLanding {
       statsKeys: Seq[String] = Nil,
       knownRanges: Map[(String, String), (String, String, String)] = Map.empty,
       rebaseAppends: Seq[String] => Boolean = _ => false,
-      writer: String = ""): (Long, String) = {
+      writer: String = "",
+      extraMarks: Map[String, Long] = Map.empty): (Long, String) = {
     val fs = fsOf(hp(table))
 
     // schema enforcement (Delta's rule): an append may never silently
@@ -870,7 +896,13 @@ object AtomicLanding {
           val inc = df.schema.find(_.name == f.name).getOrElse(
             throw new IllegalArgumentException(
               s"append drops live column '${f.name}' — appends must carry every live column"))
-          require(inc.dataType == f.dataType,
+          // nullability NARROWING is safe (non-null rows into a live
+          // nullable column — the shape every post-fold append hits,
+          // because a fold's parquet read-back relaxes containsNull/
+          // nullable while fresh computations stay strict); WIDENING
+          // stays an error (nulls the recorded schema denies)
+          require(inc.dataType == f.dataType
+              || deepNullable(inc.dataType) == f.dataType,
             s"append retypes live column '${f.name}': ${f.dataType} -> ${inc.dataType}")
         }
         val extras = df.schema.map(_.name).toSet -- live.map(_.name).toSet
@@ -967,10 +999,16 @@ object AtomicLanding {
       val defaultMark =
         (if (writer.isEmpty) batchId.toSeq else Nil) ++ lastBatchId(table).toSeq
       val marks0 = writerMarks(table)
-      val marks =
+      val marks1 =
         if (writer.isEmpty || batchId.isEmpty) marks0
         else marks0.updated(writer,
           marks0.get(writer).fold(batchId.get)(math.max(_, batchId.get)))
+      // extraMarks: additional channel stamps riding THIS commit's
+      // atomic manifest swing (e.g. a rebuild's generation mark) —
+      // same monotone-max discipline as the primary channel
+      val marks = extraMarks.foldLeft(marks1) { case (m, (w, b)) =>
+        m.updated(w, m.get(w).fold(b)(math.max(_, b)))
+      }
       val lines = defaultMark.maxOption.map(b => s"# batch $b").toSeq ++
         marks.toSeq.sortBy(_._1).map { case (w, b) => s"# wmark ${enc(w)} $b" } ++
         Seq(s"# schema ${enforcedSchema(carried).json}") ++ rangeLs ++ dirs

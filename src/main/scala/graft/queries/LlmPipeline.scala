@@ -56,6 +56,7 @@ object LlmPipeline {
     * for the incremental gate / seed-plus-stream for the ingest gate). */
   private val semStateSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val semStreamSpooled = scala.collection.concurrent.TrieMap[String, String]()
+  private val semRebuildSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val readPrunedSpooled = scala.collection.concurrent.TrieMap[String, String]()
   private val cdfDeleteSpooled = scala.collection.concurrent.TrieMap[String, String]()
 
@@ -1039,6 +1040,40 @@ object LlmPipeline {
             transform(col("embedding"),
               x => (-x.cast("double")).cast("float")).as("embedding")))
       graft.ext.SemDedupState.dedupBatch(s, st, batch, tau = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- DRIFT-GATED REBUILD of the semantic-dedup state — the
+    // decision seam the IVF tier carries (rebalance drift probe)
+    // applied to the frozen-quantizer state: seed on a PREFIX slice,
+    // append a 3x-scaled tail that clamps far outside the frozen
+    // envelope, and let the BOUNDED probe (newest dirs only, never a
+    // corpus scan) decide — it fires, buildSaved at the same path
+    // flips readers to the new generation in one root CAS, and a
+    // second probe over the rebuilt envelope SKIPS (re-armed). The
+    // gate hashes the post-rebuild verdicts, which a same-corpus
+    // one-shot replays exactly (frozen-quantizer determinism) ----
+    "q_semantic_dedup_rebuilt" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val st = semRebuildSpooled.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-semrebuild").toString + "/state"
+        val seed = e.filter(col("vec_id") < 200)
+        val drifted = e.filter(col("vec_id") >= 200)
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => (x.cast("double") * lit(3.0d)).cast("float"))
+              .as("embedding"))
+        graft.ext.SemDedupState.buildSaved(seed, d, nLists = 16)
+        graft.ext.SemDedupState.addToSaved(s, d, drifted)
+        val full = seed.unionByName(drifted)
+        require(graft.ext.SemDedupState.rebuildIfDrifted(s, d, full,
+          nLists = 16), "the clamped tail must trip the drift probe")
+        require(!graft.ext.SemDedupState.rebuildIfDrifted(s, d, full,
+          nLists = 16), "a freshly rebuilt envelope must re-arm low")
+        d
+      })
+      graft.ext.SemDedupState.verdictsSaved(s, st, tau = 0.9)
         .orderBy(col("vec_id"))
     }),
 
@@ -3059,6 +3094,65 @@ object LlmPipeline {
         |    list_transform(embedding,
         |      x -> cast(cast(x as double) * cast(1.01 as double) as float))
         |  FROM embeddings WHERE vec_id < 50),
+        |dims AS (SELECT unnest(range(1, 65)) AS d),
+        |stats AS (
+        |  SELECT d, min(cast(embedding[d] as double)) AS mn,
+        |         max(cast(embedding[d] as double)) AS mx
+        |  FROM base CROSS JOIN dims GROUP BY d),
+        |codes AS (
+        |  SELECT b.vec_id, s.d,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE cast(floor((cast(b.embedding[s.d] as double) - s.mn)
+        |                * cast(254 as double) / (s.mx - s.mn)) as bigint) - 127
+        |    END AS code
+        |  FROM base b CROSS JOIN stats s),
+        |cv AS (SELECT vec_id, list(code ORDER BY d) AS c FROM codes GROUP BY vec_id),
+        |n2 AS (SELECT vec_id, cast(list_sum(list_transform(c, x -> x*x)) as bigint) AS n2 FROM cv),
+        |cent AS (
+        |  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as integer) AS cid,
+        |         c AS cvec
+        |  FROM (SELECT vec_id, c FROM cv ORDER BY vec_id LIMIT 16)),
+        |cn AS (SELECT cid, cast(list_sum(list_transform(cvec, x -> x*x)) as bigint) AS cn2 FROM cent),
+        |ad AS (
+        |  SELECT cv.vec_id, cent.cid,
+        |    cast(list_sum(list_transform(range(1,65), i -> cv.c[i] * cent.cvec[i])) as bigint) AS dot
+        |  FROM cv CROSS JOIN cent),
+        |asn AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT ad.vec_id, ad.cid,
+        |      row_number() OVER (PARTITION BY ad.vec_id ORDER BY
+        |        CASE WHEN n2.n2 = 0 OR cn.cn2 = 0 THEN cast(-2 as double)
+        |             ELSE cast(ad.dot as double)/sqrt(cast(n2.n2 as double)*cast(cn.cn2 as double)) END DESC,
+        |        ad.cid ASC) rn
+        |    FROM ad JOIN n2 ON n2.vec_id = ad.vec_id JOIN cn ON cn.cid = ad.cid) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id va, b.vec_id vb,
+        |    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN cast(-2 as double)
+        |         ELSE cast(list_sum(list_transform(range(1,65), i -> ca.c[i]*cb.c[i])) as double)
+        |              / sqrt(cast(na.n2 as double)*cast(nb.n2 as double)) END AS qcos
+        |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN cv ca ON ca.vec_id = a.vec_id JOIN cv cb ON cb.vec_id = b.vec_id
+        |  JOIN n2 na ON na.vec_id = a.vec_id JOIN n2 nb ON nb.vec_id = b.vec_id),
+        |dup AS (SELECT vb AS vec_id, min(va) AS dup_witness FROM p
+        |        WHERE qcos >= cast(0.9 as double) GROUP BY vb)
+        |SELECT asn.vec_id, asn.cid,
+        |  cast(coalesce(dup.dup_witness, -1) as bigint) AS dup_of,
+        |  dup.dup_witness IS NULL AS kept
+        |FROM asn LEFT JOIN dup USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // the drift-gated rebuild: after the probe fires and buildSaved
+    // reruns at the same path, the state IS a one-shot build over the
+    // full (seed + 3x-scaled tail) corpus — same replay as
+    // q_semantic_dedup with the rebuilt base
+    "q_semantic_dedup_rebuilt" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+        |  UNION ALL
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> cast(cast(x as double) * cast(3.0 as double) as float))
+        |  FROM embeddings WHERE vec_id >= 200),
         |dims AS (SELECT unnest(range(1, 65)) AS d),
         |stats AS (
         |  SELECT d, min(cast(embedding[d] as double)) AS mn,

@@ -47,10 +47,11 @@ class MetadataStoreSpec extends AnyFunSuite {
       asset_id int, src_table_name varchar(100), src_sql_query varchar(500),
       trigger_mechanism varchar(20), ext_method varchar(20), ext_col varchar(50))""")
     st.execute("""create table data_asset_catalogs(
-      exec_id varchar(100), src_sys_id int, asset_id int,
+      exec_id varchar(100) not null, src_sys_id int, asset_id int not null,
       dq_validation varchar(20), data_publish varchar(20), data_masking varchar(20),
       src_file_path varchar(500), s3_log_path varchar(500),
-      proc_start_ts timestamp, created_ts timestamp, last_ext_time timestamp)""")
+      proc_start_ts timestamp, created_ts timestamp, last_ext_time timestamp,
+      constraint data_asset_catalogs_run_uq unique (exec_id, asset_id))""")
     st.execute("""insert into source_system_ingstn_atrbts values
       (1, 'database', 'postgres', 'dbhost', 'svc', 'public', 5432, 'sales', 'bkt')""")
     st.execute("""insert into data_asset_ingstn_atrbts values
@@ -83,5 +84,34 @@ class MetadataStoreSpec extends AnyFunSuite {
     // one-row JDBC query, never an O(run-history) fetch)
     assert(derby.hasCatalogEntry("j1", 7))
     assert(!derby.hasCatalogEntry("j-missing", 7))
+  }
+
+  test("jdbc store: insert-if-absent is atomic under CONCURRENT retries — the unique key resolves the probe race, duplicate-key is success") {
+    // sequential: second call no-ops
+    assert(derby.insertCatalogEntryIfAbsent(entry("race0", 7, None)))
+    assert(!derby.insertCatalogEntryIfAbsent(entry("race0", 7, None)))
+    assert(derby.catalogEntries(7).count(_.execId == "race0") == 1)
+    // concurrent: N retries of ONE published run race past any probe —
+    // exactly one may insert, the rest must see duplicate-key-as-success
+    // (never an exception, never a second row)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val fs = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            derby.insertCatalogEntryIfAbsent(entry("race1", 7, None))
+          }
+        })
+      }
+      gate.countDown()
+      val inserted = fs.map(_.get()).count(identity)
+      assert(inserted == 1, s"exactly one concurrent retry may insert (got $inserted)")
+    } finally pool.shutdown()
+    assert(derby.catalogEntries(7).count(_.execId == "race1") == 1,
+      "concurrent retries must never double-insert the mirror row")
+    // same exec_id under a DIFFERENT asset is a distinct run record
+    assert(derby.insertCatalogEntryIfAbsent(entry("race1", 8, None)))
   }
 }

@@ -169,6 +169,134 @@ class SemDedupStateSpec extends AnyFunSuite {
       "the pre-rebuild resolve still serves the old pinned pair")
   }
 
+  test("a maintainSaved fold that crashes between its commit and the root CAS heals under the PINNED quantizer (a fold is NOT an append-chain superset)") {
+    import graft.land.AtomicLanding
+    val p = freshPath()
+    SemDedupState.buildSaved(e.filter(col("vec_id") < 30), p, nLists = 8,
+      batchId = Some(-1L))
+    (0 to 2).foreach { i =>
+      SemDedupState.addToSaved(spark, p,
+        e.filter(col("vec_id") >= 30 + i * 10 && col("vec_id") < 40 + i * 10),
+        batchId = Some(i.toLong))
+    }
+    val codesT = s"$p/codes"
+    val pinned = AtomicLanding.linkedSnapshot(p).get
+    val before = SemDedupState.verdictsSaved(spark, p, 0.9)
+      .orderBy("vec_id").collect().toSeq
+    // the fold commits (REPLACING the tail dirs — live dirs are NOT a
+    // superset of the pinned dirs) and the maintainer dies before the
+    // root CAS
+    val folded = AtomicLanding.compactSmall(spark, codesT, Long.MaxValue)
+    assert(folded > pinned.members("codes"), "fold must have committed")
+    assert(AtomicLanding.linkedSnapshot(p).get.rootVersion
+      == pinned.rootVersion, "root must still pin the pre-fold generation")
+    // the next append heals forward FIRST: the folded codes re-pin under
+    // the PINNED stats/cents (no quantizer movement), never a rewrite
+    SemDedupState.addToSaved(spark, p,
+      e.filter(col("vec_id") >= 60 && col("vec_id") < 70), batchId = Some(3L))
+    val healed = AtomicLanding.linkedSnapshot(p).get
+    assert(healed.members("stats") == pinned.members("stats")
+      && healed.members("cents") == pinned.members("cents"),
+      "a crashed fold's heal must keep the pinned quantizer")
+    assert(healed.members("codes")
+      == AtomicLanding.currentVersion(codesT).get)
+    assert(SemDedupState.verdictsSaved(spark, p, 0.9)
+      .orderBy("vec_id").collect().toSeq.take(before.size) == before,
+      "the healed fold must not change a single standing verdict")
+    assert(SemDedupState.verdictsSaved(spark, p, 0.9).count() == 70)
+  }
+
+  test("orphaned-stats-then-crashed-fold: a rebuild that died BEFORE its codes commit must never donate its stats/cents to a crashed fold's heal") {
+    import graft.land.AtomicLanding
+    val p = freshPath()
+    SemDedupState.buildSaved(e.filter(col("vec_id") < 30), p, nLists = 8,
+      batchId = Some(-1L))
+    (0 to 1).foreach { i =>
+      SemDedupState.addToSaved(spark, p,
+        e.filter(col("vec_id") >= 30 + i * 10 && col("vec_id") < 40 + i * 10),
+        batchId = Some(i.toLong))
+    }
+    val codesT = s"$p/codes"
+    val pinned = AtomicLanding.linkedSnapshot(p).get
+    // a drift rebuild over the full corpus commits NEW stats + cents and
+    // dies BEFORE its codes commit — the new quantizer is an ORPHAN
+    intercept[RuntimeException] {
+      SemDedupState.buildSaved(e, p, nLists = 8,
+        beforeCodesCommit =
+          () => throw new RuntimeException("crash before codes commit"))
+    }
+    assert(AtomicLanding.currentVersion(s"$p/stats").get
+      > pinned.members("stats"), "orphaned stats must be live-ahead")
+    assert(AtomicLanding.currentVersion(codesT).get
+      == pinned.members("codes"), "the rebuild never committed codes")
+    // now a fold commits on the OLD chain (rows coded under the PINNED
+    // envelope) and the maintainer dies before the root CAS
+    val folded = AtomicLanding.compactSmall(spark, codesT, Long.MaxValue)
+    assert(folded > pinned.members("codes"))
+    // the heal must re-pin the PINNED quantizer with the folded codes —
+    // publishing the orphaned stats over old-envelope codes would
+    // quantize future batches with the new envelope and join them into
+    // the old chain (the mixed generation)
+    val batch = pert(e.filter(col("vec_id") < 10), 10000, 1.01)
+    SemDedupState.addToSaved(spark, p, batch, batchId = Some(2L))
+    val healed = AtomicLanding.linkedSnapshot(p).get
+    assert(healed.members("stats") == pinned.members("stats")
+      && healed.members("cents") == pinned.members("cents"),
+      "the orphaned quantizer must NOT be healed over old-envelope codes")
+    // functional proof: the planted 1.01x copies witness their standing
+    // originals, which only happens if the batch was quantized with the
+    // same (pinned) envelope as the corpus
+    val out = SemDedupState.verdictsSaved(spark, p, 0.9)
+    val dups = out.where(!col("kept") && col("vec_id") >= 10000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dups == (0L until 10L).map(_ + 10000).toSet,
+      s"batch copies must witness under the pinned generation (got $dups)")
+  }
+
+  test("drift probe + gated rebuild: in-envelope growth SKIPS (flat probe, no rewrite); out-of-envelope growth rebuilds to the one-shot bits") {
+    import graft.land.AtomicLanding
+    val p = freshPath()
+    val seed = e.filter(col("vec_id") < 60)
+    SemDedupState.buildSaved(seed, p, nLists = 8)
+    // in-envelope growth: 0.99x-scaled copies of seed rows — strictly
+    // inside the frozen envelope (every dim shrinks toward 0, which
+    // sits between the seed's per-dim mn<0<mx), routed like their
+    // originals, so neither statistic should move
+    val inEnv = pert(e.filter(col("vec_id") < 30), 10000, 0.99)
+    SemDedupState.addToSaved(spark, p, inEnv)
+    val probe0 = SemDedupState.driftProbe(spark, p)
+    val rootBefore = AtomicLanding.currentRootVersion(p).get
+    val skipsBefore = SemDedupState.rebuildSkips.get()
+    assert(!SemDedupState.rebuildIfDrifted(spark, p,
+      seed, nLists = 8), s"undrifted state must skip (probe: $probe0)")
+    assert(SemDedupState.rebuildSkips.get() == skipsBefore + 1)
+    assert(AtomicLanding.currentRootVersion(p).get == rootBefore,
+      "a skipped rebuild must not move the root")
+
+    // drifted growth: a 3x-scaled tail clamps far outside the frozen
+    // envelope — the probe must fire and the rebuild must leave the
+    // state bit-identical to a one-shot build over the full corpus
+    val drifted = e.filter(col("vec_id") >= 90 && col("vec_id") < 120)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(3.0d)).cast("float")).as("embedding"))
+    SemDedupState.addToSaved(spark, p, drifted)
+    val probe1 = SemDedupState.driftProbe(spark, p)
+    assert(probe1.clampRate > 0.05,
+      s"a 3x tail must clamp heavily (probe: $probe1)")
+    val full = seed.unionByName(inEnv).unionByName(drifted)
+    assert(SemDedupState.rebuildIfDrifted(spark, p, full, nLists = 8),
+      "a drifted state must rebuild")
+    assert(SemDedupState.verdictsSaved(spark, p, 0.9)
+        .orderBy("vec_id").collect().toSeq
+      == SemDedup.dedup(full, nLists = 8, tau = 0.9)
+        .orderBy("vec_id").collect().toSeq,
+      "the gated rebuild must equal the one-shot build bit-for-bit")
+    // post-rebuild the envelope covers everything: the probe re-arms low
+    assert(!SemDedupState.rebuildIfDrifted(spark, p, full, nLists = 8),
+      "a freshly rebuilt state must skip")
+  }
+
   test("a drift rebuild that crashes before its root swing never heals into a MIXED generation: the next append publishes the new stats/cents WITH the new codes") {
     import graft.land.AtomicLanding
     val p = freshPath()

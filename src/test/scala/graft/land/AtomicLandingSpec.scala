@@ -279,6 +279,34 @@ class AtomicLandingSpec extends AnyFunSuite {
     assert(legacy.getMessage.contains("score"))
   }
 
+  test("append nullability: NARROWING into a relaxed live column is accepted, WIDENING is refused") {
+    import org.apache.spark.sql.types._
+    val table = freshTable()
+    // live column relaxed the way a fold's parquet read-back leaves it:
+    // nullable array elements
+    val relaxed = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, Seq(1L, 2L))),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("xs", ArrayType(LongType, containsNull = true)))))
+    AtomicLanding.commit(relaxed, table)
+    // a fresh computation's STRICT array appends fine (narrowing)
+    val strict = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(2L, Seq(3L))),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("xs", ArrayType(LongType, containsNull = false)))))
+    AtomicLanding.commit(strict, table, append = true)
+    assert(AtomicLanding.read(spark, table).count() == 2)
+
+    // the reverse: strict live column, relaxed incoming — refused (the
+    // recorded schema denies nulls the incoming rows may carry)
+    val t2 = freshTable()
+    AtomicLanding.commit(strict, t2)
+    val widenEx = intercept[IllegalArgumentException] {
+      AtomicLanding.commit(relaxed, t2, append = true)
+    }
+    assert(widenEx.getMessage.contains("retypes"))
+  }
+
   test("a slot poisoned by a dead writer fails loudly; vacuum heals it") {
     val table = freshTable()
     val nation = graft.Tables.t(spark, TestSpark.Sf0001, "nation")

@@ -99,12 +99,49 @@ def main():
                 if curn is None or sec / sm < curn["x_sentinel"]:
                     minima_norm[q] = {"x_sentinel": round(sec / sm, 3),
                                       "round": rn}
+    # dual-metric regression flag (§24.5, VERDICT r19 item 5), computed
+    # BEFORE the dump so it ships in the ledger: a row on the latest
+    # complete board is flagged only when its raw AND its
+    # sentinel-normalized round-over-round ratios BOTH exceed 1.3x —
+    # raw-only moves are host drift, normalized-only moves are sentinel
+    # noise on sub-sentinel rows. Mechanical: a drifted round needs no
+    # editorial judgment to separate real regressions from window drift.
+    full_pre = [rn for rn in sorted(rounds) if rounds[rn].get("complete")
+                and rounds[rn].get("sentinel_mean_sec")]
+    if len(full_pre) >= 2:
+        a, b = full_pre[-2], full_pre[-1]
+        ra, rb = rounds[a], rounds[b]
+        sma, smb = ra["sentinel_mean_sec"], rb["sentinel_mean_sec"]
+        flags = {}
+        for q in sorted(set(ra["queries"]) & set(rb["queries"])):
+            if ra["queries"][q] <= 0.05:
+                continue  # sub-noise row: ratios are meaningless
+            raw_x = rb["queries"][q] / ra["queries"][q]
+            norm_x = (rb["queries"][q] / smb) / (ra["queries"][q] / sma)
+            if raw_x > 1.3 and norm_x > 1.3:
+                flags[q] = {"raw_x": round(raw_x, 3),
+                            "norm_x": round(norm_x, 3),
+                            "prev_sec": ra["queries"][q],
+                            "sec": rb["queries"][q],
+                            "vs_round": a}
+        rb["flag_regression"] = flags
+
     out = {"rounds": {str(k): rounds[k] for k in sorted(rounds)},
            "per_query_min": dict(sorted(minima.items())),
            "per_query_min_x_sentinel": dict(sorted(minima_norm.items()))}
     with open("BENCH_LEDGER.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
     print(f"ledger: {len(rounds)} rounds, {len(minima)} queries with minima")
+    if len(full_pre) >= 2:
+        b = full_pre[-1]
+        fl = rounds[b].get("flag_regression", {})
+        if fl:
+            for q, d in sorted(fl.items()):
+                print(f"  FLAG_REGRESSION r{b} {q}: raw {d['raw_x']}x / "
+                      f"norm {d['norm_x']}x ({d['prev_sec']:.2f}s -> {d['sec']:.2f}s)")
+        else:
+            print(f"  r{b}: flag_regression EMPTY "
+                  f"(no row with raw AND normalized ratios both >1.3x)")
     # headline drift view: latest valid round vs ledger min
     valid = [rn for rn, r in rounds.items() if r["rc"] == 0]
     if valid:
