@@ -42,8 +42,13 @@ object ScaleBench {
     // the fused rerank stack (BM25 + brute cosine + RRF + LTR) and its
     // vec-featured variant: both first stages are corpus-linear scans,
     // the rerank tail is shortlist-bounded, and the vec variant adds
-    // one quantization-stats pass over the embedding corpus
-    "q_rerank_hybrid", "q_rerank_vec",
+    // one quantization-stats pass over the embedding corpus; the
+    // frozen-stats variant amortizes exactly that pass behind the
+    // persisted state (its advantage should GROW with the corpus —
+    // VERDICT r19 item 6), and the swapped-scorer row prices the
+    // injectable seam (same plumbing, different formula)
+    "q_rerank_hybrid", "q_rerank_vec", "q_rerank_vec_frozen",
+    "q_rerank_swapped",
     // hard-negative mining: the brute baseline is corpus-linear per
     // anchor; the IVF-composed row must absorb the corpus growth in
     // its probed clusters
@@ -984,8 +989,23 @@ object ScaleBench {
         name -> ((math.min(a, b), ja))
       }.toMap
     }
+    // host-load sentinels bracketing the whole measured window (the
+    // §24.5 dual-metric discipline applied to probes, not just boards):
+    // a fixed trivial job timed before the base pass and after the
+    // scaled pass — far-apart or far-above-historic sentinels mean the
+    // window was contaminated and the curve should be re-run, not
+    // narrated around
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("sum(id * 3 % 7) s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentFirst = { sentinel(); sentinel() }
     val baseT = time(base)
+    val sentMid = sentinel()
     val scaledT = time(out)
+    val sentLast = sentinel()
     val rows = qs.map(_._1).map { q =>
       val (b, jb) = baseT(q); val (s, js) = scaledT(q)
       f""""$q":{"base_sec":$b%.3f,"scaled_sec":$s%.3f,"ratio":${s / b}%.2f,"joins_base":"$jb","joins_scaled":"$js"}"""
@@ -1088,7 +1108,7 @@ object ScaleBench {
         val zs = zmaintSection(spark, out, s"/tmp/graft_zmaint_scaled_$runTag")
         s""","zorder_maint":{"base":$zb,"scaled":$zs}"""
       }
-    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson$ivfRebalJson$pqRebalJson$zmaintJson$deleteJson$deconIncJson$multiJson}""")
+    println(s"""{"metric":"scale_curve","replicas":$n,"base":"$base","scaled":"$out","base_total_sec":$rb,"scaled_total_sec":$rs,"total_ratio":${rs / rb},"sentinel_first_sec":$sentFirst,"sentinel_mid_sec":$sentMid,"sentinel_last_sec":$sentLast,"queries":{$rows}$acidJson$ccJson$maintJson$clustersJson$ivfRebalJson$pqRebalJson$zmaintJson$deleteJson$deconIncJson$multiJson}""")
     spark.stop()
   }
 }

@@ -164,6 +164,36 @@ object SemDedupProbe {
     println(f"""SUMMARY_INCR {"wall_ratio":$iRatio%.2f,""" +
       f""""sqrt_n_bound":$iBound%.2f,"flat_quantize_term":true,""" +
       f""""within_model":${iRatio <= iBound * 1.5}}""")
+
+    // ---- DRIFT-PROBE legs (VERDICT r19 item 2): the detector that
+    // decides WHEN the frozen-quantizer state rebuilds
+    // ([[graft.ext.SemDedupState.driftProbe]]) must itself cost flat
+    // in the corpus — it reads at most maxDirs tail dirs capped at
+    // rowsPerDir rows each, never a corpus scan. Timed against the
+    // states the incremental legs built; the same legs adjudicate the
+    // DECISION: an undrifted (self-seeded) state must report a clamp
+    // rate under the rebuild threshold at every scale. ----
+    val drift = Seq(1, reps).map { r =>
+      val dir = s"/tmp/graft_semdedup_${r}x_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(base).toLong & 0xffffffffL)
+      val n = spark.read.parquet(dir).count()
+      val stDir = s"${dir}_semstate"
+      graft.ext.SemDedupState.driftProbe(spark, stDir) // warm-up
+      val t0 = System.nanoTime
+      val ds = graft.ext.SemDedupState.driftProbe(spark, stDir)
+      val wall = (System.nanoTime - t0) / 1e9
+      require(ds.clampRate < 0.05,
+        s"a self-seeded state must probe undrifted: $ds")
+      println(f"""LEG_DRIFT {"scale":$r,"n_corpus":$n,""" +
+        f""""warm_sec":$wall%.3f,"clamp_rate":${ds.clampRate}%.5f,""" +
+        f""""occ_skew":${ds.occSkew}%.2f,"probed_rows":${ds.probedRows},""" +
+        f""""probed_dirs":${ds.probedDirs},"total_dirs":${ds.totalDirs}}""")
+      (r, n, wall)
+    }
+    val dRatio = drift.last._3 / drift.head._3
+    println(f"""SUMMARY_DRIFT {"probe_wall_ratio":$dRatio%.2f,""" +
+      f""""corpus_ratio":${drift.last._2.toDouble / drift.head._2}%.1f,""" +
+      f""""flat_in_corpus":${dRatio <= 2.0}}""")
     spark.stop(); sys.exit(0)
   }
 }

@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   *    8·bigram_hits) div (20 + dl)` — pure BIGINT, log-free, the
   *    engine's standard cross-engine-exact ranking discipline.
   *
-  * A neural cross-encoder would replace exactly the scoring expression;
-  * the PLUMBING — bounded shortlist broadcast, candidate semi-join so
-  * feature extraction touches only k0·|queries| docs (never the
-  * corpus), per-pair aggregation, windowed re-rank — is the production
-  * shape either way, and is what this operator pins.
+  * The scoring expression is INJECTABLE (`scorer`): every shortlist
+  * pair's features materialize as five canonical BIGINT columns —
+  * `matched`, `capped_tf`, `bigram_hits`, `dl`, `vec_pts` (0 when no
+  * vectors were passed) — and any Column over those names replaces the
+  * default formula through UNCHANGED plumbing: bounded shortlist
+  * broadcast, candidate semi-join so feature extraction touches only
+  * k0·|queries| docs (never the corpus), per-pair aggregation, windowed
+  * re-rank. That seam is where a neural cross-encoder plugs in (its
+  * scores arriving as a column); the production shape is the same
+  * either way, and is what this operator pins.
   *
   * Shuffle census at 100 TB: the shortlist is |queries|·k0 rows
   * (BOUNDED — it broadcasts twice: once as the candidate semi-join
@@ -66,11 +71,17 @@ object Rerank {
     *                  — e.g. a [[SemDedupState]] `stats` member. When
     *                  absent they are trained from `docVecs` per call,
     *                  which is a corpus-linear scan a warm serving path
-    *                  should amortize away by passing them in. */
+    *                  should amortize away by passing them in.
+    * @param scorer    optional replacement scoring expression over the
+    *                  five canonical feature columns (`matched`,
+    *                  `capped_tf`, `bigram_hits`, `dl`, `vec_pts` — all
+    *                  BIGINT, zero-coalesced). None = the default
+    *                  hand-feature LTR formula, bit-for-bit. */
   def rerank(shortlist: DataFrame, docs: DataFrame, queries: DataFrame,
       k: Int, docVecs: Option[DataFrame] = None,
       queryVecs: Option[DataFrame] = None, vecWeight: Long = 2L,
-      vecStats: Option[DataFrame] = None): DataFrame = {
+      vecStats: Option[DataFrame] = None,
+      scorer: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     // the shortlist is <= k0·|queries| rows and is referenced FOUR
     // times below (candidate filter, both feature probes, the final
     // pair spine) — pin it once or every reference re-runs the entire
@@ -144,17 +155,25 @@ object Rerank {
     }
     val byScore = Window.partitionBy(col("query_id"))
       .orderBy(col("rr_score").desc, col("doc_id").asc)
-    val textScored = pairs
+    // the SCORING SEAM: every pair's features as the five canonical
+    // zero-coalesced BIGINT columns; the scorer (default or injected)
+    // is one Column over them — swapping it cannot touch the plumbing
+    val joined = pairs
       .join(termF, Seq("query_id", "doc_id"), "left")
       .join(bgF, Seq("query_id", "doc_id"), "left")
       .join(dLen, Seq("doc_id"))
-      .withColumn("txt_score", expr(
-        "(1000 * (4 * coalesce(matched, 0L) + 2 * coalesce(capped_tf, 0L)" +
-          " + 8 * coalesce(bigram_hits, 0L))) div (20 + dl)"))
-    vecF.fold(textScored.withColumn("rr_score", col("txt_score")))(vf =>
-        textScored.join(vf, Seq("query_id", "doc_id"), "left")
-          .withColumn("rr_score", col("txt_score") +
-            lit(vecWeight) * coalesce(col("vec_pts"), lit(0L))))
+    val featured = vecF.fold(joined.withColumn("vec_pts", lit(0L)))(vf =>
+        joined.join(vf, Seq("query_id", "doc_id"), "left"))
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        coalesce(col("capped_tf"), lit(0L)).as("capped_tf"),
+        coalesce(col("bigram_hits"), lit(0L)).as("bigram_hits"),
+        col("dl"),
+        coalesce(col("vec_pts"), lit(0L)).as("vec_pts"))
+    featured
+      .withColumn("rr_score", scorer.getOrElse(
+        expr("(1000 * (4 * matched + 2 * capped_tf + 8 * bigram_hits))" +
+          " div (20 + dl)") + lit(vecWeight) * col("vec_pts")))
       .withColumn("rnk", row_number().over(byScore))
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("long").as("rnk"),

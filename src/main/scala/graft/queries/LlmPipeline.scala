@@ -2078,6 +2078,26 @@ object LlmPipeline {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // ---- the INJECTABLE-SCORER seam (VERDICT r19 item 4): the same
+    // two-stage pipeline and shortlist as q_rerank, but the scoring
+    // expression is swapped for a proximity-first formula over the five
+    // canonical feature columns — the cross-encoder plug point, gated:
+    // a swapped scorer must reorder the same shortlist through
+    // unchanged plumbing (RerankSpec pins that the default path's bits
+    // are untouched). Oracle = q_rerank's replay with only the rr
+    // formula edited ----
+    "q_rerank_swapped" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val qs = d.where(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(split(col("text"), " ", -1), 1, 6)).as("qtext"))
+      graft.ext.Rerank.rerank(
+          Retrieval.bm25TopK(d, qs, k = 10), d, qs, k = 5,
+          scorer = Some(
+            expr("(1000 * (16 * bigram_hits + matched)) div (20 + dl)")))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // ---- BM25 from the PERSISTED inverted index (Retrieval.buildIndex
     // — the multi-query-session dual): the corpus byte scan runs ONCE at
     // build; this row loads postings/df/stats from parquet and scores
@@ -3798,6 +3818,74 @@ object LlmPipeline {
         |    cast((1000 * (4*coalesce(tfeat.matched, 0)
         |                  + 2*coalesce(tfeat.capped_tf, 0)
         |                  + 8*coalesce(bfeat.hits, 0))) // (20 + dln.dl)
+        |      as bigint) AS rr_score
+        |  FROM short s
+        |  LEFT JOIN tfeat USING (query_id, doc_id)
+        |  LEFT JOIN bfeat USING (query_id, doc_id)
+        |  JOIN dln ON dln.doc_id = s.doc_id)
+        |SELECT query_id, rnk, doc_id, rr_score FROM (
+        |  SELECT query_id, doc_id, rr_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rr_score DESC, doc_id) rnk
+        |  FROM rr) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // the injectable-scorer gate: q_rerank's two-stage replay with ONLY
+    // the rr formula swapped to the proximity-first expression — the
+    // plumbing CTEs are identical by construction
+    "q_rerank_swapped" ->
+      """WITH q AS (SELECT doc_id AS query_id,
+        |    array_to_string(string_split(text, ' ')[1:6], ' ') qtext
+        |  FROM documents WHERE doc_id < 4),
+        |qt AS (SELECT query_id, term, cast(count(*) as bigint) qtf
+        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)
+        |  GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, term, cast(count(*) as bigint) tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dln AS (SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) dl
+        |  FROM documents),
+        |a AS (SELECT cast(count(*) as bigint) n_docs,
+        |    cast(sum(len(string_split(text, ' '))) as bigint)
+        |      // cast(count(*) as bigint) AS avgdl
+        |  FROM documents),
+        |cand AS (SELECT tf.doc_id, tf.term, tf.tf, dln.dl
+        |  FROM tf JOIN dln USING (doc_id)
+        |  JOIN (SELECT DISTINCT term FROM qt) v USING (term)),
+        |dft AS (SELECT term, cast(count(*) as bigint) df FROM cand GROUP BY 1),
+        |sc AS (SELECT qt.query_id, c.doc_id,
+        |    cast(sum(qt.qtf * ((((1000 * (2*a.n_docs - 2*dft.df + 1))
+        |                     // (2*dft.df + 1)) * 44 * c.tf * a.avgdl)
+        |        // (20*c.tf*a.avgdl + 6*a.avgdl + 18*c.dl))) as bigint)
+        |      score_scaled
+        |  FROM cand c JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN a
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, doc_id FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_scaled DESC, doc_id) rnk
+        |  FROM sc) WHERE rnk <= 10),
+        |qterm AS (SELECT DISTINCT query_id, term
+        |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) term FROM q)),
+        |w AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        |dbg AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) i FROM w)),
+        |qbg AS (SELECT DISTINCT query_id, t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT query_id, string_split(qtext, ' ') t, unnest(range(1,
+        |          len(string_split(qtext, ' ')))) i FROM q)),
+        |tfeat AS (SELECT s.query_id, s.doc_id,
+        |    cast(count(*) as bigint) matched,
+        |    cast(sum(least(tf.tf, 3)) as bigint) capped_tf
+        |  FROM short s JOIN qterm USING (query_id)
+        |  JOIN tf ON tf.doc_id = s.doc_id AND tf.term = qterm.term
+        |  GROUP BY 1, 2),
+        |bfeat AS (SELECT s.query_id, s.doc_id, cast(count(*) as bigint) hits
+        |  FROM short s JOIN qbg USING (query_id)
+        |  JOIN dbg ON dbg.doc_id = s.doc_id AND dbg.b = qbg.b
+        |  GROUP BY 1, 2),
+        |rr AS (SELECT s.query_id, s.doc_id,
+        |    cast((1000 * (16*coalesce(bfeat.hits, 0)
+        |                  + coalesce(tfeat.matched, 0))) // (20 + dln.dl)
         |      as bigint) AS rr_score
         |  FROM short s
         |  LEFT JOIN tfeat USING (query_id, doc_id)

@@ -115,4 +115,42 @@ class RerankSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("rr_score") == 2000L)
     assert(got(1).getAs[Long]("rr_score") == 28000L / 26)
   }
+
+  test("injectable scorer: a swapped expression reorders the same shortlist; the default path's bits are untouched (VERDICT r19 item 4)") {
+    // doc 1 wins the default formula on saturated tf (no ordered
+    // bigram: spark never directly precedes engine); doc 2 is shorter
+    // on tf but holds the only query bigram — a proximity-first scorer
+    // must flip them. Default points: doc1 = 4·2 + 2·6 + 8·0 = 20 over
+    // dl 8 → 20000 div 28 = 714; doc2 = 4·2 + 2·2 + 8·1 = 20 over dl 9
+    // → 20000 div 29 = 689.
+    val docs = Seq(
+      (1L, "engine engine engine spark spark spark pad pad"),
+      (2L, "spark engine z z z z z z z")).toDF("doc_id", "text")
+    val qs = Seq((0L, "spark engine")).toDF("query_id", "qtext")
+    val shortlist = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "doc_id")
+    val default = Rerank.rerank(shortlist, docs, qs, k = 2)
+      .orderBy("rnk").collect()
+    assert(default.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L),
+      "the default formula must prefer the higher-tf doc")
+    assert(default.map(_.getAs[Long]("rr_score")).toSeq
+      == Seq(20000L / 28, 20000L / 29))
+    // the default passed EXPLICITLY through the seam reproduces the
+    // built-in bits exactly — proof the seam is the formula, not a fork
+    val explicitDefault = Rerank.rerank(shortlist, docs, qs, k = 2,
+      scorer = Some(expr(
+        "(1000 * (4 * matched + 2 * capped_tf + 8 * bigram_hits))" +
+          " div (20 + dl)") + lit(2L) * col("vec_pts")))
+      .orderBy("rnk").collect()
+    assert(explicitDefault.toSeq == default.toSeq,
+      "an explicitly-passed default scorer must reproduce the bits")
+    // a proximity-first scorer through the SAME plumbing flips the order
+    val swapped = Rerank.rerank(shortlist, docs, qs, k = 2,
+      scorer = Some(expr("(1000 * (16 * bigram_hits + matched)) div (20 + dl)")))
+      .orderBy("rnk").collect()
+    assert(swapped.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L),
+      "the injected scorer must reorder the same shortlist")
+    // swapped scores exact: doc2 = 1000*(16*1+2) div 29; doc1 = 1000*2 div 28
+    assert(swapped(0).getAs[Long]("rr_score") == 18000L / 29)
+    assert(swapped(1).getAs[Long]("rr_score") == 2000L / 28)
+  }
 }
