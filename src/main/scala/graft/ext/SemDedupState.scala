@@ -55,11 +55,28 @@ object SemDedupState {
   /** Freeze stats + centroids from `emb` (the seed corpus), code and
     * assign it, and publish the three members under one root. `batchId`
     * is the seed watermark ([[graft.ext.Ivf.buildSavedIndex]] note): a
-    * streaming ingest whose engine ids start at 0 seeds with -1. */
+    * streaming ingest whose engine ids start at 0 seeds with -1.
+    *
+    * A rebuild AT AN EXISTING PATH first heals any
+    * committed-but-unpublished predecessor generation forward — without
+    * this, RETRYING a crashed rebuild would stack a second orphaned
+    * quantizer on top of the first's unpublished codes, and the heal's
+    * "only the same crashed rebuild can have advanced stats/cents past
+    * the pin" invariant would break (the crashed-retry interleaving: a
+    * later heal would re-pin the ORIGINAL quantizer under rebuild 1's
+    * codes — the mixed generation). Healing first means every rebuild
+    * starts from a CONSISTENT published root. */
   def buildSaved(emb: DataFrame, path: String, nLists: Int,
       batchId: Option[Long] = None,
       beforeRootSwing: () => Unit = () => (),
       beforeCodesCommit: () => Unit = () => ()): String = {
+    var healed = AtomicLanding.linkedSnapshot(path).isEmpty
+    while (!healed) {
+      val snap = snapOf(path)
+      if (AtomicLanding.currentVersion(s"$path/codes")
+          .contains(snap.members("codes"))) healed = true
+      else { healForward(path, snap); () }
+    }
     val stats = Quantize.dimStats(emb).localCheckpoint(true)
     val withN2 = coded(emb, stats)
     val cents = SemDedup.seedCents(withN2, nLists)
@@ -192,7 +209,16 @@ object SemDedupState {
     * publishing the orphaned new stats over old-envelope codes would
     * quantize future batches with the new envelope and join them into
     * the old chain, the mixed generation the root protocol exists to
-    * prevent. */
+    * prevent.
+    *
+    * LEGACY chains (built before the generation mark existed) have no
+    * [[GenWriter]] mark to consult; for those the heal falls back to
+    * the dir-lineage rule the mark replaced (live dirs ⊇ pinned dirs =
+    * append chain; disjoint = rewrite) — a pre-upgrade crashed rebuild
+    * still heals to ITS generation instead of mixing. The fallback's
+    * known blind spot (a whole-chain fold is dir-disjoint too) only
+    * existed pre-mark; every post-upgrade commit chain carries the
+    * mark. */
   private def healForward(path: String, snap: AtomicLanding.LinkedSnapshot,
       beforeRootPublish: () => Unit = () => ()): Boolean = {
     val codesT = s"$path/codes"
@@ -202,7 +228,12 @@ object SemDedupState {
     val quantizerMoved = sLive != snap.members("stats") ||
       cLive != snap.members("cents")
     val rebuilt = quantizerMoved &&
-      AtomicLanding.lastBatchId(codesT, GenWriter).contains(sLive)
+      (AtomicLanding.lastBatchId(codesT, GenWriter) match {
+        case Some(gen) => gen == sLive
+        case None => // legacy chain: the pre-mark dir-lineage rule
+          !AtomicLanding.dirsOfVersion(codesT, snap.members("codes"))
+            .toSet.subsetOf(AtomicLanding.dirsOfVersion(codesT, kLive).toSet)
+      })
     if (!rebuilt)
       casRoot(path, snap, kLive, beforeRootPublish)
     else

@@ -837,9 +837,6 @@ object AtomicLanding {
       keepDirs, evolveSchema, expectedVersion, statsKeys, knownRanges,
       rebaseAppends, writer, extraMarks)._1
 
-  /** [[commit]] plus the manifest-relative name of the dir this commit
-    * wrote — what [[compactSmallFrom]] needs to tell its fold output
-    * apart from concurrently-appended dirs that rode the rebase. */
   /** The fully-nullable rendering of a type — the append retype check
     * compares against it to accept nullability NARROWING only: incoming
     * == deepNullable(incoming) rendered over the live type means the
@@ -857,6 +854,9 @@ object AtomicLanding {
     case other => other
   }
 
+  /** [[commit]] plus the manifest-relative name of the dir this commit
+    * wrote — what [[compactSmallFrom]] needs to tell its fold output
+    * apart from concurrently-appended dirs that rode the rebase. */
   private def commitCore(df: DataFrame, table: String, append: Boolean = false,
       beforePublish: () => Unit = () => (),
       batchId: Option[Long] = None,

@@ -253,6 +253,44 @@ class SemDedupStateSpec extends AnyFunSuite {
       s"batch copies must witness under the pinned generation (got $dups)")
   }
 
+  test("a RETRIED crashed rebuild heals its predecessor forward first — stacked orphans can never re-pin the original quantizer under rebuilt codes") {
+    import graft.land.AtomicLanding
+    val p = freshPath()
+    SemDedupState.buildSaved(e.filter(col("vec_id") < 30), p, nLists = 8)
+    val v0 = AtomicLanding.linkedSnapshot(p).get
+    // rebuild 1 over the full corpus crashes before its root swing:
+    // live stats/cents/codes all ran ahead of the pin
+    intercept[RuntimeException] {
+      SemDedupState.buildSaved(e, p, nLists = 8,
+        beforeRootSwing = () => throw new RuntimeException("crash 1"))
+    }
+    // the RETRY must heal rebuild 1's generation forward BEFORE
+    // committing anything of its own; it then crashes after committing
+    // its own (now stacked-orphan) stats/cents but before its codes
+    intercept[RuntimeException] {
+      SemDedupState.buildSaved(e, p, nLists = 8,
+        beforeCodesCommit = () => throw new RuntimeException("crash 2"))
+    }
+    val snap = AtomicLanding.linkedSnapshot(p).get
+    assert(snap.members("stats") > v0.members("stats"),
+      "the retry must heal rebuild 1's generation into the root first")
+    assert(SemDedupState.verdictsSaved(spark, p, 0.9).count() == e.count(),
+      "readers see rebuild 1's full corpus after the heal")
+    // a later append lands under rebuild 1's (pinned) quantizer — the
+    // stacked orphan must never be published over rebuild-1 codes
+    val batch = pert(e.filter(col("vec_id") < 10), 10000, 1.01)
+    SemDedupState.addToSaved(spark, p, batch)
+    val healed = AtomicLanding.linkedSnapshot(p).get
+    assert(healed.members("stats") == snap.members("stats")
+      && healed.members("cents") == snap.members("cents"),
+      "the stacked orphan quantizer must not be published")
+    val out = SemDedupState.verdictsSaved(spark, p, 0.9)
+    val dups = out.where(!col("kept") && col("vec_id") >= 10000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dups == (0L until 10L).map(_ + 10000).toSet,
+      s"batch copies must witness under rebuild 1's generation (got $dups)")
+  }
+
   test("drift probe + gated rebuild: in-envelope growth SKIPS (flat probe, no rewrite); out-of-envelope growth rebuilds to the one-shot bits") {
     import graft.land.AtomicLanding
     val p = freshPath()

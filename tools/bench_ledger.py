@@ -99,32 +99,45 @@ def main():
                 if curn is None or sec / sm < curn["x_sentinel"]:
                     minima_norm[q] = {"x_sentinel": round(sec / sm, 3),
                                       "round": rn}
-    # dual-metric regression flag (§24.5, VERDICT r19 item 5), computed
-    # BEFORE the dump so it ships in the ledger: a row on the latest
-    # complete board is flagged only when its raw AND its
-    # sentinel-normalized round-over-round ratios BOTH exceed 1.3x —
-    # raw-only moves are host drift, normalized-only moves are sentinel
-    # noise on sub-sentinel rows. Mechanical: a drifted round needs no
-    # editorial judgment to separate real regressions from window drift.
-    full_pre = [rn for rn in sorted(rounds) if rounds[rn].get("complete")
-                and rounds[rn].get("sentinel_mean_sec")]
-    if len(full_pre) >= 2:
-        a, b = full_pre[-2], full_pre[-1]
+    # round-over-round ratios between the last two COMPLETE boards,
+    # computed ONCE — both the committed flag_regression field and the
+    # printed drift views below derive from this table, so a threshold
+    # tweak can never drift the shipped flag away from the human view.
+    full = [rn for rn in sorted(rounds) if rounds[rn].get("complete")
+            and rounds[rn].get("sentinel_mean_sec")]
+    pair_ratios = {}  # q -> {raw_x, norm_x, prev_sec, sec}
+    if len(full) >= 2:
+        a, b = full[-2], full[-1]
         ra, rb = rounds[a], rounds[b]
         sma, smb = ra["sentinel_mean_sec"], rb["sentinel_mean_sec"]
-        flags = {}
         for q in sorted(set(ra["queries"]) & set(rb["queries"])):
-            if ra["queries"][q] <= 0.05:
-                continue  # sub-noise row: ratios are meaningless
-            raw_x = rb["queries"][q] / ra["queries"][q]
-            norm_x = (rb["queries"][q] / smb) / (ra["queries"][q] / sma)
-            if raw_x > 1.3 and norm_x > 1.3:
-                flags[q] = {"raw_x": round(raw_x, 3),
-                            "norm_x": round(norm_x, 3),
-                            "prev_sec": ra["queries"][q],
-                            "sec": rb["queries"][q],
-                            "vs_round": a}
-        rb["flag_regression"] = flags
+            pair_ratios[q] = {
+                "raw_x": rb["queries"][q] / ra["queries"][q],
+                "norm_x": (rb["queries"][q] / smb) / (ra["queries"][q] / sma),
+                "prev_sec": ra["queries"][q], "sec": rb["queries"][q]}
+
+    # dual-metric regression flag (§24.5, VERDICT r19 item 5), shipped
+    # in the ledger: a row on the latest complete board is flagged only
+    # when its raw AND its sentinel-normalized round-over-round ratios
+    # BOTH exceed 1.3x — raw-only moves are host drift, normalized-only
+    # moves are sentinel noise on sub-sentinel rows. A row is exempt
+    # only when BOTH rounds are sub-noise (<=0.05s) — a cheap row
+    # regressing into seconds still has sec > 0.05 and IS flagged; the
+    # exempt count is recorded so exclusions are never silent.
+    if len(full) >= 2:
+        b = full[-1]
+        flags, exempt = {}, 0
+        for q, r in pair_ratios.items():
+            if r["prev_sec"] <= 0.05 and r["sec"] <= 0.05:
+                exempt += 1  # both legs in timer noise: ratio meaningless
+                continue
+            if r["raw_x"] > 1.3 and r["norm_x"] > 1.3:
+                flags[q] = {"raw_x": round(r["raw_x"], 3),
+                            "norm_x": round(r["norm_x"], 3),
+                            "prev_sec": r["prev_sec"], "sec": r["sec"],
+                            "vs_round": full[-2]}
+        rounds[b]["flag_regression"] = flags
+        rounds[b]["flag_regression_exempt_subnoise_rows"] = exempt
 
     out = {"rounds": {str(k): rounds[k] for k in sorted(rounds)},
            "per_query_min": dict(sorted(minima.items())),
@@ -132,8 +145,8 @@ def main():
     with open("BENCH_LEDGER.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
     print(f"ledger: {len(rounds)} rounds, {len(minima)} queries with minima")
-    if len(full_pre) >= 2:
-        b = full_pre[-1]
+    if len(full) >= 2:
+        b = full[-1]
         fl = rounds[b].get("flag_regression", {})
         if fl:
             for q, d in sorted(fl.items()):
@@ -141,7 +154,9 @@ def main():
                       f"norm {d['norm_x']}x ({d['prev_sec']:.2f}s -> {d['sec']:.2f}s)")
         else:
             print(f"  r{b}: flag_regression EMPTY "
-                  f"(no row with raw AND normalized ratios both >1.3x)")
+                  f"(no row with raw AND normalized ratios both >1.3x; "
+                  f"{rounds[b]['flag_regression_exempt_subnoise_rows']} "
+                  f"sub-noise rows exempt)")
     # headline drift view: latest valid round vs ledger min
     valid = [rn for rn, r in rounds.items() if r["rc"] == 0]
     if valid:
@@ -156,35 +171,29 @@ def main():
                   f"{m:.2f}s (r{rn})")
         if not worst:
             print(f"  r{last}: no query >1.5x its ledger minimum")
-    # round-over-round view, NORMALIZED first: geomean over common
-    # queries of (sec/sentinel) ratios between the last two complete
-    # boards, then the raw geomean for comparison; every row >1.3x
-    # sentinel-normalized is listed — the build log owes each a
-    # profiled cause.
+    # round-over-round view, NORMALIZED first: geomeans + the norm-only
+    # hot list — derived from the SAME pair_ratios table that computed
+    # the shipped flag_regression field (one computation, two views).
     import math
-    full = [rn for rn in sorted(rounds) if rounds[rn].get("complete")
-            and rounds[rn].get("sentinel_mean_sec")]
-    if len(full) >= 2:
+    if pair_ratios:
         a, b = full[-2], full[-1]
-        ra, rb = rounds[a], rounds[b]
-        sma, smb = ra["sentinel_mean_sec"], rb["sentinel_mean_sec"]
-        common = sorted(set(ra["queries"]) & set(rb["queries"]))
-        if common:
-            raw = [rb["queries"][q] / ra["queries"][q] for q in common]
-            nrm = [(rb["queries"][q] / smb) / (ra["queries"][q] / sma)
-                   for q in common]
-            gm = lambda xs: math.exp(sum(math.log(x) for x in xs) / len(xs))
-            print(f"  r{a}->r{b} ({len(common)} common rows): "
-                  f"sentinel-normalized geomean {gm(nrm):.3f}x "
-                  f"(raw {gm(raw):.3f}x; sentinel mean "
-                  f"{sma:.3f}s -> {smb:.3f}s)")
-            hot = [(r, q) for r, q in zip(nrm, common)
-                   if r > 1.3 and ra["queries"][q] > 0.05]
-            for r, q in sorted(hot, reverse=True)[:15]:
-                print(f"    NORM>1.3x {q}: {r:.2f}x "
-                      f"({ra['queries'][q]:.2f}s -> {rb['queries'][q]:.2f}s)")
-            if not hot:
-                print(f"    no row >1.3x sentinel-normalized")
+        sma = rounds[a]["sentinel_mean_sec"]
+        smb = rounds[b]["sentinel_mean_sec"]
+        gm = lambda xs: math.exp(sum(math.log(x) for x in xs) / len(xs))
+        raw = [r["raw_x"] for r in pair_ratios.values()]
+        nrm = [r["norm_x"] for r in pair_ratios.values()]
+        print(f"  r{a}->r{b} ({len(pair_ratios)} common rows): "
+              f"sentinel-normalized geomean {gm(nrm):.3f}x "
+              f"(raw {gm(raw):.3f}x; sentinel mean "
+              f"{sma:.3f}s -> {smb:.3f}s)")
+        hot = [(r["norm_x"], q) for q, r in pair_ratios.items()
+               if r["norm_x"] > 1.3 and r["prev_sec"] > 0.05]
+        for rx, q in sorted(hot, reverse=True)[:15]:
+            r = pair_ratios[q]
+            print(f"    NORM>1.3x {q}: {rx:.2f}x "
+                  f"({r['prev_sec']:.2f}s -> {r['sec']:.2f}s)")
+        if not hot:
+            print(f"    no row >1.3x sentinel-normalized")
 
 
 if __name__ == "__main__":
