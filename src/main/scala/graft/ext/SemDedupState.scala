@@ -156,9 +156,16 @@ object SemDedupState {
         try {
           val kNew =
             if (!fresh.isEmpty || batchId.isDefined)
+              // the append ALSO stamps the chain's generation (= the
+              // pinned stats version its rows are coded under): a no-op
+              // on marked chains (monotone max of the same value), and
+              // the ADOPTION path for legacy pre-mark chains — their
+              // first post-upgrade append makes later heals
+              // mark-discriminated instead of dir-lineage-guessed
               AtomicLanding.commit(assignBatch(spark, path, snap, fresh),
                 codesT, append = true, beforePublish = beforePublish,
-                batchId = batchId, writer = writer)
+                batchId = batchId, writer = writer,
+                extraMarks = Map(GenWriter -> snap.members("stats")))
             else AtomicLanding.currentVersion(codesT).get
           if (kNew == snap.members("codes")) done = true
           else done = casRoot(path, snap, kNew, beforeRootPublish)
@@ -215,10 +222,14 @@ object SemDedupState {
     * [[GenWriter]] mark to consult; for those the heal falls back to
     * the dir-lineage rule the mark replaced (live dirs ⊇ pinned dirs =
     * append chain; disjoint = rewrite) — a pre-upgrade crashed rebuild
-    * still heals to ITS generation instead of mixing. The fallback's
-    * known blind spot (a whole-chain fold is dir-disjoint too) only
-    * existed pre-mark; every post-upgrade commit chain carries the
-    * mark. */
+    * still heals to ITS generation instead of mixing. The fallback is
+    * TRANSITIONAL: every post-upgrade append and fold stamps the
+    * chain's generation (the adoption path — see [[addToSaved]] /
+    * [[maintainSaved]]), so a markless heal only arises for a crash
+    * state created ENTIRELY by the pre-mark binary, where it decides
+    * exactly as that binary's own heal did (including its known
+    * fold-vs-rewrite ambiguity — a pre-upgrade corruption window this
+    * code cannot retroactively repair, only stop widening). */
   private def healForward(path: String, snap: AtomicLanding.LinkedSnapshot,
       beforeRootPublish: () => Unit = () => ()): Boolean = {
     val codesT = s"$path/codes"
@@ -280,7 +291,12 @@ object SemDedupState {
         healForward(path, snap); ()
       } else {
         val folded =
-          try AtomicLanding.compactSmall(spark, codesT, smallBytes)
+          // the fold stamps the chain's generation like an append does
+          // (no-op on marked chains; the legacy-chain adoption path) —
+          // a fold that then crashes pre-CAS heals mark-discriminated
+          // even when orphaned stats sit above a pre-mark chain
+          try AtomicLanding.compactSmall(spark, codesT, smallBytes,
+            extraMarks = Map(GenWriter -> snap.members("stats")))
           catch {
             case _: java.util.ConcurrentModificationException =>
               AtomicLanding.currentVersion(codesT).get

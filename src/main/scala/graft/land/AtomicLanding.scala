@@ -1140,9 +1140,10 @@ object AtomicLanding {
     * publish. */
   def compactSmall(spark: SparkSession, table: String, smallBytes: Long,
       numFiles: Int = 1,
-      beforeCommit: () => Unit = () => ()): Long =
+      beforeCommit: () => Unit = () => (),
+      extraMarks: Map[String, Long] = Map.empty): Long =
     compactSmallFrom(spark, table, smallBytes, numFiles,
-      beforeCommit = beforeCommit).version
+      beforeCommit = beforeCommit, extraMarks = extraMarks).version
 
   /** What a [[compactSmallFrom]] run did: the published (or unchanged)
     * version, and — ONLY when a fold actually committed — the
@@ -1178,7 +1179,8 @@ object AtomicLanding {
       numFiles: Int = 1,
       expectedBase: Option[Long] = None,
       beforeCommit: () => Unit = () => (),
-      transform: Option[DataFrame => DataFrame] = None): SmallCompaction = {
+      transform: Option[DataFrame => DataFrame] = None,
+      extraMarks: Map[String, Long] = Map.empty): SmallCompaction = {
     val fs = fsOf(hp(table))
     val base = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $table"))
@@ -1199,7 +1201,8 @@ object AtomicLanding {
         .getOrElse(merged0.coalesce(numFiles))
       beforeCommit()
       val (v, newDir) = commitCore(merged, table, keepDirs = big,
-        expectedVersion = Some(base), rebaseAppends = _ => true)
+        expectedVersion = Some(base), rebaseAppends = _ => true,
+        extraMarks = extraMarks)
       SmallCompaction(v, Some(newDir))
     }
   }

@@ -253,6 +253,60 @@ class SemDedupStateSpec extends AnyFunSuite {
       s"batch copies must witness under the pinned generation (got $dups)")
   }
 
+  test("legacy pre-mark chains ADOPT the generation mark on their first fold — orphaned stats above a markless chain never corrupt a crashed fold's heal") {
+    import graft.land.AtomicLanding
+    val p = freshPath()
+    SemDedupState.buildSaved(e.filter(col("vec_id") < 30), p, nLists = 8,
+      batchId = Some(-1L))
+    (0 to 1).foreach { i =>
+      SemDedupState.addToSaved(spark, p,
+        e.filter(col("vec_id") >= 30 + i * 10 && col("vec_id") < 40 + i * 10),
+        batchId = Some(i.toLong))
+    }
+    val codesT = s"$p/codes"
+    // simulate a chain written by the PRE-mark binary: strip the
+    // __gen__ wmark lines from the live codes manifest
+    val v = AtomicLanding.currentVersion(codesT).get
+    val mPath = java.nio.file.Paths.get(codesT, "manifests", f"m-$v%010d")
+    val stripped = java.nio.file.Files.readAllLines(mPath)
+    java.nio.file.Files.write(mPath,
+      String.join("\n",
+        stripped.stream.filter(l => !l.contains("wmark __gen__")).toArray(
+          n => new Array[String](n)): _*).getBytes("UTF-8"))
+    assert(AtomicLanding.lastBatchId(codesT, "__gen__").isEmpty,
+      "the chain must now look pre-mark")
+    val pinned = AtomicLanding.linkedSnapshot(p).get
+    // a drift rebuild commits NEW stats/cents and dies BEFORE its codes
+    // commit — the orphaned quantizer sits above a MARKLESS chain (the
+    // shape where dir lineage alone cannot tell a crashed whole-tail
+    // fold from a rewrite)
+    intercept[RuntimeException] {
+      SemDedupState.buildSaved(e, p, nLists = 8,
+        beforeCodesCommit =
+          () => throw new RuntimeException("crash before codes commit"))
+    }
+    // the fold STAMPS the chain's generation as it commits (adoption),
+    // then the maintainer dies before the root CAS
+    val snap2 = AtomicLanding.linkedSnapshot(p).get
+    val folded = AtomicLanding.compactSmall(spark, codesT, Long.MaxValue,
+      extraMarks = Map("__gen__" -> snap2.members("stats")))
+    assert(folded > pinned.members("codes"))
+    assert(AtomicLanding.lastBatchId(codesT, "__gen__")
+      .contains(pinned.members("stats")), "the fold must adopt the mark")
+    // the heal keeps the PINNED quantizer — the orphan is refused
+    val batch = pert(e.filter(col("vec_id") < 10), 10000, 1.01)
+    SemDedupState.addToSaved(spark, p, batch, batchId = Some(2L))
+    val healed = AtomicLanding.linkedSnapshot(p).get
+    assert(healed.members("stats") == pinned.members("stats")
+      && healed.members("cents") == pinned.members("cents"),
+      "the orphaned quantizer must NOT be healed over old-envelope codes")
+    val out = SemDedupState.verdictsSaved(spark, p, 0.9)
+    val dups = out.where(!col("kept") && col("vec_id") >= 10000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dups == (0L until 10L).map(_ + 10000).toSet,
+      s"batch copies must witness under the pinned generation (got $dups)")
+  }
+
   test("a RETRIED crashed rebuild heals its predecessor forward first — stacked orphans can never re-pin the original quantizer under rebuilt codes") {
     import graft.land.AtomicLanding
     val p = freshPath()

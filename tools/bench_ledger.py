@@ -186,8 +186,12 @@ def main():
               f"sentinel-normalized geomean {gm(nrm):.3f}x "
               f"(raw {gm(raw):.3f}x; sentinel mean "
               f"{sma:.3f}s -> {smb:.3f}s)")
+        # SAME sub-noise exemption as the shipped flag (both legs
+        # <=0.05s) — a cheap row regressing into real time appears in
+        # BOTH the ledger flag and this printed view, never just one
         hot = [(r["norm_x"], q) for q, r in pair_ratios.items()
-               if r["norm_x"] > 1.3 and r["prev_sec"] > 0.05]
+               if r["norm_x"] > 1.3
+               and not (r["prev_sec"] <= 0.05 and r["sec"] <= 0.05)]
         for rx, q in sorted(hot, reverse=True)[:15]:
             r = pair_ratios[q]
             print(f"    NORM>1.3x {q}: {rx:.2f}x "
