@@ -43,7 +43,20 @@ object Bench {
         .selectExpr("sum(id * 3 % 7) s").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // a SECOND sentinel with a shuffle in it: the compute sentinel
+    // above is blind to IO/contention-shaped host drift (r20 final
+    // boards: 7 untouched sub-second rows dual-flagged while the
+    // compute sentinel ran FASTER) — a fixed one-exchange job moves
+    // with exactly the drift the board's shuffle-heavy rows feel
+    def sentinelShuffle(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 2000000L, 1, 32)
+        .groupBy(org.apache.spark.sql.functions.expr("pmod(id, 4096)"))
+        .count().selectExpr("sum(count) s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val sentFirst = { sentinel(); sentinel() } // its own warm-up, then timed
+    val sentShFirst = { sentinelShuffle(); sentinelShuffle() }
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     qs.foreach { case (_, fn) => materialize(fn(spark, sfDir)) } // warm-up
@@ -59,11 +72,12 @@ object Bench {
     val results = qs.map { case (name, _) =>
       name -> passes.map(_(name)).min }
     val sentLast = sentinel()
+    val sentShLast = sentinelShuffle()
 
     val qJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","sentinel_first_sec":$sentFirst,"sentinel_last_sec":$sentLast}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","sentinel_first_sec":$sentFirst,"sentinel_last_sec":$sentLast,"sentinel_shuffle_first_sec":$sentShFirst,"sentinel_shuffle_last_sec":$sentShLast}""")
     spark.stop()
   }
 }
