@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import Similarity.{dotScaled, dotScaledHof, norms}
+import Similarity.{dotScaled, norms}
 
 /** IVF-PQ — the composed production ANN index (the FAISS `IVFx,PQy`
   * shape): a coarse quantizer routes each vector to one of `nLists`
@@ -82,9 +82,9 @@ object IvfPq {
       m: Int, subDim: Int): DataFrame =
     subSlices(res, "res", m, subDim, "svec")
       .join(broadcast(cbDf(res.sparkSession, cb)), "sub")
-      .withColumn("d2", dotScaledHof(col("svec"), col("svec"))
-        - lit(2L) * dotScaledHof(col("svec"), col("rvec"))
-        + dotScaledHof(col("rvec"), col("rvec")))
+      .withColumn("d2", dotScaled(col("svec"), col("svec"))
+        - lit(2L) * dotScaled(col("svec"), col("rvec"))
+        + dotScaled(col("rvec"), col("rvec")))
       .groupBy(col("vec_id"), col("cid"), col("sub"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
 
@@ -146,7 +146,7 @@ object IvfPq {
     val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
       .join(broadcast(cbDf(s, index.cb)), "sub")
       .select(col("query_id"), col("sub"), col("code"),
-        dotScaledHof(col("qs"), col("rvec")).as("d"))
+        dotScaled(col("qs"), col("rvec")).as("d"))
     // probes is bounded by the query batch (|queries| x nProbe rows):
     // broadcast it into the corpus-sized codes table — a shuffle join
     // on the 16-value cid key would funnel the corpus through nLists
@@ -207,7 +207,7 @@ object IvfPq {
     val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
       .join(broadcast(cbDf(s, index.cb)), "sub")
       .select(col("query_id"), col("sub"), col("code"),
-        dotScaledHof(col("qs"), col("rvec")).as("d"))
+        dotScaled(col("qs"), col("rvec")).as("d"))
     val tkl = udaf(new Similarity.TopKLongAgg(shortlist),
       org.apache.spark.sql.Encoders.product[Similarity.ScoredL])
     val cand = index.codes

@@ -41,18 +41,34 @@ object Quantize {
     * a grown state is bit-identical to a one-shot build with the same
     * seed. A batch value outside the frozen envelope clamps to the int8
     * boundary (for a seed-covering corpus the clamp is a no-op — the
-    * affine map lands in [-127, 127] by construction). */
+    * affine map lands in [-127, 127] by construction).
+    *
+    * MAP-ONLY (r20, guide §2.4): the stats table folds to ONE row of
+    * position-ordered envelope arrays (dim structs — bounded by
+    * contract), broadcast into the corpus scan, and each vector codes in
+    * place via an indexed `transform` — the same per-element IEEE chain,
+    * bit-identical codes. The previous shape posexplode'd the corpus to
+    * N×dim rows, broadcast-joined the stats, and re-assembled each
+    * vector through a corpus×dim groupBy exchange plus a per-vector
+    * sort; at 100 TB that exchange carried dim× the corpus for a value
+    * the scan can compute where it stands. (Edge divergence, documented:
+    * a null/empty `embedding` used to vanish from the output via the
+    * explode; it now yields a null/empty `codes` row — no engine corpus
+    * contains either.) */
   def int8CodesWith(emb: DataFrame, stats: DataFrame): DataFrame = {
-    val code = when(col("mx") === col("mn"), lit(0L)).otherwise(
-      greatest(lit(-127L), least(lit(127L),
-        floor((col("v").cast("double") - col("mn")) * lit(254.0d) /
-          (col("mx") - col("mn"))).cast("long") - 127L)))
-    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .join(broadcast(stats), "pos")
-      .select(col("vec_id"), col("pos"), code.as("code"))
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("code"))))
-        .as("pc"))
-      .select(col("vec_id"), expr("transform(pc, x -> x.code)").as("codes"))
+    val statsRow = stats
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("_pmm"))
+    val codes = transform(col("embedding"), (v, i) => {
+      val st = element_at(col("_pmm"), (i + lit(1)).cast("int"))
+      val mn = st.getField("mn")
+      val mx = st.getField("mx")
+      when(mx === mn, lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor((v.cast("double") - mn) * lit(254.0d) / (mx - mn))
+            .cast("long") - 127L)))
+    })
+    emb.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"), codes.as("codes"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Semantic deduplication over quantized embeddings — the SemDeDup
@@ -43,8 +42,17 @@ import org.apache.spark.sql.functions._
 object SemDedup {
 
   /** Exact integer dot of two code arrays — order-independent BIGINT
-    * accumulation, the cross-engine-safe kernel. */
+    * accumulation, the cross-engine-safe kernel. Resolves to the
+    * codegen'd [[graft.functions.IntDot]] (a tight generated loop): the
+    * verdict join below evaluates this once per candidate PAIR, and the
+    * interpreted zip_with/aggregate chain it replaces was the hottest
+    * non-codegen expression in the engine (guide §4). */
   private[ext] def intDot(a: Column, b: Column): Column =
+    call_function("int_dot", a, b)
+
+  /** The pure-built-in formulation of the same value — the equivalence
+    * test target for [[graft.functions.IntDot]] (SURVEY §7.3 step 1). */
+  private[ext] def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Quantized cosine with the zero-norm sentinel (-2: below any true
@@ -58,18 +66,31 @@ object SemDedup {
   /** Assign each (vec_id, codes, n2) row to its max-quantized-cosine
     * centroid (tie → smaller cid): the shared kernel of [[dedup]]'s
     * self-seeding path and [[SemDedupState]]'s frozen-centroid path.
-    * `cents` is (cid, cvec, cn2) — nLists rows, broadcast into the
-    * corpus scan; one exchange for the per-vector argmax window. */
+    * `cents` is (cid, cvec, cn2) — nLists rows, bounded by contract.
+    *
+    * MAP-ONLY (r20, guide §2.4): the centroid table folds to ONE row
+    * holding all nLists (cid, cvec, cn2) structs, broadcast into the
+    * corpus scan, and the per-vector argmax runs as an `array_max` over
+    * the per-centroid (qc, -cid, cid) score structs — struct ordering =
+    * (qc desc-equivalent max, then min cid), exactly the old window's
+    * (qc desc, cid asc) rank-1 row, bit-identical cid. The previous
+    * shape expanded the corpus ×nLists through a crossJoin and ran a
+    * row_number window — a full corpus×nLists exchange plus sort whose
+    * only job was this per-row argmax. */
   private[ext] def assignToCodeCents(withN2: DataFrame,
       cents: DataFrame): DataFrame = {
-    val byBest = Window.partitionBy(col("vec_id"))
-      .orderBy(col("qc").desc, col("cid").asc)
-    withN2.crossJoin(broadcast(cents))
-      .withColumn("qc",
-        qcos(intDot(col("codes"), col("cvec")), col("n2"), col("cn2")))
-      .withColumn("rn", row_number().over(byBest))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("codes"), col("n2"))
+    val centsRow = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec"), col("cn2"))))
+        .as("_cs"))
+    val best = array_max(transform(col("_cs"), c =>
+      struct(
+        qcos(intDot(col("codes"), c.getField("cvec")), col("n2"),
+          c.getField("cn2")).as("qc"),
+        (-c.getField("cid")).as("nc"),
+        c.getField("cid").as("cid"))))
+    withN2.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), best.getField("cid").as("cid"),
+        col("codes"), col("n2"))
   }
 
   /** The verdict stage alone, over ANY cluster assignment: `asn` is

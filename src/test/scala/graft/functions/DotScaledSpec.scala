@@ -21,6 +21,23 @@ class DotScaledSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("double and mixed float/double arrays equal the HOF formulation") {
+    val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .withColumn("d", expr("transform(embedding, x -> cast(x as double))"))
+    val pairs = e.select(col("vec_id").as("ai"), col("embedding").as("fa"),
+        col("d").as("da"))
+      .join(e.select(col("vec_id").as("bi"), col("d").as("db")),
+        col("ai") < col("bi") && col("ai") < 20 && col("bi") < 40)
+    val mismatches = pairs.select(
+        Similarity.dotScaled(col("da"), col("db")).as("dd"),
+        Similarity.dotScaledHof(col("da"), col("db")).as("ddHof"),
+        Similarity.dotScaled(col("fa"), col("db")).as("fd"),
+        Similarity.dotScaledHof(col("fa"), col("db")).as("fdHof"))
+      .filter(col("dd") =!= col("ddHof") || col("fd") =!= col("fdHof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("null semantics mirror zip_with: null element or length mismatch -> NULL") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
