@@ -135,9 +135,16 @@ object FuzzyJoin {
     // (string-pair distinct+verify ≈ 11 s vs int distinct + name-back
     // + verify ≈ 5.9 s), and the saving grows with scale: the distinct
     // shuffle is the volume that explodes at 10×/100×.
+    // dim (the distinct-key spine) is referenced FOUR times below — the
+    // signature table, both name-back joins, and the kid-injectivity
+    // census (a separate driver action) — and the collision path makes
+    // five; unpinned, each reference re-runs the corpus scan + distinct
+    // exchange. Pin it once (guide §1.2 / §5: reuse beats recompute
+    // when the frame is hit this many times).
     val dim = df.select(col(key).as("k")).where(col("k").isNotNull)
       .distinct()
       .select(col("k"), xxhash64(col("k")).as("kid"))
+      .localCheckpoint(true)
     val sigsFn =
       if (k >= 2) deletionSigs2(col("k")) else deletionSigs(col("k"))
     val sigs0 = dim

@@ -27,15 +27,46 @@ object Ivf {
   }
 
   /** (vec_id, cid): each vector's nearest centroid by dot product
-    * (≡ nearest by L2 for normalized vectors). `max_by` over a
-    * (dot, -cid) ordering struct instead of a row_number window: the
-    * aggregate gets map-side partial combine, so only N rows shuffle
-    * instead of ranking the full N x k cross product. */
+    * (≡ nearest by L2 for normalized vectors). Projection of
+    * [[assignWith]] — kept for callers that only need the id pair. */
   def assign(emb: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame =
-    emb.crossJoin(broadcast(centroidDf(emb.sparkSession, cents)))
-      .withColumn("dot", dotScaled(col("embedding"), col("cvec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("dot"), (-col("cid")).as("nc"))).as("cid"))
+    assignWith(emb, cents).select(col("vec_id"), col("cid"))
+
+  /** `emb`'s columns + `cid` — the MAP-ONLY assignment (guide §2.4:
+    * remove shuffles outright): the per-vector argmax runs as the
+    * native [[graft.functions.NearestCentroidDot]] expression — exactly
+    * the old `max_by(cid, struct(dot, -cid))` winner (max exact
+    * scaled-integer dot, ties to the smaller cid — a total,
+    * engine-independent order), computed in place with ZERO exchange.
+    * The embedding stays ON the row, so call sites never pay the
+    * corpus-sized `join(emb, "vec_id")` re-attach the two-step
+    * assign-then-join shape required — at 100 TB that join shuffled the
+    * wide embedding column on both sides just to recover a column the
+    * row already had. */
+  private[ext] def assignWith(emb: DataFrame,
+      cents: Seq[(Int, Seq[Float])]): DataFrame =
+    if (cents.size <= IvfPq.MapOnlyCbEntries) {
+      // the native [[graft.functions.NearestCentroidDot]] kernel: the
+      // centroid matrix is plan-time reference state and the argmax is
+      // one generated loop per row — zero exchange, zero per-candidate
+      // allocation (a greatest-over-structs chain measured 2× slower on
+      // the PQ twin; an HOF fold drops the dot to interpreted eval)
+      val sorted = cents.sortBy(_._1)
+      emb.withColumn("cid", org.apache.spark.sql.GraftShims.column(
+        graft.functions.NearestCentroidDot(
+          org.apache.spark.sql.GraftShims.expression(col("embedding")),
+          sorted.map(_._1), sorted.map(_._2.map(_.toDouble)))))
+    } else {
+      // degenerate corpus-sized quantizer (unreachable from the
+      // engine's own configurations): the distributed broadcast-join +
+      // max_by shape, re-joined to keep the embedding on the row
+      val asn = emb.crossJoin(broadcast(centroidDf(emb.sparkSession, cents)))
+        .withColumn("dot", dotScaled(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("dot"), (-col("cid")).as("nc")))
+          .as("cid"))
+      emb.join(asn, "vec_id")
+    }
 
   /** The rows holding the `n` smallest vec_ids, found WITHOUT a
     * corpus-wide scan of the wide embedding column: a narrow id-only
@@ -90,8 +121,7 @@ object Ivf {
           i -> r.getAs[scala.collection.Seq[Float]]("embedding").toSeq
         }
     (1 to iters).foreach { _ =>
-      val assigned = assign(emb, cents)
-        .join(emb, "vec_id")
+      val assigned = assignWith(emb, cents)
         .select(col("cid"), posexplode(col("embedding")))
       val means = assigned.groupBy(col("cid"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))
@@ -124,8 +154,7 @@ object Ivf {
     * list, materialize the lists. */
   def buildIndex(emb: DataFrame, nLists: Int = 16, iters: Int = 2): Index = {
     val cents = train(emb, nLists, iters)
-    val lists = assign(emb, cents)
-      .join(emb, "vec_id")
+    val lists = assignWith(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"),
         col("embedding").as("ce"))
       .localCheckpoint(true)
@@ -152,8 +181,7 @@ object Ivf {
         index.lists.select(col("neighbor_id").as("vec_id")),
         Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
-    val lists = assign(fresh, index.cents)
-      .join(fresh, "vec_id")
+    val lists = assignWith(fresh, index.cents)
       .select(col("vec_id").as("neighbor_id"), col("cid"),
         col("embedding").as("ce"))
       .unionByName(index.lists)
@@ -250,7 +278,7 @@ object Ivf {
     // O(index) anti-join to establish it — see addToSavedIndex). A
     // streaming ingest whose engine ids start at 0 seeds with -1.
     val lv = AtomicLanding.commit(
-      assign(emb, cents).join(emb, "vec_id")
+      assignWith(emb, cents)
         .select(col("vec_id").as("neighbor_id"), col("cid"),
           col("embedding").as("ce")),
       s"$path/lists", batchId = batchId)
@@ -373,7 +401,7 @@ object Ivf {
               // the replay watermark becomes durable and later
               // identified appends regain the zero-scan fast path
               AtomicLanding.commit(
-                assign(fresh, cents).join(fresh, "vec_id")
+                assignWith(fresh, cents)
                   .select(col("vec_id").as("neighbor_id"), col("cid"),
                     col("embedding").as("ce")),
                 listsT, append = true, beforePublish = beforePublish,
@@ -514,7 +542,7 @@ object Ivf {
           // window would deadlock on the slot, not race the CAS)
           beforeListsCommit()
           val lv = AtomicLanding.commit(
-            assign(corpus, cents).join(corpus, "vec_id")
+            assignWith(corpus, cents)
               .select(col("vec_id").as("neighbor_id"), col("cid"),
                 col("embedding").as("ce")),
             listsT,

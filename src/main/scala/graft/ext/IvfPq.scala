@@ -55,14 +55,29 @@ object IvfPq {
   }
 
   /** (vec_id, cid, res): each vector's double-exact residual against its
-    * assigned coarse centroid. */
+    * assigned coarse centroid. MAP-ONLY: the native
+    * [[graft.functions.NearestCentroidResidual]] computes the argmax
+    * and the residual subtraction in one generated pass per row — the
+    * former assign → re-join(emb) → re-join(cents) chain shuffled the
+    * corpus twice to recover columns the assignment already held
+    * (guide §2.4), and its replacement `zip_with` would have run
+    * interpreted (guide §4). */
   def residuals(emb: DataFrame, cents: Seq[(Int, Seq[Float])]): DataFrame =
-    Ivf.assign(emb, cents)
-      .join(emb, "vec_id")
-      .join(broadcast(coarseDf(emb.sparkSession, cents)), "cid")
-      .select(col("vec_id"), col("cid"),
-        zip_with(col("embedding"), col("cvec"),
-          (x, c) => x.cast("double") - c.cast("double")).as("res"))
+    if (cents.size <= MapOnlyCbEntries) {
+      val sorted = cents.sortBy(_._1)
+      emb.select(col("vec_id"), org.apache.spark.sql.GraftShims.column(
+          graft.functions.NearestCentroidResidual(
+            org.apache.spark.sql.GraftShims.expression(col("embedding")),
+            sorted.map(_._1), sorted.map(_._2.map(_.toDouble)))).as("_cr"))
+        .select(col("vec_id"), col("_cr.cid").as("cid"),
+          col("_cr.res").as("res"))
+    } else
+      Ivf.assign(emb, cents)
+        .join(emb, "vec_id")
+        .join(broadcast(coarseDf(emb.sparkSession, cents)), "cid")
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("embedding"), col("cvec"),
+            (x, c) => x.cast("double") - c.cast("double")).as("res"))
 
   private def subSlices(df: DataFrame, vecCol: String, m: Int, subDim: Int,
       out: String): DataFrame =
@@ -74,19 +89,56 @@ object IvfPq {
       .withColumn(out, col("_x." + out))
       .drop("_x")
 
+  /** Map-only vs broadcast-join dispatch bound for quantizer argmins:
+    * up to this many codebook/centroid entries the assignment inlines as
+    * a LITERAL `greatest`/`least` chain — fully whole-stage-codegen,
+    * zero exchange; past it the literal expression tree stops being
+    * reasonable (and a degenerate corpus-sized codebook must never
+    * inline), so the legacy distributed broadcast-join + `min_by`/
+    * `max_by` path keeps per-row work bounded. The engine's production
+    * configurations are far below it (IVF nLists = 16, PQ/IVF-PQ
+    * m·k = 128); the deliberate exception above it is
+    * `q_cosine_pq_exact`'s corpus-sized codebook (m·k = 1600), which
+    * keeps the distributed path by design. */
+  private[ext] val MapOnlyCbEntries = 512
+
   /** (vec_id, cid, sub, code): nearest residual-codebook entry per
     * subspace by the exact integer sub-distance, ties to the lower code.
-    * `min_by` aggregates with map-side combine — N·m rows shuffle, not
-    * N·m·k ranked. */
+    *
+    * MAP-ONLY (guide §2.4, §4): all m argmins run as the native
+    * [[graft.functions.PqAssignCodes]] expression — one generated loop
+    * per row over plan-time codebook state, zero exchange — where the
+    * old shape paid a Generate to N·m rows, a broadcast join to N·m·k,
+    * and a `groupBy(vec_id, cid, sub)` exchange of N·m rows. Two exact
+    * simplifications inside the kernel keep the winner bit-identical:
+    * the candidate order drops the `dot(sv, sv)` term (constant across
+    * one subspace's candidates, so `(d2, code)` and `(d2 − dot(sv,sv),
+    * code)` order identically over exact longs), and each entry's
+    * self-dot is precomputed at construction with the identical
+    * per-element `floor(x·y·1e15)` chain `dotScaled` generates (IEEE
+    * doubles both sides; long addition associative) — ONE dot per
+    * candidate instead of three. Codebooks larger than
+    * [[MapOnlyCbEntries]] keep the legacy distributed path. */
   def assignCodes(res: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
       m: Int, subDim: Int): DataFrame =
-    subSlices(res, "res", m, subDim, "svec")
-      .join(broadcast(cbDf(res.sparkSession, cb)), "sub")
-      .withColumn("d2", dotScaled(col("svec"), col("svec"))
-        - lit(2L) * dotScaled(col("svec"), col("rvec"))
-        + dotScaled(col("rvec"), col("rvec")))
-      .groupBy(col("vec_id"), col("cid"), col("sub"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    if (cb.size <= MapOnlyCbEntries) {
+      val bySub = cb.groupBy(_._1)
+      val ordered = (0 until m).map(sI => bySub(sI).sortBy(_._2))
+      val codes = org.apache.spark.sql.GraftShims.column(
+        graft.functions.PqAssignCodes(
+          org.apache.spark.sql.GraftShims.expression(col("res")), subDim,
+          ordered.map(_.map(_._2)), ordered.map(_.map(_._3))))
+      res.select(col("vec_id"), col("cid"), posexplode(codes))
+        .select(col("vec_id"), col("cid"), col("pos").as("sub"),
+          col("col").as("code"))
+    } else
+      subSlices(res, "res", m, subDim, "svec")
+        .join(broadcast(cbDf(res.sparkSession, cb)), "sub")
+        .withColumn("d2", dotScaled(col("svec"), col("svec"))
+          - lit(2L) * dotScaled(col("svec"), col("rvec"))
+          + dotScaled(col("rvec"), col("rvec")))
+        .groupBy(col("vec_id"), col("cid"), col("sub"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
 
   /** Build: coarse quantizer ([[Ivf.train]], `itersCoarse` Lloyd
     * rounds), residuals, residual codebooks seeded from the first `k`

@@ -91,20 +91,24 @@ object PageRank {
         val contrib = esrc.join(r, esrc("src") === r("node"))
           .select(col("dst"), expr("rank div outdeg").as("c"))
         val inc = contrib.groupBy(col("dst")).agg(sum(col("c")).as("inc"))
-        val rNew = nodes.join(inc, nodes("node") === inc("dst"), "left")
-          .select(col("node"),
+        // ONE job per round (guide §1.2: don't compute things twice):
+        // the new rank table is derived from the PREVIOUS round's table
+        // (same node set as `nodes` — every round emits exactly one row
+        // per node) and carries the old rank as `_prank`, so a single
+        // changed-rows count both materializes this round's cache AND
+        // answers the exact delta-zero probe — the former shape paid a
+        // count() job plus an isEmpty probe job re-joining two
+        // |nodes|-sized tables every round.
+        val rNew = r.select(col("node"), col("rank").as("_prank"))
+          .join(inc, col("node") === inc("dst"), "left")
+          .select(col("node"), col("_prank"),
             (lit(base) +
               expr("(85 * coalesce(inc, cast(0 as bigint))) div 100")).as("rank"))
           .persist()
-        rNew.count() // materialize this round before dropping the previous
-        // exact delta-zero probe: this round vs the previous one
-        converged = rNew
-          .join(r.select(col("node"), col("rank").as("_prank")), "node")
-          .where(col("rank") =!= col("_prank"))
-          .isEmpty
+        converged = rNew.where(col("rank") =!= col("_prank")).count() == 0L
         prev.foreach(_.unpersist())
         prev = Some(rNew)
-        r = rNew
+        r = rNew.select(col("node"), col("rank"))
       }
       // the handle returned to the caller must survive the unpersists:
       // one eager checkpoint of the FINAL |nodes|-sized table only

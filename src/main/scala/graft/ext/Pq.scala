@@ -35,6 +35,24 @@ object Pq {
     cb.cents.toDF("sub", "cid", "cvec")
   }
 
+  /** One subspace's codebook as a single-subspace
+    * [[graft.functions.PqAssignCodes]] argmin over a `subDim`-sized
+    * vector column — the native generated loop (an HOF fold or a
+    * least-over-structs chain both measured slower; guide §4). Winner
+    * semantics are the legacy `min_by(cid, struct(d2, cid))`: exact
+    * integer sub-distance, ties to the smaller cid (the expression
+    * drops the constant `dot(svec, svec)` term — order unchanged — and
+    * precomputes entry self-dots with the identical IEEE chain). */
+  private def argminCid(sv: org.apache.spark.sql.Column, subDim: Int,
+      entries: Seq[(Int, Int, Seq[Float])]): org.apache.spark.sql.Column = {
+    val sorted = entries.sortBy(_._2)
+    element_at(org.apache.spark.sql.GraftShims.column(
+      graft.functions.PqAssignCodes(
+        org.apache.spark.sql.GraftShims.expression(sv), subDim,
+        Seq(sorted.map(_._2)),
+        Seq(sorted.map(_._3.map(_.toDouble))))), 1)
+  }
+
   /** (vec_id, sub, svec): the m contiguous sub-slices of each vector. */
   def subvectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
     emb.select(col("vec_id"), explode(array((0 until m).map(s =>
@@ -43,15 +61,43 @@ object Pq {
       .select(col("vec_id"), col("x.sub"), col("x.svec"))
 
   /** (vec_id, sub, cid): nearest codebook centroid per subspace, by the
-    * exact integer sub-distance; `min_by` aggregates with map-side
-    * partial combine (N·m rows shuffle, not N·m·k ranked). */
+    * exact integer sub-distance, ties to the lower cid.
+    *
+    * MAP-ONLY for foldable codebooks (guide §2.4): the codebook rides
+    * in as one broadcast row ([[cbRow]]) and each exploded (vec_id,
+    * sub, svec) row computes its argmin in place — zero exchange, where
+    * the old shape broadcast-joined to N·m·k rows and paid a
+    * `groupBy(vec_id, sub)` exchange of N·m rows to fold them back.
+    * Codebooks past [[IvfPq.MapOnlyCbEntries]] (the degenerate
+    * corpus-sized exact-PQ shape at extreme k) keep the legacy
+    * distributed join + `min_by` path. */
   def assign(subs: DataFrame, cb: Codebooks): DataFrame =
-    subs.join(broadcast(centTable(subs.sparkSession, cb)), "sub")
-      .withColumn("d2",
-        dotScaled(col("svec"), col("svec")) - lit(2L) * dotScaled(col("svec"), col("cvec"))
-          + dotScaled(col("cvec"), col("cvec")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    if (cb.cents.size <= IvfPq.MapOnlyCbEntries)
+      assignCarry(subs, cb).select(col("vec_id"), col("sub"), col("cid"))
+    else
+      subs.join(broadcast(centTable(subs.sparkSession, cb)), "sub")
+        .withColumn("d2",
+          dotScaled(col("svec"), col("svec")) - lit(2L) * dotScaled(col("svec"), col("cvec"))
+            + dotScaled(col("cvec"), col("cvec")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  /** [[assign]] with `svec` carried through — (vec_id, sub, svec, cid).
+    * Map-only when the codebook inlines: the per-row `sub` selects its
+    * subspace's literal chain through a lazily-evaluated CASE branch
+    * (only the matching branch's dots run). The legacy path re-joins
+    * `subs` (the shape every caller previously paid unconditionally). */
+  private def assignCarry(subs: DataFrame, cb: Codebooks): DataFrame =
+    if (cb.cents.size <= IvfPq.MapOnlyCbEntries) {
+      val bySub = cb.cents.groupBy(_._1).toSeq.sortBy(_._1)
+      val cid = bySub.tail.foldLeft(
+        when(col("sub") === bySub.head._1,
+          argminCid(col("svec"), cb.subDim, bySub.head._2))) {
+        case (acc, (sI, entries)) =>
+          acc.when(col("sub") === sI, argminCid(col("svec"), cb.subDim, entries))
+      }
+      subs.withColumn("cid", cid)
+    } else assign(subs, cb).join(subs, Seq("vec_id", "sub"))
 
   /** Train per-subspace codebooks: seed sub-codebook j from the j-th
     * vector (by vec_id — deterministic), then Lloyd iterations over ALL
@@ -69,8 +115,7 @@ object Pq {
     } yield (s, j, v.slice(s * subDim, (s + 1) * subDim)))
     val subs = subvectors(emb, m, subDim).localCheckpoint(true)
     (1 to iters).foreach { _ =>
-      val means = assign(subs, cb)
-        .join(subs, Seq("vec_id", "sub"))
+      val means = assignCarry(subs, cb)
         .select(col("sub"), col("cid"), posexplode(col("svec")))
         .groupBy(col("sub"), col("cid"), col("pos"))
         .agg(avg(col("col").cast("double")).as("mean"))
@@ -86,12 +131,27 @@ object Pq {
     cb
   }
 
-  /** (vec_id, codes): each vector as m codebook ids in subspace order. */
+  /** (vec_id, codes): each vector as m codebook ids in subspace order.
+    * Map-only for foldable codebooks: all m argmins compute on the
+    * un-exploded row, so the former Generate → join → two-exchange
+    * re-assembly (`groupBy(vec_id, sub)` then `groupBy(vec_id)`
+    * collect_list) is a single project. */
   def encode(emb: DataFrame, cb: Codebooks): DataFrame =
-    assign(subvectors(emb, cb.m, cb.subDim), cb)
-      .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
-      .select(col("vec_id"), expr("transform(sc, x -> x.cid)").as("codes"))
+    if (cb.cents.size <= IvfPq.MapOnlyCbEntries) {
+      val bySub = cb.cents.groupBy(_._1)
+      val ordered = (0 until cb.m).map(sI => bySub(sI).sortBy(_._2))
+      emb.select(col("vec_id"), org.apache.spark.sql.GraftShims.column(
+        graft.functions.PqAssignCodes(
+          org.apache.spark.sql.GraftShims.expression(col("embedding")),
+          cb.subDim,
+          ordered.map(_.map(_._2)),
+          ordered.map(_.map(_._3.map(_.toDouble))))).as("codes"))
+    }
+    else
+      assign(subvectors(emb, cb.m, cb.subDim), cb)
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
+        .select(col("vec_id"), expr("transform(sc, x -> x.cid)").as("codes"))
 
   /** ADC top-k: exact query subvectors against candidate CODES. Scored
     * via the (query, sub, cid) dot join — the relational form of the

@@ -115,15 +115,29 @@ object Rerank {
     val qB = queries.select(col("query_id"),
         explode(call_function("ngram_counts", col("qtext"), lit(2))).as("gc"))
       .select(col("query_id"), col("gc.term").as("bigram"))
-    val termF = dTf
-      .join(broadcast(pairs.join(qT, Seq("query_id"))), Seq("doc_id", "term"))
+    // FUSED feature extraction (guide §2.4): terms (kind 0) and bigrams
+    // (kind 1) ride ONE tagged stream — one pair-expanded broadcast on
+    // (doc_id, kind, term), one aggregation exchange, one spine join —
+    // where the unfused shape paid two broadcasts, two groupBy
+    // exchanges and two left joins for features sharing the same
+    // (query_id, doc_id) key. Counts are conditional on the tag:
+    // count(when(kind=...)) counts exactly the rows the split frames
+    // held (sum ignores the other kind's nulls), so the five feature
+    // columns are bit-identical.
+    val dFeat = dTf
+      .select(col("doc_id"), lit(0).as("kind"), col("term"), col("tf"))
+      .unionByName(dBg.select(col("doc_id"), lit(1).as("kind"),
+        col("bigram").as("term"), lit(0L).as("tf")))
+    val qFeat = qT.select(col("query_id"), lit(0).as("kind"), col("term"))
+      .unionByName(qB.select(col("query_id"), lit(1).as("kind"),
+        col("bigram").as("term")))
+    val feats = dFeat
+      .join(broadcast(pairs.join(qFeat, Seq("query_id"))),
+        Seq("doc_id", "kind", "term"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("matched"),
-        sum(least(col("tf"), lit(3L))).as("capped_tf"))
-    val bgF = dBg
-      .join(broadcast(pairs.join(qB, Seq("query_id"))), Seq("doc_id", "bigram"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("bigram_hits"))
+      .agg(count(when(col("kind") === 0, lit(1))).as("matched"),
+        sum(when(col("kind") === 0, least(col("tf"), lit(3L)))).as("capped_tf"),
+        count(when(col("kind") === 1, lit(1))).as("bigram_hits"))
     // semantic feature: quantized-cosine points per shortlist pair —
     // corpus-frozen stats, CANDIDATE vectors only (one semi-join against
     // the bounded pair spine), exact integer dots, floor to BIGINT
@@ -159,8 +173,7 @@ object Rerank {
     // zero-coalesced BIGINT columns; the scorer (default or injected)
     // is one Column over them — swapping it cannot touch the plumbing
     val joined = pairs
-      .join(termF, Seq("query_id", "doc_id"), "left")
-      .join(bgF, Seq("query_id", "doc_id"), "left")
+      .join(feats, Seq("query_id", "doc_id"), "left")
       .join(dLen, Seq("doc_id"))
     val featured = vecF.fold(joined.withColumn("vec_pts", lit(0L)))(vf =>
         joined.join(vf, Seq("query_id", "doc_id"), "left"))
