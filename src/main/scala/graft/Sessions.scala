@@ -21,6 +21,12 @@ object Sessions {
       .withExtensions(graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // Deliberately NOT set (r20, measured): AQE's runtime sort-merge →
+      // shuffled-hash conversion (maxShuffledHashJoinLocalMapThreshold =
+      // 64m) regressed the join-heavy rows ~2× in a same-window A/B
+      // (q_fuzzy_join 2.6→6.6 s, q_entity_resolution 3.1→7.1 s at sf0.1)
+      // — the per-partition hash builds lose to sort-merge on this
+      // board's join shapes. Revisit only with fresh A/B evidence.
       .config("spark.sql.session.timeZone", "UTC")
       // Older events.parquet generations stored TIMESTAMP(NANOS); this conf
       // reads those as long (normalized in graft.Tables.events) and is

@@ -186,12 +186,27 @@ object Similarity {
     * partial aggregation map-side and shuffles ONLY k rows per (partition,
     * query) — unlike the window plan, which shuffles every candidate row.
     * That is the 100 TB path for top-k-by-similarity. Deterministic
-    * tie-break: (cos desc, cid asc). */
+    * tie-break: (cos desc, cid asc).
+    *
+    * FULL-BUFFER FAST PATH (r20, guide §1.2 step 2 — per-task work): the
+    * buffer is kept sorted by `trim`, so once it holds k entries a
+    * candidate strictly worse than the k-th under the (cos desc, cid
+    * asc) total order returns the buffer UNCHANGED — zero allocation,
+    * zero sort. After the running top-k warms up, almost every candidate
+    * row takes this path (the old shape copied and re-sorted the whole
+    * k-entry buffer once per candidate). A skipped row can never enter
+    * the final top-k, so the result is bit-identical. */
   final class TopKAgg(k: Int) extends Aggregator[Scored, TopBuf, TopBuf] {
     private def trim(s: Seq[Scored]): Seq[Scored] =
       s.sortBy(x => (-x.cos, x.cid)).take(k)
     def zero: TopBuf = TopBuf(Nil)
-    def reduce(b: TopBuf, a: Scored): TopBuf = TopBuf(trim(b.items :+ a))
+    def reduce(b: TopBuf, a: Scored): TopBuf = {
+      if (b.items.size >= k) {
+        val w = b.items.last // trim keeps the buffer sorted; last = k-th
+        if (a.cos < w.cos || (a.cos == w.cos && a.cid > w.cid)) return b
+      }
+      TopBuf(trim(b.items :+ a))
+    }
     def merge(x: TopBuf, y: TopBuf): TopBuf = TopBuf(trim(x.items ++ y.items))
     def finish(r: TopBuf): TopBuf = r
     def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
@@ -210,7 +225,15 @@ object Similarity {
     private def trim(x: Seq[ScoredL]): Seq[ScoredL] =
       x.sortWith((a, b) => a.s > b.s || (a.s == b.s && a.cid < b.cid)).take(k)
     def zero: TopBufL = TopBufL(Nil)
-    def reduce(b: TopBufL, a: ScoredL): TopBufL = TopBufL(trim(b.items :+ a))
+    def reduce(b: TopBufL, a: ScoredL): TopBufL = {
+      // full-buffer fast path — see [[TopKAgg]]: strictly worse than the
+      // k-th under (s desc, cid asc) cannot enter; skip without alloc
+      if (b.items.size >= k) {
+        val w = b.items.last
+        if (a.s < w.s || (a.s == w.s && a.cid > w.cid)) return b
+      }
+      TopBufL(trim(b.items :+ a))
+    }
     def merge(x: TopBufL, y: TopBufL): TopBufL = TopBufL(trim(x.items ++ y.items))
     def finish(r: TopBufL): TopBufL = r
     def bufferEncoder: Encoder[TopBufL] = Encoders.product[TopBufL]

@@ -237,7 +237,15 @@ object TextStats {
       x.sortWith((a, b) => a.s > b.s || (a.s == b.s && utf8Lt(a.term, b.term)))
         .take(k)
     def zero: TopBufT = TopBufT(Nil)
-    def reduce(b: TopBufT, a: TermScore): TopBufT = TopBufT(trim(b.items :+ a))
+    def reduce(b: TopBufT, a: TermScore): TopBufT = {
+      // full-buffer fast path — see [[Similarity.TopKAgg]]: strictly
+      // worse than the k-th under (s desc, term utf8 asc) cannot enter
+      if (b.items.size >= k) {
+        val w = b.items.last
+        if (a.s < w.s || (a.s == w.s && utf8Lt(w.term, a.term))) return b
+      }
+      TopBufT(trim(b.items :+ a))
+    }
     def merge(x: TopBufT, y: TopBufT): TopBufT = TopBufT(trim(x.items ++ y.items))
     def finish(r: TopBufT): TopBufT = r
     def bufferEncoder: org.apache.spark.sql.Encoder[TopBufT] =

@@ -95,4 +95,27 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("query_id", "rnk").collect().toSeq
     assert(atOne == brute)
   }
+
+  test("TopKAgg/TopKLongAgg full-buffer fast path == brute sort on adversarial sequences") {
+    val rnd = new scala.util.Random(7)
+    // duplicate scores force the tie-break through both the fast-path
+    // comparison and the trim sort; ascending/descending runs hit the
+    // always-skip and never-skip extremes
+    val seqs = Seq(
+      (1 to 200).map(i => Similarity.Scored(i.toLong, (i % 13) / 13.0)),
+      (1 to 200).map(i => Similarity.Scored(i.toLong, i / 200.0)),
+      (1 to 200).map(i => Similarity.Scored(i.toLong, 1.0 - i / 200.0)),
+      (1 to 200).map(_ => Similarity.Scored(rnd.nextInt(50).toLong, rnd.nextInt(9) / 9.0)))
+    for (s <- seqs; k <- Seq(1, 5, 50)) {
+      val agg = new Similarity.TopKAgg(k)
+      val got = s.foldLeft(agg.zero)(agg.reduce).items
+      val want = s.sortBy(x => (-x.cos, x.cid)).take(k)
+      assert(got == want, s"k=$k")
+      val aggL = new Similarity.TopKLongAgg(k)
+      val sL = s.map(x => Similarity.ScoredL(x.cid, (x.cos * 1e15).toLong))
+      val gotL = sL.foldLeft(aggL.zero)(aggL.reduce).items
+      val wantL = sL.sortWith((a, b) => a.s > b.s || (a.s == b.s && a.cid < b.cid)).take(k)
+      assert(gotL == wantL, s"k=$k long")
+    }
+  }
 }
