@@ -177,6 +177,37 @@ object IvfPq {
     Index(cents, cb, m, subDim, codes, norms(emb).localCheckpoint(true))
   }
 
+  /** The per-query ADC lookup table carried as ONE array column,
+    * computed in place from the query embedding: element
+    * `sub·k + code + 1` is the exact scaled dot of the query's sub-slice
+    * with that code's codebook entry — bit-identical to the relational
+    * LUT table's `dotScaled(qs, rvec)` — so the (query_id, sub, code)
+    * LUT join collapses to an `element_at` lookup on the row the probe
+    * join already produced (guide §2.4: in [[probeShuffled]] that join
+    * SORTED the full ADC candidate stream, the plan's largest exchange;
+    * in [[probe]] it was a per-candidate broadcast hash probe). Only
+    * valid for dense per-sub codes (0..k-1, uniform k — exactly
+    * [[buildIndex]]'s construction); [[lutEntries]] returns None
+    * otherwise and callers keep the relational join. */
+  private def lutEntries(cb: Seq[(Int, Int, Seq[Double])],
+      m: Int): Option[Seq[Seq[Seq[Double]]]] = {
+    if (cb.size > MapOnlyCbEntries) return None
+    val bySub = cb.groupBy(_._1)
+    if (bySub.keySet != (0 until m).toSet) return None
+    val ordered = (0 until m).map(sI => bySub(sI).sortBy(_._2))
+    val k = ordered.head.size
+    if (ordered.forall(es => es.size == k && es.map(_._2) == (0 until k)))
+      Some(ordered.map(_.map(_._3)))
+    else None
+  }
+
+  private def lutArray(qe: org.apache.spark.sql.Column, subDim: Int,
+      entries: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column =
+    array(entries.zipWithIndex.flatMap { case (es, sI) =>
+      val qs = slice(qe, sI * subDim + 1, subDim)
+      es.map(rv => dotScaled(qs, array(rv.map(lit): _*)))
+    }: _*)
+
   /** Probe: nProbe nearest lists by exact integer dot, ADC prune to
     * `shortlist`, exact scaled-integer cosine re-rank to top `k`
     * ([[Similarity.rerankExact]] — joins `emb` for the shortlisted
@@ -188,26 +219,36 @@ object IvfPq {
     val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cdot").desc, col("cid").asc)
-    val probes = q0
+    val lutE = lutEntries(index.cb, index.m)
+    val probes0 = q0
       .crossJoin(broadcast(coarseDf(s, index.cents)))
       .withColumn("cdot", dotScaled(col("qe"), col("cvec")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("cid"), col("cdot"))
-    // the per-query lookup table: m·k residual dots per query
-    val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
-      .join(broadcast(cbDf(s, index.cb)), "sub")
-      .select(col("query_id"), col("sub"), col("code"),
-        dotScaled(col("qs"), col("rvec")).as("d"))
+    val probes = lutE match {
+      case Some(es) => probes0.select(col("query_id"), col("cid"),
+        col("cdot"), lutArray(col("qe"), index.subDim, es).as("_lut"))
+      case None => probes0.select(col("query_id"), col("cid"), col("cdot"))
+    }
     // probes is bounded by the query batch (|queries| x nProbe rows):
     // broadcast it into the corpus-sized codes table — a shuffle join
     // on the 16-value cid key would funnel the corpus through nLists
     // partitions at scale
     val tkl = udaf(new Similarity.TopKLongAgg(shortlist),
       org.apache.spark.sql.Encoders.product[Similarity.ScoredL])
-    val cand = index.codes.join(broadcast(probes), "cid")
+    val scored0 = index.codes.join(broadcast(probes), "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+    val cand = (lutE match {
+      case Some(es) => scored0.withColumn("d", element_at(col("_lut"),
+        col("sub") * lit(es.head.size) + col("code") + 1))
+      case None =>
+        // non-dense codebook fallback: the relational per-query LUT
+        val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
+          .join(broadcast(cbDf(s, index.cb)), "sub")
+          .select(col("query_id"), col("sub"), col("code"),
+            dotScaled(col("qs"), col("rvec")).as("d"))
+        scored0.join(broadcast(lut), Seq("query_id", "sub", "code"))
+    })
       .groupBy(col("query_id"), col("neighbor_id"))
       // cdot is constant per (query, cid) and a neighbor lives in ONE
       // list: max() just carries it through the m-row group
@@ -235,8 +276,10 @@ object IvfPq {
     *     (cid, pmod(neighbor_id, salts)); the probe side explodes each
     *     row into `salts` copies — nLists·salts effective keys, corpus
     *     rows never replicate (only the |Q|·nProbe probe rows do).
-    *   - the per-query LUT (|Q|·m·k rows — corpus-sized here) shuffle-
-    *     joins on the high-cardinality (query_id, sub, code) key.
+    *   - the per-query ADC LUT rides the probe rows as one m·k-long
+    *     array column ([[lutArray]]) and each candidate's `d` is an
+    *     `element_at` lookup — the former relational LUT join sorted
+    *     the FULL ADC candidate stream on (query_id, sub, code).
     *   - the exact re-rank shuffle-joins the query embeddings
     *     ([[Similarity.rerankExact]] with broadcastQueries = false).
     *
@@ -249,24 +292,37 @@ object IvfPq {
     val q0 = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cdot").desc, col("cid").asc)
-    val probes = q0
+    val lutE = lutEntries(index.cb, index.m)
+    val probes0 = q0
       .crossJoin(broadcast(coarseDf(s, index.cents)))
       .withColumn("cdot", dotScaled(col("qe"), col("cvec")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("cid"), col("cdot"))
-      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
-      .join(broadcast(cbDf(s, index.cb)), "sub")
-      .select(col("query_id"), col("sub"), col("code"),
-        dotScaled(col("qs"), col("rvec")).as("d"))
+    val probes = (lutE match {
+      case Some(es) => probes0.select(col("query_id"), col("cid"),
+        col("cdot"), lutArray(col("qe"), index.subDim, es).as("_lut"))
+      case None => probes0.select(col("query_id"), col("cid"), col("cdot"))
+    }).withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val tkl = udaf(new Similarity.TopKLongAgg(shortlist),
       org.apache.spark.sql.Encoders.product[Similarity.ScoredL])
-    val cand = index.codes
+    val scored0 = index.codes
       .withColumn("salt", pmod(col("neighbor_id"), lit(salts)).cast("int"))
       .join(probes, Seq("cid", "salt"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .join(lut, Seq("query_id", "sub", "code"))
+    val cand = (lutE match {
+      // the carried-LUT lookup: the former (query_id, sub, code) join
+      // here SORTED the full ADC candidate stream — the plan's largest
+      // exchange in the self-join shape — for values the probe row can
+      // carry in m·k longs
+      case Some(es) => scored0.withColumn("d", element_at(col("_lut"),
+        col("sub") * lit(es.head.size) + col("code") + 1))
+      case None =>
+        val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
+          .join(broadcast(cbDf(s, index.cb)), "sub")
+          .select(col("query_id"), col("sub"), col("code"),
+            dotScaled(col("qs"), col("rvec")).as("d"))
+        scored0.join(lut, Seq("query_id", "sub", "code"))
+    })
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg((max(col("cdot")) + sum(col("d"))).as("score"))
       .groupBy(col("query_id"))
