@@ -36,12 +36,21 @@ object IvfPq {
   /** A built index: coarse centroids, residual codebooks (sub, code,
     * rvec — DOUBLE), the per-vector codes, and the corpus norms for the
     * exact re-rank. `codes`/`n2` are checkpointed: built once, probed
-    * many times. */
+    * many times.
+    *
+    * CODES LAYOUT (r21, guide §2.3 — shuffle fewer bytes): ONE row per
+    * vector with the m sub-codes as an array column, not m rows per
+    * vector. The ADC candidate stream (|probed lists| × |queries| rows
+    * after the probe join — the engine's biggest exchange in the
+    * self-join shape) therefore carries 1/m of the former row count,
+    * and the (query_id, neighbor_id) re-fold aggregation disappears
+    * outright: with the per-query LUT carried on the probe row, each
+    * candidate row computes its COMPLETE ADC score in place. */
   final case class Index(
       cents: Seq[(Int, Seq[Float])],
       cb: Seq[(Int, Int, Seq[Double])],
       m: Int, subDim: Int,
-      codes: DataFrame, // (neighbor_id, cid, sub, code)
+      codes: DataFrame, // (neighbor_id, cid, codes: array<int> of m)
       n2: DataFrame)    // (vec_id, n2)
 
   private def coarseDf(s: SparkSession, cents: Seq[(Int, Seq[Float])]): DataFrame = {
@@ -102,8 +111,12 @@ object IvfPq {
     * keeps the distributed path by design. */
   private[ext] val MapOnlyCbEntries = 512
 
-  /** (vec_id, cid, sub, code): nearest residual-codebook entry per
-    * subspace by the exact integer sub-distance, ties to the lower code.
+  /** (vec_id, cid, codes): ALL m nearest residual-codebook entries as
+    * one array column in subspace order — the exact integer
+    * sub-distance argmin per subspace, ties to the lower code, one row
+    * per vector (guide §2.3: the array layout carries 1/m of the
+    * per-sub-row layout's row count through every downstream join and
+    * exchange).
     *
     * MAP-ONLY (guide §2.4, §4): all m argmins run as the native
     * [[graft.functions.PqAssignCodes]] expression — one generated loop
@@ -118,20 +131,15 @@ object IvfPq {
     * per-element `floor(x·y·1e15)` chain `dotScaled` generates (IEEE
     * doubles both sides; long addition associative) — ONE dot per
     * candidate instead of three. Codebooks larger than
-    * [[MapOnlyCbEntries]] keep the legacy distributed path. */
+    * [[MapOnlyCbEntries]] keep the legacy distributed per-sub path and
+    * fold it back to the array layout with a deterministic
+    * sort-by-sub collect (same winners, same order). */
   def assignCodes(res: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
       m: Int, subDim: Int): DataFrame =
-    if (cb.size <= MapOnlyCbEntries) {
-      val bySub = cb.groupBy(_._1)
-      val ordered = (0 until m).map(sI => bySub(sI).sortBy(_._2))
-      val codes = org.apache.spark.sql.GraftShims.column(
-        graft.functions.PqAssignCodes(
-          org.apache.spark.sql.GraftShims.expression(col("res")), subDim,
-          ordered.map(_.map(_._2)), ordered.map(_.map(_._3))))
-      res.select(col("vec_id"), col("cid"), posexplode(codes))
-        .select(col("vec_id"), col("cid"), col("pos").as("sub"),
-          col("col").as("code"))
-    } else
+    if (cb.size <= MapOnlyCbEntries)
+      res.select(col("vec_id"), col("cid"),
+        codesColumn(cb, m, subDim).as("codes"))
+    else
       subSlices(res, "res", m, subDim, "svec")
         .join(broadcast(cbDf(res.sparkSession, cb)), "sub")
         .withColumn("d2", dotScaled(col("svec"), col("svec"))
@@ -139,6 +147,24 @@ object IvfPq {
           + dotScaled(col("rvec"), col("rvec")))
         .groupBy(col("vec_id"), col("cid"), col("sub"))
         .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+          .as("sc"))
+        .select(col("vec_id"), col("cid"),
+          expr("transform(sc, x -> x.code)").as("codes"))
+
+  /** The [[graft.functions.PqAssignCodes]] column over a `res` column —
+    * shared by [[assignCodes]] and the train loop (which keeps `res` on
+    * the row to avoid re-joining the slices). */
+  private def codesColumn(cb: Seq[(Int, Int, Seq[Double])], m: Int,
+      subDim: Int): org.apache.spark.sql.Column = {
+    val bySub = cb.groupBy(_._1)
+    val ordered = (0 until m).map(sI => bySub(sI).sortBy(_._2))
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.PqAssignCodes(
+        org.apache.spark.sql.GraftShims.expression(col("res")), subDim,
+        ordered.map(_.map(_._2)), ordered.map(_.map(_._3))))
+  }
 
   /** Build: coarse quantizer ([[Ivf.train]], `itersCoarse` Lloyd
     * rounds), residuals, residual codebooks seeded from the first `k`
@@ -158,9 +184,22 @@ object IvfPq {
       (v, j) <- seeds.zipWithIndex.toSeq
     } yield (sI, j, v.slice(sI * subDim, (sI + 1) * subDim))
     (1 to itersPq).foreach { _ =>
-      val means = assignCodes(res, cb, m, subDim)
-        .join(subSlices(res, "res", m, subDim, "svec"), Seq("vec_id", "cid", "sub"))
-        .select(col("sub"), col("code"), posexplode(col("svec")))
+      // assignment keeps `res` ON the row (map-only), so the mean pass
+      // never re-joins the slices it already held — the legacy path
+      // re-attaches res for codebooks past the map-only gate only
+      val assigned =
+        if (cb.size <= MapOnlyCbEntries)
+          res.withColumn("_codes", codesColumn(cb, m, subDim))
+        else assignCodes(res, cb, m, subDim)
+          .withColumnRenamed("codes", "_codes")
+          .join(res, Seq("vec_id", "cid"))
+      val means = assigned
+        .withColumn("_x", explode(array((0 until m).map(sI =>
+          struct(lit(sI).as("sub"),
+            element_at(col("_codes"), sI + 1).as("code"),
+            slice(col("res"), sI * subDim + 1, subDim).as("svec"))): _*)))
+        .select(col("_x.sub").as("sub"), col("_x.code").as("code"),
+          posexplode(col("_x.svec")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(avg(col("col")).as("mean"))
         .collect()
@@ -208,6 +247,15 @@ object IvfPq {
       es.map(rv => dotScaled(qs, array(rv.map(lit): _*)))
     }: _*)
 
+  /** The complete per-candidate ADC sum `Σ_s lut[s·k + codes[s]]` over
+    * the row's `codes` array and the probe row's carried `_lut` — m
+    * element_at lookups, whole-stage codegen, exact long addition (any
+    * grouping gives the identical value, so this equals the former
+    * m-row `sum(d)` aggregate bit-for-bit). */
+  private def adcSum(k: Int, m: Int): org.apache.spark.sql.Column =
+    (0 until m).map(sI => element_at(col("_lut"),
+      lit(sI * k + 1) + element_at(col("codes"), sI + 1))).reduce(_ + _)
+
   /** Probe: nProbe nearest lists by exact integer dot, ADC prune to
     * `shortlist`, exact scaled-integer cosine re-rank to top `k`
     * ([[Similarity.rerankExact]] — joins `emb` for the shortlisted
@@ -239,20 +287,28 @@ object IvfPq {
     val scored0 = index.codes.join(broadcast(probes), "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
     val cand = (lutE match {
-      case Some(es) => scored0.withColumn("d", element_at(col("_lut"),
-        col("sub") * lit(es.head.size) + col("code") + 1))
+      case Some(es) =>
+        // one candidate ROW per (query, neighbor) — codes ride as an
+        // array, the LUT rides on the probe row, so the row computes
+        // its COMPLETE score in place and the former m-row
+        // (query_id, neighbor_id) re-fold exchange is gone
+        scored0.select(col("query_id"), col("neighbor_id"),
+          (col("cdot") + adcSum(es.head.size, index.m)).as("score"))
       case None =>
         // non-dense codebook fallback: the relational per-query LUT
+        // over the exploded codes, folded back per (query, neighbor)
         val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
           .join(broadcast(cbDf(s, index.cb)), "sub")
           .select(col("query_id"), col("sub"), col("code"),
             dotScaled(col("qs"), col("rvec")).as("d"))
-        scored0.join(broadcast(lut), Seq("query_id", "sub", "code"))
+        scored0.select(col("query_id"), col("neighbor_id"), col("cdot"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(broadcast(lut), Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          // cdot is constant per (query, cid) and a neighbor lives in
+          // ONE list: max() just carries it through the m-row group
+          .agg((max(col("cdot")) + sum(col("d"))).as("score"))
     })
-      .groupBy(col("query_id"), col("neighbor_id"))
-      // cdot is constant per (query, cid) and a neighbor lives in ONE
-      // list: max() just carries it through the m-row group
-      .agg((max(col("cdot")) + sum(col("d"))).as("score"))
       // bounded-heap shortlist selection (score desc, neighbor_id asc):
       // partial-aggregates map-side, so only `shortlist` rows per
       // (partition, query) reach the exchange — a row_number window here
@@ -310,21 +366,25 @@ object IvfPq {
       .join(probes, Seq("cid", "salt"))
       .filter(col("neighbor_id") =!= col("query_id"))
     val cand = (lutE match {
-      // the carried-LUT lookup: the former (query_id, sub, code) join
-      // here SORTED the full ADC candidate stream — the plan's largest
-      // exchange in the self-join shape — for values the probe row can
-      // carry in m·k longs
-      case Some(es) => scored0.withColumn("d", element_at(col("_lut"),
-        col("sub") * lit(es.head.size) + col("code") + 1))
+      // the carried-LUT lookup over the codes ARRAY: one candidate row
+      // per (query, neighbor) computes its complete score in place —
+      // the former per-sub layout pushed m× these rows through the
+      // salted join AND paid a (query_id, neighbor_id) re-fold
+      // exchange of the full candidate stream (guide §2.3/§2.4)
+      case Some(es) =>
+        scored0.select(col("query_id"), col("neighbor_id"),
+          (col("cdot") + adcSum(es.head.size, index.m)).as("score"))
       case None =>
         val lut = subSlices(q0, "qe", index.m, index.subDim, "qs")
           .join(broadcast(cbDf(s, index.cb)), "sub")
           .select(col("query_id"), col("sub"), col("code"),
             dotScaled(col("qs"), col("rvec")).as("d"))
-        scored0.join(lut, Seq("query_id", "sub", "code"))
+        scored0.select(col("query_id"), col("neighbor_id"), col("cdot"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(lut, Seq("query_id", "sub", "code"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg((max(col("cdot")) + sum(col("d"))).as("score"))
     })
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg((max(col("cdot")) + sum(col("d"))).as("score"))
       .groupBy(col("query_id"))
       .agg(tkl(col("neighbor_id"), col("score")).as("top"))
       .select(col("query_id"), explode(col("top.items")).as("x"))

@@ -153,26 +153,62 @@ object Pq {
         .agg(array_sort(collect_list(struct(col("sub"), col("cid")))).as("sc"))
         .select(col("vec_id"), expr("transform(sc, x -> x.cid)").as("codes"))
 
-  /** ADC top-k: exact query subvectors against candidate CODES. Scored
-    * via the (query, sub, cid) dot join — the relational form of the
-    * per-query lookup table. Returns (query_id, rnk, neighbor_id). */
+  /** ADC top-k: exact query subvectors against candidate CODES.
+    * Returns (query_id, rnk, neighbor_id).
+    *
+    * For dense foldable codebooks (cids 0..k-1 per subspace — exactly
+    * [[train]]'s construction) the candidate stream is ONE row per
+    * (query, neighbor): codes ride as [[encode]]'s array, the per-query
+    * m·k LUT rides the broadcast query row as one array column, and
+    * each row computes its complete score as m `element_at` adds —
+    * exact long addition, bit-identical to the former per-sub
+    * `sum(d)` fold, which pushed m× the rows through the join AND paid
+    * a (query_id, neighbor_id) re-fold exchange (guide §2.3/§2.4).
+    * Non-dense or oversized codebooks (the degenerate exact-PQ gate)
+    * keep the relational (query, sub, cid) LUT join. */
   def topKAdc(emb: DataFrame, queries: DataFrame, k: Int, cb: Codebooks): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
-    val codes = assign(subvectors(emb, cb.m, cb.subDim), cb)
-      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cid"))
-    val qsubs = subvectors(queries, cb.m, cb.subDim)
-      .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
-    // the per-query lookup table: m*k scaled dots per query
-    val lut = qsubs.join(broadcast(centTable(spark, cb)), "sub")
-      .select(col("query_id"), col("sub"), col("cid"),
-        dotScaled(col("svec"), col("cvec")).as("d"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    codes.join(broadcast(lut), Seq("sub", "cid"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d")).as("score"))
+    val bySub = cb.cents.groupBy(_._1)
+    val dense = cb.cents.size <= IvfPq.MapOnlyCbEntries &&
+      bySub.keySet == (0 until cb.m).toSet && {
+        val ordered = (0 until cb.m).map(sI => bySub(sI).sortBy(_._2))
+        val kk = ordered.head.size
+        ordered.forall(es => es.size == kk && es.map(_._2) == (0 until kk))
+      }
+    val scored =
+      if (dense) {
+        val ordered = (0 until cb.m).map(sI => bySub(sI).sortBy(_._2))
+        val kk = ordered.head.size
+        val codes = encode(emb, cb)
+          .select(col("vec_id").as("neighbor_id"), col("codes"))
+        val qlut = queries.select(col("vec_id").as("query_id"),
+          array(ordered.zipWithIndex.flatMap { case (es, sI) =>
+            val qs = slice(col("embedding"), sI * cb.subDim + 1, cb.subDim)
+            es.map(e => dotScaled(qs, array(e._3.map(lit): _*)))
+          }: _*).as("_lut"))
+        codes.join(broadcast(qlut), col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (0 until cb.m).map(sI => element_at(col("_lut"),
+              lit(sI * kk + 1) + element_at(col("codes"), sI + 1)))
+              .reduce(_ + _).as("score"))
+      } else {
+        val codes = assign(subvectors(emb, cb.m, cb.subDim), cb)
+          .select(col("vec_id").as("neighbor_id"), col("sub"), col("cid"))
+        val qsubs = subvectors(queries, cb.m, cb.subDim)
+          .select(col("vec_id").as("query_id"), col("sub"), col("svec"))
+        // the per-query lookup table: m*k scaled dots per query
+        val lut = qsubs.join(broadcast(centTable(spark, cb)), "sub")
+          .select(col("query_id"), col("sub"), col("cid"),
+            dotScaled(col("svec"), col("cvec")).as("d"))
+        codes.join(broadcast(lut), Seq("sub", "cid"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(sum(col("d")).as("score"))
+      }
+    scored
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"))

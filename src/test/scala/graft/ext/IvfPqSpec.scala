@@ -379,11 +379,47 @@ class IvfPqSpec extends AnyFunSuite {
 
   test("codes are the compressed representation: m small ints per vector") {
     val idx = IvfPq.buildIndex(emb, nLists = 8, m = 8, k = 16)
+    // array layout (r21): ONE row per vector, all m codes as an array
     val perVec = idx.codes.groupBy("neighbor_id").count()
       .agg(min("count"), max("count")).head()
-    assert(perVec.getLong(0) == 8L && perVec.getLong(1) == 8L)
-    val codeRange = idx.codes.agg(min("code"), max("code")).head()
-    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) < 16)
+    assert(perVec.getLong(0) == 1L && perVec.getLong(1) == 1L)
+    val shape = idx.codes
+      .select(size(col("codes")).as("m"),
+        array_min(col("codes")).as("lo"), array_max(col("codes")).as("hi"))
+      .agg(min("m"), max("m"), min("lo"), max("hi")).head()
+    assert(shape.getInt(0) == 8 && shape.getInt(1) == 8)
+    assert(shape.getInt(2) >= 0 && shape.getInt(3) < 16)
+  }
+
+  test("assignCodes array layout equals the legacy per-sub winners") {
+    // the map-only kernel path vs the distributed broadcast-join path
+    // must produce the same codes in the same subspace order — the
+    // legacy path is also the non-dense fallback, so this equivalence
+    // is what keeps both probe branches on one value contract
+    val cents = Ivf.train(emb, 8, 0)
+    val res = IvfPq.residuals(emb, cents)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val m = 8; val subDim = dim / m
+    val seeds = res.orderBy(col("vec_id")).limit(16).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("res").toSeq)
+    val cb: Seq[(Int, Int, Seq[Double])] = for {
+      sI <- 0 until m
+      (v, j) <- seeds.zipWithIndex.toSeq
+    } yield (sI, j, v.slice(sI * subDim, (sI + 1) * subDim))
+    val fast = IvfPq.assignCodes(res, cb, m, subDim)
+    // force the legacy relational path by padding the codebook with
+    // unreachable entries (far from every residual, but small enough
+    // that no scaled dot nears long overflow) past the gate — winners
+    // are unchanged, the dispatch flips
+    val far = Seq.fill(subDim)(10.0d)
+    val pad: Seq[(Int, Int, Seq[Double])] =
+      (0 until m).flatMap(sI => (16 until 80).map(j => (sI, j, far)))
+    val slow = IvfPq.assignCodes(res, cb ++ pad, m, subDim)
+      .withColumnRenamed("codes", "l_codes").withColumnRenamed("cid", "l_cid")
+    assert(fast.join(slow, Seq("vec_id"))
+      .filter(col("codes") =!= col("l_codes") ||
+        col("cid") =!= col("l_cid")).count() == 0L)
+    assert(fast.count() == emb.count())
   }
 
   test("probeShuffled equals probe row-for-row (self-join query set)") {
